@@ -1,0 +1,94 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math, twice: as driver-side Scala (for the small, hot MOPSO control
+  * loop — swarm/archive state is ≤65 rows and never worth a Spark job) and as
+  * Column expressions built purely from `org.apache.spark.sql.functions`
+  * built-ins, so the data-plane operators stay inside whole-stage codegen
+  * (no UDF boundary, no serialization).
+  *
+  * Semantics mirror the reference's scalar kernels
+  * (dist: Spark_MOPSO_Avg.scala:1067-1075, weighted variants :1078-1096)
+  * without the `Math.pow` in the inner loop.
+  */
+object Linalg {
+
+  // ---- driver-side kernels -------------------------------------------------
+
+  /** Euclidean distance (reference `dist`, Spark_MOPSO_Avg.scala:1067-1075). */
+  def euclid(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  def squaredDistance(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Weight vector x/sum(x) (Spark_MOPSO_Avg.scala:1078-1085). */
+  def weightsBySum(x: Array[Double]): Array[Double] = {
+    val s = x.sum
+    if (s == 0.0) x.map(_ => 0.0) else x.map(_ / s)
+  }
+
+  /** Weight vector x/avg(x) — the Particle variant's inconsistent twin
+    * (Spark_MOPSO_Particle.scala:823-833). Kept distinct on purpose.
+    */
+  def weightsByAvg(x: Array[Double]): Array[Double] = {
+    val m = x.sum / x.length
+    if (m == 0.0) x.map(_ => 0.0) else x.map(_ / m)
+  }
+
+  /** Weighted Euclidean distance (Spark_MOPSO_Avg.scala:1088-1096):
+    * weights derived from `a` by x/sum(x).
+    */
+  def weightedEuclid(a: Array[Double], b: Array[Double]): Double = {
+    val w = weightsBySum(a)
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += w(i) * d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def norm2(a: Array[Double]): Double = math.sqrt(dot(a, a))
+
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val na = norm2(a); val nb = norm2(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  // ---- Column-expression kernels (codegen'd, no UDF) -----------------------
+
+  /** Euclidean distance between two array<double> columns.
+    * `zip_with` + left-fold `aggregate` keeps summation order deterministic
+    * (left-to-right), matching a sequential oracle computation.
+    */
+  def euclidCol(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+
+  def squaredDistanceCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm2Col(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+
+  def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (norm2Col(a) * norm2Col(b))
+}

@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Standard relational coverage over the fixture star schema (SURVEY §5.2):
+  * scans, filters, projections, equi/semi/anti joins, hash aggregation,
+  * rollup, windows, top-k, set ops. The reference itself only ever runs one
+  * big table (SURVEY §2.5) — this surface is what makes the engine a
+  * general analytics library rather than a single-purpose job.
+  *
+  * Scale notes (100 TB): every query below shuffles only on its aggregation
+  * or join keys; dimension tables (region, nation, supplier) are broadcast —
+  * AQE handles the rest at runtime. All double aggregates are rounded in
+  * both Spark and oracle SQL so the hash compare is fp-order-insensitive.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_top_orders" -> q2TopOrders,
+    "q3_revenue_by_nation" -> q3RevenueByNation,
+    "q4_ship_filter_agg" -> q4ShipFilterAgg,
+    "q5_supplier_recent_lines" -> q5SupplierRecentLines,
+    "q6_customers_without_orders" -> q6CustomersWithoutOrders,
+    "q7_late_ship_priority" -> q7LateShipPriority,
+    "q8_rollup_quantity" -> q8RollupQuantity,
+    "q9_segment_stats" -> q9SegmentStats,
+    "q10_running_order_total" -> q10RunningOrderTotal,
+    "q11_nationkeys_union" -> q11NationkeysUnion,
+    "q12_brand_type_shapes" -> q12BrandTypeShapes
+  )
+
+  /** TPC-H Q1 shape: single-table scan + hash agg with partial aggregation;
+    * filter and the 6-column projection both push into the parquet scan.
+    */
+  def q1PricingSummary: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Global top-k: TakeOrderedAndProject — no full sort, no shuffle of the
+    * whole table; deterministic via the orderkey tiebreak.
+    */
+  def q2TopOrders: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** 4-way join: lineitem⋈orders (big-big, shuffle on orderkey) then
+    * customer, then broadcast nation — classic star-join shape.
+    */
+  def q3RevenueByNation: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: pure filter + scalar agg; every predicate is
+    * parquet-pushable (PushedFilters shows range + range + range).
+    */
+  def q4ShipFilterAgg: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Window ranking: first 3 shipped lines per supplier. One shuffle on
+    * l_suppkey; full tiebreak chain keeps row_number deterministic.
+    */
+  def q5SupplierRecentLines: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+        col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** Left anti join (NOT EXISTS): customers with no urgent orders — the
+    * filter on the right side keeps the anti-join non-degenerate at every
+    * scale factor.
+    */
+  def q6CustomersWithoutOrders: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q4 shape: left semi join (EXISTS) with a non-equi component —
+    * orders having at least one line shipped after the order date.
+    */
+  def q7LateShipPriority: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Rollup (grouping sets): subtotals per returnflag and grand total. */
+  def q8RollupQuantity: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Per-segment stats incl. distinct count — exercises partial+final agg
+    * with a distinct (expand) path.
+    */
+  def q9SegmentStats: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(avg(col("c_acctbal")), 4).as("avg_bal"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"),
+        countDistinct(col("c_nationkey")).as("n_nations"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Running (cumulative) aggregate per customer over order dates —
+    * window frame unboundedPreceding..currentRow.
+    */
+  def q10RunningOrderTotal: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Set op: distinct union of customer and supplier nation keys. */
+  def q11NationkeysUnion: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    c.union(sup).distinct().orderBy(col("nationkey"))
+  }
+
+  /** String ops + grouping: brand/type histogram with LIKE filter. */
+  def q12BrandTypeShapes: Q = (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_type").isin("PROMO", "STANDARD", "ECONOMY"))
+      .filter(col("p_brand").like("Brand#1%"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"),
+        round(avg(col("p_size")), 4).as("avg_size"))
+      .orderBy(col("p_brand"), col("p_type"))
+
+  /** DuckDB twins — same names, same column aliases, same rounding. */
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_top_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+        |FROM orders ORDER BY total DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q3_revenue_by_nation" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q4_ship_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07""".stripMargin,
+    "q5_supplier_recent_lines" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, ship_day FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q6_customers_without_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q7_late_ship_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q8_rollup_quantity" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q9_segment_stats" ->
+      """SELECT c_mktsegment,
+        | round(avg(c_acctbal), 4) AS avg_bal,
+        | round(min(c_acctbal), 2) AS min_bal,
+        | round(max(c_acctbal), 2) AS max_bal,
+        | count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q10_running_order_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |   AS running_total
+        |FROM orders WHERE o_custkey < 20
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q11_nationkeys_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q12_brand_type_shapes" ->
+      """SELECT p_brand, p_type, count(*) AS n_parts,
+        | round(avg(p_retailprice), 4) AS avg_price,
+        | round(avg(p_size), 4) AS avg_size
+        |FROM part
+        |WHERE p_type IN ('PROMO','STANDARD','ECONOMY')
+        |  AND p_brand LIKE 'Brand#1%'
+        |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin
+  )
+}

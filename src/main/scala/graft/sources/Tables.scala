@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers for the driver-generated star schema (TESTDATA.md) plus the
+  * reference's own labeled-CSV convention
+  * (parser at Spark_MOPSO_Avg.scala:1191-1236).
+  *
+  * All readers return plain DataFrames so Catalyst sees a declarative scan:
+  * column pruning and predicate pushdown reach the parquet reader for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+
+  /** Embeddings with the float vector upcast to array<double> — the engine's
+    * canonical `features` representation (SURVEY §7.4.7: array<double>, not
+    * VectorUDT, so columns stay SQL-composable and oracle-checkable).
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .withColumn("features", col("embedding").cast(ArrayType(DoubleType)))
+
+  /** Labeled points in the engine's canonical schema, derived from the
+    * embeddings fixture: (id, features: array<double>, label: int).
+    */
+  def labeledPoints(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      col("vec_id").as("id"), col("features"), col("label"))
+
+  /** Reference-convention CSV reader (P1, Spark_MOPSO_Avg.scala:1191-1236):
+    * headerless all-numeric CSV, last column = integer class label,
+    * `labelStartWithZero=false` shifts 0-based labels up by one
+    * (:1217-1220); `labeled=false` parses every column as a feature with
+    * label 0 (:1224-1235); `header=true` drops the first line (:1199-1202).
+    */
+  def labeledCsv(
+      spark: SparkSession,
+      path: String,
+      labeled: Boolean = true,
+      labelStartWithZero: Boolean = true,
+      header: Boolean = false): DataFrame = {
+    val raw = spark.read
+      .option("header", header.toString)
+      .option("inferSchema", "false")
+      .csv(path)
+    val cols = raw.columns
+    if (labeled) {
+      val featureCols = cols.dropRight(1).map(c => col(c).cast(DoubleType))
+      val shift = if (labelStartWithZero) 1 else 0
+      raw.select(
+        array(featureCols.toIndexedSeq: _*).as("features"),
+        (col(cols.last).cast(IntegerType) + lit(shift)).as("label"))
+    } else {
+      raw.na.drop("all")
+        .select(
+          array(cols.toIndexedSeq.map(c => col(c).cast(DoubleType)): _*)
+            .as("features"),
+          lit(0).as("label"))
+    }
+  }
+}
