@@ -1,0 +1,478 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Linalg
+import graft.sources.Tables
+
+/** The clustering data-plane operators (SURVEY §2.3/§2.4/§2.11) expressed
+  * Spark-first over the embeddings fixture, with fixed deterministic
+  * centroids (the first 10 vectors) so every operator is DuckDB-oracle
+  * checkable.
+  *
+  * Core shape: nearest-centroid assignment (reference `calPartitionKmeans`,
+  * Spark_MOPSO_Avg.scala:1306-1315 caller, kernel :660-675) is a broadcast
+  * nested-loop join + per-row argmin. Here the centroid set is tiny and
+  * driver-resident, so it compiles to a *literal* array of structs and the
+  * argmin is `array_sort(...)[0]` — pure codegen'd built-ins, zero shuffle,
+  * zero join. Cluster ids are 1-based like the reference (:664-669), ties
+  * broken toward the lower id (`minBy` takes the first minimum).
+  */
+object Clustering {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Number of fixed centroids for the oracle-checkable query surface. */
+  val K = 10
+
+  /** KNN depth for Conn (reference `LIndex`, Spark_MOPSO_Avg.scala:39). */
+  val L = 10
+
+  def queries: Map[String, Q] = Map(
+    "c1_assign" -> c1Assign,
+    "c2_dev" -> c2Dev,
+    "c3_cluster_hist" -> c3ClusterHist,
+    "c4_feature_bounds" -> c4FeatureBounds,
+    "c5_purity_by_label" -> c5PurityByLabel,
+    "c6_purity" -> c6Purity,
+    "c7_inertia" -> c7Inertia,
+    "c8_cluster_avgdist" -> c8ClusterAvgdist,
+    "c9_knn" -> c9Knn,
+    "c10_conn" -> c10Conn,
+    "c11_pareto_front" -> c11ParetoFront,
+    "c12_crowding" -> c12Crowding,
+    "c13_minmax_norm" -> c13MinmaxNorm,
+    "c14_silhouette" -> c14Silhouette,
+    "c15_dbi" -> c15Dbi
+  )
+
+  // ---- assignment (J4) -----------------------------------------------------
+
+  /** Deterministic centroids: the first K embedding vectors, cluster id =
+    * vec_id + 1 (1-based like the reference).
+    */
+  def centers(s: SparkSession, dir: String): Seq[(Int, Array[Double])] =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < K)
+      .select(col("vec_id"), col("features"))
+      .collect()
+      .map(r => (r.getLong(0).toInt + 1, r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .toSeq
+
+  /** Argmin over a literal centroid set: array_sort on struct(dist, cid)
+    * sorts lexicographically, so `[0]` is the nearest centroid with ties
+    * broken toward the lower id — exactly `minBy(_._2)` over 1-based ids
+    * (Spark_MOPSO_Avg.scala:660-675). Whole-stage-codegen friendly; the
+    * centroids ride into the plan as literals (a broadcast in spirit,
+    * without even a broadcast exchange).
+    */
+  def assignStruct(features: Column, cs: Seq[(Int, Array[Double])]): Column =
+    element_at(
+      array_sort(array(cs.map { case (cid, vec) =>
+        struct(
+          Linalg.euclidCol(features, typedlit(vec)).as("dist"),
+          lit(cid).as("cluster"))
+      }: _*)),
+      1)
+
+  /** Points tagged with nearest centroid: (id, label, cluster, dist). */
+  def assigned(s: SparkSession, dir: String): DataFrame = {
+    val cs = centers(s, dir)
+    Tables.labeledPoints(s, dir)
+      .withColumn("a", assignStruct(col("features"), cs))
+      .select(col("id"), col("label"), col("features"),
+        col("a.cluster").as("cluster"), col("a.dist").as("dist"))
+  }
+
+  def c1Assign: Q = (s, dir) =>
+    assigned(s, dir).select(col("id"), col("cluster")).orderBy(col("id"))
+
+  /** Dev objective: Σ min-distances (Spark_MOPSO_Avg.scala:1030-1033).
+    * Algebraic → partial aggregation comes free from Catalyst.
+    */
+  def c2Dev: Q = (s, dir) =>
+    assigned(s, dir).agg(
+      round(sum(col("dist")), 3).as("dev"),
+      count(lit(1)).as("n_points"))
+
+  /** Cluster occupancy histogram (A5, Spark_MOPSO_Avg.scala:480-487). */
+  def c3ClusterHist: Q = (s, dir) =>
+    assigned(s, dir).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("cluster"))
+
+  /** Per-feature min/max bounds (A4, Spark_MOPSO_Avg.scala:1239-1252) in
+    * ONE pass — the reference runs one full RDD scan per feature; posexplode
+    * + hash agg covers all F dimensions in a single scan.
+    */
+  def c4FeatureBounds: Q = (s, dir) =>
+    Tables.labeledPoints(s, dir)
+      .select(posexplode(col("features")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("pos"))
+
+  /** Purity inner step (E1, Spark_MOPSO_Avg.scala:465-493): majority
+    * cluster per true label. The reference's `maxBy` over a HashMap has
+    * nondeterministic tie order; here ties break toward the lower cluster
+    * id (documented divergence, deterministic by construction).
+    */
+  def c5PurityByLabel: Q = (s, dir) => {
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("n").desc, col("cluster"))
+    assigned(s, dir)
+      .groupBy(col("label"), col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("cluster").as("top_cluster"),
+        col("n").as("n_top"))
+      .orderBy(col("label"))
+  }
+
+  /** Purity total: Σ majority counts / N (Spark_MOPSO_Avg.scala:339-355). */
+  def c6Purity: Q = (s, dir) => {
+    val top = c5PurityByLabel(s, dir)
+    val n = Tables.labeledPoints(s, dir).count()
+    top.agg(round(sum(col("n_top")) / lit(n.toDouble), 6).as("purity"))
+  }
+
+  /** Inertia / WSSSE: Σ d² (E5, Spark_MOPSO_Avg.scala:1351-1364). */
+  def c7Inertia: Q = (s, dir) =>
+    assigned(s, dir).agg(
+      round(sum(col("dist") * col("dist")), 3).as("inertia"))
+
+  /** Mean intra-cluster distance (A6, the DBI inner step,
+    * Spark_MOPSO_Avg.scala:1320-1325).
+    */
+  def c8ClusterAvgdist: Q = (s, dir) =>
+    assigned(s, dir).groupBy(col("cluster"))
+      .agg(round(avg(col("dist")), 6).as("avg_dist"))
+      .orderBy(col("cluster"))
+
+  // ---- KNN self-join (J5) and Conn (A10) -----------------------------------
+
+  /** All-pairs distances + per-point ranking. Exact O(n²) formulation —
+    * correct at verify scale; the 100 TB path is the LSH variant
+    * (graft.functions.Similarity) or the reference's own partition-local
+    * approximation (Conn inside one partition, A8 semantics).
+    */
+  private def rankedNeighbors(
+      s: SparkSession, dir: String, probeFilter: Column): DataFrame = {
+    val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
+    val probe = pc.filter(probeFilter)
+      .select(col("id").as("xi"), col("features").as("xv"),
+        col("cluster").as("cx"))
+    val cand = pc.select(col("id").as("yi"), col("features").as("yv"),
+      col("cluster").as("cy"))
+    val w = Window.partitionBy(col("xi")).orderBy(col("dist"), col("yi"))
+    probe.crossJoin(cand)
+      .where(col("xi") =!= col("yi"))
+      .select(col("xi"), col("cx"), col("cy"), col("yi"),
+        Linalg.euclidCol(col("xv"), col("yv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= L)
+  }
+
+  /** Top-L neighbors for the first 50 points (J5/T3 surface). */
+  def c9Knn: Q = (s, dir) =>
+    rankedNeighbors(s, dir, col("id") < 50)
+      .select(col("xi").as("qid"), col("rnk").as("rank"),
+        col("yi").as("nid"))
+      .orderBy(col("qid"), col("rank"))
+
+  /** Conn objective, exact/global scope (Spark_MOPSO_Avg.scala:1036-1063):
+    * for each point, take the L nearest neighbors; for each neighbor in the
+    * SAME cluster add 1/(rank) [reference: 1/(index+1), :1055-1059 — note
+    * it rewards same-cluster neighbors; replicated as written, SURVEY
+    * §7.4.2]. Sum over all points.
+    */
+  def c10Conn: Q = (s, dir) =>
+    rankedNeighbors(s, dir, lit(true))
+      .agg(round(sum(
+        when(col("cx") === col("cy"), lit(1.0) / col("rnk"))
+          .otherwise(lit(0.0))), 4).as("conn"))
+
+  // ---- Pareto front (M2) as a distributed skyline --------------------------
+
+  /** Per-customer 2-objective fitness points (f1 = account balance,
+    * f2 = total order value, both minimized) — a deterministic stand-in for
+    * archive fitness vectors at data scale.
+    */
+  def fitnessPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey").as("id"), col("c_acctbal"))
+      .agg(round(sum(col("o_totalprice")), 2).as("f2"))
+      .select(col("id"), round(col("c_acctbal"), 2).as("f1"), col("f2"))
+
+  /** Distributed Pareto front under the reference's dominance predicate M1
+    * (Spark_MOPSO_Avg.scala:1020-1026): b dominates a ⇔ b.f1 ≤ a.f1 ∧
+    * b.f2 < a.f2 (note the asymmetry: equal f1 + smaller f2 dominates, but
+    * smaller f1 + equal f2 does not — replicated as written).
+    *
+    * Not the O(n²) anti-join: after a lexicographic (f1, f2) sort, a row is
+    * dominated iff some earlier row has f2 strictly smaller, so the front
+    * is a prefix-min scan. Implemented as a two-phase distributed scan over
+    * a range partitioning — O(n log n), no all-pairs shuffle, and the
+    * partition count rides `spark.sql.shuffle.partitions`, so the same code
+    * holds at 1000 executors.
+    */
+  def paretoFront(df: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ds = df.select(col("id").cast("long"), col("f1"), col("f2"))
+      .as[(Long, Double, Double)]
+      .repartitionByRange(parts, col("f1"), col("f2"))
+      .sortWithinPartitions(col("f1"), col("f2"))
+      .persist()
+    // phase 1: per-partition min f2 (tiny collect: one double per partition)
+    val partMins: Map[Int, Double] = ds.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = it.foldLeft(Double.PositiveInfinity)((acc, r) =>
+          math.min(acc, r._3))
+        Iterator.single((pid, m))
+      }
+      .collect().toMap
+    // prefix min over all partitions strictly before pid (range partitions
+    // are ordered, so "before" = lexicographically smaller rows)
+    val prefix: Map[Int, Double] = partMins.keys.map { pid =>
+      val prior = partMins.filter(_._1 < pid).values
+      pid -> (if (prior.isEmpty) Double.PositiveInfinity else prior.min)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(prefix)
+    // phase 2: running prefix-min scan within each sorted partition
+    val front = ds.mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      var running = bc.value.getOrElse(tc.partitionId(), Double.PositiveInfinity)
+      it.flatMap { case (id, f1, f2) =>
+        val keep = !(running < f2)
+        running = math.min(running, f2)
+        if (keep) Iterator.single((id, f1, f2)) else Iterator.empty
+      }
+    }
+    // NOTE: ds stays persisted until the caller's action runs — phase 1's
+    // partition indices must match the partitioning phase 2 reads, and an
+    // unpersist here would let the range sort recompute (and resample its
+    // bounds) underneath the broadcast prefix map. The cache is id+2
+    // doubles per row; the session drops it on stop.
+    front.toDF("id", "f1", "f2")
+  }
+
+  def c11ParetoFront: Q = (s, dir) =>
+    paretoFront(fitnessPoints(s, dir), s).orderBy(col("id"))
+
+  /** Crowding distance over the front (M3, product formula of the Single/
+    * Particle variants, MOPSO_Single.scala:994-1020): sort by f2, middle
+    * entries get |f1(prev)−f1(next)|·|f2(prev)−f2(next)|; endpoints are
+    * unbounded in the reference (Double.MaxValue) → NULL here.
+    */
+  def c12Crowding: Q = (s, dir) => {
+    val w = Window.orderBy(col("f2"), col("id"))
+    paretoFront(fitnessPoints(s, dir), s)
+      .withColumn("crowding", round(
+        abs(lag(col("f1"), 1).over(w) - lead(col("f1"), 1).over(w)) *
+          abs(lag(col("f2"), 1).over(w) - lead(col("f2"), 1).over(w)), 6))
+      .select(col("id"), col("crowding"))
+      .orderBy(col("id"))
+  }
+
+  /** Min-max normalization of the front's objectives to [0,1] (F4,
+    * Spark_MOPSO_Avg.scala:407-427).
+    */
+  def c13MinmaxNorm: Q = (s, dir) => {
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    paretoFront(fitnessPoints(s, dir), s)
+      .withColumn("nf1", round(
+        (col("f1") - min(col("f1")).over(w)) /
+          (max(col("f1")).over(w) - min(col("f1")).over(w)), 6))
+      .withColumn("nf2", round(
+        (col("f2") - min(col("f2")).over(w)) /
+          (max(col("f2")).over(w) - min(col("f2")).over(w)), 6))
+      .select(col("id"), col("nf1"), col("nf2"))
+      .orderBy(col("id"))
+  }
+
+  // ---- whole-data evaluation metrics ---------------------------------------
+
+  /** Mean silhouette, exact O(n²) formulation
+    * (Spark_MOPSO_Avg.scala:606-656): a(i) = mean distance to own cluster
+    * INCLUDING self (:625-633 — the self-pair contributes d=0 to the mean),
+    * b(i) = min over other clusters of mean distance, s = (b−a)/max(a,b).
+    */
+  def c14Silhouette: Q = (s, dir) => {
+    val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
+    val x = pc.select(col("id").as("xi"), col("features").as("xv"),
+      col("cluster").as("cx"))
+    val y = pc.select(col("id").as("yi"), col("features").as("yv"),
+      col("cluster").as("cy"))
+    val byCluster = x.crossJoin(y)
+      .select(col("xi"), col("cx"), col("cy"),
+        Linalg.euclidCol(col("xv"), col("yv")).as("dist"))
+      .groupBy(col("xi"), col("cx"), col("cy"))
+      .agg(avg(col("dist")).as("ad"))
+    val ai = byCluster.filter(col("cy") === col("cx"))
+      .select(col("xi"), col("ad").as("ai"))
+    val bi = byCluster.filter(col("cy") =!= col("cx"))
+      .groupBy(col("xi")).agg(min(col("ad")).as("bi"))
+    ai.join(bi, "xi")
+      .agg(round(avg(
+        (col("bi") - col("ai")) / greatest(col("ai"), col("bi"))), 6)
+        .as("silhouette"))
+  }
+
+  /** Davies-Bouldin index replicated as written
+    * (Spark_MOPSO_Avg.scala:1306-1342): R_ij over pairs j>i, and the
+    * running max is NEVER reset across i — so row i contributes the max R
+    * seen in any pair up to and including its own loop (SURVEY §2.11 E4).
+    * Distributed part = assignment + per-cluster avg; the K×K loop runs on
+    * K collected rows.
+    */
+  def c15Dbi: Q = (s, dir) => {
+    val cs = centers(s, dir)
+    val sd: Map[Int, Double] = assigned(s, dir)
+      .groupBy(col("cluster")).agg(avg(col("dist")).as("sd"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val k = cs.length
+    var max = Double.MinValue
+    var result = 0.0
+    for (i <- 0 until k) {
+      val si = sd(cs(i)._1)
+      for (j <- i until k if i != j) {
+        val sj = sd(cs(j)._1)
+        val dij = Linalg.euclid(cs(i)._2, cs(j)._2)
+        val rij = (si + sj) / dij
+        if (rij > max) max = rij
+      }
+      result += max
+    }
+    val dbi = result / k
+    import s.implicits._
+    Seq(dbi).toDF("dbi").select(round(col("dbi"), 6).as("dbi"))
+  }
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  /** Shared SQL fragments: points, centroids, assignment. */
+  private val P =
+    "p AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+  private val C =
+    s"c AS (SELECT vec_id + 1 AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < $K)"
+  private val A =
+    """a AS (SELECT id, label, cid AS cluster, dist FROM (
+      |  SELECT p.id, p.label, c.cid, list_distance(p.v, c.cv) AS dist,
+      |    row_number() OVER (PARTITION BY p.id
+      |      ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+      |  FROM p CROSS JOIN c) WHERE rn = 1)""".stripMargin
+
+  private def withAssign(body: String): String =
+    s"WITH $P, $C, $A\n$body"
+
+  private val fitnessSql =
+    """f AS (SELECT c_custkey AS id, round(c_acctbal, 2) AS f1,
+      |  round(sum(o_totalprice), 2) AS f2
+      |  FROM customer JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY c_custkey, c_acctbal)""".stripMargin
+
+  /** O(n²) anti-join formulation of the skyline — intentionally a different
+    * algorithm than the Spark two-phase scan, so the oracle independently
+    * validates the prefix-min construction.
+    */
+  private val frontSql =
+    s"""WITH $fitnessSql,
+       |front AS (SELECT id, f1, f2 FROM f a WHERE NOT EXISTS (
+       |  SELECT 1 FROM f b WHERE b.f1 <= a.f1 AND b.f2 < a.f2))""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "c1_assign" -> withAssign(
+      "SELECT id, cluster::INT AS cluster FROM a ORDER BY id"),
+    "c2_dev" -> withAssign(
+      "SELECT round(sum(dist), 3) AS dev, count(*) AS n_points FROM a"),
+    "c3_cluster_hist" -> withAssign(
+      "SELECT cluster::INT AS cluster, count(*) AS n FROM a GROUP BY cluster ORDER BY cluster"),
+    "c4_feature_bounds" ->
+      """SELECT i AS pos, min(embedding[i+1]::DOUBLE) AS mn,
+        |  max(embedding[i+1]::DOUBLE) AS mx
+        |FROM embeddings, generate_series(0, 63) t(i)
+        |GROUP BY i ORDER BY pos""".stripMargin,
+    "c5_purity_by_label" -> withAssign(
+      """SELECT label, top_cluster::INT AS top_cluster, n_top FROM (
+        |  SELECT label, cluster AS top_cluster, count(*) AS n_top,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY count(*) DESC, cluster) AS rn
+        |  FROM a GROUP BY label, cluster) WHERE rn = 1 ORDER BY label""".stripMargin),
+    "c6_purity" -> withAssign(
+      """SELECT round(sum(n_top) * 1.0 / (SELECT count(*) FROM p), 6)
+        |  AS purity FROM (
+        |  SELECT count(*) AS n_top,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY count(*) DESC, cluster) AS rn
+        |  FROM a GROUP BY label, cluster) WHERE rn = 1""".stripMargin),
+    "c7_inertia" -> withAssign(
+      "SELECT round(sum(dist * dist), 3) AS inertia FROM a"),
+    "c8_cluster_avgdist" -> withAssign(
+      "SELECT cluster::INT AS cluster, round(avg(dist), 6) AS avg_dist FROM a GROUP BY cluster ORDER BY cluster"),
+    "c9_knn" -> withAssign(
+      s"""SELECT xi AS qid, rnk::INT AS rank, yi AS nid FROM (
+         |  SELECT x.id AS xi, y.id AS yi,
+         |    row_number() OVER (PARTITION BY x.id
+         |      ORDER BY list_distance(x.v, y.v), y.id) AS rnk
+         |  FROM p x JOIN p y ON x.id <> y.id WHERE x.id < 50)
+         |WHERE rnk <= $L ORDER BY qid, rank""".stripMargin),
+    "c10_conn" -> withAssign(
+      s"""SELECT round(sum(CASE WHEN cx = cy THEN 1.0 / rnk ELSE 0 END), 4)
+         |  AS conn FROM (
+         |  SELECT ax.cluster AS cx, ay.cluster AS cy,
+         |    row_number() OVER (PARTITION BY x.id
+         |      ORDER BY list_distance(x.v, y.v), y.id) AS rnk
+         |  FROM p x JOIN p y ON x.id <> y.id
+         |  JOIN a ax ON ax.id = x.id JOIN a ay ON ay.id = y.id)
+         |WHERE rnk <= $L""".stripMargin),
+    "c11_pareto_front" ->
+      s"$frontSql\nSELECT id, f1, f2 FROM front ORDER BY id",
+    "c12_crowding" ->
+      s"""$frontSql
+         |SELECT id, round(
+         |  abs(lag(f1) OVER w - lead(f1) OVER w) *
+         |  abs(lag(f2) OVER w - lead(f2) OVER w), 6) AS crowding
+         |FROM front WINDOW w AS (ORDER BY f2, id) ORDER BY id""".stripMargin,
+    "c13_minmax_norm" ->
+      s"""$frontSql
+         |SELECT id,
+         |  round((f1 - min(f1) OVER ()) /
+         |    (max(f1) OVER () - min(f1) OVER ()), 6) AS nf1,
+         |  round((f2 - min(f2) OVER ()) /
+         |    (max(f2) OVER () - min(f2) OVER ()), 6) AS nf2
+         |FROM front ORDER BY id""".stripMargin,
+    "c14_silhouette" -> withAssign(
+      """SELECT round(avg((bi - ai) / greatest(ai, bi)), 6) AS silhouette
+        |FROM (
+        |  SELECT xi, avg(ad) FILTER (WHERE cy = cx) AS ai,
+        |    min(ad) FILTER (WHERE cy <> cx) AS bi
+        |  FROM (
+        |    SELECT x.id AS xi, ax.cluster AS cx, ay.cluster AS cy,
+        |      avg(list_distance(x.v, y.v)) AS ad
+        |    FROM p x CROSS JOIN p y
+        |    JOIN a ax ON ax.id = x.id JOIN a ay ON ay.id = y.id
+        |    GROUP BY x.id, ax.cluster, ay.cluster)
+        |  GROUP BY xi)""".stripMargin),
+    "c15_dbi" -> withAssign(
+      s"""-- replicates the reference's never-reset running max
+         |, s AS (SELECT cluster, avg(dist) AS sd FROM a GROUP BY cluster),
+         |pairs AS (
+         |  SELECT ci.cid AS i, (si.sd + sj.sd) /
+         |    list_distance(ci.cv, cj.cv) AS r
+         |  FROM c ci JOIN c cj ON cj.cid > ci.cid
+         |  JOIN s si ON si.cluster = ci.cid
+         |  JOIN s sj ON sj.cluster = cj.cid),
+         |mi AS (SELECT i, max(r) AS m FROM pairs GROUP BY i),
+         |cm AS (SELECT cc.cid, max(mi.m) AS cmax
+         |  FROM c cc JOIN mi ON mi.i <= cc.cid GROUP BY cc.cid)
+         |SELECT round(sum(cmax) / $K, 6) AS dbi FROM cm""".stripMargin)
+  )
+}

@@ -50,8 +50,8 @@ object Relational {
           .as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -158,7 +158,7 @@ object Relational {
     Tables.customer(s, dir)
       .groupBy(col("c_mktsegment"))
       .agg(
-        round(avg(col("c_acctbal")), 4).as("avg_bal"),
+        round(avg(col("c_acctbal")), 2).as("avg_bal"),
         round(min(col("c_acctbal")), 2).as("min_bal"),
         round(max(col("c_acctbal")), 2).as("max_bal"),
         countDistinct(col("c_nationkey")).as("n_nations"))
@@ -192,8 +192,8 @@ object Relational {
       .filter(col("p_brand").like("Brand#1%"))
       .groupBy(col("p_brand"), col("p_type"))
       .agg(count(lit(1)).as("n_parts"),
-        round(avg(col("p_retailprice")), 4).as("avg_price"),
-        round(avg(col("p_size")), 4).as("avg_size"))
+        round(avg(col("p_retailprice")), 2).as("avg_price"),
+        round(avg(col("p_size")), 2).as("avg_size"))
       .orderBy(col("p_brand"), col("p_type"))
 
   /** DuckDB twins — same names, same column aliases, same rounding. */
@@ -204,8 +204,8 @@ object Relational {
         | round(sum(l_extendedprice), 2) AS sum_base_price,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        | round(avg(l_quantity), 6) AS avg_qty,
-        | round(avg(l_discount), 6) AS avg_disc,
+        | round(avg(l_quantity), 2) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -258,7 +258,7 @@ object Relational {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q9_segment_stats" ->
       """SELECT c_mktsegment,
-        | round(avg(c_acctbal), 4) AS avg_bal,
+        | round(avg(c_acctbal), 2) AS avg_bal,
         | round(min(c_acctbal), 2) AS min_bal,
         | round(max(c_acctbal), 2) AS max_bal,
         | count(DISTINCT c_nationkey) AS n_nations
@@ -278,8 +278,8 @@ object Relational {
         |ORDER BY nationkey""".stripMargin,
     "q12_brand_type_shapes" ->
       """SELECT p_brand, p_type, count(*) AS n_parts,
-        | round(avg(p_retailprice), 4) AS avg_price,
-        | round(avg(p_size), 4) AS avg_size
+        | round(avg(p_retailprice), 2) AS avg_price,
+        | round(avg(p_size), 2) AS avg_size
         |FROM part
         |WHERE p_type IN ('PROMO','STANDARD','ECONOMY')
         |  AND p_brand LIKE 'Brand#1%'
