@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.mopso.{Config, Mopso, MopsoConfig}
 import graft.operators.{Clustering, Relational}
+import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,13 +15,28 @@ import graft.operators.{Clustering, Relational}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: a full seeded MOPSO run (Avg variant, partition-scoped
+    * fitness, deterministic id-range partitioning) on the sf0.001
+    * embeddings — returns the Pareto archive (rank, dev, conn, purity).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q3RevenueByNation(spark, "/root/testdata/sf0.001")
+    mopsoArchive(spark, "/root/testdata/sf0.001")
+
+  private def mopsoArchive(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = MopsoConfig.avg(numPartitions = 8).copy(
+      iterMax = 10, partitioning = Config.PartByIdRange)
+    val result = Mopso.run(spark, Tables.labeledPoints(spark, dir), cfg,
+      seed = 42L)
+    Mopso.archiveDf(spark, result)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Clustering.queries
+    Relational.queries ++ Clustering.queries ++ Map(
+      // full MOPSO loop — stochastic-but-seeded, no SQL equivalent →
+      // rows-only check (archive is non-empty and ≤ repository)
+      "m1_mopso_archive" -> ((s, dir) => mopsoArchive(s, dir))
+    )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

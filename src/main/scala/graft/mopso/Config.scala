@@ -1,0 +1,143 @@
+package graft.mopso
+
+/** Per-variant behavioral switches (SURVEY §7.4.3): the four reference
+  * programs disagree on constants, schedules, clamping, crowding and pbest
+  * semantics. Each difference is a config field with the per-variant
+  * reference default — parameterized, never silently "fixed".
+  */
+object Config {
+
+  /** Inertia-weight schedule (M8). */
+  sealed trait WSchedule
+  /** Single: w = (Wmax−Wmin)(iter_max−iter)/iter_max + Wmin — linear
+    * decrease (MOPSO_Single.scala:132).
+    */
+  case object WDecrease extends WSchedule
+  /** Avg/Particle: w = (Wmax + iter·(Wmax−Wmin))/iter_max — linear increase
+    * scaled by 1/iter_max (Spark_MOPSO_Avg.scala:199,
+    * Spark_MOPSO_Particle.scala:169).
+    */
+  case object WIncreaseScaled extends WSchedule
+
+  /** Crowding-distance middle formula (M3). */
+  sealed trait CrowdingFormula
+  /** Product |Δf1|·|Δf2| of flanking neighbors (MOPSO_Single.scala:994-1020,
+    * Spark_MOPSO_Particle.scala:677-703).
+    */
+  case object CrowdProduct extends CrowdingFormula
+  /** Mean of √(euclid-to-neighbor) (Spark_MOPSO_Avg.scala:966-995). */
+  case object CrowdMeanSqrt extends CrowdingFormula
+
+  /** Leader (gbest) selection rule (M5). */
+  sealed trait LeaderRule
+  /** Max crowding among non-endpoint entries, ties broken uniformly
+    * (getGlobalBest, Spark_MOPSO_Avg.scala:905-938).
+    */
+  case object LeaderMaxCrowding extends LeaderRule
+  /** Sort middle by crowding ASC, pick among the first ⌊n·0.1⌋+1 — as
+    * written this samples the MOST crowded entries, not the least
+    * (getGlobalBestNew, Spark_MOPSO_Avg.scala:943-962); replicated as-is.
+    */
+  case object LeaderTopDecile extends LeaderRule
+
+  /** pbest update semantics (M6). */
+  sealed trait PbestMode
+  /** Single/Particle: replace pbest when the OLD best dominates the new
+    * fitness (the isDominatedBy(new, best) inversion,
+    * MOPSO_Single.scala:459-472), else replace with prob 0.5.
+    */
+  case object PbestInverted extends PbestMode
+  /** Avg: the new pbest is computed then DISCARDED — the particle keeps its
+    * original (BestPosition, BestFitness) forever
+    * (Spark_MOPSO_Avg.scala:248-273, the returned tuple at :272).
+    */
+  case object PbestDiscard extends PbestMode
+
+  /** Fitness evaluation scope (A8 vs A9, SURVEY §7.4.1). */
+  sealed trait FitnessScope
+  /** Partition-local Dev/Conn scaled by rate = n_partition/n_total, summed
+    * across partitions — Conn neighbors only within a partition, so results
+    * DEPEND on partitioning (Spark_MOPSO_Avg.scala:843-865).
+    */
+  case object ScopePartition extends FitnessScope
+  /** Whole-data Dev/Conn (Single sequential; Particle with the dataset
+    * broadcast, Spark_MOPSO_Particle.scala:108-109 — small-data-only
+    * strategy at 100 TB, SURVEY §7.4.6).
+    */
+  case object ScopeGlobal extends FitnessScope
+
+  /** How input rows map to partitions (part of query semantics under
+    * ScopePartition — SURVEY §4 "partitioning as a semantic knob").
+    */
+  sealed trait Partitioning
+  /** repartition(n) — reference Avg (Spark_MOPSO_Avg.scala:86). */
+  case object PartRandom extends Partitioning
+  /** hash-partition by label — labelPartition variant
+    * (Spark_MOPSO_Avg_labelPartition.scala:77-78).
+    */
+  case object PartByLabel extends Partitioning
+  /** range-partition by id — deterministic across runs; engine extension
+    * used by the seeded e2e gate.
+    */
+  case object PartByIdRange extends Partitioning
+}
+
+/** One parameterized driver loop covers all four reference programs
+  * (SURVEY §3: "variant = config").
+  */
+final case class MopsoConfig(
+    numParticles: Int = 50, // Spark_MOPSO_Avg.scala:34
+    repository: Int = 15, // Spark_MOPSO_Avg.scala:31
+    iterMax: Int = 30, // MOPSO_Single.scala:24 default
+    lIndex: Int = 10, // Spark_MOPSO_Avg.scala:39
+    c1: Double = 1.0,
+    c2: Double = 2.0,
+    wMax: Double = 0.9,
+    wMin: Double = 0.4,
+    vMax: Double = 1.0,
+    vMin: Double = -1.0,
+    wSchedule: Config.WSchedule = Config.WIncreaseScaled,
+    crowding: Config.CrowdingFormula = Config.CrowdMeanSqrt,
+    leader: Config.LeaderRule = Config.LeaderMaxCrowding,
+    pbest: Config.PbestMode = Config.PbestDiscard,
+    scope: Config.FitnessScope = Config.ScopePartition,
+    partitioning: Config.Partitioning = Config.PartRandom,
+    numPartitions: Int = 32,
+    clampVelocity: Boolean = true,
+    clampPosition: Boolean = false,
+    kOverride: Option[Int] = None, // default: inferred = countDistinct(label)
+    withSilhouette: Boolean = false, // O(n²) — small data only
+    kmeansIter: Int = 30 // numberOfKMeansIter, Spark_MOPSO_Avg.scala:38
+)
+
+object MopsoConfig {
+  /** Spark_MOPSO_Avg defaults. */
+  def avg(numPartitions: Int = 32): MopsoConfig =
+    MopsoConfig(numPartitions = numPartitions)
+
+  /** Spark_MOPSO_Avg_labelPartition: Avg + label-hash partitioning. */
+  def labelPartition(numPartitions: Int = 32): MopsoConfig =
+    MopsoConfig(numPartitions = numPartitions,
+      partitioning = Config.PartByLabel)
+
+  /** Spark_MOPSO_Particle: c1=1, c2=2, no clamping, global fitness,
+    * product crowding.
+    */
+  def particle: MopsoConfig =
+    MopsoConfig(scope = Config.ScopeGlobal,
+      crowding = Config.CrowdProduct,
+      pbest = Config.PbestInverted,
+      clampVelocity = false, clampPosition = false)
+
+  /** MOPSO_Single: c1=1.42, c2=1.63, decreasing w, full clamping,
+    * product crowding, sequential (global scope, 1 logical partition).
+    */
+  def single: MopsoConfig =
+    MopsoConfig(c1 = 1.42, c2 = 1.63,
+      wSchedule = Config.WDecrease,
+      crowding = Config.CrowdProduct,
+      pbest = Config.PbestInverted,
+      scope = Config.ScopeGlobal,
+      numPartitions = 1, // driver-local evaluation (the sequential oracle)
+      clampVelocity = true, clampPosition = true)
+}

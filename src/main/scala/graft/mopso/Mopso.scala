@@ -1,0 +1,274 @@
+package graft.mopso
+
+import scala.util.Random
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.mopso.Config._
+
+/** Per-partition evaluation block: points + labels + precomputed in-scope
+  * neighbor lists (see [[FitnessKernel]]).
+  */
+final case class EvalBlock(
+    points: Array[Array[Double]],
+    labels: Array[Int],
+    neighbors: Array[Array[Int]]) extends Serializable
+
+final case class MopsoResult(
+    archive: Array[ArchiveEntry],
+    kmeansCenters: Array[Array[Double]],
+    purities: Array[Double],
+    kmeansPurity: Double,
+    k: Int,
+    numFeatures: Int,
+    totalPoints: Long,
+    elapsedSec: Double)
+
+/** The single parameterized MOPSO driver loop (SURVEY §3: the reference's
+  * three mains become one loop; variant = [[MopsoConfig]]).
+  *
+  * Execution model per scope:
+  *  - [[ScopePartition]] (Avg/labelPartition): data stays partitioned and
+  *    cached; each iteration broadcasts the 50-particle swarm (50·K·F
+  *    doubles) and runs EXACTLY ONE distributed job that evaluates every
+  *    particle's rate-scaled partial fitness per partition; the driver sums
+  *    partials in partition order (Spark_MOPSO_Avg.scala:211-245). Data
+  *    never moves — this is the shape that scales to 1000 executors.
+  *  - [[ScopeGlobal]] + distributed (Particle): the whole dataset is
+  *    broadcast once and particles are farmed out per iteration
+  *    (Spark_MOPSO_Particle.scala:108-109,175-188) — faithful to the
+  *    reference but memory-bound by design; documented small-data-only.
+  *  - [[ScopeGlobal]] local (Single): pure driver loop, the behavioral
+  *    oracle for tests.
+  */
+object Mopso {
+
+  def run(spark: SparkSession, data: DataFrame, cfg: MopsoConfig,
+      seed: Long): MopsoResult = {
+    val t0 = System.nanoTime()
+    val sc = spark.sparkContext
+    val rng = new Random(seed)
+
+    val hasId = data.columns.contains("id")
+    val base = data.select(
+      (if (hasId) Seq(col("id")) else Seq.empty) ++
+        Seq(col("features"), col("label")): _*)
+
+    val partitioned = cfg.partitioning match {
+      case PartRandom => base.repartition(cfg.numPartitions)
+      case PartByLabel => base.repartition(cfg.numPartitions, col("label"))
+      case PartByIdRange =>
+        require(hasId, "PartByIdRange needs an id column")
+        base.repartitionByRange(cfg.numPartitions, col("id"))
+    }
+
+    // schema inference K/F/N (Spark_MOPSO_Avg.scala:89-103) — one job for
+    // K+N instead of the reference's three collect round-trips
+    val kn = base.agg(
+      countDistinct(col("label")).as("k"), count(lit(1)).as("n")).head()
+    val k = cfg.kOverride.getOrElse(kn.getLong(0).toInt)
+    val total = kn.getLong(1)
+    val numFeatures = base.select(size(col("features"))).head().getInt(0)
+
+    // A4 feature bounds in ONE pass (the reference scans once per feature,
+    // Spark_MOPSO_Avg.scala:1239-1252); tuple order (max, min) preserved
+    val bounds: Array[(Double, Double)] = base
+      .select(posexplode(col("features")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(max(col("v")).as("mx"), min(col("v")).as("mn"))
+      .orderBy(col("pos"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+    val rowsRDD: RDD[(Array[Double], Int)] = partitioned
+      .select(col("features"), col("label")).rdd
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+
+    // evaluation blocks: per-partition for ScopePartition, one global block
+    // otherwise; neighbor lists precomputed once (see FitnessKernel)
+    var blocksRDD: RDD[EvalBlock] = null
+    var globalBlock: EvalBlock = null
+    cfg.scope match {
+      case ScopePartition =>
+        blocksRDD = rowsRDD.mapPartitions { it =>
+          val rows = it.toArray
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val pts = rows.map(_._1)
+            Iterator.single(
+              EvalBlock(pts, rows.map(_._2),
+                FitnessKernel.buildNeighbors(pts, cfg.lIndex)))
+          }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        blocksRDD.count() // materialize once before the loop
+      case ScopeGlobal =>
+        val rows = rowsRDD.collect()
+        val pts = rows.map(_._1)
+        globalBlock = EvalBlock(pts, rows.map(_._2),
+          FitnessKernel.buildNeighbors(pts, cfg.lIndex))
+    }
+    val globalBC =
+      if (globalBlock != null && distributedGlobal(cfg)) sc.broadcast(globalBlock)
+      else null
+
+    def evaluate(positions: Array[Array[Array[Double]]]): Array[Array[Double]] =
+      cfg.scope match {
+        case ScopePartition =>
+          val bc = sc.broadcast(positions)
+          val partials = blocksRDD
+            .mapPartitionsWithIndex { (pid, it) =>
+              it.map { block =>
+                (pid, bc.value.map(pos =>
+                  FitnessKernel.partitionPartial(block.toPartData, pos,
+                    cfg.lIndex, total)))
+              }
+            }.collect()
+          bc.destroy()
+          val fits = Array.fill(positions.length)(Array(0.0, 0.0))
+          // driver merge in partition order (Spark_MOPSO_Avg.scala:230-245)
+          partials.sortBy(_._1).foreach { case (_, arr) =>
+            var p = 0
+            while (p < arr.length) {
+              fits(p)(0) += arr(p)._1; fits(p)(1) += arr(p)._2; p += 1
+            }
+          }
+          fits
+        case ScopeGlobal if distributedGlobal(cfg) =>
+          val posBC = sc.broadcast(positions)
+          val out = sc
+            .parallelize(positions.indices.toSeq,
+              math.min(positions.length, math.max(sc.defaultParallelism, 1)))
+            .map { i =>
+              val (dev, conn) = FitnessKernel.devConn(
+                globalBC.value.toPartData, posBC.value(i), cfg.lIndex)
+              (i, Array(dev, conn))
+            }.collect()
+          posBC.destroy()
+          out.sortBy(_._1).map(_._2)
+        case ScopeGlobal =>
+          positions.map { pos =>
+            val (dev, conn) =
+              FitnessKernel.devConn(globalBlock.toPartData, pos, cfg.lIndex)
+            Array(dev, conn)
+          }
+      }
+
+    // I1 K-Means baseline (for the reference's own comparison eval,
+    // Spark_MOPSO_Avg.scala:361-389)
+    val kmeansCenters =
+      Init.kmeansCenters(base.select(col("features")), k, cfg.kmeansIter, seed)
+
+    // I3 swarm init (batched maximin) + I4 velocities
+    val initPositions =
+      Init.maximinBatch(rowsRDD.map(_._1), k, cfg.numParticles, seed)
+    var particles: Array[Particle] = initPositions.map { pos =>
+      Particle(pos,
+        Swarm.initVelocity(k, numFeatures, cfg.vMin, cfg.vMax, rng),
+        Array(0.0, 0.0), pos, Array(0.0, 0.0), Array(0.0))
+    }
+
+    // initial fitness; pbest = current (Spark_MOPSO_Avg.scala:158-174)
+    val initFits = evaluate(particles.map(_.position))
+    particles = particles.zip(initFits).map { case (p, f) =>
+      p.copy(fitness = f, bestPosition = p.position, bestFitness = f)
+    }
+
+    // archive bootstrap: whole swarm, then non-dominated filter
+    // (Spark_MOPSO_Avg.scala:176-189); crowding arrays shared by reference
+    var archive = Archive.update(
+      particles.map(p => ArchiveEntry(p.position, p.fitness, p.crowding)),
+      cfg.repository, cfg.crowding)
+
+    var iter = 1
+    while (iter <= cfg.iterMax) {
+      val w = Swarm.weight(cfg.wSchedule, iter, cfg.iterMax, cfg.wMax, cfg.wMin)
+      val gbest = Archive.leader(archive, cfg.leader, cfg.crowding, rng)
+      particles = particles.map(
+        Swarm.updateVelocityPosition(_, gbest.position, bounds, w, cfg, rng))
+      val fits = evaluate(particles.map(_.position))
+      particles = particles.zip(fits).map { case (p, f) =>
+        Swarm.pbestUpdate(p, f, cfg.pbest, rng)
+      }
+      archive = Archive.update(
+        archive ++ particles.map(p =>
+          ArchiveEntry(p.position, p.fitness, p.crowding)),
+        cfg.repository, cfg.crowding)
+      iter += 1
+    }
+
+    // E1 purity for every archive entry + the kmeans baseline in ONE job:
+    // per partition, per center set, a (label, cluster) histogram; driver
+    // merges and takes the majority cluster per label
+    // (Spark_MOPSO_Avg.scala:325-389 runs K filter+assignment jobs per
+    // entry instead)
+    val centerSets = archive.map(_.position) :+ kmeansCenters
+    val hists: Array[Map[(Int, Int), Long]] = cfg.scope match {
+      case ScopePartition =>
+        val bc = sc.broadcast(centerSets)
+        val parts = blocksRDD.mapPartitions { it =>
+          it.map(block => bc.value.map(cs => histogram(block, cs)))
+        }.collect()
+        bc.destroy()
+        val merged = Array.fill(centerSets.length)(
+          scala.collection.mutable.Map.empty[(Int, Int), Long])
+        parts.foreach { arr =>
+          arr.zipWithIndex.foreach { case (h, i) =>
+            h.foreach { case (key, n) =>
+              merged(i)(key) = merged(i).getOrElse(key, 0L) + n
+            }
+          }
+        }
+        merged.map(_.toMap)
+      case ScopeGlobal =>
+        centerSets.map(cs => histogram(globalBlock, cs))
+    }
+    val purities = hists.map(h => purityOf(h, total))
+
+    if (blocksRDD != null) blocksRDD.unpersist()
+    if (globalBC != null) globalBC.destroy()
+
+    MopsoResult(archive, kmeansCenters,
+      purities.dropRight(1), purities.last,
+      k, numFeatures, total, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def distributedGlobal(cfg: MopsoConfig): Boolean =
+    cfg.scope == ScopeGlobal && cfg.numPartitions > 1
+
+  private def histogram(block: EvalBlock,
+      centers: Array[Array[Double]]): Map[(Int, Int), Long] = {
+    val (clusters, _) = FitnessKernel.assign(block.points, centers)
+    val m = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    var i = 0
+    while (i < block.labels.length) {
+      val key = (block.labels(i), clusters(i))
+      m(key) = m.getOrElse(key, 0L) + 1
+      i += 1
+    }
+    m.toMap
+  }
+
+  /** Purity = Σ_label max_cluster count / N (E1). */
+  private def purityOf(hist: Map[(Int, Int), Long], total: Long): Double = {
+    if (total == 0) return 0.0
+    hist.groupBy(_._1._1).values
+      .map(_.values.max).sum.toDouble / total
+  }
+
+  /** Archive as a DataFrame (rank, f1, f2, purity) for the query surface. */
+  def archiveDf(spark: SparkSession, result: MopsoResult): DataFrame = {
+    import spark.implicits._
+    result.archive.zip(result.purities)
+      .map { case (e, p) => (e.fitness(0), e.fitness(1), p) }
+      .sortBy(t => (t._1, t._2))
+      .zipWithIndex
+      .map { case ((f1, f2, p), i) => (i + 1, f1, f2, p) }
+      .toSeq.toDF("rank", "dev", "conn", "purity")
+  }
+
+  implicit private class EvalBlockOps(val b: EvalBlock) extends AnyVal {
+    def toPartData: PartData = PartData(b.points, b.neighbors)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.mopso
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.mopso.Config._
+import graft.sources.Tables
+
+/** End-to-end seeded MOPSO gates (SURVEY §5.4): determinism (same seed →
+  * identical archive fitness), archive invariants, and quality (purity of
+  * the best archive entry is in the K-Means baseline's neighborhood).
+  */
+class MopsoE2ESpec extends AnyFunSuite with SparkTestBase {
+
+  private def data = Tables.labeledPoints(spark, sfDir)
+
+  private val cfg = MopsoConfig.avg(numPartitions = 4).copy(
+    iterMax = 5, partitioning = PartByIdRange)
+
+  test("seeded Avg run is deterministic: identical archive fitness twice") {
+    val r1 = Mopso.run(spark, data, cfg, seed = 42L)
+    val r2 = Mopso.run(spark, data, cfg, seed = 42L)
+    val f1 = r1.archive.map(e => (e.fitness(0), e.fitness(1))).sorted.toSeq
+    val f2 = r2.archive.map(e => (e.fitness(0), e.fitness(1))).sorted.toSeq
+    assert(f1 === f2)
+    assert(r1.purities.toSeq === r2.purities.toSeq)
+  }
+
+  test("archive invariants: non-empty, ≤ repository, mutually non-dominated") {
+    val r = Mopso.run(spark, data, cfg, seed = 7L)
+    assert(r.archive.nonEmpty)
+    assert(r.archive.length <= cfg.repository)
+    for (a <- r.archive; b <- r.archive if !(a eq b))
+      assert(!Archive.dominates(b.fitness, a.fitness) ||
+        java.util.Arrays.equals(a.fitness, b.fitness))
+    assert(r.k === 10)
+    assert(r.numFeatures === 64)
+    assert(r.totalPoints === 500L)
+  }
+
+  test("quality: best archive purity lands near the K-Means baseline") {
+    val r = Mopso.run(spark, data, cfg.copy(iterMax = 10), seed = 42L)
+    val best = r.purities.max
+    assert(best > 0.0 && best <= 1.0)
+    assert(r.kmeansPurity > 0.0)
+    // MOPSO seeded by farthest-point init over 10 iterations should reach
+    // a reasonable fraction of the baseline on the embeddings fixture
+    assert(best >= r.kmeansPurity * 0.5,
+      s"best purity $best vs kmeans ${r.kmeansPurity}")
+  }
+
+  test("global scope (Particle variant) runs and stays within bounds") {
+    val r = Mopso.run(spark, data, MopsoConfig.particle.copy(iterMax = 3),
+      seed = 11L)
+    assert(r.archive.nonEmpty && r.archive.length <= 15)
+  }
+
+  test("sequential oracle (Single variant) runs driver-local") {
+    val r = Mopso.run(spark, data, MopsoConfig.single.copy(iterMax = 3),
+      seed = 11L)
+    assert(r.archive.nonEmpty && r.archive.length <= 15)
+  }
+}
