@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mopso.{Config, Mopso, MopsoConfig}
 import graft.operators.{Clustering, Relational}
 import graft.sources.Tables
@@ -32,15 +33,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Clustering.queries ++ Map(
-      // full MOPSO loop — stochastic-but-seeded, no SQL equivalent →
-      // rows-only check (archive is non-empty and ≤ repository)
-      "m1_mopso_archive" -> ((s, dir) => mopsoArchive(s, dir))
-    )
+    Relational.queries ++ Clustering.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries ++ Map(
+        // full MOPSO loop — stochastic-but-seeded, no SQL equivalent →
+        // rows-only check (archive is non-empty and ≤ repository)
+        "m1_mopso_archive" -> ((s, dir) => mopsoArchive(s, dir))
+      )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Clustering.oracles
+    Relational.oracles ++ Clustering.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Multimodal.oracles
 }

@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.TextAnalysis.{hash60, tokensCol}
+
+/** Deduplication operators (builder brief): exact hash dedup, MinHash
+  * signatures + banded LSH candidate pairs, SimHash, and n-gram Jaccard
+  * verification.
+  *
+  * Scale shape: signatures are per-row expressions (no shuffle, pure
+  * codegen); LSH candidate generation shuffles once on the band bucket key
+  * — the classic shingle→minhash→band→bucket-join pipeline that replaces
+  * the O(n²) all-pairs comparison at 100 TB. The fixture corpus contains
+  * same-vocabulary near-duplicates (token-set Jaccard = 1.0) which the
+  * pipeline must surface.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Number of MinHash functions and LSH band layout (2 bands × 4 rows). */
+  val NumHashes = 8
+  val BandSize = 4
+
+  def queries: Map[String, Q] = Map(
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_minhash_sig" -> d2MinhashSig,
+    "d3_lsh_pairs" -> d3LshPairs,
+    "d4_simhash" -> d4Simhash,
+    "d5_jaccard_pairs" -> d5JaccardPairs
+  )
+
+  /** Exact dedup summary via content hash: total docs, distinct contents,
+    * duplicate groups. (Hash-groupBy — the map-side partial aggregation
+    * makes this a single cheap shuffle at any scale.)
+    */
+  def d1ExactDedup: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(md5(col("text").cast("binary")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+
+  /** MinHash signature rows (doc_id, h, mh): for hash function h, the
+    * minimum 60-bit hash of `h:token` over the doc's DISTINCT token set.
+    * Computed entirely in array expressions — one scan, no shuffle, no UDF.
+    */
+  def d2MinhashSig: Q = (s, dir) =>
+    minhashSigs(s, dir)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("h", "mh")))
+      .orderBy(col("doc_id"), col("h"))
+
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", array_distinct(tokensCol(col("text"))))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(NumHashes - 1)),
+          h => array_min(transform(col("toks"),
+            t => hash60(concat(h.cast("string"), lit(":"), t)))))
+          .as("sig"))
+
+  /** Banded LSH candidate pairs: split the signature into bands of
+    * [[BandSize]], bucket docs by (band, joined band values), emit doc
+    * pairs sharing any bucket. ONE shuffle on the bucket key — never an
+    * all-pairs join; collisions are the candidate set that a verifier
+    * (d5) confirms.
+    */
+  def d3LshPairs: Q = (s, dir) => {
+    val bands = minhashSigs(s, dir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
+          b => concat_ws(",",
+            transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
+              x => x.cast("string")))))
+          .as(Seq("band", "key")))
+    val a = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash over the distinct token set: bit b is set when more
+    * token hashes have bit b set than clear. Same-vocabulary docs collapse
+    * to the same simhash; near-dups differ in few bits (Hamming distance).
+    */
+  def d4Simhash: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("toks", array_distinct(tokensCol(col("text"))))
+      .withColumn("hs", transform(col("toks"), t => hash60(t)))
+      .select(col("doc_id"),
+        // bit loop unrolled at plan-build time (shiftright needs a literal
+        // shift count); 32 small aggregates over the token-hash array, all
+        // inside one codegen stage
+        (0 until 32).map { b =>
+          when(
+            aggregate(
+              transform(col("hs"), h =>
+                when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1))
+                  .otherwise(lit(-1))),
+              lit(0), _ + _) > 0,
+            lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** n-gram (unigram-set) Jaccard similarity for the first 100 docs:
+    * |A∩B| / |A∪B| over distinct token sets, thresholded. The exact
+    * verifier for LSH candidates — at scale it runs on d3's output, here
+    * also standalone for oracle checking.
+    */
+  def d5JaccardPairs: Q = (s, dir) => {
+    val t = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        array_distinct(tokensCol(col("text"))).as("toks"))
+    val a = t.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    a.crossJoin(b).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b")))).as("jac"))
+      .where(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val sigSql =
+    s"""sig AS (
+       |  SELECT doc_id, h,
+       |    min(('0x' || substr(md5(h || ':' || tok), 1, 15))::BIGINT) AS mh
+       |  FROM (SELECT doc_id,
+       |      unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+       |    FROM documents),
+       |    generate_series(0, ${NumHashes - 1}) g(h)
+       |  GROUP BY doc_id, h)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT sum(n) AS n_docs, count(*) AS n_distinct,
+        |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+        |FROM (SELECT md5(text) AS h, count(*) AS n
+        |  FROM documents GROUP BY md5(text))""".stripMargin,
+    "d2_minhash_sig" ->
+      s"""WITH $sigSql
+         |SELECT doc_id, h::INT AS h, mh FROM sig ORDER BY doc_id, h""".stripMargin,
+    "d3_lsh_pairs" ->
+      s"""WITH $sigSql,
+         |bands AS (
+         |  SELECT doc_id, (h // $BandSize)::INT AS band,
+         |    string_agg(mh, ',' ORDER BY h) AS key
+         |  FROM sig GROUP BY doc_id, (h // $BandSize))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+    "d4_simhash" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_transform(list_distinct(string_split_regex(trim(text), '\s+')),
+        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_sum(list_transform(generate_series(0, 31), b ->
+        |    CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |      THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "d5_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jac FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |    len(list_distinct(list_concat(a.toks, b.toks))) AS jac
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Linalg
+import graft.operators.Clustering
+import graft.sources.Tables
+
+/** Similarity search over the embedding column (builder brief): exact
+  * brute-force cosine top-k as the correctness baseline, sign-LSH
+  * bucketing, and an IVF-style cell-probed ANN as the scale path.
+  *
+  * Scale shape: brute force is O(Q·N) per query batch — fine for small Q,
+  * a non-starter for all-pairs at 100 TB. The IVF variant prunes the
+  * candidate set to one coarse cell (here ~N/K vectors), turning the probe
+  * into a broadcast of Q query vectors against a cluster-pruned scan; the
+  * LSH variant buckets by hyperplane signs so candidates co-locate in one
+  * shuffle. Recall is traded for the pruning — the baseline (s1) is the
+  * ground truth the approximate variants are measured against.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumPlanes = 16
+
+  def queries: Map[String, Q] = Map(
+    "s1_cosine_topk" -> s1CosineTopk,
+    "s2_lsh_buckets" -> s2LshBuckets,
+    "s3_ann_ivf" -> s3AnnIvf
+  )
+
+  /** Exact brute-force cosine top-5 for query vectors vec_id < 5:
+    * (qid, rank, nid, cos). The dot/norm kernel is zip_with+aggregate —
+    * codegen'd, no UDF.
+    */
+  def s1CosineTopk: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("features").as("qv"))
+    val c = e.select(col("vec_id").as("nid"), col("features").as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    q.crossJoin(c)
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Linalg.cosineCol(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Sign-LSH bucket per vector: bit i = [dot(v, plane_i) > 0] with the
+    * first [[NumPlanes]] embeddings as (deterministic, data-derived)
+    * hyperplanes. Vectors sharing a bucket are near-duplicate candidates —
+    * the embedding-cosine leg of the dedup pipeline.
+    */
+  def s2LshBuckets: Q = (s, dir) => {
+    val planes: Seq[(Int, Array[Double])] = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < NumPlanes)
+      .select(col("vec_id"), col("features"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val bucket = planes.map { case (i, p) =>
+      when(Linalg.dotCol(col("features"), typedlit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), bucket.as("bucket"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF-style ANN: vectors are partitioned into K coarse cells (the fixed
+    * centroid assignment, Clustering J4); each query probes ONLY its own
+    * cell's candidates — (qid, rank, nid) by euclidean distance. Recall
+    * < 1 vs s1 by construction; at scale the cell id becomes the partition
+    * key so a probe touches 1/K of the data.
+    */
+  def s3AnnIvf: Q = (s, dir) => {
+    val cs = Clustering.centers(s, dir)
+    val assigned = Tables.embeddings(s, dir)
+      .withColumn("a", Clustering.assignStruct(col("features"), cs))
+      .select(col("vec_id"), col("features"), col("a.cluster").as("cell"))
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("features").as("qv"),
+        col("cell"))
+    val c = assigned
+      .select(col("vec_id").as("nid"), col("features").as("nv"),
+        col("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("nid"))
+    q.join(c, Seq("cell")) // equi-join on the coarse cell = the pruning
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  def oracles: Map[String, String] = Map(
+    "s1_cosine_topk" ->
+      """WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT qid, rank, nid, round(cos, 4) AS cos FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_cosine_similarity(q.v, c.v) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+        |      AS rank
+        |  FROM p q JOIN p c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s2_lsh_buckets" ->
+      s"""WITH pl AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
+         |  FROM embeddings WHERE vec_id < $NumPlanes)
+         |SELECT e.vec_id,
+         |  sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.pv) > 0
+         |    THEN (1::BIGINT << pid::INT) ELSE 0 END)::BIGINT AS bucket
+         |FROM embeddings e CROSS JOIN pl
+         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+    "s3_ann_ivf" ->
+      s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id + 1 AS cid, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < ${Clustering.K}),
+         |a AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT p.vec_id, p.v, c.cid,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+         |  FROM p CROSS JOIN c) WHERE rn = 1)
+         |SELECT qid, rank, nid FROM (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_distance(q.v, n.v), n.vec_id) AS rank
+         |  FROM a q JOIN a n ON q.cell = n.cell AND q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  )
+}

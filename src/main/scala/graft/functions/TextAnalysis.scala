@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (builder brief): token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. Everything is built from codegen'd built-ins —
+  * split/transform/aggregate/filter — so the whole stage stays inside
+  * WholeStageCodegen with zero UDFs and zero shuffles (per-row expressions
+  * only). At 100 TB these are embarrassingly parallel scans.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokens of `text` (trimmed; "BPE-ish" boundary = \s+). */
+  def tokensCol(text: Column): Column = split(trim(text), "\\s+")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is", "on")
+
+  /** Deterministic 60-bit string hash shared bit-for-bit with the DuckDB
+    * oracle: first 15 hex digits of md5, read base-16.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast(LongType)
+
+  /** Word k-shingles (k=3) as strings; empty array when < 3 tokens. */
+  def shinglesCol(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  def queries: Map[String, Q] = Map(
+    "t1_token_stats" -> t1TokenStats,
+    "t2_lang_guess" -> t2LangGuess,
+    "t3_fingerprint" -> t3Fingerprint
+  )
+
+  /** Token counting + quality scoring: token count, distinct count, mean
+    * token length, stopword ratio.
+    */
+  def t1TokenStats: Q = (s, dir) => {
+    val toks = tokensCol(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        round(aggregate(transform(col("toks"), t => length(t)),
+          lit(0), _ + _).cast("double") / size(col("toks")), 6)
+          .as("mean_len"),
+        round(size(filter(col("toks"), t => t.isin(stopwords: _*)))
+          .cast("double") / size(col("toks")), 6).as("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: count marker tokens per language, argmax with
+    * alphabetical priority on ties. (A real n-gram model would score
+    * character trigrams; the fixture corpus is synthetic English-ish word
+    * soup, so the *mechanism* — per-language scoring + deterministic argmax
+    * — is what this operator exercises.)
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ein"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("的", "是", "在", "了")
+  )
+
+  def t2LangGuess: Q = (s, dir) => {
+    val toks = tokensCol(col("text"))
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .select(col("doc_id") +: langMarkers.map { case (lang, markers) =>
+        size(filter(col("toks"), t => t.isin(markers: _*))).as(s"s_$lang")
+      }: _*)
+    // argmax with alphabetical tie priority (de < en < es < fr < zh)
+    val langs = langMarkers.map(_._1)
+    val guess = langs.init.foldRight(lit(langs.last): Column) { (lang, rest) =>
+      val others = langs.filterNot(_ == lang)
+      when(others.map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _), lit(lang)).otherwise(rest)
+    }
+    scored.select(col("doc_id"), guess.as("guess")).orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: min 60-bit hash over word 3-shingles (a
+    * min-hash of the shingle set — robust to local edits); whole-text hash
+    * for docs with < 3 tokens.
+    */
+  def t3Fingerprint: Q = (s, dir) => {
+    val toks = tokensCol(col("text"))
+    val sh = shinglesCol(col("toks"))
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("sh", sh)
+      .select(col("doc_id"),
+        when(size(col("sh")) > 0,
+          array_min(transform(col("sh"), x => hash60(x))))
+          .otherwise(hash60(col("text"))).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val toksSql =
+    """t AS (SELECT doc_id, text,
+      |  string_split_regex(trim(text), '\s+') AS toks FROM documents)""".stripMargin
+
+  private def inList(xs: Seq[String]) =
+    xs.map(x => s"'$x'").mkString("(", ",", ")")
+
+  def oracles: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""WITH $toksSql
+         |SELECT doc_id, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_uniq,
+         |  round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+         |    / len(toks), 6) AS mean_len,
+         |  round(len(list_filter(toks, x -> x IN ${inList(stopwords)}))
+         |    * 1.0 / len(toks), 6) AS stop_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "t2_lang_guess" ->
+      s"""WITH $toksSql,
+         |sc AS (SELECT doc_id,
+         |${langMarkers.map { case (l, m) =>
+           s"  len(list_filter(toks, x -> x IN ${inList(m)})) AS s_$l"
+         }.mkString(",\n")}
+         |FROM t)
+         |SELECT doc_id, CASE
+         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |  WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |  WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |  ELSE 'zh' END AS guess
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "t3_fingerprint" ->
+      s"""WITH $toksSql,
+         |s AS (SELECT doc_id, text,
+         |  list_transform(generate_series(1, len(toks) - 2),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+         |  FROM t)
+         |SELECT doc_id, CASE WHEN len(sh) > 0
+         |  THEN list_min(list_transform(sh,
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))
+         |  ELSE ('0x' || substr(md5(text), 1, 15))::BIGINT END AS fp
+         |FROM s ORDER BY doc_id""".stripMargin
+  )
+}
