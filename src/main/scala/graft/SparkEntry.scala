@@ -6,6 +6,7 @@ import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mopso.{Config, Mopso, MopsoConfig}
 import graft.operators.{Clustering, Relational}
 import graft.sources.Tables
+import graft.streaming.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,7 +36,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Clustering.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Map(
+      Multimodal.queries ++ Events.queries ++ Map(
         // full MOPSO loop — stochastic-but-seeded, no SQL equivalent →
         // rows-only check (archive is non-empty and ≤ repository)
         "m1_mopso_archive" -> ((s, dir) => mopsoArchive(s, dir))
@@ -47,5 +48,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Clustering.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ Events.oracles
 }

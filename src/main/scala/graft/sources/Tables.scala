@@ -26,7 +26,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
+    * to TimestampType (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
+    * legacy conf and convert to a (µs) timestamp explicitly — integer
+    * `div`, not `/`, because ns epoch values exceed double's 2^53 exact
+    * range. Session TZ is UTC so the wall-clock matches the naive ns
+    * timestamps DuckDB sees.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
 
   /** Embeddings with the float vector upcast to array<double> — the engine's

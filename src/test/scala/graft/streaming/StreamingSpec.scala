@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Structured Streaming runs of the Events transforms: the SAME logical
+  * plan as the batch/oracle path, executed incrementally from a
+  * MemoryStream, must converge to the batch answer. Plus a custom-state
+  * sessionizer via flatMapGroupsWithState (the KeyValueGroupedDataset
+  * path for operators session_window can't express).
+  */
+// encoders require top-level (non-inner) case classes
+case class Ev(ts: Timestamp, user_id: Long, event_type: String,
+    value: Double)
+case class SessAcc(start: Long, last: Long, n: Long, sum: Double)
+case class SessOut(user_id: Long, s_start: Long, n_events: Long,
+    total: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def eventRows(): Seq[Ev] = {
+    Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+  }
+
+  test("streaming tumbling agg converges to the batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val streamed = Events.tumblingHourly(input.toDF())
+    val query = streamed.writeStream
+      .format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      val rows = eventRows()
+      // feed in two batches to exercise incremental state
+      input.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val want = Events.tumblingHourly(Tables.events(spark, sfDir))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got === want)
+    } finally query.stop()
+  }
+
+  test("watermarked append-mode stream emits finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = Events.withWatermarked(input.toDF())
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val rows = eventRows().sortBy(_.ts.getTime)
+      input.addData(rows)
+      query.processAllAvailable()
+      // advance watermark far past the data → all windows finalize
+      val last = rows.last.ts.getTime
+      input.addData(Seq(Ev(new Timestamp(last + 24L * 3600 * 1000), 0L,
+        "view", 0.0)))
+      query.processAllAvailable()
+      val got = spark.table("wm_out")
+        .filter(col("event_type") =!= "view" || col("n") > 1)
+        .count()
+      assert(got > 0, "finalized windows should have been appended")
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer matches session_window batch") {
+    import spark.implicits._
+    val gapMs = 10L * 60 * 1000
+
+    // batch oracle: built-in session_window on the same (second-truncated)
+    // timestamps
+    val want = Events.sessions(Tables.events(spark, sfDir))
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+
+    // driver-side event feed, processing-time order = event-time order
+    val byUser = eventRows()
+      .map(e => (e.user_id, e.ts.getTime / 1000 * 1000, e.value))
+      .groupBy(_._1)
+
+    // the same state machine flatMapGroupsWithState would run per key —
+    // executed per user over the sorted feed (GroupStateTimeout-driven
+    // emission collapses to end-of-stream flush here)
+    def sessionize(events: Seq[(Long, Long, Double)]): Seq[SessOut] = {
+      val sorted = events.sortBy(_._2)
+      var state: Option[SessAcc] = None
+      val out = Seq.newBuilder[SessOut]
+      for ((uid, ts, v) <- sorted) {
+        state match {
+          // Spark session_window merges touching windows → `<=`
+          case Some(acc) if ts - acc.last <= gapMs =>
+            state = Some(acc.copy(last = ts, n = acc.n + 1, sum = acc.sum + v))
+          case Some(acc) =>
+            out += SessOut(uid, acc.start, acc.n, acc.sum)
+            state = Some(SessAcc(ts, ts, 1, v))
+          case None =>
+            state = Some(SessAcc(ts, ts, 1, v))
+        }
+      }
+      for ((uid, _, _) <- sorted.headOption)
+        state.foreach(acc => out += SessOut(uid, acc.start, acc.n, acc.sum))
+      out.result()
+    }
+
+    // run it THROUGH the real flatMapGroupsWithState operator on a batch
+    // Dataset (same code path Structured Streaming invokes per trigger)
+    val ds = byUser.toSeq.flatMap { case (uid, evs) =>
+      evs.map(e => (uid, e._2, e._3))
+    }.toDS()
+    val got = ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[(Long, Long, Double)],
+            state: GroupState[SessAcc]) => {
+          sessionize(it.toSeq).iterator
+        })
+      .collect()
+      .map(s => (s.user_id, s.n_events))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+
+    assert(got === want)
+  }
+}
