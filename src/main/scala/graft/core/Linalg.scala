@@ -71,24 +71,37 @@ object Linalg {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
 
-  // ---- Column-expression kernels (codegen'd, no UDF) -----------------------
+  // ---- Column-expression kernels -------------------------------------------
+  // Hot paths route to the native codegen expressions
+  // (graft.functions.VectorExpressions — allocation-free loop); the
+  // built-in zip_with/aggregate formulations are kept as the
+  // cross-validation twins (identical fold order → bit-identical results,
+  // LinalgColSpec).
 
-  /** Euclidean distance between two array<double> columns.
-    * `zip_with` + left-fold `aggregate` keeps summation order deterministic
-    * (left-to-right), matching a sequential oracle computation.
-    */
   def euclidCol(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.euclid(a, b)
+
+  def dotCol(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot(a, b)
+
+  def cosineCol(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
+
+  /** Built-in-only formulation of [[euclidCol]]: `zip_with` + left-fold
+    * `aggregate` (deterministic left-to-right summation).
+    */
+  def euclidColBuiltin(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
 
   def squaredDistanceCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
-  def dotCol(a: Column, b: Column): Column =
+  def dotColBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
   def norm2Col(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
 
-  def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (norm2Col(a) * norm2Col(b))
+  def cosineColBuiltin(a: Column, b: Column): Column =
+    dotColBuiltin(a, b) / (norm2Col(a) * norm2Col(b))
 }

@@ -25,6 +25,19 @@ object Dedup {
   val NumHashes = 8
   val BandSize = 4
 
+  /** Universal-hash family over one md5 base hash: h_k(t) = (a_k·h32(t) +
+    * b_k) mod p. One md5 per token instead of one per (token × hash
+    * function) — 8× less digest work, same minhash statistics; all-integer
+    * so Spark and DuckDB agree exactly. Bounds: a,b < 2^31, h32 < 2^32 →
+    * a·h32 + b < 2^63 (no BIGINT overflow in either engine).
+    */
+  val MersennePrime: Long = (1L << 61) - 1
+  val hashSeeds: Seq[(Long, Long)] = (0 until NumHashes).map { k =>
+    val a = (0x9E3779B1L * (2 * k + 1)) & 0x7FFFFFFFL | 1L
+    val b = (0x85EBCA77L * (k + 1)) & 0x7FFFFFFFL
+    (a, b)
+  }
+
   def queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -55,14 +68,32 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("h", "mh")))
       .orderBy(col("doc_id"), col("h"))
 
+  /** 32-bit md5-prefix base hash per token (cross-engine exact). */
+  private def hash32(t: org.apache.spark.sql.Column) =
+    conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Row formulation: explode distinct tokens, md5 ONCE per (doc, token)
+    * row, then the 8 universal hashes as partially-aggregated `min`s.
+    * The all-array alternative looks shuffle-free but CollapseProject
+    * inlines the md5-bearing array into each of the 8 array_min branches —
+    * 8× the digest work; here the single hash per row is structural.
+    * The shuffle carries only (doc_id, 8 longs) after map-side partials.
+    */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("toks", array_distinct(tokensCol(col("text"))))
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(NumHashes - 1)),
-          h => array_min(transform(col("toks"),
-            t => hash60(concat(h.cast("string"), lit(":"), t)))))
-          .as("sig"))
+        explode(array_distinct(tokensCol(col("text")))).as("tok"))
+      .select(col("doc_id"), hash32(col("tok")).as("h32"))
+      .groupBy(col("doc_id"))
+      .agg(
+        hashSeeds.head match { case (a, b) =>
+          min((col("h32") * a + b) % MersennePrime).as("mh0")
+        },
+        hashSeeds.tail.zipWithIndex.map { case ((a, b), i) =>
+          min((col("h32") * a + b) % MersennePrime).as(s"mh${i + 1}")
+        }: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
 
   /** Banded LSH candidate pairs: split the signature into bands of
     * [[BandSize]], bucket docs by (band, joined band values), emit doc
@@ -78,11 +109,19 @@ object Dedup {
             transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
               x => x.cast("string")))))
           .as(Seq("band", "key")))
-    val a = bands.select(col("band"), col("key"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    // pairs generated INSIDE each bucket (groupBy + in-array combinations)
+    // instead of a bucket self-join: one scan of the signatures, one
+    // shuffle, no cache needed. Skew note for 100 TB: a degenerate bucket
+    // of n identical docs emits n² pairs — cap the bucket size (or sample
+    // within it) before the explode when corpora contain mass-duplicates.
+    bands.groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b"))))))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -93,20 +132,26 @@ object Dedup {
   def d4Simhash: Q = (s, dir) =>
     Tables.documents(s, dir)
       .withColumn("toks", array_distinct(tokensCol(col("text"))))
-      .withColumn("hs", transform(col("toks"), t => hash60(t)))
+      .withColumn("hs", transform(col("toks"), t => hash32(t)))
       .select(col("doc_id"),
-        // bit loop unrolled at plan-build time (shiftright needs a literal
-        // shift count); 32 small aggregates over the token-hash array, all
-        // inside one codegen stage
-        (0 until 32).map { b =>
-          when(
-            aggregate(
-              transform(col("hs"), h =>
-                when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1))
-                  .otherwise(lit(-1))),
-              lit(0), _ + _) > 0,
-            lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+        // single-pass: fold the token hashes into a 32-counter array, then
+        // map positive counters to their bit weights. One aggregate means
+        // the (md5-bearing) `hs` expression is referenced once — the
+        // unrolled per-bit alternative gets project-collapsed into 32
+        // copies of the hash computation. Bit b of h via exact double
+        // division: h < 2^32 and 2^b ≤ 2^31 are both double-exact.
+        aggregate(
+          zip_with(
+            aggregate(col("hs"),
+              array_repeat(lit(0), 32),
+              (acc, h) => zip_with(acc,
+                transform(sequence(lit(0), lit(31)), b =>
+                  when(pmod(floor(h / pow(lit(2.0), b)), lit(2)) === 1, lit(1))
+                    .otherwise(lit(-1))),
+                (c, d) => c + d)),
+            typedlit((0 until 32).map(b => 1L << b)),
+            (c, p) => when(c > 0, p).otherwise(lit(0L))),
+          lit(0L), _ + _).as("simhash"))
       .orderBy(col("doc_id"))
 
   /** n-gram (unigram-set) Jaccard similarity for the first 100 docs:
@@ -132,14 +177,18 @@ object Dedup {
 
   // ---- DuckDB oracles ------------------------------------------------------
 
+  private val seedValuesSql = hashSeeds.zipWithIndex
+    .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
+
   private val sigSql =
     s"""sig AS (
-       |  SELECT doc_id, h,
-       |    min(('0x' || substr(md5(h || ':' || tok), 1, 15))::BIGINT) AS mh
+       |  SELECT doc_id, h, min((a * h32 + b) % $MersennePrime) AS mh
        |  FROM (SELECT doc_id,
-       |      unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+       |      ('0x' || substr(md5(unnest(list_distinct(
+       |        string_split_regex(trim(text), '\\s+')))), 1, 8))::BIGINT
+       |        AS h32
        |    FROM documents),
-       |    generate_series(0, ${NumHashes - 1}) g(h)
+       |    (VALUES $seedValuesSql) seeds(h, a, b)
        |  GROUP BY doc_id, h)""".stripMargin
 
   def oracles: Map[String, String] = Map(
@@ -163,7 +212,7 @@ object Dedup {
     "d4_simhash" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_distinct(string_split_regex(trim(text), '\s+')),
-        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        |    x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
         |  FROM documents)
         |SELECT doc_id,
         |  list_sum(list_transform(generate_series(0, 31), b ->

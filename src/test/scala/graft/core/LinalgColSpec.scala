@@ -1,0 +1,80 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.VectorExpressions
+import graft.sources.Tables
+
+/** The native codegen vector expressions must be bit-identical to the
+  * built-in zip_with/aggregate formulations (same fold order) on real
+  * fixture vectors — this is what keeps the DuckDB oracle agreement intact
+  * after the hot-path swap.
+  */
+class LinalgColSpec extends AnyFunSuite with SparkTestBase {
+
+  private def pairs = {
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("features"))
+    val a = e.select(col("vec_id").as("ai"), col("features").as("av"))
+      .filter(col("ai") < 40)
+    val b = e.select(col("vec_id").as("bi"), col("features").as("bv"))
+      .filter(col("bi") >= 40 && col("bi") < 80)
+    a.crossJoin(b)
+  }
+
+  test("EuclidDistance expression == built-in formulation, bit for bit") {
+    val diff = pairs.select(
+      VectorExpressions.euclid(col("av"), col("bv")).as("fast"),
+      Linalg.euclidColBuiltin(col("av"), col("bv")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff === 0L)
+  }
+
+  test("DotProduct expression == built-in formulation, bit for bit") {
+    val diff = pairs.select(
+      VectorExpressions.dot(col("av"), col("bv")).as("fast"),
+      Linalg.dotColBuiltin(col("av"), col("bv")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff === 0L)
+  }
+
+  test("CosineSimilarity expression == built-in formulation, bit for bit") {
+    val diff = pairs.select(
+      VectorExpressions.cosine(col("av"), col("bv")).as("fast"),
+      Linalg.cosineColBuiltin(col("av"), col("bv")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff === 0L)
+  }
+
+  test("expressions null-propagate and run in interpreted mode too") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(1.0, 1.0)))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.euclid(col("a"), col("b")).as("d")).collect()
+    assert(math.abs(rows(0).getDouble(0) - math.sqrt(8.0)) < 1e-12)
+    assert(rows(1).isNullAt(0))
+    // interpreted (non-codegen) path: direct eval
+    val e = graft.functions.EuclidDistance(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0.0, 0.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(3.0, 4.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) === 5.0)
+  }
+
+  test("SQL registration exposes the kernels to spark.sql") {
+    VectorExpressions.register(spark)
+    val d = spark.sql(
+      "SELECT euclid(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS d, " +
+        "cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .head()
+    assert(d.getDouble(0) === 5.0)
+    assert(math.abs(d.getDouble(1) - 1.0) < 1e-12)
+  }
+}
