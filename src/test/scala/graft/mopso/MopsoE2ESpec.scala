@@ -60,4 +60,33 @@ class MopsoE2ESpec extends AnyFunSuite with SparkTestBase {
       seed = 11L)
     assert(r.archive.nonEmpty && r.archive.length <= 15)
   }
+
+  test("scope equivalence: 1-partition Avg fitness == global fitness") {
+    // with a single partition, rate = n/n = 1 and Conn's neighbor scope is
+    // the whole dataset — the partition-local kernel must reproduce the
+    // global kernel exactly (cross-validates the two evaluate paths)
+    val onePart = cfg.copy(numPartitions = 1, iterMax = 2)
+    // identical config except the evaluation path (partition-local kernel
+    // vs driver-local global kernel); same partitioned RDD → same sample
+    val globalLocal = onePart.copy(scope = Config.ScopeGlobal)
+    val r1 = Mopso.run(spark, data, onePart, seed = 99L)
+    val r2 = Mopso.run(spark, data, globalLocal, seed = 99L)
+    val f1 = r1.archive.map(e => (e.fitness(0), e.fitness(1))).sorted.toSeq
+    val f2 = r2.archive.map(e => (e.fitness(0), e.fitness(1))).sorted.toSeq
+    assert(f1 === f2)
+  }
+
+  test("labelPartition variant: partitioning changes Conn (semantic knob)") {
+    val byLabel = MopsoConfig.labelPartition(numPartitions = 4)
+      .copy(iterMax = 2)
+    val byRange = cfg.copy(numPartitions = 4, iterMax = 2)
+    val r1 = Mopso.run(spark, data, byLabel, seed = 5L)
+    val r2 = Mopso.run(spark, data, byRange, seed = 5L)
+    assert(r1.archive.nonEmpty && r2.archive.nonEmpty)
+    // same seed, different partitioning → different partition-local Conn
+    // (SURVEY §4: partitioning is part of query semantics in Avg scope)
+    val c1s = r1.archive.map(_.fitness(1)).toSet
+    val c2s = r2.archive.map(_.fitness(1)).toSet
+    assert(c1s != c2s)
+  }
 }
