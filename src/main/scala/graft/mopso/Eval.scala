@@ -1,0 +1,72 @@
+package graft.mopso
+
+import graft.core.Linalg
+
+/** Driver-side evaluation twins of the reference's post-run analysis
+  * (SURVEY §2.11) operating on an [[EvalBlock]] — used by the final-result
+  * selection, which the reference also runs on collected data
+  * (silhouetteCoefficient collects the RDD, Spark_MOPSO_Avg.scala:618).
+  */
+object Eval {
+
+  /** Exact mean silhouette (E3, Spark_MOPSO_Avg.scala:606-656): a(i) is
+    * the self-INCLUSIVE mean distance to the own cluster; b(i) the min
+    * over other clusters' mean distances; s = (b−a)/max(a,b). The
+    * reference divides 0/0 for empty clusters (NaN that poisons the sum);
+    * the engine skips empty clusters — reachable only where the reference
+    * returns NaN.
+    */
+  def silhouette(block: EvalBlock, centers: Array[Array[Double]]): Double = {
+    val (clusters, _) = FitnessKernel.assign(block.points, centers)
+    val k = centers.length
+    val n = block.points.length
+    if (n == 0) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      var aSum = 0.0; var aCnt = 0
+      val bSum = new Array[Double](k + 1)
+      val bCnt = new Array[Int](k + 1)
+      var j = 0
+      while (j < n) {
+        val d = Linalg.euclid(block.points(i), block.points(j))
+        if (clusters(j) == clusters(i)) { aSum += d; aCnt += 1 }
+        else { bSum(clusters(j)) += d; bCnt(clusters(j)) += 1 }
+        j += 1
+      }
+      val ai = aSum / aCnt // self-pair included: aCnt ≥ 1
+      var bi = Double.MaxValue
+      var c = 1
+      while (c <= k) {
+        if (c != clusters(i) && bCnt(c) > 0) {
+          val t = bSum(c) / bCnt(c)
+          if (t < bi) bi = t
+        }
+        c += 1
+      }
+      s += (bi - ai) / math.max(ai, bi)
+      i += 1
+    }
+    s / n
+  }
+
+  /** selectBestArchiveAsFinalResult (Spark_MOPSO_Avg.scala:578-602):
+    * score every archive entry by mean silhouette, return the scores and
+    * the winning centroid set sorted ascending by first coordinate.
+    */
+  def selectBestBySilhouette(archive: Array[ArchiveEntry],
+      block: EvalBlock): (Array[Double], Array[Array[Double]]) = {
+    val sils = archive.map(e => silhouette(block, e.position))
+    val best = archive(sils.indexOf(sils.max)).position
+    (sils, best.sortBy((c: Array[Double]) => c(0)))
+  }
+
+  /** E2 accuracy (getAccuracyRate, Spark_MOPSO_Avg.scala:543-554):
+    * fraction of rows whose computed cluster equals the true label —
+    * driver twin of the c16 query (which uses count(), not the
+    * reference's collect().length).
+    */
+  def accuracy(trueAndComputed: Array[(Int, Int)]): Double =
+    if (trueAndComputed.isEmpty) 0.0
+    else trueAndComputed.count(p => p._1 == p._2).toDouble / trueAndComputed.length
+}

@@ -45,7 +45,8 @@ object Clustering {
     "c12_crowding" -> c12Crowding,
     "c13_minmax_norm" -> c13MinmaxNorm,
     "c14_silhouette" -> c14Silhouette,
-    "c15_dbi" -> c15Dbi
+    "c15_dbi" -> c15Dbi,
+    "c16_accuracy" -> c16Accuracy
   )
 
   // ---- assignment (J4) -----------------------------------------------------
@@ -356,6 +357,20 @@ object Clustering {
     Seq(dbi).toDF("dbi").select(round(col("dbi"), 6).as("dbi"))
   }
 
+  /** E2 accuracy (getAccuracyRate, Spark_MOPSO_Avg.scala:543-554): match
+    * rate between the (1-based-aligned) true label and the computed
+    * cluster. The reference materializes with collect().length — twice —
+    * (SURVEY §4 inefficiency list); this is one count() aggregate.
+    */
+  def c16Accuracy: Q = (s, dir) =>
+    assigned(s, dir)
+      .agg(
+        sum(when(col("label") + 1 === col("cluster"), 1L).otherwise(0L))
+          .as("n_match"),
+        count(lit(1)).as("n_total"))
+      .select(col("n_match"), col("n_total"),
+        round(col("n_match") / col("n_total"), 6).as("accuracy"))
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   /** Shared SQL fragments: points, centroids, assignment. */
@@ -473,6 +488,12 @@ object Clustering {
          |mi AS (SELECT i, max(r) AS m FROM pairs GROUP BY i),
          |cm AS (SELECT cc.cid, max(mi.m) AS cmax
          |  FROM c cc JOIN mi ON mi.i <= cc.cid GROUP BY cc.cid)
-         |SELECT round(sum(cmax) / $K, 6) AS dbi FROM cm""".stripMargin)
+         |SELECT round(sum(cmax) / $K, 6) AS dbi FROM cm""".stripMargin),
+    "c16_accuracy" -> withAssign(
+      """SELECT n_match, n_total,
+        |  round(n_match * 1.0 / n_total, 6) AS accuracy FROM (
+        |  SELECT sum(CASE WHEN label + 1 = cluster THEN 1 ELSE 0 END)
+        |      AS n_match,
+        |    count(*) AS n_total FROM a)""".stripMargin)
   )
 }

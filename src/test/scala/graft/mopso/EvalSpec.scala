@@ -1,0 +1,49 @@
+package graft.mopso
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.Clustering
+import graft.sources.Tables
+
+/** Driver-side evaluation twins vs the DataFrame formulations: the local
+  * silhouette must match the oracle-checked c14 query on the same fixed
+  * centers, and the best-archive selection must pick the max.
+  */
+class EvalSpec extends AnyFunSuite with SparkTestBase {
+
+  private def block: EvalBlock = {
+    val rows = Tables.labeledPoints(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    EvalBlock(
+      rows.map(_.getSeq[Double](1).toArray),
+      rows.map(_.getInt(2)),
+      Array.empty)
+  }
+
+  test("local silhouette matches the DataFrame formulation (c14)") {
+    val centers = Clustering.centers(spark, sfDir).map(_._2).toArray
+    val local = Eval.silhouette(block, centers)
+    val df = Clustering.c14Silhouette(spark, sfDir).head().getDouble(0)
+    assert(math.abs(local - df) < 1e-6) // c14 rounds to 6 decimals
+  }
+
+  test("selectBestBySilhouette picks the max-scoring entry, sorted centers") {
+    val b = block
+    val archive = Array(
+      ArchiveEntry(Clustering.centers(spark, sfDir).map(_._2).toArray,
+        Array(1.0, 1.0), Array(0.0)),
+      // a degenerate single-cluster-ish candidate scores worse
+      ArchiveEntry(Array(b.points(0), b.points(0).map(_ + 1e-9)),
+        Array(2.0, 2.0), Array(0.0)))
+    val (sils, best) = Eval.selectBestBySilhouette(archive, b)
+    assert(sils.length === 2)
+    assert(sils(0) === sils.max)
+    assert(best.zip(best.tail).forall { case (a, c) => a(0) <= c(0) })
+  }
+
+  test("accuracy counts matching pairs") {
+    assert(Eval.accuracy(Array((1, 1), (2, 3), (4, 4))) === 2.0 / 3)
+    assert(Eval.accuracy(Array.empty) === 0.0)
+  }
+}

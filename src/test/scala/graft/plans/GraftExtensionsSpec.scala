@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The extensions class must inject the vector kernels into a session
+  * built with `withExtensions` (same SparkContext, fresh session state).
+  */
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("withExtensions session resolves euclid/cosine_sim in SQL") {
+    spark.sparkContext // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val row = s2.sql(
+        "SELECT euclid(array(0.0d,0.0d), array(3.0d,4.0d)) AS d, " +
+          "dot_product(array(1.0d,2.0d), array(3.0d,4.0d)) AS p, " +
+          "cosine_sim(array(1.0d,0.0d), array(0.0d,1.0d)) AS c").head()
+      assert(row.getDouble(0) === 5.0)
+      assert(row.getDouble(1) === 11.0)
+      assert(math.abs(row.getDouble(2)) < 1e-12)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}
