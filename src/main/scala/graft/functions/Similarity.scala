@@ -29,8 +29,15 @@ object Similarity {
   def queries: Map[String, Q] = Map(
     "s1_cosine_topk" -> s1CosineTopk,
     "s2_lsh_buckets" -> s2LshBuckets,
-    "s3_ann_ivf" -> s3AnnIvf
+    "s3_ann_ivf" -> s3AnnIvf,
+    "s4_embedding_neardup" -> s4EmbeddingNeardup
   )
+
+  /** Plane count for the near-dup bucketing — coarser than [[NumPlanes]]
+    * so genuinely-similar vectors still collide.
+    */
+  val NearDupPlanes = 8
+  val NearDupCosine = 0.3
 
   /** Exact brute-force cosine top-5 for query vectors vec_id < 5:
     * (qid, rank, nid, cos). The dot/norm kernel is zip_with+aggregate —
@@ -59,20 +66,45 @@ object Similarity {
     * hyperplanes. Vectors sharing a bucket are near-duplicate candidates —
     * the embedding-cosine leg of the dedup pipeline.
     */
-  def s2LshBuckets: Q = (s, dir) => {
+  private def bucketExpr(s: SparkSession, dir: String, numPlanes: Int) = {
     val planes: Seq[(Int, Array[Double])] = Tables.embeddings(s, dir)
-      .filter(col("vec_id") < NumPlanes)
+      .filter(col("vec_id") < numPlanes)
       .select(col("vec_id"), col("features"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    val bucket = planes.map { case (i, p) =>
+    planes.map { case (i, p) =>
       when(Linalg.dotCol(col("features"), typedlit(p)) > 0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  def s2LshBuckets: Q = (s, dir) =>
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), bucket.as("bucket"))
+      .select(col("vec_id"), bucketExpr(s, dir, NumPlanes).as("bucket"))
       .orderBy(col("vec_id"))
+
+  /** Embedding-cosine near-duplicate pairs — the vector leg of the dedup
+    * pipeline: bucket by [[NearDupPlanes]] hyperplane signs (coarse), then
+    * verify cosine INSIDE buckets only. The verify join touches bucket
+    *-mates, never all pairs; at 100 TB the bucket id is the shuffle key
+    * and per-bucket candidate lists stay small.
+    */
+  def s4EmbeddingNeardup: Q = (s, dir) => {
+    val b = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("features"),
+        bucketExpr(s, dir, NearDupPlanes).as("bucket"))
+    val x = b.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("features").as("fa"))
+    val y = b.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("features").as("fb"))
+    x.join(y, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Linalg.cosineCol(col("fa"), col("fb")).as("cos"))
+      .where(col("cos") >= NearDupCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** IVF-style ANN: vectors are partitioned into K coarse cells (the fixed
@@ -141,6 +173,22 @@ object Similarity {
          |      ORDER BY list_distance(q.v, n.v), n.vec_id) AS rank
          |  FROM a q JOIN a n ON q.cell = n.cell AND q.vec_id <> n.vec_id
          |  WHERE q.vec_id < 5)
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s4_embedding_neardup" ->
+      s"""WITH pl AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
+         |  FROM embeddings WHERE vec_id < $NearDupPlanes),
+         |b AS (SELECT e.vec_id,
+         |  sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.pv) > 0
+         |    THEN (1::BIGINT << pid::INT) ELSE 0 END)::BIGINT AS bucket
+         |  FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
+         |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+         |  SELECT bx.vec_id AS vec_a, by2.vec_id AS vec_b,
+         |    list_cosine_similarity(x.v, y.v) AS cos
+         |  FROM b bx JOIN b by2
+         |    ON bx.bucket = by2.bucket AND bx.vec_id < by2.vec_id
+         |  JOIN p x ON x.vec_id = bx.vec_id
+         |  JOIN p y ON y.vec_id = by2.vec_id)
+         |WHERE cos >= $NearDupCosine ORDER BY vec_a, vec_b""".stripMargin
   )
 }

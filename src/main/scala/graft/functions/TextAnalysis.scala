@@ -41,8 +41,25 @@ object TextAnalysis {
   def queries: Map[String, Q] = Map(
     "t1_token_stats" -> t1TokenStats,
     "t2_lang_guess" -> t2LangGuess,
-    "t3_fingerprint" -> t3Fingerprint
+    "t3_fingerprint" -> t3Fingerprint,
+    "t4_bpe_tokens" -> t4BpeTokens
   )
+
+  /** BPE-ish subword boundary: letter runs, digit runs, and single
+    * non-alphanumeric marks — the regex twin of a byte-pair pre-tokenizer
+    * split (kept RE2/Java-portable for the oracle).
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Token counting, tokenizer #2: regex-based subword counts. */
+  def t4BpeTokens: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("bpe",
+        regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+      .select(col("doc_id"),
+        size(col("bpe")).as("n_bpe"),
+        size(array_distinct(col("bpe"))).as("n_bpe_uniq"))
+      .orderBy(col("doc_id"))
 
   /** Token counting + quality scoring: token count, distinct count, mean
     * token length, stopword ratio.
@@ -154,6 +171,13 @@ object TextAnalysis {
          |  THEN list_min(list_transform(sh,
          |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))
          |  ELSE ('0x' || substr(md5(text), 1, 15))::BIGINT END AS fp
-         |FROM s ORDER BY doc_id""".stripMargin
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "t4_bpe_tokens" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  regexp_extract_all(lower(text), '$BpePattern') AS bpe
+         |  FROM documents)
+         |SELECT doc_id, len(bpe) AS n_bpe,
+         |  len(list_distinct(bpe)) AS n_bpe_uniq
+         |FROM b ORDER BY doc_id""".stripMargin
   )
 }
