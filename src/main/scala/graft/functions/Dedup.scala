@@ -130,28 +130,26 @@ object Dedup {
     * to the same simhash; near-dups differ in few bits (Hamming distance).
     */
   def d4Simhash: Q = (s, dir) =>
+    // row formulation, like minhashSigs: one md5 per (doc, token) row,
+    // then 32 per-bit ±1 sums as partially-aggregated counters (literal
+    // shift counts, plain codegen'd aggregates — the array-lambda
+    // alternative allocates a 32-int array per token). The shuffle carries
+    // (doc_id, 32 ints) after map-side partials.
     Tables.documents(s, dir)
-      .withColumn("toks", array_distinct(tokensCol(col("text"))))
-      .withColumn("hs", transform(col("toks"), t => hash32(t)))
       .select(col("doc_id"),
-        // single-pass: fold the token hashes into a 32-counter array, then
-        // map positive counters to their bit weights. One aggregate means
-        // the (md5-bearing) `hs` expression is referenced once — the
-        // unrolled per-bit alternative gets project-collapsed into 32
-        // copies of the hash computation. Bit b of h via exact double
-        // division: h < 2^32 and 2^b ≤ 2^31 are both double-exact.
-        aggregate(
-          zip_with(
-            aggregate(col("hs"),
-              array_repeat(lit(0), 32),
-              (acc, h) => zip_with(acc,
-                transform(sequence(lit(0), lit(31)), b =>
-                  when(pmod(floor(h / pow(lit(2.0), b)), lit(2)) === 1, lit(1))
-                    .otherwise(lit(-1))),
-                (c, d) => c + d)),
-            typedlit((0 until 32).map(b => 1L << b)),
-            (c, p) => when(c > 0, p).otherwise(lit(0L))),
-          lit(0L), _ + _).as("simhash"))
+        explode(array_distinct(tokensCol(col("text")))).as("tok"))
+      .select(col("doc_id"), hash32(col("tok")).as("h32"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(shiftright(col("h32"), 0).bitwiseAND(lit(1L)) === 1L,
+          1).otherwise(-1)).as("c0"),
+        (1 until 32).map(b =>
+          sum(when(shiftright(col("h32"), b).bitwiseAND(lit(1L)) === 1L,
+            1).otherwise(-1)).as(s"c$b")): _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .orderBy(col("doc_id"))
 
   /** n-gram (unigram-set) Jaccard similarity for the first 100 docs:

@@ -33,7 +33,10 @@ object Relational {
     "q9_segment_stats" -> q9SegmentStats,
     "q10_running_order_total" -> q10RunningOrderTotal,
     "q11_nationkeys_union" -> q11NationkeysUnion,
-    "q12_brand_type_shapes" -> q12BrandTypeShapes
+    "q12_brand_type_shapes" -> q12BrandTypeShapes,
+    "q13_monthly_revenue" -> q13MonthlyRevenue,
+    "q14_top_customer_per_nation" -> q14TopCustomerPerNation,
+    "q15_order_size_classes" -> q15OrderSizeClasses
   )
 
   /** TPC-H Q1 shape: single-table scan + hash agg with partial aggregation;
@@ -196,6 +199,50 @@ object Relational {
         round(avg(col("p_size")), 2).as("avg_size"))
       .orderBy(col("p_brand"), col("p_type"))
 
+  /** Time-series rollup + analytic lag: monthly revenue with
+    * month-over-month delta (agg → window over the aggregated frame).
+    */
+  def q13MonthlyRevenue: Q = (s, dir) => {
+    val w = Window.orderBy(col("month"))
+    Tables.orders(s, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+        "yyyy-MM").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      .withColumn("mom",
+        round(col("revenue") - lag(col("revenue"), 1).over(w), 2))
+      .orderBy(col("month"))
+  }
+
+  /** Per-group top-1 with a dimension join: each nation's biggest customer
+    * by total order value.
+    */
+  def q14TopCustomerPerNation: Q = (s, dir) => {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n_name"), col("c_custkey"), col("spend"))
+      .orderBy(col("n_name"))
+  }
+
+  /** CASE-expression bucketing: order-size histogram. */
+  def q15OrderSizeClasses: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large").as("size_class"))
+      .groupBy(col("size_class"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("size_class"))
+
   /** DuckDB twins — same names, same column aliases, same rounding. */
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -283,6 +330,32 @@ object Relational {
         |FROM part
         |WHERE p_type IN ('PROMO','STANDARD','ECONOMY')
         |  AND p_brand LIKE 'Brand#1%'
-        |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin
+        |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin,
+    "q13_monthly_revenue" ->
+      """WITH m AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+        |      AS month,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom
+        |FROM m ORDER BY month""".stripMargin,
+    "q14_top_customer_per_nation" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT n_name, c_custkey, spend FROM (
+        |  SELECT n_name, c_custkey, spend,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY spend DESC, c_custkey) AS rn
+        |  FROM customer
+        |  JOIN spend ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |WHERE rn = 1 ORDER BY n_name""".stripMargin,
+    "q15_order_size_classes" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |  WHEN o_totalprice < 150000 THEN 'medium'
+        |  ELSE 'large' END AS size_class, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY size_class""".stripMargin
   )
 }
