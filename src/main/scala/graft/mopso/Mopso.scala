@@ -21,7 +21,19 @@ final case class MopsoResult(
     archive: Array[ArchiveEntry],
     kmeansCenters: Array[Array[Double]],
     purities: Array[Double],
+    /** E1 validity (Spark_MOPSO_Avg.scala:349-355): an entry's purity
+      * counts only when the K per-label majority clusters are all
+      * DISTINCT — otherwise two true classes collapsed onto one centroid.
+      */
+    purityValid: Array[Boolean],
     kmeansPurity: Double,
+    kmeansPurityValid: Boolean,
+    /** Mean silhouette per archive entry + the best entry's sorted centers
+      * (selectBestArchiveAsFinalResult, Spark_MOPSO_Avg.scala:578-602) —
+      * only when cfg.withSilhouette (O(n²), small data).
+      */
+    silhouettes: Option[Array[Double]],
+    bestCenters: Option[Array[Array[Double]]],
     k: Int,
     numFeatures: Int,
     totalPoints: Long,
@@ -225,12 +237,30 @@ object Mopso {
         centerSets.map(cs => histogram(globalBlock, cs))
     }
     val purities = hists.map(h => purityOf(h, total))
+    val validity = hists.map(h => majorityValid(h, k))
+
+    // optional E3 final-result selection: exact silhouette per entry over
+    // the collected dataset (the reference also collects here,
+    // Spark_MOPSO_Avg.scala:618 — small-data-only, hence the flag)
+    val (sils, bestCenters) =
+      if (cfg.withSilhouette) {
+        val block =
+          if (globalBlock != null) globalBlock
+          else {
+            val rows = rowsRDD.collect()
+            EvalBlock(rows.map(_._1), rows.map(_._2), Array.empty)
+          }
+        val (ss, best) = Eval.selectBestBySilhouette(archive, block)
+        (Some(ss), Some(best))
+      } else (None, None)
 
     if (blocksRDD != null) blocksRDD.unpersist()
     if (globalBC != null) globalBC.destroy()
 
     MopsoResult(archive, kmeansCenters,
-      purities.dropRight(1), purities.last,
+      purities.dropRight(1), validity.dropRight(1),
+      purities.last, validity.last,
+      sils, bestCenters,
       k, numFeatures, total, (System.nanoTime() - t0) / 1e9)
   }
 
@@ -255,6 +285,19 @@ object Mopso {
     if (total == 0) return 0.0
     hist.groupBy(_._1._1).values
       .map(_.values.max).sum.toDouble / total
+  }
+
+  /** E1 validity: the per-label majority clusters must be pairwise
+    * distinct (HashMap-size check, Spark_MOPSO_Avg.scala:349-355). Ties
+    * break toward the lower cluster id (deterministic; the reference's
+    * maxBy over a HashMap is iteration-order dependent).
+    */
+  private def majorityValid(hist: Map[(Int, Int), Long], k: Int): Boolean = {
+    val majorities = hist.groupBy(_._1._1).values.map { perLabel =>
+      perLabel.toSeq.map { case ((_, cluster), n) => (cluster, n) }
+        .sortBy { case (cluster, n) => (-n, cluster) }.head._1
+    }
+    majorities.toSet.size == k
   }
 
   /** Archive as a DataFrame (rank, f1, f2, purity) for the query surface. */

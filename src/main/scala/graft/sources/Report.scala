@@ -29,11 +29,14 @@ object Report {
       s"archive size: ${r.archive.length}",
       s"k: ${r.k}, features: ${r.numFeatures}, points: ${r.totalPoints}",
       s"elapsed sec: ${r.elapsedSec}")
-    val entries = r.archive.zip(r.purities).zipWithIndex.map {
-      case ((e, p), i) =>
-        f"entry $i: dev=${e.fitness(0)}%.6f conn=${e.fitness(1)}%.6f purity=$p%.6f"
-    }
-    val baseline = Seq(f"kmeans baseline purity: ${r.kmeansPurity}%.6f")
+    val entries = r.archive.zip(r.purities.zip(r.purityValid)).zipWithIndex
+      .map { case ((e, (p, valid)), i) =>
+        f"entry $i: dev=${e.fitness(0)}%.6f conn=${e.fitness(1)}%.6f " +
+          f"purity=$p%.6f valid=$valid" +
+          r.silhouettes.map(s => f" silhouette=${s(i)}%.6f").getOrElse("")
+      }
+    val baseline = Seq(
+      f"kmeans baseline purity: ${r.kmeansPurity}%.6f (valid=${r.kmeansPurityValid})")
     header ++ entries.toSeq ++ baseline
   }
 

@@ -39,7 +39,8 @@ class MopsoE2ESpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("quality: best archive purity lands near the K-Means baseline") {
-    val r = Mopso.run(spark, data, cfg.copy(iterMax = 10), seed = 42L)
+    val r = Mopso.run(spark, data,
+      cfg.copy(iterMax = 10, withSilhouette = true), seed = 42L)
     val best = r.purities.max
     assert(best > 0.0 && best <= 1.0)
     assert(r.kmeansPurity > 0.0)
@@ -47,6 +48,13 @@ class MopsoE2ESpec extends AnyFunSuite with SparkTestBase {
     // a reasonable fraction of the baseline on the embeddings fixture
     assert(best >= r.kmeansPurity * 0.5,
       s"best purity $best vs kmeans ${r.kmeansPurity}")
+    // E1 validity flags computed for every entry + baseline
+    assert(r.purityValid.length === r.archive.length)
+    // E3 selection: silhouettes in [-1, 1], best centers sorted by x0
+    val sils = r.silhouettes.get
+    assert(sils.forall(v => v >= -1.0 && v <= 1.0))
+    val best0 = r.bestCenters.get.map(_(0))
+    assert(best0.zip(best0.tail).forall { case (a, b) => a <= b })
   }
 
   test("global scope (Particle variant) runs and stays within bounds") {
