@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** The two explicit scale techniques from the brief — salting for skewed
+  * joins and bucketing for co-located joins — proven at the plan/result
+  * level, not just described.
+  */
+class ScaleTechniquesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("salted join returns exactly the plain join's result") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sorted.toSeq
+    val salted = Skew.saltedJoin(li, o, "l_orderkey",
+        saltSource = col("l_linenumber"), buckets = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(salted === plain)
+  }
+
+  test("salt values spread the hot key across buckets, deterministically") {
+    val li = Tables.lineitem(spark, sfDir)
+    val salts = li
+      .select(pmod(xxhash64(col("l_linenumber")), lit(8)).cast("int")
+        .as("salt"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(salts.size > 1) // actually spreads
+    val again = li
+      .select(pmod(xxhash64(col("l_linenumber")), lit(8)).cast("int")
+        .as("salt"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(salts === again) // content-derived, not rand(): recompute-stable
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val wh = Files.createTempDirectory("graft-warehouse").toString
+    val s2 = spark.newSession()
+    // warehouse.dir is static — the explicit LOCATION below keeps all
+    // table data under the temp dir instead
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dbName = s"bucketdemo_${System.nanoTime()}"
+    s2.sql(s"CREATE DATABASE $dbName LOCATION '$wh/$dbName'")
+    s2.sql(s"USE $dbName")
+    try {
+      Tables.lineitem(s2, sfDir)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_b")
+      Tables.orders(s2, sfDir)
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("o_b")
+      val joined = s2.table("li_b")
+        .join(s2.table("o_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located join: the bucketing satisfies the join's distribution —
+      // no ShuffleExchange feeds the SortMergeJoin. (The tree prints
+      // top-down, so the join's INPUTS are the text after the join node;
+      // the aggregate's exchange above it is expected.)
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.split("SortMergeJoin")(1).contains("Exchange"),
+        s"join inputs should be exchange-free:\n$plan")
+      // and it still computes the right answer
+      val n = joined.agg(sum(col("n"))).head().getLong(0)
+      assert(n === Tables.lineitem(s2, sfDir).count())
+    } finally {
+      s2.sql(s"DROP DATABASE IF EXISTS $dbName CASCADE")
+    }
+  }
+}

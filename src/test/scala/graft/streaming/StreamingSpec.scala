@@ -85,6 +85,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("file-source readStream over parquet converges to the batch answer") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-stream-in")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.table(spark, sfDir, "events").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val query = Events.tumblingHourly(stream)
+      .writeStream.format("memory").queryName("file_tumbling")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("file_tumbling").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val want = Events.tumblingHourly(Tables.events(spark, sfDir))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window batch") {
     import spark.implicits._
     val gapMs = 10L * 60 * 1000
