@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
   * Methodology: one untimed warmup pass (JIT + codegen compilation +
-  * filesystem cache), then one timed pass. Each query executes through the
-  * noop datasource sink — a full materialization of every output row and
+  * filesystem cache), then TWO timed passes reporting the per-query
+  * minimum (damps JIT/GC noise). Each query executes through the noop
+  * datasource sink — a full materialization of every output row and
   * column; `.count()` would let Catalyst prune the projections and
   * under-measure expression-heavy queries.
   */

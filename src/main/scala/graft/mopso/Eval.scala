@@ -36,15 +36,20 @@ object Eval {
       }
       val ai = aSum / aCnt // self-pair included: aCnt ≥ 1
       var bi = Double.MaxValue
+      var found = false
       var c = 1
       while (c <= k) {
         if (c != clusters(i) && bCnt(c) > 0) {
           val t = bSum(c) / bCnt(c)
-          if (t < bi) bi = t
+          if (t < bi) { bi = t; found = true }
         }
         c += 1
       }
-      s += (bi - ai) / math.max(ai, bi)
+      // all other clusters empty (degenerate single-cluster entry): the
+      // standard definition scores 0 — using the MaxValue sentinel here
+      // would score ≈1 and make selectBestBySilhouette PREFER degenerate
+      // clusterings (the reference NaN-poisons in this case)
+      if (found) s += (bi - ai) / math.max(ai, bi)
       i += 1
     }
     s / n

@@ -94,9 +94,13 @@ object Mopso {
       .orderBy(col("pos"))
       .collect().map(r => (r.getDouble(1), r.getDouble(2)))
 
+    // persisted through init: the maximin loop runs K−1 jobs over this RDD
+    // and would otherwise repeat the parquet scan + repartition shuffle
+    // per job; released once the swarm is initialized
     val rowsRDD: RDD[(Array[Double], Int)] = partitioned
       .select(col("features"), col("label")).rdd
       .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // evaluation blocks: per-partition for ScopePartition, one global block
     // otherwise; neighbor lists precomputed once (see FitnessKernel)
@@ -180,6 +184,8 @@ object Mopso {
         Swarm.initVelocity(k, numFeatures, cfg.vMin, cfg.vMax, rng),
         Array(0.0, 0.0), pos, Array(0.0, 0.0), Array(0.0))
     }
+
+    rowsRDD.unpersist() // init done; blocksRDD/globalBlock carry the loop
 
     // initial fitness; pbest = current (Spark_MOPSO_Avg.scala:158-174)
     val initFits = evaluate(particles.map(_.position))

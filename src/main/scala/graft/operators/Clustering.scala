@@ -256,12 +256,16 @@ object Clustering {
         if (keep) Iterator.single((id, f1, f2)) else Iterator.empty
       }
     }
-    // NOTE: ds stays persisted until the caller's action runs — phase 1's
-    // partition indices must match the partitioning phase 2 reads, and an
-    // unpersist here would let the range sort recompute (and resample its
-    // bounds) underneath the broadcast prefix map. The cache is id+2
-    // doubles per row; the session drops it on stop.
-    front.toDF("id", "f1", "f2")
+    // materialize the front eagerly WHILE ds is still persisted — phase
+    // 1's partition indices must match the partitioning phase 2 reads,
+    // and a lazy handoff would let the range sort recompute (and resample
+    // its bounds) underneath the broadcast prefix map. Then release the
+    // full-dataset cache; only the (skyline-sized) front stays cached for
+    // the caller's action.
+    val frontDf = front.toDF("id", "f1", "f2").persist()
+    frontDf.count()
+    ds.unpersist()
+    frontDf
   }
 
   def c11ParetoFront: Q = (s, dir) =>

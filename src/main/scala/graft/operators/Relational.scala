@@ -35,6 +35,7 @@ object Relational {
     "q11_nationkeys_union" -> q11NationkeysUnion,
     "q12_brand_type_shapes" -> q12BrandTypeShapes,
     "q13_monthly_revenue" -> q13MonthlyRevenue,
+    "q16_quantity_percentiles" -> q16QuantityPercentiles,
     "q14_top_customer_per_nation" -> q14TopCustomerPerNation,
     "q15_order_size_classes" -> q15OrderSizeClasses
   )
@@ -232,6 +233,19 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** Exact percentiles (continuous interpolation — Spark `percentile` and
+    * DuckDB `quantile_cont` share the (1−d)·lo + d·hi definition).
+    */
+  def q16QuantityPercentiles: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
+        round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2)
+          .as("p50_price"))
+      .orderBy(col("l_returnflag"))
+
   /** CASE-expression bucketing: order-size histogram. */
   def q15OrderSizeClasses: Q = (s, dir) =>
     Tables.orders(s, dir)
@@ -340,6 +354,12 @@ object Relational {
         |SELECT month, revenue,
         |  round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom
         |FROM m ORDER BY month""".stripMargin,
+    "q16_quantity_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q14_top_customer_per_nation" ->
       """WITH spend AS (
         |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend

@@ -22,22 +22,25 @@ import graft.functions.{CosineSimilarity, DotProduct, EuclidDistance}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[EuclidDistance].getName, null, name, usage,
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("euclid"),
-      info("euclid", "euclid(a, b) - Euclidean distance of two double arrays."),
+      info(classOf[EuclidDistance], "euclid",
+        "euclid(a, b) - Euclidean distance of two double arrays."),
       (exprs: Seq[Expression]) => EuclidDistance(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(a, b) - dot product of two double arrays."),
+      info(classOf[DotProduct], "dot_product",
+        "dot_product(a, b) - dot product of two double arrays."),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
-      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays."),
+      info(classOf[CosineSimilarity], "cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two double arrays."),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
   }
 }

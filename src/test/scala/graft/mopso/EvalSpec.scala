@@ -42,6 +42,13 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(best.zip(best.tail).forall { case (a, c) => a(0) <= c(0) })
   }
 
+  test("degenerate single-cluster entry scores 0, never ~1") {
+    val b = block
+    val far = Array.fill(64)(1e6)
+    val centers = Array(b.points(0), far) // nothing ever assigns to 'far'
+    assert(Eval.silhouette(b, centers) === 0.0)
+  }
+
   test("accuracy counts matching pairs") {
     assert(Eval.accuracy(Array((1, 1), (2, 3), (4, 4))) === 2.0 / 3)
     assert(Eval.accuracy(Array.empty) === 0.0)

@@ -31,6 +31,8 @@ def canon(rows):
             if isinstance(v, float):
                 if math.isnan(v):
                     rr.append("NaN")
+                elif math.isinf(v):
+                    rr.append("Inf" if v > 0 else "-Inf")
                 elif v == int(v) and abs(v) < 1e15:
                     rr.append(str(int(v)))  # 3.0 == 3 across engines
                 else:
