@@ -37,7 +37,9 @@ object Relational {
     "q13_monthly_revenue" -> q13MonthlyRevenue,
     "q16_quantity_percentiles" -> q16QuantityPercentiles,
     "q14_top_customer_per_nation" -> q14TopCustomerPerNation,
-    "q15_order_size_classes" -> q15OrderSizeClasses
+    "q15_order_size_classes" -> q15OrderSizeClasses,
+    "q17_cube_quantity" -> q17CubeQuantity,
+    "q18_nationkeys_except" -> q18NationkeysExcept
   )
 
   /** TPC-H Q1 shape: single-table scan + hash agg with partial aggregation;
@@ -257,6 +259,22 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("size_class"))
 
+  /** CUBE (all grouping-set combinations). */
+  def q17CubeQuantity: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** EXCEPT (set difference): nations with customers but no suppliers. */
+  def q18NationkeysExcept: Q = (s, dir) =>
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .except(
+        Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
   /** DuckDB twins — same names, same column aliases, same rounding. */
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -376,6 +394,17 @@ object Relational {
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
         |  WHEN o_totalprice < 150000 THEN 'medium'
         |  ELSE 'large' END AS size_class, count(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY size_class""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY size_class""".stripMargin,
+    "q17_cube_quantity" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q18_nationkeys_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin
   )
 }
