@@ -46,8 +46,12 @@ object Clustering {
     "c13_minmax_norm" -> c13MinmaxNorm,
     "c14_silhouette" -> c14Silhouette,
     "c15_dbi" -> c15Dbi,
-    "c16_accuracy" -> c16Accuracy
+    "c16_accuracy" -> c16Accuracy,
+    "c17_conn_partitioned" -> c17ConnPartitioned
   )
+
+  /** Bucket width for the partition-local Conn query (c17). */
+  val ConnBucketWidth = 64
 
   // ---- assignment (J4) -----------------------------------------------------
 
@@ -196,6 +200,41 @@ object Clustering {
       .agg(round(sum(
         when(col("cx") === col("cy"), lit(1.0) / col("rnk"))
           .otherwise(lit(0.0))), 4).as("conn"))
+
+  /** The Avg variant's ACTUAL fitness semantics as an oracle-checkable
+    * query (A8, calFitnessNew Spark_MOPSO_Avg.scala:843-865): Conn
+    * evaluated with neighbors restricted to the point's own partition,
+    * each partition's value scaled by rate = n_partition/n_total, summed.
+    * Here "partition" is the deterministic bucket id div
+    * [[ConnBucketWidth]] so both engines agree on the scopes — exactly
+    * the partition-local approximation the reference computes, minus the
+    * nondeterministic partitioner. Within-bucket KNN is O(Σ nᵤ²), the
+    * reference's own scale story for Conn.
+    */
+  def c17ConnPartitioned: Q = (s, dir) => {
+    val pc = assigned(s, dir)
+      .select(col("id"), col("features"), col("cluster"),
+        floor(col("id") / ConnBucketWidth).as("bucket"))
+    val x = pc.select(col("bucket"), col("id").as("xi"),
+      col("features").as("xv"), col("cluster").as("cx"))
+    val y = pc.select(col("bucket"), col("id").as("yi"),
+      col("features").as("yv"), col("cluster").as("cy"))
+    val w = Window.partitionBy(col("xi")).orderBy(col("dist"), col("yi"))
+    val n = Tables.labeledPoints(s, dir).count()
+    val perBucket = x.join(y, Seq("bucket"))
+      .where(col("xi") =!= col("yi"))
+      .select(col("bucket"), col("xi"), col("cx"), col("cy"), col("yi"),
+        Linalg.euclidCol(col("xv"), col("yv")).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= L)
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("cx") === col("cy"), lit(1.0) / col("rnk"))
+        .otherwise(lit(0.0))).as("conn"))
+    val sizes = pc.groupBy(col("bucket")).agg(count(lit(1)).as("nb"))
+    perBucket.join(sizes, Seq("bucket"))
+      .agg(round(sum(col("conn") * col("nb") / lit(n.toDouble)), 4)
+        .as("conn_scaled"))
+  }
 
   // ---- Pareto front (M2) as a distributed skyline --------------------------
 
@@ -493,6 +532,25 @@ object Clustering {
          |cm AS (SELECT cc.cid, max(mi.m) AS cmax
          |  FROM c cc JOIN mi ON mi.i <= cc.cid GROUP BY cc.cid)
          |SELECT round(sum(cmax) / $K, 6) AS dbi FROM cm""".stripMargin),
+    "c17_conn_partitioned" -> withAssign(
+      s"""-- partition-local Conn with rate scaling (A8 semantics)
+         |, pc AS (SELECT p.id, p.v, a.cluster, (p.id // $ConnBucketWidth)
+         |    AS bucket
+         |  FROM p JOIN a ON a.id = p.id),
+         |pairs AS (
+         |  SELECT x.bucket, x.cluster AS cx, y.cluster AS cy,
+         |    row_number() OVER (PARTITION BY x.id
+         |      ORDER BY list_distance(x.v, y.v), y.id) AS rnk
+         |  FROM pc x JOIN pc y
+         |    ON x.bucket = y.bucket AND x.id <> y.id),
+         |pb AS (SELECT bucket,
+         |    sum(CASE WHEN cx = cy THEN 1.0 / rnk ELSE 0 END) AS conn
+         |  FROM pairs WHERE rnk <= $L GROUP BY bucket),
+         |sz AS (SELECT (id // $ConnBucketWidth) AS bucket, count(*) AS nb
+         |  FROM p GROUP BY 1)
+         |SELECT round(sum(conn * nb / (SELECT count(*) FROM p)), 4)
+         |  AS conn_scaled
+         |FROM pb JOIN sz USING (bucket)""".stripMargin),
     "c16_accuracy" -> withAssign(
       """SELECT n_match, n_total,
         |  round(n_match * 1.0 / n_total, 6) AS accuracy FROM (

@@ -112,6 +112,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark removes replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      val base = eventRows().take(100)
+      input.addData(base)
+      query.processAllAvailable()
+      input.addData(base) // exact replay inside the watermark window
+      query.processAllAvailable()
+      val total = spark.table("dedup_out")
+        .agg(sum(col("n"))).head().getLong(0)
+      // replayed (user_id, ts) pairs are dropped by streaming state
+      assert(total === base.map(e => (e.user_id, e.ts)).distinct.size)
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window batch") {
     import spark.implicits._
     val gapMs = 10L * 60 * 1000
