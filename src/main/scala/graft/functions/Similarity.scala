@@ -30,7 +30,8 @@ object Similarity {
     "s1_cosine_topk" -> s1CosineTopk,
     "s2_lsh_buckets" -> s2LshBuckets,
     "s3_ann_ivf" -> s3AnnIvf,
-    "s4_embedding_neardup" -> s4EmbeddingNeardup
+    "s4_embedding_neardup" -> s4EmbeddingNeardup,
+    "s5_ann_recall" -> s5AnnRecall
   )
 
   /** Plane count for the near-dup bucketing — coarser than [[NumPlanes]]
@@ -136,6 +137,32 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Recall of the IVF ANN (s3) against the exact euclidean top-5 — the
+    * number every approximate index must report. Single row:
+    * |approx ∩ exact| / |exact| over the probe queries.
+    */
+  def s5AnnRecall: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("features").as("qv"))
+    val c = e.select(col("vec_id").as("nid"), col("features").as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("nid"))
+    val exact = q.crossJoin(c)
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("nid"))
+    val approx = s3AnnIvf(s, dir).select(col("qid"), col("nid"))
+    exact.join(approx, Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .select(col("n_hit"), col("n_exact"),
+        round(col("n_hit") / col("n_exact"), 6).as("recall"))
+  }
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   def oracles: Map[String, String] = Map(
@@ -189,6 +216,33 @@ object Similarity {
          |    ON bx.bucket = by2.bucket AND bx.vec_id < by2.vec_id
          |  JOIN p x ON x.vec_id = bx.vec_id
          |  JOIN p y ON y.vec_id = by2.vec_id)
-         |WHERE cos >= $NearDupCosine ORDER BY vec_a, vec_b""".stripMargin
+         |WHERE cos >= $NearDupCosine ORDER BY vec_a, vec_b""".stripMargin,
+    "s5_ann_recall" ->
+      s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id + 1 AS cid, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < ${Clustering.K}),
+         |a AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT p.vec_id, p.v, c.cid,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+         |  FROM p CROSS JOIN c) WHERE rn = 1),
+         |exact AS (SELECT qid, nid FROM (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_distance(q.v, n.v), n.vec_id) AS rank
+         |  FROM p q JOIN p n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5) WHERE rank <= 5),
+         |approx AS (SELECT qid, nid FROM (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_distance(q.v, n.v), n.vec_id) AS rank
+         |  FROM a q JOIN a n ON q.cell = n.cell AND q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5) WHERE rank <= 5)
+         |SELECT n_hit, n_exact,
+         |  round(n_hit * 1.0 / n_exact, 6) AS recall FROM
+         |  (SELECT count(*) AS n_hit FROM exact
+         |    WHERE EXISTS (SELECT 1 FROM approx
+         |      WHERE approx.qid = exact.qid AND approx.nid = exact.nid)),
+         |  (SELECT count(*) AS n_exact FROM exact)""".stripMargin
   )
 }
