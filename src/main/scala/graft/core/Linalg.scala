@@ -66,10 +66,12 @@ object Linalg {
 
   def norm2(a: Array[Double]): Double = math.sqrt(dot(a, a))
 
-  def cosine(a: Array[Double], b: Array[Double]): Double = {
-    val na = norm2(a); val nb = norm2(b)
-    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
-  }
+  /** NaN on zero-norm input — matching the Column kernels (0/0), so a
+    * computation moved between the driver and DataFrame surfaces ranks
+    * identically.
+    */
+  def cosine(a: Array[Double], b: Array[Double]): Double =
+    dot(a, b) / (norm2(a) * norm2(b))
 
   // ---- Column-expression kernels -------------------------------------------
   // Hot paths route to the native codegen expressions

@@ -27,6 +27,9 @@ abstract class VectorFoldExpression extends BinaryExpression
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // NULL also arises from non-null ragged inputs (length mismatch), so
+  // the result is nullable regardless of the children
+  override def nullable: Boolean = true
 }
 
 /** sqrt(Σ (aᵢ−bᵢ)²) — reference `dist` (Spark_MOPSO_Avg.scala:1067-1075). */
@@ -35,7 +38,10 @@ case class EuclidDistance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // built-in twin (zip_with) null-pads mismatched lengths → NULL result;
+    // truncating instead would silently mask ragged data
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
@@ -47,13 +53,17 @@ case class EuclidDistance(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |double $s = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double d = $a.getDouble($i) - $b.getDouble($i);
-         |  $s += d * d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += d * d;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($s);
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin
     })
   override protected def withNewChildrenInternal(
@@ -67,7 +77,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -79,12 +90,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |double $s = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   override protected def withNewChildrenInternal(
@@ -100,7 +115,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -118,13 +134,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xv = $a.getDouble($i); double yv = $b.getDouble($i);
-         |  $d += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xv = $a.getDouble($i); double yv = $b.getDouble($i);
+         |    $d += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |  }
+         |  ${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   override protected def withNewChildrenInternal(

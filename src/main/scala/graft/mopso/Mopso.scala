@@ -86,13 +86,11 @@ object Mopso {
     val numFeatures = base.select(size(col("features"))).head().getInt(0)
 
     // A4 feature bounds in ONE pass (the reference scans once per feature,
-    // Spark_MOPSO_Avg.scala:1239-1252); tuple order (max, min) preserved
-    val bounds: Array[(Double, Double)] = base
-      .select(posexplode(col("features")).as(Seq("pos", "v")))
-      .groupBy(col("pos"))
-      .agg(max(col("v")).as("mx"), min(col("v")).as("mn"))
-      .orderBy(col("pos"))
-      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // Spark_MOPSO_Avg.scala:1239-1252); shared helper returns (pos, mn,
+    // mx) — the reference's (max, min) tuple order is restored here
+    val bounds: Array[(Double, Double)] =
+      graft.operators.Clustering.featureBoundsDf(base)
+        .collect().map(r => (r.getDouble(2), r.getDouble(1)))
 
     // persisted through init: the maximin loop runs K−1 jobs over this RDD
     // and would otherwise repeat the parquet scan + repartition shuffle
@@ -253,8 +251,11 @@ object Mopso {
         val block =
           if (globalBlock != null) globalBlock
           else {
-            val rows = rowsRDD.collect()
-            EvalBlock(rows.map(_._1), rows.map(_._2), Array.empty)
+            // serve from the still-cached partition blocks — rowsRDD was
+            // unpersisted after init and would recompute the scan+shuffle
+            val blocks = blocksRDD.collect()
+            EvalBlock(blocks.flatMap(_.points), blocks.flatMap(_.labels),
+              Array.empty)
           }
         val (ss, best) = Eval.selectBestBySilhouette(archive, block)
         (Some(ss), Some(best))

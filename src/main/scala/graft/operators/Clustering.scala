@@ -111,14 +111,18 @@ object Clustering {
 
   /** Per-feature min/max bounds (A4, Spark_MOPSO_Avg.scala:1239-1252) in
     * ONE pass — the reference runs one full RDD scan per feature; posexplode
-    * + hash agg covers all F dimensions in a single scan.
+    * + hash agg covers all F dimensions in a single scan. Shared with the
+    * MOPSO driver's bounds step.
     */
-  def c4FeatureBounds: Q = (s, dir) =>
-    Tables.labeledPoints(s, dir)
+  def featureBoundsDf(points: DataFrame): DataFrame =
+    points
       .select(posexplode(col("features")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .orderBy(col("pos"))
+
+  def c4FeatureBounds: Q = (s, dir) =>
+    featureBoundsDf(Tables.labeledPoints(s, dir))
 
   /** Purity inner step (E1, Spark_MOPSO_Avg.scala:465-493): majority
     * cluster per true label. The reference's `maxBy` over a HashMap has

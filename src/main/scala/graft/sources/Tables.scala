@@ -32,6 +32,12 @@ object Tables {
     * `div`, not `/`, because ns epoch values exceed double's 2^53 exact
     * range. Session TZ is UTC so the wall-clock matches the naive ns
     * timestamps DuckDB sees.
+    *
+    * NOTE this sets `nanosAsLong` for the SESSION (an engine-wide
+    * convention, deliberately not restored: the conf is consulted lazily
+    * at scan planning, so a set/restore around the read would be a race;
+    * any other NANOS source in the session reads as LongType and must
+    * convert the same way).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -58,10 +64,12 @@ object Tables {
       col("vec_id").as("id"), col("features"), col("label"))
 
   /** Reference-convention CSV reader (P1, Spark_MOPSO_Avg.scala:1191-1236):
-    * headerless all-numeric CSV, last column = integer class label,
-    * `labelStartWithZero=false` shifts 0-based labels up by one
-    * (:1217-1220); `labeled=false` parses every column as a feature with
-    * label 0 (:1224-1235); `header=true` drops the first line (:1199-1202).
+    * headerless all-numeric CSV, last column = integer class label.
+    * `labelStartWithZero=true` declares the FILE's labels 0-based and
+    * shifts them up by one to the engine's 1-based convention
+    * (:1217-1220); with `false` the labels are taken as already 1-based.
+    * `labeled=false` parses every column as a feature with label 0
+    * (:1224-1235); `header=true` drops the first line (:1199-1202).
     */
   def labeledCsv(
       spark: SparkSession,

@@ -47,6 +47,18 @@ class LinalgColSpec extends AnyFunSuite with SparkTestBase {
     assert(diff === 0L)
   }
 
+  test("length-mismatched arrays yield NULL, matching the built-in twin") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val row = df.select(
+      VectorExpressions.euclid(col("a"), col("b")).as("fast"),
+      Linalg.euclidColBuiltin(col("a"), col("b")).as("ref"),
+      VectorExpressions.dot(col("a"), col("b")).as("d"),
+      VectorExpressions.cosine(col("a"), col("b")).as("c")).head()
+    assert(row.isNullAt(0) && row.isNullAt(1)) // both surfaces agree
+    assert(row.isNullAt(2) && row.isNullAt(3))
+  }
+
   test("expressions null-propagate and run in interpreted mode too") {
     import spark.implicits._
     val df = Seq(
