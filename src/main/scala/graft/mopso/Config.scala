@@ -107,7 +107,15 @@ final case class MopsoConfig(
     clampPosition: Boolean = false,
     kOverride: Option[Int] = None, // default: inferred = countDistinct(label)
     withSilhouette: Boolean = false, // O(n²) — small data only
-    kmeansIter: Int = 30 // numberOfKMeansIter, Spark_MOPSO_Avg.scala:38
+    kmeansIter: Int = 30, // numberOfKMeansIter, Spark_MOPSO_Avg.scala:38
+    /** SURVEY §7.4.6 scale option: evaluate fitness on a seeded Bernoulli
+      * sample of each partition (< 1.0 trades fidelity for the O(n²)
+      * neighbor build and per-iteration assignment cost at 100 TB). Dev
+      * partials keep their rate scaling — the sampled estimate is
+      * unbiased; Conn's neighbor graph is the sample's, an approximation
+      * on top of the reference's own partition-local approximation.
+      */
+    fitnessSampleFraction: Double = 1.0
 )
 
 object MopsoConfig {

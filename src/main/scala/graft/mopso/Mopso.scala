@@ -102,11 +102,21 @@ object Mopso {
 
     // evaluation blocks: per-partition for ScopePartition, one global block
     // otherwise; neighbor lists precomputed once (see FitnessKernel)
+    // §7.4.6: optional seeded Bernoulli sample of the evaluation rows —
+    // deterministic per (seed, row index), applied before block building
+    // so the neighbor graphs shrink quadratically with the fraction
+    val evalRDD: RDD[(Array[Double], Int)] =
+      if (cfg.fitnessSampleFraction >= 1.0) rowsRDD
+      else rowsRDD.mapPartitionsWithIndex { (pid, it) =>
+        val r = new java.util.Random(seed ^ (pid.toLong << 17))
+        it.filter(_ => r.nextDouble() < cfg.fitnessSampleFraction)
+      }
+
     var blocksRDD: RDD[EvalBlock] = null
     var globalBlock: EvalBlock = null
     cfg.scope match {
       case ScopePartition =>
-        blocksRDD = rowsRDD.mapPartitions { it =>
+        blocksRDD = evalRDD.mapPartitions { it =>
           val rows = it.toArray
           if (rows.isEmpty) Iterator.empty
           else {
@@ -118,7 +128,7 @@ object Mopso {
         }.persist(StorageLevel.MEMORY_AND_DISK)
         blocksRDD.count() // materialize once before the loop
       case ScopeGlobal =>
-        val rows = rowsRDD.collect()
+        val rows = evalRDD.collect()
         val pts = rows.map(_._1)
         globalBlock = EvalBlock(pts, rows.map(_._2),
           FitnessKernel.buildNeighbors(pts, cfg.lIndex))
@@ -126,6 +136,14 @@ object Mopso {
     val globalBC =
       if (globalBlock != null && distributedGlobal(cfg)) sc.broadcast(globalBlock)
       else null
+
+    // rate denominator = the EVALUATED population (== N unless sampling);
+    // cheap on the cached blocks
+    val evalTotal: Long = cfg.scope match {
+      case _ if cfg.fitnessSampleFraction >= 1.0 => total
+      case ScopePartition => blocksRDD.map(_.points.length.toLong).sum().toLong
+      case ScopeGlobal => globalBlock.points.length.toLong
+    }
 
     def evaluate(positions: Array[Array[Array[Double]]]): Array[Array[Double]] =
       cfg.scope match {
@@ -136,7 +154,7 @@ object Mopso {
               it.map { block =>
                 (pid, bc.value.map(pos =>
                   FitnessKernel.partitionPartial(block.toPartData, pos,
-                    cfg.lIndex, total)))
+                    cfg.lIndex, evalTotal)))
               }
             }.collect()
           bc.destroy()
@@ -240,7 +258,8 @@ object Mopso {
       case ScopeGlobal =>
         centerSets.map(cs => histogram(globalBlock, cs))
     }
-    val purities = hists.map(h => purityOf(h, total))
+    // under sampling, purity/validity are measured on the evaluated sample
+    val purities = hists.map(h => purityOf(h, evalTotal))
     val validity = hists.map(h => majorityValid(h, k))
 
     // optional E3 final-result selection: exact silhouette per entry over

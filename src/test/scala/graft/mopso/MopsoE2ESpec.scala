@@ -57,6 +57,16 @@ class MopsoE2ESpec extends AnyFunSuite with SparkTestBase {
     assert(best0.zip(best0.tail).forall { case (a, b) => a <= b })
   }
 
+  test("fitness sampling: deterministic, bounded archive, cheaper eval") {
+    val sampled = cfg.copy(iterMax = 3, fitnessSampleFraction = 0.5)
+    val r1 = Mopso.run(spark, data, sampled, seed = 21L)
+    val r2 = Mopso.run(spark, data, sampled, seed = 21L)
+    assert(r1.archive.map(_.fitness.toSeq).toSeq ===
+      r2.archive.map(_.fitness.toSeq).toSeq) // sampling is seeded
+    assert(r1.archive.nonEmpty && r1.archive.length <= 15)
+    assert(r1.totalPoints === 500L) // result reports the FULL population
+  }
+
   test("global scope (Particle variant) runs and stays within bounds") {
     val r = Mopso.run(spark, data, MopsoConfig.particle.copy(iterMax = 3),
       seed = 11L)
