@@ -98,6 +98,28 @@ object Events {
   def withWatermarked(stream: DataFrame): DataFrame =
     tumblingHourly(stream.withWatermark("ts", "30 minutes"))
 
+  /** Attribution join: each purchase matched to the same user's clicks in
+    * the preceding hour. Defined once; in streaming both sides carry
+    * watermarks and the time-interval condition bounds the join state
+    * (Structured Streaming's stream-stream inner join), in batch it is a
+    * plain range join.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("purchase_at"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_at"),
+        col("value"))
+  }
+
   // ---- DuckDB oracles (batch-equivalent semantics) -------------------------
 
   def oracles: Map[String, String] = Map(

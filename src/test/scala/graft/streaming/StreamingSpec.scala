@@ -112,6 +112,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = Events.clickToPurchase(
+      clicks.toDF().withWatermark("ts", "2 hours"),
+      purchases.toDF().withWatermark("ts", "2 hours"))
+    val query = joined.writeStream
+      .format("memory").queryName("attribution_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val rows = eventRows()
+      val c = rows.filter(_.event_type == "click")
+      val p = rows.filter(_.event_type == "purchase")
+      clicks.addData(c); purchases.addData(p)
+      query.processAllAvailable()
+      // push watermarks far forward so all joined rows emit
+      val last = rows.map(_.ts.getTime).max + 7L * 24 * 3600 * 1000
+      clicks.addData(Ev(new Timestamp(last), -1L, "click", 0.0))
+      purchases.addData(Ev(new Timestamp(last), -2L, "purchase", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("attribution_out")
+        .filter(col("user_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      val ev = Tables.events(spark, sfDir)
+      val want = Events.clickToPurchase(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark removes replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
