@@ -25,6 +25,15 @@ object Dedup {
   val NumHashes = 8
   val BandSize = 4
 
+  /** Per-bucket candidate cap for d3 (see [[bucketedPairs]]): buckets of at
+    * most this many docs emit the exact all-pairs clique; larger buckets
+    * emit the clique over their [[MaxBucket]] smallest doc_ids plus one
+    * star edge from the bucket minimum to every overflow doc. Pair count is
+    * O(cap² + n) instead of O(n²), and every doc stays transitively
+    * connected to its duplicate group through the representative.
+    */
+  val MaxBucket = 64
+
   /** Universal-hash family over one md5 base hash: h_k(t) = (a_k·h32(t) +
     * b_k) mod p. One md5 per token instead of one per (token × hash
     * function) — 8× less digest work, same minhash statistics; all-integer
@@ -99,7 +108,8 @@ object Dedup {
     * [[BandSize]], bucket docs by (band, joined band values), emit doc
     * pairs sharing any bucket. ONE shuffle on the bucket key — never an
     * all-pairs join; collisions are the candidate set that a verifier
-    * (d5) confirms.
+    * (d5) confirms. Pair emission per bucket is capped (see
+    * [[bucketedPairs]]) so a mass-duplicate bucket cannot explode n².
     */
   def d3LshPairs: Q = (s, dir) => {
     val bands = minhashSigs(s, dir)
@@ -109,20 +119,37 @@ object Dedup {
             transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
               x => x.cast("string")))))
           .as(Seq("band", "key")))
-    // pairs generated INSIDE each bucket (groupBy + in-array combinations)
-    // instead of a bucket self-join: one scan of the signatures, one
-    // shuffle, no cache needed. Skew note for 100 TB: a degenerate bucket
-    // of n identical docs emits n² pairs — cap the bucket size (or sample
-    // within it) before the explode when corpora contain mass-duplicates.
+    bucketedPairs(bands).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Candidate pairs from banded rows (doc_id, band, key), generated INSIDE
+    * each bucket (groupBy + in-array combinations) instead of a bucket
+    * self-join: one scan, one shuffle, no cache needed.
+    *
+    * Degenerate-bucket cap: the fixture corpus already has a 3128-doc
+    * identical-vocabulary bucket at sf0.1 (C(2,n) ≈ 4.9M pairs — 25% of
+    * round-1 bench time), and at 100 TB mass-duplicates make uncapped
+    * emission THE scale-killer. Buckets of ≤ [[MaxBucket]] docs emit the
+    * exact clique; larger buckets emit the clique over the [[MaxBucket]]
+    * smallest doc_ids + a star edge (bucket min → doc) for the overflow —
+    * O(cap² + n) pairs, deterministic (ids sorted first), and every doc
+    * remains in the same connected component as its full clique would be,
+    * so transitive closure recovers identical duplicate groups.
+    */
+  private[graft] def bucketedPairs(bands: DataFrame): DataFrame = {
+    val sorted = array_sort(col("ids"))
+    val head = slice(sorted, 1, MaxBucket)
+    val clique = flatten(transform(head, (x, i) =>
+      transform(slice(head, i + 2, lit(MaxBucket)), y =>
+        struct(x.as("doc_a"), y.as("doc_b")))))
+    // empty when the bucket fits in MaxBucket (slice past the end)
+    val star = transform(slice(sorted, lit(MaxBucket + 1), size(col("ids"))), y =>
+      struct(element_at(sorted, 1).as("doc_a"), y.as("doc_b")))
     bands.groupBy(col("band"), col("key"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
-          struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b"))))))
-        .as("p"))
+      .select(explode(concat(clique, star)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 32-bit SimHash over the distinct token set: bit b is set when more
@@ -191,22 +218,35 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
-      """SELECT sum(n) AS n_docs, count(*) AS n_distinct,
-        |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+      """SELECT sum(n)::BIGINT AS n_docs, count(*) AS n_distinct,
+        |  sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups
         |FROM (SELECT md5(text) AS h, count(*) AS n
         |  FROM documents GROUP BY md5(text))""".stripMargin,
     "d2_minhash_sig" ->
       s"""WITH $sigSql
          |SELECT doc_id, h::INT AS h, mh FROM sig ORDER BY doc_id, h""".stripMargin,
+    // same capped semantics as bucketedPairs: clique among the MaxBucket
+    // smallest doc_ids per bucket + star (bucket min → doc) for overflow
     "d3_lsh_pairs" ->
       s"""WITH $sigSql,
          |bands AS (
          |  SELECT doc_id, (h // $BandSize)::INT AS band,
          |    string_agg(mh, ',' ORDER BY h) AS key
-         |  FROM sig GROUP BY doc_id, (h // $BandSize))
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-         |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin,
+         |  FROM sig GROUP BY doc_id, (h // $BandSize)),
+         |ranked AS (
+         |  SELECT band, key, doc_id,
+         |    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn,
+         |    min(doc_id) OVER (PARTITION BY band, key) AS rep
+         |  FROM bands)
+         |SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ranked a JOIN ranked b
+         |    ON a.band = b.band AND a.key = b.key
+         |    AND a.rn < b.rn AND b.rn <= $MaxBucket
+         |  UNION ALL
+         |  SELECT rep AS doc_a, doc_id AS doc_b FROM ranked
+         |  WHERE rn > $MaxBucket)
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_distinct(string_split_regex(trim(text), '\s+')),

@@ -558,7 +558,7 @@ object Clustering {
     "c16_accuracy" -> withAssign(
       """SELECT n_match, n_total,
         |  round(n_match * 1.0 / n_total, 6) AS accuracy FROM (
-        |  SELECT sum(CASE WHEN label + 1 = cluster THEN 1 ELSE 0 END)
+        |  SELECT sum(CASE WHEN label + 1 = cluster THEN 1 ELSE 0 END)::BIGINT
         |      AS n_match,
         |    count(*) AS n_total FROM a)""".stripMargin)
   )

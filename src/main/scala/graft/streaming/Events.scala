@@ -160,7 +160,7 @@ object Events {
         |ORDER BY user_id, s_start""".stripMargin,
     "e4_json_props" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(json_extract_string(props, '$.k')::INT) AS sum_k,
+        |  sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
         |  max(json_extract_string(props, '$.k')::INT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
