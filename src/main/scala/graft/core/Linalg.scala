@@ -89,6 +89,9 @@ object Linalg {
   def cosineCol(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosine(a, b)
 
+  def weightedEuclidCol(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.weightedEuclid(a, b)
+
   /** Built-in-only formulation of [[euclidCol]]: `zip_with` + left-fold
     * `aggregate` (deterministic left-to-right summation).
     */
@@ -106,4 +109,15 @@ object Linalg {
 
   def cosineColBuiltin(a: Column, b: Column): Column =
     dotColBuiltin(a, b) / (norm2Col(a) * norm2Col(b))
+
+  /** Built-in-only twin of [[weightedEuclidCol]] — same left-to-right fold
+    * order, so bit-identical on non-zero-sum inputs (the zero-sum guard is
+    * a driver-twin nicety the built-ins can't express without a CASE).
+    */
+  def weightedEuclidColBuiltin(a: Column, b: Column): Column = {
+    val sa = aggregate(a, lit(0.0), _ + _)
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => (x / sa) * (x - y) * (x - y)),
+      lit(0.0), _ + _))
+  }
 }

@@ -152,6 +152,64 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** sqrt(Σ (aᵢ/Σa)·(aᵢ−bᵢ)²) — reference weighted distance
+  * (Spark_MOPSO_Avg.scala:1088-1096): the weight vector derives from the
+  * FIRST argument by x/sum(x) (Linalg.weightsBySum twin); a zero-sum `a`
+  * yields all-zero weights → 0.0, exactly like Linalg.weightedEuclid.
+  * Both sums are left-to-right folds, bit-identical to the driver twin.
+  */
+case class WeightedEuclid(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var sa = 0.0
+    var i = 0
+    while (i < n) { sa += x.getDouble(i); i += 1 }
+    var s = 0.0
+    if (sa != 0.0) {
+      i = 0
+      while (i < n) {
+        val xv = x.getDouble(i)
+        val d = xv - y.getDouble(i)
+        s += (xv / sa) * d * d
+        i += 1
+      }
+    }
+    math.sqrt(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val sa = ctx.freshName("sa")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sa = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $sa += $a.getDouble($i); }
+         |  double $s = 0.0;
+         |  if ($sa != 0.0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double xv = $a.getDouble($i);
+         |      double d = xv - $b.getDouble($i);
+         |      $s += (xv / $sa) * d * d;
+         |    }
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($s);
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def euclid(a: Column, b: Column): Column =
     Bridge.column(EuclidDistance(
@@ -161,6 +219,9 @@ object VectorExpressions {
       Bridge.expression(a), Bridge.expression(b)))
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(
+      Bridge.expression(a), Bridge.expression(b)))
+  def weightedEuclid(a: Column, b: Column): Column =
+    Bridge.column(WeightedEuclid(
       Bridge.expression(a), Bridge.expression(b)))
 
   /** SQL registration so the kernels are usable from spark.sql(...). */
@@ -172,5 +233,7 @@ object VectorExpressions {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("weighted_euclid",
+      exprs => WeightedEuclid(exprs(0), exprs(1)), "built-in")
   }
 }

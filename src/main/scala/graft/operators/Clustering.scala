@@ -47,7 +47,8 @@ object Clustering {
     "c14_silhouette" -> c14Silhouette,
     "c15_dbi" -> c15Dbi,
     "c16_accuracy" -> c16Accuracy,
-    "c17_conn_partitioned" -> c17ConnPartitioned
+    "c17_conn_partitioned" -> c17ConnPartitioned,
+    "c18_weighted_dist" -> c18WeightedDist
   )
 
   /** Bucket width for the partition-local Conn query (c17). */
@@ -418,6 +419,33 @@ object Clustering {
       .select(col("n_match"), col("n_total"),
         round(col("n_match") / col("n_total"), 6).as("accuracy"))
 
+  /** F2 weighted-metric assignment (weighted dist, Spark_MOPSO_Avg.scala:
+    * 1088-1096): distance = sqrt(Σ wᵢ(aᵢ−bᵢ)²) with the weight vector
+    * derived from the POINT by x/sum(x) (weightsBySum, :1078-1085). The
+    * reference presumes non-negative features (its CSV datasets); the
+    * embedding fixture is signed, so the query feeds the kernel the
+    * shifted-positive space `features + 1` — the (aᵢ−bᵢ)² terms are
+    * shift-invariant and the weights stay well-defined. Same literal-
+    * centroid argmin shape as c1: zero shuffle, zero join.
+    */
+  def c18WeightedDist: Q = (s, dir) => {
+    val cs = centers(s, dir)
+    val shifted = transform(col("features"), x => x + lit(1.0))
+    val nearest = element_at(
+      array_sort(array(cs.map { case (cid, vec) =>
+        struct(
+          Linalg.weightedEuclidCol(shifted, typedlit(vec.map(_ + 1.0)))
+            .as("wdist"),
+          lit(cid).as("wcluster"))
+      }: _*)),
+      1)
+    Tables.labeledPoints(s, dir)
+      .withColumn("w", nearest)
+      .select(col("id"), col("w.wcluster").as("wcluster"),
+        round(col("w.wdist"), 6).as("wdist"))
+      .orderBy(col("id"))
+  }
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   /** Shared SQL fragments: points, centroids, assignment. */
@@ -560,6 +588,21 @@ object Clustering {
         |  round(n_match * 1.0 / n_total, 6) AS accuracy FROM (
         |  SELECT sum(CASE WHEN label + 1 = cluster THEN 1 ELSE 0 END)::BIGINT
         |      AS n_match,
-        |    count(*) AS n_total FROM a)""".stripMargin)
+        |    count(*) AS n_total FROM a)""".stripMargin),
+    // weighted euclid over the shifted-positive space; weight = x/sum(x)
+    // of the point vector, same left-to-right fold as the Spark kernel
+    "c18_weighted_dist" ->
+      s"""WITH $P, $C,
+         |sp AS (SELECT id, list_transform(v, x -> x + 1.0) AS v FROM p),
+         |sc AS (SELECT cid, list_transform(cv, x -> x + 1.0) AS cv FROM c),
+         |wd AS (SELECT id, cid, sqrt(list_sum(
+         |    list_transform(generate_series(1, len(v)), i ->
+         |      (v[i] / list_sum(v)) * (v[i] - cv[i]) * (v[i] - cv[i]))))
+         |    AS wdist
+         |  FROM sp CROSS JOIN sc)
+         |SELECT id, cid::INT AS wcluster, round(wdist, 6) AS wdist FROM (
+         |  SELECT id, cid, wdist, row_number() OVER (PARTITION BY id
+         |    ORDER BY wdist, cid) AS rn FROM wd)
+         |WHERE rn = 1 ORDER BY id""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, EuclidDistance}
+import graft.functions.{CosineSimilarity, DotProduct, EuclidDistance, WeightedEuclid}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * vector kernels as SQL functions at session build time —
@@ -42,5 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[CosineSimilarity], "cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two double arrays."),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("weighted_euclid"),
+      info(classOf[WeightedEuclid], "weighted_euclid",
+        "weighted_euclid(a, b) - Euclidean distance weighted by a/sum(a)."),
+      (exprs: Seq[Expression]) => WeightedEuclid(exprs(0), exprs(1))))
   }
 }

@@ -47,6 +47,33 @@ class LinalgColSpec extends AnyFunSuite with SparkTestBase {
     assert(diff === 0L)
   }
 
+  test("WeightedEuclid expression == built-in formulation, bit for bit") {
+    // shifted-positive space (like c18): weights x/sum(x) are well-defined
+    val sa = transform(col("av"), x => x + lit(1.0))
+    val sb = transform(col("bv"), x => x + lit(1.0))
+    val diff = pairs.select(
+      VectorExpressions.weightedEuclid(sa, sb).as("fast"),
+      Linalg.weightedEuclidColBuiltin(sa, sb).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff === 0L)
+  }
+
+  test("WeightedEuclid matches the driver twin and guards zero-sum input") {
+    import spark.implicits._
+    val a = Array(1.0, 2.0, 3.0)
+    val b = Array(4.0, 6.0, 8.0)
+    val got = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(VectorExpressions.weightedEuclid(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(got === Linalg.weightedEuclid(a, b))
+    // zero-sum weights → all-zero weight vector → 0.0 (driver semantics)
+    val z = Seq((Seq(1.0, -1.0), Seq(5.0, 7.0))).toDF("a", "b")
+      .select(VectorExpressions.weightedEuclid(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(z === 0.0)
+    assert(Linalg.weightedEuclid(Array(1.0, -1.0), Array(5.0, 7.0)) === 0.0)
+  }
+
   test("length-mismatched arrays yield NULL, matching the built-in twin") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
@@ -54,9 +81,10 @@ class LinalgColSpec extends AnyFunSuite with SparkTestBase {
       VectorExpressions.euclid(col("a"), col("b")).as("fast"),
       Linalg.euclidColBuiltin(col("a"), col("b")).as("ref"),
       VectorExpressions.dot(col("a"), col("b")).as("d"),
-      VectorExpressions.cosine(col("a"), col("b")).as("c")).head()
+      VectorExpressions.cosine(col("a"), col("b")).as("c"),
+      VectorExpressions.weightedEuclid(col("a"), col("b")).as("w")).head()
     assert(row.isNullAt(0) && row.isNullAt(1)) // both surfaces agree
-    assert(row.isNullAt(2) && row.isNullAt(3))
+    assert(row.isNullAt(2) && row.isNullAt(3) && row.isNullAt(4))
   }
 
   test("expressions null-propagate and run in interpreted mode too") {
@@ -84,9 +112,11 @@ class LinalgColSpec extends AnyFunSuite with SparkTestBase {
     VectorExpressions.register(spark)
     val d = spark.sql(
       "SELECT euclid(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS d, " +
-        "cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+        "cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "weighted_euclid(array(1.0d, 1.0d), array(1.0d, 1.0d)) AS w")
       .head()
     assert(d.getDouble(0) === 5.0)
     assert(math.abs(d.getDouble(1) - 1.0) < 1e-12)
+    assert(d.getDouble(2) === 0.0)
   }
 }
