@@ -1,0 +1,139 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType}
+
+/** Bounded top-k aggregate (SURVEY §4's optional Catalyst upgrade): keeps
+  * the k smallest (key, value) pairs by `key` (any orderable Catalyst type
+  * — structs order lexicographically, so `struct(dist, id)` gives
+  * deterministic distance-then-id ranking) and evaluates to the values
+  * sorted ascending by key.
+  *
+  * Why an imperative aggregate and not a window: `row_number() OVER
+  * (PARTITION BY q ORDER BY dist)` must shuffle and sort EVERY candidate
+  * row (n² rows for an all-pairs ranking); this aggregate's partial state
+  * is k-bounded, so map-side combine reduces the shuffle to k rows per
+  * group per mapper — the difference between O(n²) and O(n·k) network for
+  * exact KNN-style queries (c19, the distributed global-Conn build).
+  */
+case class TopKByKey(
+    key: Expression,
+    value: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[(Any, Any)]] {
+
+  require(k > 0, "top_k_by_key requires k > 0")
+
+  override def children: Seq[Expression] = Seq(key, value)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(value.dataType, containsNull = value.nullable)
+
+  @transient private lazy val keyOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(key.dataType)
+  @transient private lazy val pairOrdering: Ordering[(Any, Any)] =
+    Ordering.by[(Any, Any), Any](_._1)(keyOrdering)
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[(Any, Any)] =
+    mutable.ArrayBuffer.empty
+
+  /** Sort ascending by key and keep the k smallest. Amortized: callers
+    * invoke it only when the buffer exceeds 2k, so total update cost is
+    * O(n log k) with O(k) state between prunes.
+    */
+  private def prune(buf: mutable.ArrayBuffer[(Any, Any)]): Unit = {
+    buf.sortInPlace()(pairOrdering)
+    if (buf.length > k) buf.takeInPlace(k)
+  }
+
+  override def update(buf: mutable.ArrayBuffer[(Any, Any)],
+      input: InternalRow): mutable.ArrayBuffer[(Any, Any)] = {
+    val kv = key.eval(input)
+    if (kv != null) { // null keys are unrankable — dropped, like ORDER BY LIMIT
+      val vv = value.eval(input)
+      // eval results may alias reused row buffers — copy before storing
+      buf += ((InternalRow.copyValue(kv), InternalRow.copyValue(vv)))
+      if (buf.length > 2 * k) prune(buf)
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.ArrayBuffer[(Any, Any)],
+      b2: mutable.ArrayBuffer[(Any, Any)]): mutable.ArrayBuffer[(Any, Any)] = {
+    b1 ++= b2
+    if (b1.length > 2 * k) prune(b1)
+    b1
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[(Any, Any)]): Any = {
+    prune(buf)
+    new GenericArrayData(buf.map(_._2).toArray)
+  }
+
+  // partial-aggregate state crosses the wire as length-prefixed UnsafeRows
+  // of (key, value)
+  @transient private lazy val pairProjection =
+    UnsafeProjection.create(Array(key.dataType, value.dataType))
+
+  override def serialize(buf: mutable.ArrayBuffer[(Any, Any)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    val row = new GenericInternalRow(2)
+    buf.foreach { case (kv, vv) =>
+      row.update(0, kv)
+      row.update(1, vv)
+      val u = pairProjection(row)
+      out.writeInt(u.getSizeInBytes)
+      out.write(u.getBytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(Any, Any)] = {
+    val in = ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val buf = new mutable.ArrayBuffer[(Any, Any)](n)
+    var i = 0
+    while (i < n) {
+      val len = in.getInt
+      val rowBytes = new Array[Byte](len)
+      in.get(rowBytes)
+      val u = new UnsafeRow(2)
+      u.pointTo(rowBytes, len)
+      buf += ((InternalRow.copyValue(u.get(0, key.dataType)),
+        InternalRow.copyValue(u.get(1, value.dataType))))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByKey =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByKey =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(key = newChildren(0), value = newChildren(1))
+}
+
+object TopKAggregate {
+  /** `top_k_by_key(key, value, k)` as a DataFrame aggregate Column. */
+  def topKByKey(key: Column, value: Column, k: Int): Column =
+    Bridge.column(
+      TopKByKey(Bridge.expression(key), Bridge.expression(value), k)
+        .toAggregateExpression())
+}
