@@ -111,13 +111,15 @@ object Linalg {
     dotColBuiltin(a, b) / (norm2Col(a) * norm2Col(b))
 
   /** Built-in-only twin of [[weightedEuclidCol]] — same left-to-right fold
-    * order, so bit-identical on non-zero-sum inputs (the zero-sum guard is
-    * a driver-twin nicety the built-ins can't express without a CASE).
+    * order AND the same zero-sum guard as the native kernel and the driver
+    * twin (weights x/sum(x) degenerate to all-zero when sum(x) == 0), so
+    * the three surfaces agree on ALL inputs, not just shifted-positive ones.
     */
   def weightedEuclidColBuiltin(a: Column, b: Column): Column = {
     val sa = aggregate(a, lit(0.0), _ + _)
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => (x / sa) * (x - y) * (x - y)),
-      lit(0.0), _ + _))
+    when(sa === 0.0, lit(0.0)).otherwise(
+      sqrt(aggregate(
+        zip_with(a, b, (x, y) => (x / sa) * (x - y) * (x - y)),
+        lit(0.0), _ + _)))
   }
 }

@@ -148,13 +148,14 @@ object Similarity {
   }
 
   /** Single-probe face of [[annIvf]] — the cheapest point of the
-    * recall/cost curve that s5 measures at nprobe ∈ {1, 2, 4}.
+    * recall/cost curve that s5 measures at nprobe ∈ {1, 5, 10}.
     */
   def s3AnnIvf: Q = (s, dir) => annIvf(s, dir, nprobe = 1)
 
-  /** The nprobe settings s5 reports — the recall/cost curve of the index,
-    * up to nprobe = K where the probe degenerates to exact brute force
-    * (recall 1 by construction): 0.92 → 0.96 → 1.0 on the sf0.01 fixture.
+  /** The nprobe settings s5 reports, {1, 5, K=10} — the recall/cost curve
+    * of the index, up to nprobe = K where the probe degenerates to exact
+    * brute force (recall 1 by construction): measured 0.92 → 0.96 → 1.0
+    * on the sf0.01 fixture.
     */
   val ProbeSettings = Seq(1, 5, Clustering.K)
 

@@ -48,7 +48,8 @@ object Clustering {
     "c15_dbi" -> c15Dbi,
     "c16_accuracy" -> c16Accuracy,
     "c17_conn_partitioned" -> c17ConnPartitioned,
-    "c18_weighted_dist" -> c18WeightedDist
+    "c18_weighted_dist" -> c18WeightedDist,
+    "c19_conn_topk" -> c19ConnTopk
   )
 
   /** Bucket width for the partition-local Conn query (c17). */
@@ -239,6 +240,42 @@ object Clustering {
     perBucket.join(sizes, Seq("bucket"))
       .agg(round(sum(col("conn") * col("nb") / lit(n.toDouble)), 4)
         .as("conn_scaled"))
+  }
+
+  /** Exact global Conn through the k-bounded top-k aggregate (the
+    * distributed exact path SURVEY §4 lists as the optional Catalyst
+    * upgrade): the VALUE is identical to c10 — same neighbor definition,
+    * same 1/rank same-cluster reward (Spark_MOPSO_Avg.scala:1036-1063) —
+    * but the per-point ranking is [[graft.functions.TopKAggregate]]'s
+    * TypedImperativeAggregate instead of a window sort. The partial state
+    * is L-bounded, so map-side combine prunes every mapper's candidate
+    * stream to ≤L pairs per point BEFORE the exchange: the shuffle carries
+    * O(points · L) rows per mapper where the c10 window formulation
+    * shuffles and sorts the full n² candidate set. This is the exact-Conn
+    * shape that survives scale-up — the MOPSO ScopeGlobal block
+    * (Mopso.scala) approximates it by collecting only because the
+    * reference's whole-data variant does.
+    */
+  def c19ConnTopk: Q = (s, dir) => {
+    val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
+    val x = pc.select(col("id").as("xi"), col("features").as("xv"),
+      col("cluster").as("cx"))
+    val y = pc.select(col("id").as("yi"), col("features").as("yv"),
+      col("cluster").as("cy"))
+    x.crossJoin(y)
+      .where(col("xi") =!= col("yi"))
+      .select(col("xi"),
+        struct(
+          Linalg.euclidCol(col("xv"), col("yv")).as("dist"),
+          col("yi").as("yi")).as("rank_key"),
+        (col("cx") === col("cy")).as("same"))
+      .groupBy(col("xi"))
+      .agg(graft.functions.TopKAggregate
+        .topKByKey(col("rank_key"), col("same"), L).as("sames"))
+      .select(posexplode(col("sames")).as(Seq("pos", "same")))
+      .agg(round(sum(
+        when(col("same"), lit(1.0) / (col("pos") + lit(1)))
+          .otherwise(lit(0.0))), 4).as("conn"))
   }
 
   // ---- Pareto front (M2) as a distributed skyline --------------------------
@@ -589,6 +626,18 @@ object Clustering {
         |  SELECT sum(CASE WHEN label + 1 = cluster THEN 1 ELSE 0 END)::BIGINT
         |      AS n_match,
         |    count(*) AS n_total FROM a)""".stripMargin),
+    // c19 computes the SAME value as c10 by a different distributed
+    // algorithm (bounded top-k aggregate vs window sort) — the oracle is
+    // deliberately the c10 window formulation, an independent cross-check
+    "c19_conn_topk" -> withAssign(
+      s"""SELECT round(sum(CASE WHEN cx = cy THEN 1.0 / rnk ELSE 0 END), 4)
+         |  AS conn FROM (
+         |  SELECT ax.cluster AS cx, ay.cluster AS cy,
+         |    row_number() OVER (PARTITION BY x.id
+         |      ORDER BY list_distance(x.v, y.v), y.id) AS rnk
+         |  FROM p x JOIN p y ON x.id <> y.id
+         |  JOIN a ax ON ax.id = x.id JOIN a ay ON ay.id = y.id)
+         |WHERE rnk <= $L""".stripMargin),
     // weighted euclid over the shifted-positive space; weight = x/sum(x)
     // of the point vector, same left-to-right fold as the Spark kernel
     "c18_weighted_dist" ->

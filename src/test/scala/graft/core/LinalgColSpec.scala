@@ -48,14 +48,25 @@ class LinalgColSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("WeightedEuclid expression == built-in formulation, bit for bit") {
-    // shifted-positive space (like c18): weights x/sum(x) are well-defined
-    val sa = transform(col("av"), x => x + lit(1.0))
-    val sb = transform(col("bv"), x => x + lit(1.0))
+    // raw signed fixture vectors — no shifted-positive restriction: the
+    // built-in twin carries the same zero-sum CASE guard as the kernel
+    // (Spark NaN semantics make NaN = NaN true, so negative-weight-sum
+    // rows still compare bit-for-bit)
     val diff = pairs.select(
-      VectorExpressions.weightedEuclid(sa, sb).as("fast"),
-      Linalg.weightedEuclidColBuiltin(sa, sb).as("ref"))
+      VectorExpressions.weightedEuclid(col("av"), col("bv")).as("fast"),
+      Linalg.weightedEuclidColBuiltin(col("av"), col("bv")).as("ref"))
       .filter(col("fast") =!= col("ref")).count()
     assert(diff === 0L)
+  }
+
+  test("weightedEuclidColBuiltin guards zero-sum input like the kernel") {
+    import spark.implicits._
+    val row = Seq((Seq(1.0, -1.0), Seq(5.0, 7.0))).toDF("a", "b")
+      .select(
+        Linalg.weightedEuclidColBuiltin(col("a"), col("b")).as("ref"),
+        VectorExpressions.weightedEuclid(col("a"), col("b")).as("fast"))
+      .head()
+    assert(row.getDouble(0) === 0.0 && row.getDouble(1) === 0.0)
   }
 
   test("WeightedEuclid matches the driver twin and guards zero-sum input") {

@@ -84,7 +84,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // every query answered with 5 in-cell neighbors
     assert(ivf.groupBy(_._1).forall(_._2.size == 5))
     assert(exact.nonEmpty)
-    // multi-probe: recall is non-decreasing in nprobe (1 → 2 → 4)
+    // multi-probe: recall is non-decreasing in nprobe (1 → 5 → 10)
     val recalls = Similarity.s5AnnRecall(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getDouble(3))).toSeq
     assert(recalls.map(_._1) === Similarity.ProbeSettings)
