@@ -115,7 +115,17 @@ final case class MopsoConfig(
       * unbiased; Conn's neighbor graph is the sample's, an approximation
       * on top of the reference's own partition-local approximation.
       */
-    fitnessSampleFraction: Double = 1.0
+    fitnessSampleFraction: Double = 1.0,
+    /** Engine extension (VERDICT r1 §6): ScopeGlobal WITHOUT the driver
+      * collect — global neighbor lists built once by the bounded top-k
+      * aggregate and stored per row ([[GlobalNeighbors]]); each iteration
+      * is one shuffle-free distributed job. Per-row terms are
+      * bit-identical to the collected kernel; only the cross-row fp
+      * summation order differs (deterministic partition-order merge).
+      * Default false: the collected path stays byte-faithful to the
+      * reference Particle/Single variants' pinned behavior.
+      */
+    globalExactDistributed: Boolean = false
 )
 
 object MopsoConfig {

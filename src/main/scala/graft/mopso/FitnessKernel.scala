@@ -89,6 +89,43 @@ object FitnessKernel {
     (clusters, dev)
   }
 
+  /** Nearest centroid of ONE point: (1-based cluster id, distance) —
+    * the single-point face of [[assign]] (same strict-minimum tie rule),
+    * shared by the no-collect global path ([[GlobalNeighbors]]).
+    */
+  def assignOne(pt: Array[Double],
+      centers: Array[Array[Double]]): (Int, Double) = {
+    var bestK = 1
+    var bestD = Double.MaxValue
+    var k = 0
+    while (k < centers.length) {
+      val d = Linalg.euclid(pt, centers(k))
+      if (d < bestD) { bestD = d; bestK = k + 1 }
+      k += 1
+    }
+    (bestK, bestD)
+  }
+
+  /** One row's (dev, conn) terms from its own features plus its neighbor
+    * FEATURES in ascending rank order — per-row bit-identical to the
+    * terms [[devConn]] accumulates, enabling a fully distributed exact
+    * global evaluation with no driver collect (the neighbor's cluster is
+    * recomputed from its features instead of looked up in a shared
+    * clusters array: redundant compute, zero shuffle).
+    */
+  def rowPartial(feat: Array[Double], nbrs: Array[Array[Double]],
+      centers: Array[Array[Double]], l: Int): (Double, Double) = {
+    val (own, dev) = assignOne(feat, centers)
+    var conn = 0.0
+    val lim = math.min(l, nbrs.length)
+    var idx = 0
+    while (idx < lim) {
+      if (assignOne(nbrs(idx), centers)._1 == own) conn += 1.0 / (idx + 1)
+      idx += 1
+    }
+    (dev, conn)
+  }
+
   /** (Dev, Conn) of one particle over one scope (partition or whole data).
     *
     * Conn (Spark_MOPSO_Avg.scala:1036-1063): for each point, walk its L

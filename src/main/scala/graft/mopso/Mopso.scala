@@ -114,7 +114,14 @@ object Mopso {
 
     var blocksRDD: RDD[EvalBlock] = null
     var globalBlock: EvalBlock = null
+    var nbrRows: RDD[(Array[Double], Int, Array[Array[Double]])] = null
     cfg.scope match {
+      case ScopeGlobal if cfg.globalExactDistributed =>
+        // no-collect exact global path: neighbor features gathered once
+        // through the bounded top-k aggregate, rows stay distributed
+        nbrRows = GlobalNeighbors.build(spark, evalRDD, cfg.lIndex)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        nbrRows.count() // materialize while rowsRDD is still cached
       case ScopePartition =>
         blocksRDD = evalRDD.mapPartitions { it =>
           val rows = it.toArray
@@ -142,6 +149,7 @@ object Mopso {
     val evalTotal: Long = cfg.scope match {
       case _ if cfg.fitnessSampleFraction >= 1.0 => total
       case ScopePartition => blocksRDD.map(_.points.length.toLong).sum().toLong
+      case ScopeGlobal if cfg.globalExactDistributed => nbrRows.count()
       case ScopeGlobal => globalBlock.points.length.toLong
     }
 
@@ -167,6 +175,8 @@ object Mopso {
             }
           }
           fits
+        case ScopeGlobal if cfg.globalExactDistributed =>
+          GlobalNeighbors.evaluate(nbrRows, positions, cfg.lIndex)
         case ScopeGlobal if distributedGlobal(cfg) =>
           val posBC = sc.broadcast(positions)
           val out = sc
@@ -255,6 +265,8 @@ object Mopso {
           }
         }
         merged.map(_.toMap)
+      case ScopeGlobal if cfg.globalExactDistributed =>
+        GlobalNeighbors.histograms(nbrRows, centerSets)
       case ScopeGlobal =>
         centerSets.map(cs => histogram(globalBlock, cs))
     }
@@ -269,18 +281,25 @@ object Mopso {
       if (cfg.withSilhouette) {
         val block =
           if (globalBlock != null) globalBlock
-          else {
+          else if (blocksRDD != null) {
             // serve from the still-cached partition blocks — rowsRDD was
             // unpersisted after init and would recompute the scan+shuffle
             val blocks = blocksRDD.collect()
             EvalBlock(blocks.flatMap(_.points), blocks.flatMap(_.labels),
               Array.empty)
+          } else {
+            // no-collect global path: the silhouette flag is the one
+            // (small-data-only, reference-faithful) consumer that still
+            // materializes the points
+            val rows = nbrRows.map(r => (r._1, r._2)).collect()
+            EvalBlock(rows.map(_._1), rows.map(_._2), Array.empty)
           }
         val (ss, best) = Eval.selectBestBySilhouette(archive, block)
         (Some(ss), Some(best))
       } else (None, None)
 
     if (blocksRDD != null) blocksRDD.unpersist()
+    if (nbrRows != null) nbrRows.unpersist()
     if (globalBC != null) globalBC.destroy()
 
     MopsoResult(archive, kmeansCenters,

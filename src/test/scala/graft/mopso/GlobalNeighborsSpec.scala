@@ -1,0 +1,75 @@
+package graft.mopso
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** The no-collect ScopeGlobal path must reproduce the collected kernel:
+  * identical neighbor rankings (including distance-tie order), per-row
+  * identical (dev, conn) terms, and a deterministic partition-order sum
+  * within fp tolerance of the sequential sum.
+  */
+class GlobalNeighborsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val L = 10
+
+  private def rowsRDD = Tables.labeledPoints(spark, sfDir)
+    .select(col("features"), col("label")).rdd
+    .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+
+  test("distributed neighbor build == FitnessKernel.buildNeighbors") {
+    val collected = rowsRDD.collect()
+    val pts = collected.map(_._1)
+    val expected = FitnessKernel.buildNeighbors(pts, L)
+    // feature vectors are continuous doubles — unique in the fixture, so
+    // they key the (orderless) distributed output back to scan indices
+    val byFeat = pts.zipWithIndex.map { case (p, i) => (p.toSeq, i) }.toMap
+    val built = GlobalNeighbors.build(spark, rowsRDD, L).collect()
+    assert(built.length === pts.length)
+    built.foreach { case (feat, lab, nbrs) =>
+      val i = byFeat(feat.toSeq)
+      assert(lab === collected(i)._2)
+      assert(nbrs.map(_.toSeq).toSeq ===
+        expected(i).toSeq.map(j => pts(j).toSeq))
+    }
+  }
+
+  test("distributed evaluate == collected devConn within 1e-9, repeatably") {
+    val collected = rowsRDD.collect()
+    val pts = collected.map(_._1)
+    val block = PartData(pts, FitnessKernel.buildNeighbors(pts, L))
+    // three deterministic center sets: disjoint slices of the points
+    val positions: Array[Array[Array[Double]]] =
+      Array.tabulate(3)(s => Array.tabulate(5)(k => pts(s * 5 + k)))
+    val nbrRows = GlobalNeighbors.build(spark, rowsRDD, L).cache()
+    val got = GlobalNeighbors.evaluate(nbrRows, positions, L)
+    val again = GlobalNeighbors.evaluate(nbrRows, positions, L)
+    positions.indices.foreach { p =>
+      val (dev, conn) = FitnessKernel.devConn(block, positions(p), L)
+      assert(math.abs(got(p)(0) - dev) <= 1e-9 * math.max(1.0, dev.abs),
+        s"dev mismatch for particle $p")
+      assert(math.abs(got(p)(1) - conn) <= 1e-9 * math.max(1.0, conn.abs),
+        s"conn mismatch for particle $p")
+      // byte-determinism across calls (partition-order merge)
+      assert(got(p)(0) === again(p)(0) && got(p)(1) === again(p)(1))
+    }
+    nbrRows.unpersist()
+  }
+
+  test("MOPSO runs end-to-end on the no-collect global path, seeded-stable") {
+    val cfg = MopsoConfig.particle.copy(
+      iterMax = 5, numPartitions = 8, globalExactDistributed = true)
+    def once() = Mopso.run(spark,
+      Tables.labeledPoints(spark, sfDir), cfg, seed = 42L)
+    val r1 = once()
+    assert(r1.archive.nonEmpty && r1.archive.length <= cfg.repository)
+    assert(r1.purities.forall(p => p >= 0.0 && p <= 1.0))
+    val r2 = once()
+    // same seed → byte-identical archive (deterministic partials merge)
+    assert(r1.archive.map(_.fitness.toSeq).toSeq ===
+      r2.archive.map(_.fitness.toSeq).toSeq)
+    assert(r1.purities.toSeq === r2.purities.toSeq)
+  }
+}
