@@ -352,6 +352,30 @@ object Clustering {
   def c11ParetoFront: Q = (s, dir) =>
     paretoFront(fitnessPoints(s, dir), s).orderBy(col("id"))
 
+  /** Upper bound for feeding the front to a GLOBAL (unpartitioned)
+    * window in c12/c13. Skylines of lightly-correlated 2-d data are
+    * near-logarithmic in n, so the bound is generous — but an adversarial
+    * front (f1 strictly increasing while f2 strictly decreasing) is THE
+    * whole dataset, and silently single-partitioning it would be the
+    * scale-killer WindowExec warns about. Failing loudly here turns that
+    * warning into a contract; past the bound the crowding/minmax pass
+    * belongs on a range-partitioned formulation with boundary exchange.
+    */
+  val MaxGlobalWindowFront = 100000L
+
+  /** The persisted front, size-guarded for global-window consumers. The
+    * count is served from the cache `paretoFront` just populated — the
+    * guard costs no extra job.
+    */
+  private def guardedFront(s: SparkSession, dir: String): DataFrame = {
+    val f = paretoFront(fitnessPoints(s, dir), s)
+    val n = f.count()
+    require(n <= MaxGlobalWindowFront,
+      s"Pareto front has $n rows — beyond the global-window bound " +
+        s"($MaxGlobalWindowFront); use a range-partitioned crowding pass")
+    f
+  }
+
   /** Crowding distance over the front (M3, product formula of the Single/
     * Particle variants, MOPSO_Single.scala:994-1020): sort by f2, middle
     * entries get |f1(prev)−f1(next)|·|f2(prev)−f2(next)|; endpoints are
@@ -359,7 +383,7 @@ object Clustering {
     */
   def c12Crowding: Q = (s, dir) => {
     val w = Window.orderBy(col("f2"), col("id"))
-    paretoFront(fitnessPoints(s, dir), s)
+    guardedFront(s, dir)
       .withColumn("crowding", round(
         abs(lag(col("f1"), 1).over(w) - lead(col("f1"), 1).over(w)) *
           abs(lag(col("f2"), 1).over(w) - lead(col("f2"), 1).over(w)), 6))
@@ -373,7 +397,7 @@ object Clustering {
   def c13MinmaxNorm: Q = (s, dir) => {
     val w = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    paretoFront(fitnessPoints(s, dir), s)
+    guardedFront(s, dir)
       .withColumn("nf1", round(
         (col("f1") - min(col("f1")).over(w)) /
           (max(col("f1")).over(w) - min(col("f1")).over(w)), 6))

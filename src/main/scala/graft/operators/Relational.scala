@@ -204,6 +204,13 @@ object Relational {
 
   /** Time-series rollup + analytic lag: monthly revenue with
     * month-over-month delta (agg → window over the aggregated frame).
+    *
+    * The unpartitioned window (WindowExec "No Partition Defined" warning)
+    * is deliberate and scale-safe: its input is the POST-aggregation
+    * monthly frame, whose row count is bounded by the calendar span of
+    * the data (one row per month — ~80 rows over the 7-year TPC-H range),
+    * not by data volume. A 100× fact-table scale-up changes the rows
+    * flowing INTO the groupBy, never the rows flowing into the window.
     */
   def q13MonthlyRevenue: Q = (s, dir) => {
     val w = Window.orderBy(col("month"))
@@ -237,6 +244,13 @@ object Relational {
 
   /** Exact percentiles (continuous interpolation — Spark `percentile` and
     * DuckDB `quantile_cont` share the (1−d)·lo + d·hi definition).
+    *
+    * Exactness is the point of this query (oracle parity needs the same
+    * deterministic definition on both engines); it pays a per-group sort.
+    * At 100 TB the production form is `approx_percentile` (t-digest —
+    * mergeable partial sketches, one pass, no sort), a drop-in swap on the
+    * same grouped frame; the exact form stays as its accuracy oracle at
+    * verify scale.
     */
   def q16QuantityPercentiles: Q = (s, dir) =>
     Tables.lineitem(s, dir)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -25,7 +26,8 @@ object Events {
     "e1_tumbling_hourly" -> e1TumblingHourly,
     "e2_sliding_halfhour" -> e2SlidingHalfhour,
     "e3_sessions" -> e3Sessions,
-    "e4_json_props" -> e4JsonProps
+    "e4_json_props" -> e4JsonProps,
+    "e5_asof_attribution" -> e5AsofAttribution
   )
 
   /** Tumbling 1-hour windows per event type — the canonical streaming agg
@@ -91,6 +93,46 @@ object Events {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** As-of join (engine extension — the standard event/feature-store
+    * operator Spark has no native keyword for): each purchase matched to
+    * the same user's LATEST click at-or-before it.
+    *
+    * Deliberately NOT a range join: both sides union on (user_id, ts) and
+    * a `last(click_ts) ignore nulls` over the preceding-rows frame carries
+    * the most recent click forward — ONE shuffle on user_id + one sort,
+    * O(n log n) with no join explosion and no interval bound to tune.
+    * This is the as-of shape that survives 100 TB: the range-join
+    * formulation (clickToPurchase) multiplies candidates per interval,
+    * while this one streams each user's timeline exactly once. Ties at
+    * the same instant: clicks sort before purchases (kind 0 < 1), so
+    * at-or-before includes same-timestamp clicks.
+    *
+    * Oracle: DuckDB's native ASOF LEFT JOIN — an independent algorithm
+    * (binary search per probe) validating the window formulation.
+    */
+  def asofLatestClick(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(purchases)
+      .withColumn("click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_at"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_at"))
+  }
+
+  def e5AsofAttribution: Q = (s, dir) =>
+    asofLatestClick(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("event_id"))
 
   /** Streaming entry: the same transforms over a file stream with event-time
     * watermarking — late data beyond 30 minutes is dropped from state.
@@ -162,6 +204,15 @@ object Events {
       """SELECT event_type, count(*) AS n,
         |  sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
         |  max(json_extract_string(props, '$.k')::INT) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e5_asof_attribution" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, p.event_id AS event_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin
   )
 }
