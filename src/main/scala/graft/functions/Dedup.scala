@@ -52,8 +52,16 @@ object Dedup {
     "d2_minhash_sig" -> d2MinhashSig,
     "d3_lsh_pairs" -> d3LshPairs,
     "d4_simhash" -> d4Simhash,
-    "d5_jaccard_pairs" -> d5JaccardPairs
+    "d5_jaccard_pairs" -> d5JaccardPairs,
+    "d6_dedup_groups" -> d6DedupGroups
   )
+
+  /** Round cap for [[connectedComponents]] — propagation needs one round
+    * per hop of graph diameter, and the d3 cap's star topology keeps
+    * components shallow; a graph still changing after this many rounds
+    * fails loudly rather than silently emitting half-merged groups.
+    */
+  val MaxPropagationRounds = 30
 
   /** Exact dedup summary via content hash: total docs, distinct contents,
     * duplicate groups. (Hash-groupBy — the map-side partial aggregation
@@ -111,16 +119,18 @@ object Dedup {
     * (d5) confirms. Pair emission per bucket is capped (see
     * [[bucketedPairs]]) so a mass-duplicate bucket cannot explode n².
     */
-  def d3LshPairs: Q = (s, dir) => {
-    val bands = minhashSigs(s, dir)
+  def d3LshPairs: Q = (s, dir) =>
+    bucketedPairs(bandRows(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Banded signature rows (doc_id, band, key). */
+  private def bandRows(s: SparkSession, dir: String): DataFrame =
+    minhashSigs(s, dir)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
           b => concat_ws(",",
             transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
               x => x.cast("string")))))
           .as(Seq("band", "key")))
-    bucketedPairs(bands).orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Candidate pairs from banded rows (doc_id, band, key), generated INSIDE
     * each bucket (groupBy + in-array combinations) instead of a bucket
@@ -151,6 +161,77 @@ object Dedup {
       .select(explode(concat(clique, star)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
+
+  /** Distributed connected components by min-label propagation: every
+    * node's label starts as its own id; each round takes the min of its
+    * own and its neighbors' labels, until a fixpoint. Labels are
+    * monotonically non-increasing, so convergence is detected by ONE
+    * aggregate per round (sum of labels unchanged) — no extra
+    * old-vs-new join. Each round is a join + min-aggregate on the edge
+    * list: at 100 TB that is two shuffles per round over O(n·cap) edges
+    * (the d3 bucket cap bounds E), with rounds = graph diameter — the
+    * star edges keep duplicate components shallow. Production upgrade
+    * path at extreme diameters: large-star/small-star pointer doubling,
+    * same per-round shape.
+    *
+    * @param docs  (doc_id) universe — isolated docs become singletons
+    * @param pairs (doc_a, doc_b) undirected candidate edges
+    * @return (doc_id, group_id = min reachable doc_id), persisted
+    */
+  private[graft] def connectedComponents(
+      docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    // localCheckpoint (eager) per round: the iterative plan references
+    // `labels` twice per round, so WITHOUT lineage truncation the Catalyst
+    // plan doubles every round — exponential analysis/explain cost long
+    // before any data moves. Checkpointing pins each round's result as a
+    // LogicalRDD (superseded rounds are auto-unpersisted by the
+    // ContextCleaner once unreferenced); on a real cluster prefer
+    // reliable `checkpoint()` for executor-loss tolerance.
+    var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
+      .localCheckpoint(eager = true)
+    var checksum = labels.agg(sum(col("group_id"))).head().getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxPropagationRounds) {
+      val nbrMin = edges
+        .join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("group_id")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
+            .as("group_id"))
+        .localCheckpoint(eager = true)
+      // labels only ever decrease → fixpoint iff the sum is unchanged
+      val nextSum = next.agg(sum(col("group_id"))).head().getLong(0)
+      labels = next
+      converged = nextSum == checksum
+      checksum = nextSum
+      round += 1
+    }
+    require(converged,
+      s"label propagation still changing after $MaxPropagationRounds rounds")
+    edges.unpersist()
+    labels
+  }
+
+  /** d6: duplicate GROUPS from the d3 candidate pairs — the step a
+    * training-data pipeline actually acts on (keep one doc per group =
+    * `doc_id == group_id`). Transitive closure over the capped LSH pairs
+    * recovers exactly the groups the uncapped cliques would produce
+    * (see [[bucketedPairs]]); the DuckDB oracle recomputes reachability
+    * with a recursive CTE — an independent algorithm cross-check of the
+    * propagation loop.
+    */
+  def d6DedupGroups: Q = (s, dir) =>
+    connectedComponents(
+      Tables.documents(s, dir).select(col("doc_id")),
+      bucketedPairs(bandRows(s, dir)))
+      .orderBy(col("doc_id"))
 
   /** 32-bit SimHash over the distinct token set: bit b is set when more
     * token hashes have bit b set than clear. Same-vocabulary docs collapse
@@ -216,6 +297,28 @@ object Dedup {
        |    (VALUES $seedValuesSql) seeds(h, a, b)
        |  GROUP BY doc_id, h)""".stripMargin
 
+  /** Shared d3/d6 oracle fragment: banded buckets → capped candidate
+    * pairs (the SQL twin of [[bucketedPairs]]).
+    */
+  private val bandPairSql =
+    s"""bands AS (
+       |  SELECT doc_id, (h // $BandSize)::INT AS band,
+       |    string_agg(mh, ',' ORDER BY h) AS key
+       |  FROM sig GROUP BY doc_id, (h // $BandSize)),
+       |ranked AS (
+       |  SELECT band, key, doc_id,
+       |    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn,
+       |    min(doc_id) OVER (PARTITION BY band, key) AS rep
+       |  FROM bands),
+       |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ranked a JOIN ranked b
+       |    ON a.band = b.band AND a.key = b.key
+       |    AND a.rn < b.rn AND b.rn <= $MaxBucket
+       |  UNION ALL
+       |  SELECT rep AS doc_a, doc_id AS doc_b FROM ranked
+       |  WHERE rn > $MaxBucket))""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT sum(n)::BIGINT AS n_docs, count(*) AS n_distinct,
@@ -229,24 +332,25 @@ object Dedup {
     // smallest doc_ids per bucket + star (bucket min → doc) for overflow
     "d3_lsh_pairs" ->
       s"""WITH $sigSql,
-         |bands AS (
-         |  SELECT doc_id, (h // $BandSize)::INT AS band,
-         |    string_agg(mh, ',' ORDER BY h) AS key
-         |  FROM sig GROUP BY doc_id, (h // $BandSize)),
-         |ranked AS (
-         |  SELECT band, key, doc_id,
-         |    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn,
-         |    min(doc_id) OVER (PARTITION BY band, key) AS rep
-         |  FROM bands)
-         |SELECT DISTINCT doc_a, doc_b FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM ranked a JOIN ranked b
-         |    ON a.band = b.band AND a.key = b.key
-         |    AND a.rn < b.rn AND b.rn <= $MaxBucket
+         |$bandPairSql
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // independent algorithm cross-check of the propagation loop: exact
+    // reachability via a recursive CTE, group = min reachable doc_id
+    "d6_dedup_groups" ->
+      s"""WITH RECURSIVE $sigSql,
+         |$bandPairSql,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL
-         |  SELECT rep AS doc_a, doc_id AS doc_b FROM ranked
-         |  WHERE rn > $MaxBucket)
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id
+         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_distinct(string_split_regex(trim(text), '\s+')),

@@ -73,6 +73,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.bucketedPairs(small).count() === 10)
   }
 
+  test("min-label propagation resolves transitive groups and singletons") {
+    import spark.implicits._
+    // a 10-hop chain (forces multiple propagation rounds: diameter 9),
+    // a separate triangle, and an isolated singleton
+    val docs = (1L to 14L).toDF("doc_id")
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val triangle = Seq((11L, 12L), (12L, 13L), (11L, 13L))
+    val pairs = (chain ++ triangle).toDF("doc_a", "doc_b")
+    val groups = Dedup.connectedComponents(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (1L to 10L).foreach(d => assert(groups(d) === 1L, s"chain doc $d"))
+    (11L to 13L).foreach(d => assert(groups(d) === 11L, s"triangle doc $d"))
+    assert(groups(14L) === 14L) // isolated doc keeps its own group
+    // keep-one-representative rule: exactly one doc per group
+    assert(groups.count { case (d, g) => d == g } === 3)
+  }
+
   test("IVF ANN recall vs brute force is high on clustered fixture") {
     val exact = Similarity.s1CosineTopk(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
