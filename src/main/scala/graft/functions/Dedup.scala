@@ -180,9 +180,13 @@ object Dedup {
     */
   private[graft] def connectedComponents(
       docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // pre-partitioned on the per-round join key (dst = doc_id), so the
+    // cached edge list is shuffled ONCE here and every propagation round
+    // only exchanges the (much smaller) label side
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .persist()
     // localCheckpoint (eager) per round: the iterative plan references
     // `labels` twice per round, so WITHOUT lineage truncation the Catalyst
