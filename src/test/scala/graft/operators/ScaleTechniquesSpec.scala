@@ -45,6 +45,34 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestBase {
     assert(salts === again) // content-derived, not rand(): recompute-stable
   }
 
+  test("approx_percentile tracks the exact percentiles within 1%") {
+    // q16 documents approx_percentile (mergeable t-digest partials, no
+    // per-group sort) as the 100 TB drop-in for the exact form — this
+    // pins the accuracy claim on the same grouped frame
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+        .as("approx"),
+        expr("percentile(l_quantity, 0.5)").as("exact"))
+      .collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val (a, e) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) <= 0.01 * math.max(1.0, e.abs),
+        s"flag ${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+
+  test("approx_count_distinct tracks exact distinct within 5%") {
+    // the HLL++ production form of A2/q9-style distinct counting
+    val r = Tables.orders(spark, sfDir)
+      .agg(countDistinct(col("o_custkey")).as("exact"),
+        approx_count_distinct(col("o_custkey")).as("approx"))
+      .head()
+    val (e, a) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(a - e).toDouble / e <= 0.05, s"approx $a vs exact $e")
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val wh = Files.createTempDirectory("graft-warehouse").toString
     val s2 = spark.newSession()
