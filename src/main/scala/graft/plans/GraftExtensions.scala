@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, EuclidDistance, WeightedEuclid}
+import graft.functions.{CosineSimilarity, DotProduct, EuclidDistance, TopKByKey, WeightedEuclid}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * vector kernels as SQL functions at session build time —
@@ -47,5 +48,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[WeightedEuclid], "weighted_euclid",
         "weighted_euclid(a, b) - Euclidean distance weighted by a/sum(a)."),
       (exprs: Seq[Expression]) => WeightedEuclid(exprs(0), exprs(1))))
+    // aggregate builders return the AggregateFunction; the analyzer wraps
+    // it in an AggregateExpression like any built-in aggregate
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by_key"),
+      info(classOf[TopKByKey], "top_k_by_key",
+        "top_k_by_key(key, value, k) - values of the k smallest keys, " +
+          "ascending; k must be an integer literal."),
+      (exprs: Seq[Expression]) => exprs(2) match {
+        case Literal(k: Int, IntegerType) => TopKByKey(exprs(0), exprs(1), k)
+        case other => throw new IllegalArgumentException(
+          s"top_k_by_key: k must be an integer literal, got $other")
+      }))
   }
 }

@@ -25,6 +25,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       assert(row.getDouble(0) === 5.0)
       assert(row.getDouble(1) === 11.0)
       assert(math.abs(row.getDouble(2)) < 1e-12)
+      // the bounded top-k aggregate resolves in SQL too
+      val topk = s2.sql(
+        "SELECT top_k_by_key(k, v, 2) AS t FROM VALUES " +
+          "(3.0d, 30L), (1.0d, 10L), (2.0d, 20L) AS tab(k, v)")
+        .head().getSeq[Long](0)
+      assert(topk === Seq(10L, 20L))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
