@@ -22,6 +22,11 @@ case class Ev(ts: Timestamp, user_id: Long, event_type: String,
 case class SessAcc(start: Long, last: Long, n: Long, sum: Double)
 case class SessOut(user_id: Long, s_start: Long, n_events: Long,
     total: Double)
+case class AsofEv(ts: Timestamp, user_id: Long, event_type: String,
+    event_id: Long)
+case class ClickState(tsMillis: Long)
+case class AsofOut(user_id: Long, event_id: Long, purchase_at: String,
+    click_at: Option[String])
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
@@ -231,5 +236,73 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
 
     assert(got === want)
+  }
+
+  test("streaming as-of via flatMapGroupsWithState matches the e5 batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def fmt(ms: Long): String = {
+      val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      f.format(new java.util.Date(ms))
+    }
+
+    // per-trigger state machine: clicks update state, purchases emit the
+    // latest click at-or-before; within a trigger events sort by
+    // (ts, click-before-purchase, event_id) — the e5 tie rule
+    def asof(it: Iterator[AsofEv],
+        state: GroupState[ClickState]): Iterator[AsofOut] = {
+      val sorted = it.toSeq.sortBy(e =>
+        (e.ts.getTime, if (e.event_type == "click") 0 else 1, e.event_id))
+      var last: Option[Long] = state.getOption.map(_.tsMillis)
+      val out = Seq.newBuilder[AsofOut]
+      sorted.foreach { e =>
+        if (e.event_type == "click") last = Some(e.ts.getTime)
+        else out += AsofOut(e.user_id, e.event_id,
+          fmt(e.ts.getTime), last.map(fmt))
+      }
+      last.foreach(ms => state.update(ClickState(ms)))
+      out.result().iterator
+    }
+
+    val rows = Tables.events(spark, sfDir)
+      .filter(col("user_id") < 30 &&
+        col("event_type").isin("click", "purchase"))
+      .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+      .collect()
+      .map(r => AsofEv(r.getTimestamp(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_.ts.getTime) // feed in event-time order across triggers
+      .toSeq
+
+    val input = MemoryStream[AsofEv]
+    val query = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (_: Long, it: Iterator[AsofEv], st: GroupState[ClickState]) =>
+          asof(it, st))
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // three triggers: state (the last click) must carry across them
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { batch =>
+        input.addData(batch)
+        query.processAllAvailable()
+      }
+      val got = spark.table("asof_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)))).toSet
+      val want = Events.asofLatestClick(Tables.events(spark, sfDir))
+        .filter(col("user_id") < 30)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally query.stop()
   }
 }
