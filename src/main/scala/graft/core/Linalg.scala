@@ -117,9 +117,15 @@ object Linalg {
     */
   def weightedEuclidColBuiltin(a: Column, b: Column): Column = {
     val sa = aggregate(a, lit(0.0), _ + _)
-    when(sa === 0.0, lit(0.0)).otherwise(
-      sqrt(aggregate(
-        zip_with(a, b, (x, y) => (x / sa) * (x - y) * (x - y)),
-        lit(0.0), _ + _)))
+    // zero-sum must short-circuit BEFORE any x/sa evaluates (ANSI mode
+    // turns the 0-divisor into an error, not an Infinity), and within it
+    // length-mismatched inputs stay NULL like the kernel, which checks
+    // lengths before ever looking at the weights
+    when(sa === 0.0,
+      when(size(a) === size(b), lit(0.0)).otherwise(lit(null).cast("double")))
+      .otherwise(
+        sqrt(aggregate(
+          zip_with(a, b, (x, y) => (x / sa) * (x - y) * (x - y)),
+          lit(0.0), _ + _)))
   }
 }

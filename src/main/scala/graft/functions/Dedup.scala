@@ -195,10 +195,19 @@ object Dedup {
     // LogicalRDD (superseded rounds are auto-unpersisted by the
     // ContextCleaner once unreferenced); on a real cluster prefer
     // reliable `checkpoint()` for executor-loss tolerance.
+    // convergence checksum as decimal(38,0): an exact Long sum overflows
+    // once n·maxId exceeds 2^63 (≈1e10 sequential doc ids — precisely the
+    // 100 TB regime), which would throw per round under ANSI mode or
+    // silently wrap the fixpoint test without it. Null when docs is empty
+    // (sum over zero rows) → treated as already converged.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("group_id").cast("decimal(38,0)"))).head()
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
     var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
       .localCheckpoint(eager = true)
-    var checksum = labels.agg(sum(col("group_id"))).head().getLong(0)
-    var converged = false
+    var checksum = labelSum(labels)
+    var converged = docs.isEmpty
     var round = 0
     while (!converged && round < MaxPropagationRounds) {
       val nbrMin = edges
@@ -211,9 +220,9 @@ object Dedup {
             .as("group_id"))
         .localCheckpoint(eager = true)
       // labels only ever decrease → fixpoint iff the sum is unchanged
-      val nextSum = next.agg(sum(col("group_id"))).head().getLong(0)
+      val nextSum = labelSum(next)
       labels = next
-      converged = nextSum == checksum
+      converged = nextSum.compareTo(checksum) == 0
       checksum = nextSum
       round += 1
     }

@@ -74,14 +74,7 @@ object FitnessKernel {
     var dev = 0.0
     var i = 0
     while (i < n) {
-      var bestK = 1
-      var bestD = Double.MaxValue
-      var k = 0
-      while (k < centers.length) {
-        val d = Linalg.euclid(points(i), centers(k))
-        if (d < bestD) { bestD = d; bestK = k + 1 }
-        k += 1
-      }
+      val (bestK, bestD) = assignOne(points(i), centers)
       clusters(i) = bestK
       dev += bestD
       i += 1

@@ -67,6 +67,14 @@ class LinalgColSpec extends AnyFunSuite with SparkTestBase {
         VectorExpressions.weightedEuclid(col("a"), col("b")).as("fast"))
       .head()
     assert(row.getDouble(0) === 0.0 && row.getDouble(1) === 0.0)
+    // zero-sum AND length-mismatched: the kernel nulls on the length
+    // check BEFORE the weights — the guard must not short-circuit to 0.0
+    val mm = Seq((Seq(1.0, -1.0), Seq(5.0, 7.0, 9.0))).toDF("a", "b")
+      .select(
+        Linalg.weightedEuclidColBuiltin(col("a"), col("b")).as("ref"),
+        VectorExpressions.weightedEuclid(col("a"), col("b")).as("fast"))
+      .head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
 
   test("WeightedEuclid matches the driver twin and guards zero-sum input") {

@@ -88,6 +88,11 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(groups(14L) === 14L) // isolated doc keeps its own group
     // keep-one-representative rule: exactly one doc per group
     assert(groups.count { case (d, g) => d == g } === 3)
+    // empty universe: no rounds, no NPE from the null sum aggregate
+    val empty = Dedup.connectedComponents(
+      Seq.empty[Long].toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.count() === 0L)
   }
 
   test("IVF ANN recall vs brute force is high on clustered fixture") {
