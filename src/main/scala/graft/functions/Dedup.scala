@@ -53,8 +53,16 @@ object Dedup {
     "d3_lsh_pairs" -> d3LshPairs,
     "d4_simhash" -> d4Simhash,
     "d5_jaccard_pairs" -> d5JaccardPairs,
-    "d6_dedup_groups" -> d6DedupGroups
+    "d6_dedup_groups" -> d6DedupGroups,
+    "p1_corpus_curation" -> p1CorpusCuration
   )
+
+  /** Curation gates for [[p1CorpusCuration]] — chosen against the fixture
+    * distributions (n_tokens 10-99 median 56; stop_ratio median 0.061) so
+    * each gate actually discards documents.
+    */
+  val MinCurationTokens = 30
+  val MinStopRatio = 0.02
 
   /** Round cap for [[connectedComponents]] — propagation needs one round
     * per hop of graph diameter, and the d3 cap's star topology keeps
@@ -97,7 +105,13 @@ object Dedup {
     * The shuffle carries only (doc_id, 8 longs) after map-side partials.
     */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    minhashSigsOf(Tables.documents(s, dir))
+
+  /** [[minhashSigs]] over an arbitrary (doc_id, text) frame — the curation
+    * pipeline signs only the documents that survive its quality gates.
+    */
+  private def minhashSigsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(array_distinct(tokensCol(col("text")))).as("tok"))
       .select(col("doc_id"), hash32(col("tok")).as("h32"))
@@ -124,7 +138,10 @@ object Dedup {
 
   /** Banded signature rows (doc_id, band, key). */
   private def bandRows(s: SparkSession, dir: String): DataFrame =
-    minhashSigs(s, dir)
+    bandRowsOf(minhashSigs(s, dir))
+
+  private def bandRowsOf(sigs: DataFrame): DataFrame =
+    sigs
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
           b => concat_ws(",",
@@ -246,6 +263,46 @@ object Dedup {
       bucketedPairs(bandRows(s, dir)))
       .orderBy(col("doc_id"))
 
+  /** p1: the end-to-end corpus-curation query a training-data run
+    * actually executes over the document table, in production order —
+    * quality gates FIRST (token count, stopword ratio, language-ID), then
+    * near-dup groups resolved among the survivors only, keeping each
+    * group's representative (min doc_id) tagged with its duplicate count.
+    * Filtering first shrinks the signature/LSH/propagation input (at
+    * 100 TB most of the corpus dies at the cheap per-row gates) and is
+    * semantically the right order: junk documents shouldn't vote on which
+    * duplicate survives. One plan composes the t1/t2/d2/d3/d6 operator
+    * families end to end.
+    */
+  def p1CorpusCuration: Q = (s, dir) => {
+    val quality = Tables.documents(s, dir)
+      .withColumn("toks", TextAnalysis.tokensCol(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        round(size(filter(col("toks"), t =>
+          t.isin(TextAnalysis.stopwords: _*))).cast("double") /
+          size(col("toks")), 6))
+    val curated = TextAnalysis.withLangGuess(quality)
+      .where(col("n_tokens") >= MinCurationTokens &&
+        col("stop_ratio") >= MinStopRatio &&
+        col("guess") === "en")
+      .select(col("doc_id"), col("text"), col("n_tokens"),
+        col("stop_ratio"))
+    val groups = connectedComponents(
+      curated.select(col("doc_id")),
+      bucketedPairs(bandRowsOf(minhashSigsOf(
+        curated.select(col("doc_id"), col("text"))))))
+    val sizes = groups.groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    curated
+      .join(groups.where(col("doc_id") === col("group_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(sizes, col("doc_id") === col("group_id"))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 32-bit SimHash over the distinct token set: bit b is set when more
     * token hashes have bit b set than clear. Same-vocabulary docs collapse
     * to the same simhash; near-dups differ in few bits (Hamming distance).
@@ -299,16 +356,18 @@ object Dedup {
   private val seedValuesSql = hashSeeds.zipWithIndex
     .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
 
-  private val sigSql =
+  private def sigSqlFrom(src: String) =
     s"""sig AS (
        |  SELECT doc_id, h, min((a * h32 + b) % $MersennePrime) AS mh
        |  FROM (SELECT doc_id,
        |      ('0x' || substr(md5(unnest(list_distinct(
        |        string_split_regex(trim(text), '\\s+')))), 1, 8))::BIGINT
        |        AS h32
-       |    FROM documents),
+       |    FROM $src),
        |    (VALUES $seedValuesSql) seeds(h, a, b)
        |  GROUP BY doc_id, h)""".stripMargin
+
+  private val sigSql = sigSqlFrom("documents")
 
   /** Shared d3/d6 oracle fragment: banded buckets → capped candidate
     * pairs (the SQL twin of [[bucketedPairs]]).
@@ -384,6 +443,58 @@ object Dedup {
         |    len(list_intersect(a.toks, b.toks)) * 1.0 /
         |    len(list_distinct(list_concat(a.toks, b.toks))) AS jac
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
-        |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+        |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // composes the d6 reachability groups with the t1/t2 quality + lang
+    // logic — one SQL statement mirroring the one Spark plan
+    "p1_corpus_curation" -> {
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      def inList(xs: Seq[String]) =
+        xs.map(x => s"'$x'").mkString("(", ",", ")")
+      val scoreCols = TextAnalysis.langMarkers.map { case (l, m) =>
+        s"    len(list_filter(toks, x -> x IN ${inList(m)})) AS s_$l"
+      }.mkString(",\n")
+      val guessCase = langs.init.map { l =>
+        val conds = langs.filterNot(_ == l)
+          .map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"  WHEN $conds THEN '$l'"
+      }.mkString("\n")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, text,
+         |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |q AS (SELECT doc_id, text, len(toks) AS n_tokens,
+         |    round(len(list_filter(toks,
+         |      x -> x IN ${inList(TextAnalysis.stopwords)})) * 1.0
+         |      / len(toks), 6) AS stop_ratio,
+         |    CASE
+         |$guessCase
+         |      ELSE '${langs.last}' END AS guess
+         |  FROM (SELECT doc_id, text, toks,
+         |$scoreCols
+         |    FROM t)),
+         |cur AS (SELECT doc_id, text, n_tokens, stop_ratio FROM q
+         |  WHERE n_tokens >= $MinCurationTokens
+         |    AND stop_ratio >= $MinStopRatio AND guess = 'en'),
+         |${sigSqlFrom("cur")},
+         |$bandPairSql,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |grp AS (SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id
+         |  FROM cur d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |sz AS (SELECT group_id, count(*) AS n_dups FROM grp
+         |  GROUP BY group_id)
+         |SELECT g.doc_id, n_tokens, stop_ratio, n_dups
+         |FROM grp g
+         |JOIN cur c ON c.doc_id = g.doc_id
+         |JOIN sz ON sz.group_id = g.doc_id
+         |WHERE g.group_id = g.doc_id
+         |ORDER BY g.doc_id""".stripMargin
+    }
   )
 }

@@ -94,22 +94,28 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "在", "了")
   )
 
-  def t2LangGuess: Q = (s, dir) => {
-    val toks = tokensCol(col("text"))
-    val scored = Tables.documents(s, dir)
-      .withColumn("toks", toks)
-      .select(col("doc_id") +: langMarkers.map { case (lang, markers) =>
-        size(filter(col("toks"), t => t.isin(markers: _*))).as(s"s_$lang")
-      }: _*)
-    // argmax with alphabetical tie priority (de < en < es < fr < zh)
+  /** Adds a `guess` language column to a frame carrying a `toks` array:
+    * marker scores project once (each filter evaluates a single time in
+    * codegen), then argmax with alphabetical tie priority
+    * (de < en < es < fr < zh). Shared by t2 and the curation pipeline.
+    */
+  private[functions] def withLangGuess(df: DataFrame): DataFrame = {
     val langs = langMarkers.map(_._1)
+    val scored = df.select(col("*") +: langMarkers.map { case (lang, markers) =>
+      size(filter(col("toks"), t => t.isin(markers: _*))).as(s"s_$lang")
+    }: _*)
     val guess = langs.init.foldRight(lit(langs.last): Column) { (lang, rest) =>
       val others = langs.filterNot(_ == lang)
       when(others.map(o => col(s"s_$lang") >= col(s"s_$o"))
         .reduce(_ && _), lit(lang)).otherwise(rest)
     }
-    scored.select(col("doc_id"), guess.as("guess")).orderBy(col("doc_id"))
+    scored.withColumn("guess", guess).drop(langs.map(l => s"s_$l"): _*)
   }
+
+  def t2LangGuess: Q = (s, dir) =>
+    withLangGuess(Tables.documents(s, dir)
+      .withColumn("toks", tokensCol(col("text"))))
+      .select(col("doc_id"), col("guess")).orderBy(col("doc_id"))
 
   /** Document fingerprint: min 60-bit hash over word 3-shingles (a
     * min-hash of the shingle set — robust to local edits); whole-text hash
