@@ -117,10 +117,12 @@ object Linalg {
     */
   def weightedEuclidColBuiltin(a: Column, b: Column): Column = {
     val sa = aggregate(a, lit(0.0), _ + _)
-    // zero-sum must short-circuit BEFORE any x/sa evaluates (ANSI mode
-    // turns the 0-divisor into an error, not an Infinity), and within it
-    // length-mismatched inputs stay NULL like the kernel, which checks
-    // lengths before ever looking at the weights
+    // zero-sum must short-circuit BEFORE any x/sa evaluates: Spark 4.1
+    // under its default ANSI mode raises SparkArithmeticException
+    // DIVIDE_BY_ZERO even for DOUBLE division (verified empirically —
+    // this is not the pre-ANSI IEEE Infinity behavior). Within the
+    // zero-sum branch, length-mismatched inputs stay NULL like the
+    // kernel, which checks lengths before ever looking at the weights
     when(sa === 0.0,
       when(size(a) === size(b), lit(0.0)).otherwise(lit(null).cast("double")))
       .otherwise(

@@ -215,16 +215,20 @@ object Dedup {
     // convergence checksum as decimal(38,0): an exact Long sum overflows
     // once n·maxId exceeds 2^63 (≈1e10 sequential doc ids — precisely the
     // 100 TB regime), which would throw per round under ANSI mode or
-    // silently wrap the fixpoint test without it. Null when docs is empty
-    // (sum over zero rows) → treated as already converged.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("group_id").cast("decimal(38,0)"))).head()
-      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    // silently wrap the fixpoint test without it. The same aggregate also
+    // carries the row count, so the empty-universe probe costs nothing
+    // extra (sum over zero rows is null → ZERO).
+    def labelStats(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val v = df.agg(sum(col("group_id").cast("decimal(38,0)")),
+        count(lit(1))).head()
+      (if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0),
+        v.getLong(1))
     }
     var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
       .localCheckpoint(eager = true)
-    var checksum = labelSum(labels)
-    var converged = docs.isEmpty
+    val (sum0, n0) = labelStats(labels)
+    var checksum = sum0
+    var converged = n0 == 0L
     var round = 0
     while (!converged && round < MaxPropagationRounds) {
       val nbrMin = edges
@@ -237,7 +241,7 @@ object Dedup {
             .as("group_id"))
         .localCheckpoint(eager = true)
       // labels only ever decrease → fixpoint iff the sum is unchanged
-      val nextSum = labelSum(next)
+      val nextSum = labelStats(next)._1
       labels = next
       converged = nextSum.compareTo(checksum) == 0
       checksum = nextSum
@@ -282,21 +286,26 @@ object Dedup {
         round(size(filter(col("toks"), t =>
           t.isin(TextAnalysis.stopwords: _*))).cast("double") /
           size(col("toks")), 6))
+    // persisted: consumed by three separate actions (the propagation
+    // seed, the signature build, the final output join) — without the
+    // cache the per-row gate scan the design runs once would run 3×
     val curated = TextAnalysis.withLangGuess(quality)
       .where(col("n_tokens") >= MinCurationTokens &&
         col("stop_ratio") >= MinStopRatio &&
         col("guess") === "en")
       .select(col("doc_id"), col("text"), col("n_tokens"),
         col("stop_ratio"))
+      .persist()
     val groups = connectedComponents(
       curated.select(col("doc_id")),
       bucketedPairs(bandRowsOf(minhashSigsOf(
         curated.select(col("doc_id"), col("text"))))))
+    // group_id values ARE the representative doc_ids (min of each
+    // component), so the inner join on doc_id === group_id both selects
+    // the representatives and attaches their duplicate counts
     val sizes = groups.groupBy(col("group_id"))
       .agg(count(lit(1)).as("n_dups"))
     curated
-      .join(groups.where(col("doc_id") === col("group_id"))
-        .select(col("doc_id")), Seq("doc_id"), "left_semi")
       .join(sizes, col("doc_id") === col("group_id"))
       .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
         col("n_dups"))
@@ -391,6 +400,27 @@ object Dedup {
        |  SELECT rep AS doc_a, doc_id AS doc_b FROM ranked
        |  WHERE rn > $MaxBucket))""".stripMargin
 
+  /** Symmetric edge list + recursive reachability over the `pairs` CTE —
+    * shared by the d6 and p1 oracles (one source of truth for the
+    * closure formulation).
+    */
+  private val edgesReachSql =
+    """edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+
+  /** Per-doc min-reachable group over an arbitrary doc universe. */
+  private def grpSqlFrom(src: String) =
+    s"""grp AS (SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id
+       |  FROM $src d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT sum(n)::BIGINT AS n_docs, count(*) AS n_distinct,
@@ -411,18 +441,9 @@ object Dedup {
     "d6_dedup_groups" ->
       s"""WITH RECURSIVE $sigSql,
          |$bandPairSql,
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT d.doc_id,
-         |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id
-         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+         |$edgesReachSql,
+         |${grpSqlFrom("documents")}
+         |SELECT doc_id, group_id FROM grp ORDER BY doc_id""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_distinct(string_split_regex(trim(text), '\s+')),
@@ -446,47 +467,24 @@ object Dedup {
         |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     // composes the d6 reachability groups with the t1/t2 quality + lang
     // logic — one SQL statement mirroring the one Spark plan
-    "p1_corpus_curation" -> {
-      val langs = TextAnalysis.langMarkers.map(_._1)
-      def inList(xs: Seq[String]) =
-        xs.map(x => s"'$x'").mkString("(", ",", ")")
-      val scoreCols = TextAnalysis.langMarkers.map { case (l, m) =>
-        s"    len(list_filter(toks, x -> x IN ${inList(m)})) AS s_$l"
-      }.mkString(",\n")
-      val guessCase = langs.init.map { l =>
-        val conds = langs.filterNot(_ == l)
-          .map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"  WHEN $conds THEN '$l'"
-      }.mkString("\n")
+    "p1_corpus_curation" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, text,
          |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
          |q AS (SELECT doc_id, text, len(toks) AS n_tokens,
          |    round(len(list_filter(toks,
-         |      x -> x IN ${inList(TextAnalysis.stopwords)})) * 1.0
-         |      / len(toks), 6) AS stop_ratio,
-         |    CASE
-         |$guessCase
-         |      ELSE '${langs.last}' END AS guess
+         |      x -> x IN ${TextAnalysis.inListSql(TextAnalysis.stopwords)}))
+         |      * 1.0 / len(toks), 6) AS stop_ratio,
+         |    ${TextAnalysis.langGuessCaseSql} AS guess
          |  FROM (SELECT doc_id, text, toks,
-         |$scoreCols
+         |${TextAnalysis.langScoreColsSql}
          |    FROM t)),
          |cur AS (SELECT doc_id, text, n_tokens, stop_ratio FROM q
          |  WHERE n_tokens >= $MinCurationTokens
          |    AND stop_ratio >= $MinStopRatio AND guess = 'en'),
          |${sigSqlFrom("cur")},
          |$bandPairSql,
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |grp AS (SELECT d.doc_id,
-         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id
-         |  FROM cur d LEFT JOIN reach r ON r.src = d.doc_id
-         |  GROUP BY d.doc_id),
+         |$edgesReachSql,
+         |${grpSqlFrom("cur")},
          |sz AS (SELECT group_id, count(*) AS n_dups FROM grp
          |  GROUP BY group_id)
          |SELECT g.doc_id, n_tokens, stop_ratio, n_dups
@@ -495,6 +493,5 @@ object Dedup {
          |JOIN sz ON sz.group_id = g.doc_id
          |WHERE g.group_id = g.doc_id
          |ORDER BY g.doc_id""".stripMargin
-    }
   )
 }

@@ -140,8 +140,31 @@ object TextAnalysis {
     """t AS (SELECT doc_id, text,
       |  string_split_regex(trim(text), '\s+') AS toks FROM documents)""".stripMargin
 
-  private def inList(xs: Seq[String]) =
+  /** SQL literal list — shared with the curation-pipeline oracle. */
+  private[functions] def inListSql(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
+
+  /** Per-language marker-score projections over a `toks` column — the SQL
+    * twin of [[withLangGuess]]'s scored projection (shared by t2 and p1).
+    */
+  private[functions] val langScoreColsSql: String =
+    langMarkers.map { case (l, m) =>
+      s"  len(list_filter(toks, x -> x IN ${inListSql(m)})) AS s_$l"
+    }.mkString(",\n")
+
+  /** The argmax CASE over the s_<lang> score columns, alphabetical tie
+    * priority — the SQL twin of [[withLangGuess]]'s fold (shared by t2
+    * and p1, generated from [[langMarkers]] so the three stay in lockstep).
+    */
+  private[functions] val langGuessCaseSql: String = {
+    val langs = langMarkers.map(_._1)
+    val whens = langs.init.map { l =>
+      val conds = langs.filterNot(_ == l)
+        .map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"  WHEN $conds THEN '$l'"
+    }.mkString("\n")
+    s"CASE\n$whens\n  ELSE '${langs.last}' END"
+  }
 
   def oracles: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -150,22 +173,15 @@ object TextAnalysis {
          |  len(list_distinct(toks)) AS n_uniq,
          |  round(list_sum(list_transform(toks, x -> length(x))) * 1.0
          |    / len(toks), 6) AS mean_len,
-         |  round(len(list_filter(toks, x -> x IN ${inList(stopwords)}))
+         |  round(len(list_filter(toks, x -> x IN ${inListSql(stopwords)}))
          |    * 1.0 / len(toks), 6) AS stop_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
     "t2_lang_guess" ->
       s"""WITH $toksSql,
          |sc AS (SELECT doc_id,
-         |${langMarkers.map { case (l, m) =>
-           s"  len(list_filter(toks, x -> x IN ${inList(m)})) AS s_$l"
-         }.mkString(",\n")}
+         |$langScoreColsSql
          |FROM t)
-         |SELECT doc_id, CASE
-         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |  WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |  WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-         |  ELSE 'zh' END AS guess
+         |SELECT doc_id, $langGuessCaseSql AS guess
          |FROM sc ORDER BY doc_id""".stripMargin,
     "t3_fingerprint" ->
       s"""WITH $toksSql,
