@@ -66,6 +66,60 @@ object Multimodal {
       }
   }
 
+  /** Typed per-frame decode result (video frame-sampling schema). */
+  final case class FrameMeta(
+      id: Long,
+      frameIdx: Int,
+      nBytes: Int,
+      feature: Array[Float])
+
+  /** Frame-sampling layout: fake frame size and sampling stride. */
+  val FrameSize = 256
+  val FrameEvery = 4
+
+  /** STUB frame demux + sample — video containers become fixed-size byte
+    * chunks (no demuxer in this environment); every [[FrameEvery]]-th
+    * frame is decoded. The plumbing is the real shape: a row-EXPLODING
+    * mapPartitions (one media row in, many frame rows out) with the
+    * demuxer context initialized once per partition, and the sampling
+    * stride applied before any decode work — frames that aren't sampled
+    * are never materialized.
+    */
+  def frameSample(media: DataFrame, spark: SparkSession,
+      every: Int = FrameEvery): Dataset[FrameMeta] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real demuxer: init container parser here, once per partition
+        it.flatMap { case (id, bytes) =>
+          val nFrames = (bytes.length + FrameSize - 1) / FrameSize
+          Iterator.range(0, nFrames, every).map { f =>
+            val from = f * FrameSize
+            val until = math.min(from + FrameSize, bytes.length)
+            val fb = java.util.Arrays.copyOfRange(bytes, from, until)
+            FrameMeta(id, f, fb.length, decodeStub(id, fb).feature)
+          }
+        }
+      }
+  }
+
+  /** Resize pass over decoded media — per-row transform in the same
+    * batched shape (a real resizer allocates its buffers once per
+    * partition). Stub semantics: clamp into the target box, preserving
+    * the decoded struct's schema so downstream stages are unchanged.
+    */
+  def resizeAll(decoded: Dataset[MediaMeta], spark: SparkSession,
+      maxW: Int, maxH: Int): Dataset[MediaMeta] = {
+    import spark.implicits._
+    decoded.mapPartitions { it =>
+      // real resizer: allocate scratch buffers here, once per partition
+      it.map(m => m.copy(
+        width = math.min(m.width, maxW),
+        height = math.min(m.height, maxH)))
+    }
+  }
+
   /** Fixture media: the documents table's text bytes as an opaque payload
     * (the container ships no real media; the bytes are irrelevant to the
     * plumbing under test).
@@ -75,8 +129,21 @@ object Multimodal {
       .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
 
   def queries: Map[String, Q] = Map(
-    "mm1_binary_meta" -> mm1BinaryMeta
+    "mm1_binary_meta" -> mm1BinaryMeta,
+    "mm2_frame_census" -> mm2FrameCensus
   )
+
+  /** Frame-sampling census over the REAL [[frameSample]] dataset: sampled
+    * frame count and last sampled index per media item. The oracle
+    * recomputes both from octet_length arithmetic alone — an independent
+    * check that the demux/sample loop touches exactly the frames the
+    * layout promises.
+    */
+  def mm2FrameCensus: Q = (s, dir) =>
+    frameSample(fixtureMedia(s, dir), s)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("frameIdx")).as("last_idx"))
+      .orderBy(col("id"))
 
   /** Binary-column metadata extraction, expression-only (no stub): byte
     * length + leading byte — the part of decode that IS portable SQL, and
@@ -93,6 +160,15 @@ object Multimodal {
     "mm1_binary_meta" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS magic
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+    // pure frame-layout arithmetic: nf = ceil(bytes/FrameSize) frames,
+    // sampled at stride FrameEvery → count + last index
+    "mm2_frame_census" ->
+      s"""SELECT doc_id AS id,
+         |  ((octet_length(encode(text)) + ${FrameSize - 1}) // $FrameSize
+         |    + ${FrameEvery - 1}) // $FrameEvery AS n_sampled,
+         |  (((octet_length(encode(text)) + ${FrameSize - 1}) // $FrameSize
+         |    - 1) // $FrameEvery) * $FrameEvery AS last_idx
+         |FROM documents ORDER BY id""".stripMargin
   )
 }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.functions.{col, length}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -22,6 +23,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val again = Multimodal.decodeAll(media, spark).collect()
     assert(rows.sortBy(_.id).map(_.feature.toSeq).toSeq ===
       again.sortBy(_.id).map(_.feature.toSeq).toSeq)
+  }
+
+  test("multimodal frame-sample explodes rows per layout; resize clamps") {
+    import spark.implicits._
+    val media = Multimodal.fixtureMedia(spark, sfDir)
+    val frames = Multimodal.frameSample(media, spark).collect()
+    // every sampled index respects the stride, features are per-frame
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frameIdx % Multimodal.FrameEvery === 0))
+    assert(frames.forall(f => f.nBytes > 0 && f.nBytes <= Multimodal.FrameSize))
+    assert(frames.forall(_.feature.length === 8))
+    // count law per media item: ceil(ceil(bytes/size)/every)
+    val byId = frames.groupBy(_.id).view.mapValues(_.length).toMap
+    val sizes = media.select(col("id"), length(col("payload")))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    sizes.foreach { case (id, n) =>
+      val nf = (n + Multimodal.FrameSize - 1) / Multimodal.FrameSize
+      val ns = (nf + Multimodal.FrameEvery - 1) / Multimodal.FrameEvery
+      assert(byId(id) === ns, s"media $id: $n bytes")
+    }
+    // empty payload → zero frames (not a crash, not a phantom frame)
+    val empty = Seq((99L, Array.empty[Byte])).toDF("id", "payload")
+    assert(Multimodal.frameSample(empty, spark).count() === 0L)
+    // resize clamps into the box and never upscales
+    val resized = Multimodal.resizeAll(
+      Multimodal.decodeAll(media, spark), spark, maxW = 96, maxH = 96)
+      .collect()
+    assert(resized.forall(m => m.width <= 96 && m.height <= 96))
+    val orig = Multimodal.decodeAll(media, spark)
+      .collect().map(m => m.id -> m).toMap
+    assert(resized.forall(m =>
+      m.width <= orig(m.id).width && m.height <= orig(m.id).height))
   }
 
   test("dedup pipeline: LSH candidates cover the true near-duplicates") {
