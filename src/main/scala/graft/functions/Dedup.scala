@@ -305,11 +305,16 @@ object Dedup {
     // the representatives and attaches their duplicate counts
     val sizes = groups.groupBy(col("group_id"))
       .agg(count(lit(1)).as("n_dups"))
-    curated
+    // materialize the (representative-sized) result while curated is
+    // cached, then release the cache — same discipline as every other
+    // persist site in the repo; the caller gets the checkpointed rows
+    val out = curated
       .join(sizes, col("doc_id") === col("group_id"))
       .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
         col("n_dups"))
-      .orderBy(col("doc_id"))
+      .localCheckpoint(eager = true)
+    curated.unpersist()
+    out.orderBy(col("doc_id"))
   }
 
   /** 32-bit SimHash over the distinct token set: bit b is set when more

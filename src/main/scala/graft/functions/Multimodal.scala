@@ -87,6 +87,7 @@ object Multimodal {
     */
   def frameSample(media: DataFrame, spark: SparkSession,
       every: Int = FrameEvery): Dataset[FrameMeta] = {
+    require(every > 0, s"frameSample stride must be positive, got $every")
     import spark.implicits._
     media.select(col("id"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -162,13 +163,16 @@ object Multimodal {
         |  ascii(substr(text, 1, 1)) AS magic
         |FROM documents ORDER BY id""".stripMargin,
     // pure frame-layout arithmetic: nf = ceil(bytes/FrameSize) frames,
-    // sampled at stride FrameEvery → count + last index
+    // sampled at stride FrameEvery → count + last index. Zero-byte
+    // payloads produce NO frames and hence no census row on the Spark
+    // side — the WHERE keeps both engines row-aligned on that edge
     "mm2_frame_census" ->
       s"""SELECT doc_id AS id,
          |  ((octet_length(encode(text)) + ${FrameSize - 1}) // $FrameSize
          |    + ${FrameEvery - 1}) // $FrameEvery AS n_sampled,
          |  (((octet_length(encode(text)) + ${FrameSize - 1}) // $FrameSize
          |    - 1) // $FrameEvery) * $FrameEvery AS last_idx
-         |FROM documents ORDER BY id""".stripMargin
+         |FROM documents WHERE octet_length(encode(text)) > 0
+         |ORDER BY id""".stripMargin
   )
 }

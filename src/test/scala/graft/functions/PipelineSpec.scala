@@ -41,7 +41,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     sizes.foreach { case (id, n) =>
       val nf = (n + Multimodal.FrameSize - 1) / Multimodal.FrameSize
       val ns = (nf + Multimodal.FrameEvery - 1) / Multimodal.FrameEvery
-      assert(byId(id) === ns, s"media $id: $n bytes")
+      assert(byId.getOrElse(id, 0) === ns, s"media $id: $n bytes")
     }
     // empty payload → zero frames (not a crash, not a phantom frame)
     val empty = Seq((99L, Array.empty[Byte])).toDF("id", "payload")
