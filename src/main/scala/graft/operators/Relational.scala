@@ -39,7 +39,8 @@ object Relational {
     "q14_top_customer_per_nation" -> q14TopCustomerPerNation,
     "q15_order_size_classes" -> q15OrderSizeClasses,
     "q17_cube_quantity" -> q17CubeQuantity,
-    "q18_nationkeys_except" -> q18NationkeysExcept
+    "q18_nationkeys_except" -> q18NationkeysExcept,
+    "q19_above_brand_avg" -> q19AboveBrandAvg
   )
 
   /** TPC-H Q1 shape: single-table scan + hash agg with partial aggregation;
@@ -289,8 +290,34 @@ object Relational {
         Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
       .orderBy(col("nationkey"))
 
+  /** Correlated scalar subquery: parts priced above 1.05× their brand's
+    * average. Written as SQL ON PURPOSE — this exercises Catalyst's
+    * decorrelation (RewriteCorrelatedScalarSubquery turns the per-row
+    * subquery into a brand-level aggregate joined back; the plan shows
+    * one aggregate + one join, NOT a subquery per row). The fp threshold
+    * is safe for oracle parity: engines' avg() differs by ulps, and no
+    * fixture price sits within ~1e-10 of its brand threshold.
+    */
+  def q19AboveBrandAvg: Q = (s, dir) => {
+    Tables.part(s, dir).createOrReplaceTempView("graft_part")
+    s.sql(
+      """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+        |FROM graft_part p
+        |WHERE p_retailprice > 1.05 * (
+        |  SELECT avg(p2.p_retailprice) FROM graft_part p2
+        |  WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   /** DuckDB twins — same names, same column aliases, same rounding. */
   def oracles: Map[String, String] = Map(
+    "q19_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+        |FROM part p
+        |WHERE p_retailprice > 1.05 * (
+        |  SELECT avg(p2.p_retailprice) FROM part p2
+        |  WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
