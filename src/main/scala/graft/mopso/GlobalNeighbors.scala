@@ -1,7 +1,7 @@
 package graft.mopso
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Linalg
@@ -44,25 +44,89 @@ object GlobalNeighbors {
     */
   def build(spark: SparkSession, rows: RDD[(Array[Double], Int)], l: Int)
       : RDD[(Array[Double], Int, Array[Array[Double]])] = {
+    val df = indexed(spark, rows)
+    val y = df.select(col("id").as("yi"), col("features").as("yv"))
+    rankCandidates(df,
+      df.crossJoin(y).where(col("id") =!= col("yi")), l)
+  }
+
+  /** The 100 TB generator swap made executable: identical output schema
+    * and downstream ([[evaluate]]/[[histograms]] unchanged), but the
+    * candidate set comes from sign-LSH buckets instead of the all-pairs
+    * cross join — rows sharing a hyperplane-sign signature in ANY of
+    * `numTables` independent tables are compared, others never meet
+    * (the classic AND-of-planes / OR-of-tables amplification: more
+    * planes → sharper buckets, more tables → higher recall). Neighbor
+    * lists are exact over the candidate graph; their recall against the
+    * true KNN is the bucketing's recall (measured in
+    * GlobalNeighborsSpec), and cost drops from O(n²) to
+    * O(T · Σ bucket²) with (table, bucket) as the shuffle key.
+    *
+    * Planes are the first `numPlanes · numTables` rows (deterministic,
+    * data-derived — the s2 convention), sliced per table.
+    */
+  def buildLsh(spark: SparkSession, rows: RDD[(Array[Double], Int)], l: Int,
+      numPlanes: Int, numTables: Int = 1)
+      : RDD[(Array[Double], Int, Array[Array[Double]])] = {
+    require(numPlanes > 0 && numPlanes < 63, "numPlanes must be in [1, 62]")
+    require(numTables > 0, "numTables must be positive")
+    val df = indexed(spark, rows)
+    val planes: Seq[Array[Double]] =
+      df.orderBy(col("id")).limit(numPlanes * numTables)
+        .select(col("features")).collect()
+        .map(_.getSeq[Double](0).toArray).toSeq
+    def bucketOf(features: Column, table: Int): Column =
+      planes.slice(table * numPlanes, (table + 1) * numPlanes)
+        .zipWithIndex.map { case (p, i) =>
+          when(Linalg.dotCol(features, typedlit(p)) > 0, lit(1L << i))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+    // one row per (point, table), bucketed; same-bucket-same-table rows
+    // become candidates; a pair colliding in several tables is deduped
+    // before ranking so no neighbor is counted twice
+    val b = (0 until numTables).map { t =>
+      df.select(col("id"), col("features"), lit(t).as("tbl"),
+        bucketOf(col("features"), t).as("bucket"))
+    }.reduce(_ unionAll _)
+    val y = b.select(col("tbl"), col("bucket"), col("id").as("yi"),
+      col("features").as("yv"))
+    val cands = b.join(y, Seq("tbl", "bucket"))
+      .where(col("id") =!= col("yi"))
+      .dropDuplicates("id", "yi")
+    rankCandidates(df, cands, l)
+  }
+
+  private def indexed(spark: SparkSession,
+      rows: RDD[(Array[Double], Int)]): DataFrame = {
     import spark.implicits._
-    val df = rows.zipWithIndex
+    rows.zipWithIndex
       .map { case ((f, lab), i) => (i, f, lab) }
       .toDF("id", "features", "label")
-    val y = df.select(col("id").as("yi"), col("features").as("yv"))
-    df.crossJoin(y)
-      .where(col("id") =!= col("yi"))
-      .select(col("id"), col("label"), col("features"),
+  }
+
+  /** Shared ranking tail: candidate rows (id, features, yi, yv) through
+    * the L-bounded aggregate, then a LEFT join back onto the base rows —
+    * a point with no candidates (possible under a bucketed generator:
+    * singleton buckets) keeps an EMPTY neighbor list rather than
+    * vanishing, since every row must still contribute to Dev.
+    */
+  private def rankCandidates(base: DataFrame, cands: DataFrame, l: Int)
+      : RDD[(Array[Double], Int, Array[Array[Double]])] = {
+    val agged = cands
+      .select(col("id"),
         struct(
           Linalg.euclidCol(col("features"), col("yv")).as("dist"),
           col("yi").as("yi")).as("rank_key"),
         col("yv").as("nbr"))
       .groupBy(col("id"))
-      .agg(
-        // features/label are constant within an id group — first() is
-        // deterministic here and keeps the ObjectHashAggregate single-pass
-        first(col("features")).as("features"),
-        first(col("label")).as("label"),
-        TopKAggregate.topKByKey(col("rank_key"), col("nbr"), l).as("nbrs"))
+      .agg(TopKAggregate.topKByKey(col("rank_key"), col("nbr"), l)
+        .as("nbrs"))
+    base.select(col("id"), col("features"), col("label"))
+      .join(agged, Seq("id"), "left")
+      .select(col("features"), col("label"),
+        coalesce(col("nbrs"), typedlit(Seq.empty[Seq[Double]])).as("nbrs"),
+        col("id"))
+      .repartition(col("id"))
       .sortWithinPartitions(col("id"))
       .select(col("features"), col("label"), col("nbrs"))
       .rdd.map { r =>

@@ -58,6 +58,40 @@ class GlobalNeighborsSpec extends AnyFunSuite with SparkTestBase {
     nbrRows.unpersist()
   }
 
+  test("LSH-candidate build: full row coverage, measured recall, same downstream") {
+    val collected = rowsRDD.collect()
+    val pts = collected.map(_._1)
+    val exact = FitnessKernel.buildNeighbors(pts, L)
+    val byFeat = pts.zipWithIndex.map { case (p, i) => (p.toSeq, i) }.toMap
+    val approxRows = GlobalNeighbors.buildLsh(spark, rowsRDD, L,
+      numPlanes = 4, numTables = 8).cache()
+    val approx = approxRows.collect()
+    // every point survives the bucketed generator (singleton buckets
+    // keep an empty neighbor list, they don't vanish)
+    assert(approx.length === pts.length)
+    var hit = 0
+    var total = 0
+    approx.foreach { case (feat, _, nbrs) =>
+      val i = byFeat(feat.toSeq)
+      val trueSet = exact(i).map(j => pts(j).toSeq).toSet
+      total += trueSet.size
+      hit += nbrs.map(_.toSeq).count(trueSet)
+    }
+    val recall = hit.toDouble / total
+    // 4 planes → 16 buckets over 500 points: recall well above chance
+    // (L/n ≈ 0.02); the knob trades recall for candidate volume
+    assert(recall > 0.3, s"LSH neighbor recall $recall")
+    // downstream is generator-agnostic: evaluate runs unchanged and
+    // deterministically on the approximate rows
+    val positions: Array[Array[Array[Double]]] =
+      Array(Array.tabulate(5)(k => pts(k)))
+    val f1 = GlobalNeighbors.evaluate(approxRows, positions, L)
+    val f2 = GlobalNeighbors.evaluate(approxRows, positions, L)
+    assert(f1(0)(0) === f2(0)(0) && f1(0)(1) === f2(0)(1))
+    assert(f1(0)(0) > 0.0 && f1(0)(1) >= 0.0)
+    approxRows.unpersist()
+  }
+
   test("MOPSO runs end-to-end on the no-collect global path, seeded-stable") {
     val cfg = MopsoConfig.particle.copy(
       iterMax = 5, numPartitions = 8, globalExactDistributed = true)
