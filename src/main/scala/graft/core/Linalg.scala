@@ -80,6 +80,19 @@ object Linalg {
   // cross-validation twins (identical fold order → bit-identical results,
   // LinalgColSpec).
 
+  /** Sign-LSH bucket id: bit i set iff dot(features, planes(i)) > 0 —
+    * the one shared definition of the hyperplane-sign fold (Similarity
+    * s2/s4 buckets and the GlobalNeighbors candidate generator).
+    */
+  def signBucketCol(features: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.nonEmpty && planes.length < 63,
+      s"signBucket needs 1..62 planes, got ${planes.length}")
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotCol(features, typedlit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   def euclidCol(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.euclid(a, b)
 

@@ -68,16 +68,15 @@ object Similarity {
     * the embedding-cosine leg of the dedup pipeline.
     */
   private def bucketExpr(s: SparkSession, dir: String, numPlanes: Int) = {
-    val planes: Seq[(Int, Array[Double])] = Tables.embeddings(s, dir)
+    // vec_id order == bit order (vec_ids 0..numPlanes-1 are all present),
+    // so the shared sign fold assigns the same bit per plane
+    val planes: Seq[Array[Double]] = Tables.embeddings(s, dir)
       .filter(col("vec_id") < numPlanes)
       .select(col("vec_id"), col("features"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
-    planes.map { case (i, p) =>
-      when(Linalg.dotCol(col("features"), typedlit(p)) > 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+      .sortBy(_._1).map(_._2).toSeq
+    Linalg.signBucketCol(col("features"), planes)
   }
 
   def s2LshBuckets: Q = (s, dir) =>

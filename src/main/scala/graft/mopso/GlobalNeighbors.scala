@@ -75,19 +75,21 @@ object GlobalNeighbors {
       df.orderBy(col("id")).limit(numPlanes * numTables)
         .select(col("features")).collect()
         .map(_.getSeq[Double](0).toArray).toSeq
-    def bucketOf(features: Column, table: Int): Column =
-      planes.slice(table * numPlanes, (table + 1) * numPlanes)
-        .zipWithIndex.map { case (p, i) =>
-          when(Linalg.dotCol(features, typedlit(p)) > 0, lit(1L << i))
-            .otherwise(lit(0L))
-        }.reduce(_ + _)
-    // one row per (point, table), bucketed; same-bucket-same-table rows
-    // become candidates; a pair colliding in several tables is deduped
+    // a dataset too small to fill even one plane table is exactly the
+    // case where the all-pairs build is cheap — fall back instead of
+    // bucketing with a truncated (or empty) plane set
+    val effTables = math.min(numTables, planes.length / numPlanes)
+    if (effTables == 0) return build(spark, rows, l)
+    // one row per (point, table) from a SINGLE source scan: all table
+    // buckets are computed in one projection and posexploded (each point
+    // needs every table's bucket anyway); same-bucket-same-table rows
+    // become candidates, and a pair colliding in several tables dedupes
     // before ranking so no neighbor is counted twice
-    val b = (0 until numTables).map { t =>
-      df.select(col("id"), col("features"), lit(t).as("tbl"),
-        bucketOf(col("features"), t).as("bucket"))
-    }.reduce(_ unionAll _)
+    val b = df.select(col("id"), col("features"),
+      posexplode(array((0 until effTables).map { t =>
+        Linalg.signBucketCol(col("features"),
+          planes.slice(t * numPlanes, (t + 1) * numPlanes))
+      }: _*)).as(Seq("tbl", "bucket")))
     val y = b.select(col("tbl"), col("bucket"), col("id").as("yi"),
       col("features").as("yv"))
     val cands = b.join(y, Seq("tbl", "bucket"))
@@ -121,12 +123,14 @@ object GlobalNeighbors {
       .groupBy(col("id"))
       .agg(TopKAggregate.topKByKey(col("rank_key"), col("nbr"), l)
         .as("nbrs"))
+    // the join on id leaves the output hash-partitioned by id (both
+    // sides exchange on the join key) — deterministic layout, so only a
+    // within-partition sort is needed for fetch-order independence
     base.select(col("id"), col("features"), col("label"))
       .join(agged, Seq("id"), "left")
       .select(col("features"), col("label"),
         coalesce(col("nbrs"), typedlit(Seq.empty[Seq[Double]])).as("nbrs"),
         col("id"))
-      .repartition(col("id"))
       .sortWithinPartitions(col("id"))
       .select(col("features"), col("label"), col("nbrs"))
       .rdd.map { r =>

@@ -73,6 +73,17 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(a - e).toDouble / e <= 0.05, s"approx $a vs exact $e")
   }
 
+  test("q19's correlated scalar subquery decorrelates to aggregate + join") {
+    // the documented guarantee: RewriteCorrelatedScalarSubquery turns the
+    // per-row subquery into a brand-level aggregate joined back — no
+    // surviving subquery node in the physical plan
+    val plan = Relational.q19AboveBrandAvg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"), s"per-row subquery survived:\n$plan")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("Join"))
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val wh = Files.createTempDirectory("graft-warehouse").toString
     val s2 = spark.newSession()
