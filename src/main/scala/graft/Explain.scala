@@ -13,7 +13,8 @@ object Explain {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_revenue_by_nation",
-        "q4_ship_filter_agg", "c1_assign", "c9_knn", "d3_lsh_pairs",
+        "q4_ship_filter_agg", "q19_above_brand_avg", "c1_assign",
+        "c9_knn", "c19_conn_topk", "d3_lsh_pairs", "e5_asof_attribution",
         "s3_ann_ivf")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -128,6 +128,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.count() === 0L)
   }
 
+  test("min-label propagation == union-find on random graphs") {
+    import spark.implicits._
+    // a handful of randomized graphs (each case runs a real multi-job
+    // propagation loop, so the case count stays small); the union-find
+    // is an independent algorithm computing the same component minima
+    val rng = new scala.util.Random(1234L)
+    (1 to 8).foreach { c =>
+      val n = 10 + rng.nextInt(40)
+      val nEdges = rng.nextInt(2 * n)
+      val edges = Seq.fill(nEdges) {
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(
+        (0L until n.toLong).toDF("doc_id"),
+        edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val root = unionFind(edges.toSet)
+      // normalize union-find roots to the component MIN id
+      val minOfRoot = (0L until n.toLong).groupBy(root).map {
+        case (r, members) => (r, members.min)
+      }
+      (0L until n.toLong).foreach { d =>
+        assert(got(d) === minOfRoot(root(d)), s"case $c, node $d")
+      }
+    }
+  }
+
   test("IVF ANN recall vs brute force is high on clustered fixture") {
     val exact = Similarity.s1CosineTopk(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
