@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mopso.{Config, Mopso, MopsoConfig}
 import graft.operators.{Clustering, Relational}
 import graft.sources.Tables
@@ -35,8 +35,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Clustering.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Events.queries ++ Map(
+      TextAnalysis.queries ++ Dedup.queries ++ Curation.queries ++
+      Similarity.queries ++ Multimodal.queries ++ Events.queries ++ Map(
         // full MOPSO loop — stochastic-but-seeded, no SQL equivalent →
         // rows-only check (archive is non-empty and ≤ repository)
         "m1_mopso_archive" -> ((s, dir) => mopsoArchive(s, dir))
@@ -47,6 +47,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Clustering.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Events.oracles
+      TextAnalysis.oracles ++ Dedup.oracles ++ Curation.oracles ++
+      Similarity.oracles ++ Multimodal.oracles ++ Events.oracles
 }

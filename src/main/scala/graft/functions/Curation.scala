@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.TextAnalysis.{hash60, tokensCol}
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * after quality/dedup (builder brief): deterministic train/val/test
+  * splitting, per-domain quota sampling (dataset mixing), and sequence
+  * packing into fixed token budgets.
+  *
+  * Everything is hash-deterministic — re-running the pipeline on the same
+  * corpus reproduces the same split/sample/packing bit-for-bit, with no
+  * RNG state to coordinate across executors (the property that makes these
+  * ops safe to re-run at 100 TB after a partial failure). Hashes are the
+  * engine's cross-checkable md5-based [[TextAnalysis.hash60]], so the
+  * DuckDB oracles verify the *selection*, not just the counts.
+  */
+object Curation {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Percent buckets for the p2 split: [0,80) train, [80,90) val,
+    * [90,100) test.
+    */
+  val TrainPct = 80
+  val ValPct = 90
+
+  /** Sequence-packing token budget (p4) — a context-window-sized bin. */
+  val PackBudget = 2048
+
+  /** Packing shard width: docs are packed within deterministic
+    * doc_id-range shards so the cumulative-sum window is per-shard (an
+    * embarrassingly parallel window at scale, never a global sort —
+    * exactly how production packers shard their corpora).
+    */
+  val PackShard = 250
+
+  def queries: Map[String, Q] = Map(
+    "p2_hash_split" -> p2HashSplit,
+    "p3_domain_mix" -> p3DomainMix,
+    "p4_seq_packing" -> p4SeqPacking
+  )
+
+  /** Stable per-document percent bucket: md5 of the decimal doc_id.
+    * Content-derived (not row-order-derived), so adding or removing other
+    * documents never reshuffles a document's split — the invariant that
+    * keeps eval sets stable across corpus versions.
+    */
+  private def pctBucket = hash60(col("doc_id").cast("string")) % 100
+
+  /** p2: deterministic train/val/test split summary. Pure per-row hashing
+    * + a 3-group aggregate: one map-side-combined shuffle of 3 rows at any
+    * scale.
+    */
+  def p2HashSplit: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(pctBucket < TrainPct, "train")
+          .when(pctBucket < ValPct, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"))
+
+  /** Per-source document quota for p3, derived from the source id's
+    * numeric suffix so quotas differ across sources: 8 + 2·(n mod 7)
+    * ∈ {8, 10, …, 20}.
+    */
+  private def quotaOf(src: org.apache.spark.sql.Column) =
+    lit(8) + lit(2) * (substring(src, 4, 10).cast("int") % 7)
+
+  /** p3: domain mixing by per-source quota — keep each source's `quota`
+    * documents with the lowest (hash, doc_id), i.e. a deterministic
+    * uniform downsample per domain. The window partitions by source (the
+    * shuffle key; per-domain row counts bound the skew) and the hash order
+    * makes the sample content-stable: the kept set only changes where
+    * documents were actually added or removed.
+    */
+  def p3DomainMix: Q = (s, dir) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        hash60(col("doc_id").cast("string")).as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quotaOf(col("source")))
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** p4: greedy contiguous sequence packing — docs in doc_id order fill
+    * [[PackBudget]]-token sequences; a document starts a new sequence when
+    * the tokens packed *before* it already reach the budget (so sequences
+    * may overrun by their last document — the standard greedy packer).
+    * The cumulative sum runs per [[PackShard]]-wide doc_id shard: at scale
+    * the window key is the shard id, every shard packs independently in
+    * parallel, and no global sort ever happens.
+    */
+  def p4SeqPacking: Q = (s, dir) => {
+    val before = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") / PackShard).cast("long").as("shard"),
+        size(tokensCol(col("text"))).as("n_tokens"))
+      .withColumn("seq",
+        (coalesce(sum(col("n_tokens")).over(before), lit(0L)) /
+          PackBudget).cast("long"))
+      .groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"), col("seq"))
+  }
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val hkSql = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+
+  def oracles: Map[String, String] = Map(
+    "p2_hash_split" ->
+      s"""SELECT split, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+         |FROM (SELECT CASE WHEN $hkSql % 100 < $TrainPct THEN 'train'
+         |    WHEN $hkSql % 100 < $ValPct THEN 'val'
+         |    ELSE 'test' END AS split, n_chars
+         |  FROM documents)
+         |GROUP BY split ORDER BY split""".stripMargin,
+    "p3_domain_mix" ->
+      s"""SELECT source, rk, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY $hkSql, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 8 + 2 * (substr(source, 4)::INT % 7)
+         |ORDER BY source, rk""".stripMargin,
+    "p4_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id, doc_id // $PackShard AS shard,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents),
+         |seqd AS (SELECT shard,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // $PackBudget AS seq, n_tokens
+         |  FROM t)
+         |SELECT shard, seq::BIGINT AS seq, count(*) AS n_docs,
+         |  sum(n_tokens)::BIGINT AS n_tokens
+         |FROM seqd GROUP BY shard, seq ORDER BY shard, seq""".stripMargin
+  )
+}

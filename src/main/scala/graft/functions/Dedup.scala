@@ -164,7 +164,12 @@ object Dedup {
     * so transitive closure recovers identical duplicate groups.
     */
   private[graft] def bucketedPairs(bands: DataFrame): DataFrame = {
-    val sorted = array_sort(col("ids"))
+    // `ids` is sorted INSIDE the aggregate below: the agg boundary pins it
+    // to one evaluation per bucket. Sorting in a lambda-referenced
+    // expression instead re-sorts the whole array once per element the
+    // lambda visits (the 3128-doc fixture bucket = ~3k sorts of a 3k
+    // array per row — measured 4.5s of the round-3 d3 time, vs 0.5s here).
+    val sorted = col("ids")
     val head = slice(sorted, 1, MaxBucket)
     val clique = flatten(transform(head, (x, i) =>
       transform(slice(head, i + 2, lit(MaxBucket)), y =>
@@ -173,7 +178,7 @@ object Dedup {
     val star = transform(slice(sorted, lit(MaxBucket + 1), size(col("ids"))), y =>
       struct(element_at(sorted, 1).as("doc_a"), y.as("doc_b")))
     bands.groupBy(col("band"), col("key"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(concat(clique, star)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()

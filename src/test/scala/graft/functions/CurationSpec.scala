@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** Invariants of the curation operators (p2/p3/p4): the splits partition
+  * the corpus, quotas bind exactly, and the packing matches an independent
+  * driver-side re-implementation of the greedy packer.
+  */
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  test("p2 hash split partitions the corpus into stable named splits") {
+    val total = Tables.documents(spark, sfDir).count()
+    val rows = Curation.p2HashSplit(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    assert(rows.map(_.getLong(1)).sum == total)
+    // train gets the lion's share (80% of hash space)
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    // deterministic: a second run reproduces the same partition sizes
+    val again = Curation.p2HashSplit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == byName)
+  }
+
+  test("p3 domain mix keeps exactly quota docs per source, ranks contiguous") {
+    val kept = Curation.p3DomainMix(spark, sfDir)
+    val perSource = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), max(col("rk")).as("max_rk"))
+      .collect()
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.nonEmpty && perSource.length == counts.size)
+    perSource.foreach { r =>
+      val src = r.getString(0)
+      val quota = 8 + 2 * (src.drop(3).toInt % 7)
+      val expect = math.min(quota.toLong, counts(src))
+      assert(r.getLong(1) == expect, s"$src kept ${r.getLong(1)} != $expect")
+      assert(r.getInt(2).toLong == expect, s"$src ranks not contiguous")
+    }
+    // content-stable: the kept doc set is identical on a second run
+    val a = kept.collect().map(_.toSeq).toSet
+    val b = Curation.p3DomainMix(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("p4 packing matches a driver-side greedy packer re-implementation") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokensCol(col("text"))).as("n_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1)
+    // independent reimplementation: per shard, running total before each
+    // doc decides its sequence
+    val expected = docs
+      .groupBy { case (id, _) => id / Curation.PackShard }
+      .toSeq
+      .flatMap { case (shard, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (_, n) =>
+          val seq = cum / Curation.PackBudget
+          cum += n
+          ((shard, seq), n.toLong)
+        }
+      }
+      .groupBy(_._1)
+      .map { case ((shard, seq), xs) =>
+        (shard, seq, xs.size.toLong, xs.map(_._2).sum) }
+      .toSet
+    val got = Curation.p4SeqPacking(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // every sequence but a shard's last is filled to at least the budget
+    // minus its largest doc (greedy never leaves that much slack)
+    val lastSeq = got.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val maxDoc = docs.map(_._2).max
+    got.foreach { case (shard, seq, _, n) =>
+      if (seq != lastSeq(shard))
+        assert(n >= Curation.PackBudget - maxDoc,
+          s"shard $shard seq $seq underfilled: $n tokens")
+    }
+  }
+}
