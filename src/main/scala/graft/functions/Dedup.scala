@@ -163,12 +163,25 @@ object Dedup {
     * remains in the same connected component as its full clique would be,
     * so transitive closure recovers identical duplicate groups.
     */
-  private[graft] def bucketedPairs(bands: DataFrame): DataFrame = {
-    // `ids` is sorted INSIDE the aggregate below: the agg boundary pins it
-    // to one evaluation per bucket. Sorting in a lambda-referenced
-    // expression instead re-sorts the whole array once per element the
-    // lambda visits (the 3128-doc fixture bucket = ~3k sorts of a 3k
-    // array per row — measured 4.5s of the round-3 d3 time, vs 0.5s here).
+  private[graft] def bucketedPairs(bands: DataFrame): DataFrame =
+    pairsFromBuckets(bucketArrays(bands))
+
+  /** Multi-doc LSH buckets as sorted id arrays — the shared intermediate
+    * both [[pairsFromBuckets]] and [[repInitFromBuckets]] consume (d6/p1
+    * persist it so the signature build runs once per query).
+    *
+    * `ids` is sorted INSIDE the aggregate: the agg boundary pins the sort
+    * to one evaluation per bucket. Sorting in a lambda-referenced
+    * expression instead re-sorts the whole array once per element the
+    * lambda visits (the 3128-doc fixture bucket = ~3k sorts of a 3k
+    * array per row — measured 4.5s of the round-3 d3 time, vs 0.5s here).
+    */
+  private[graft] def bucketArrays(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("key"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+
+  private[graft] def pairsFromBuckets(buckets: DataFrame): DataFrame = {
     val sorted = col("ids")
     val head = slice(sorted, 1, MaxBucket)
     val clique = flatten(transform(head, (x, i) =>
@@ -177,12 +190,24 @@ object Dedup {
     // empty when the bucket fits in MaxBucket (slice past the end)
     val star = transform(slice(sorted, lit(MaxBucket + 1), size(col("ids"))), y =>
       struct(element_at(sorted, 1).as("doc_a"), y.as("doc_b")))
-    bands.groupBy(col("band"), col("key"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+    buckets
       .select(explode(concat(clique, star)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
+
+  /** First-round labels for [[connectedComponents]], read straight off the
+    * bucket arrays: every doc in a multi-doc bucket is directly connected
+    * to the bucket minimum (clique members pair with it, overflow docs
+    * star to it), so propagation round 1 from identity labels lands on
+    * exactly `min(own id, min bucket-rep over the doc's buckets)` — this
+    * aggregate. Computing it here costs one small shuffle of (doc, rep)
+    * rows instead of the full edge-list join round it replaces.
+    */
+  private[graft] def repInitFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
+      .select(element_at(col("ids"), 1).as("rep"),
+        explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("rep")).as("group_id"))
 
   /** Distributed connected components by min-label propagation: every
     * node's label starts as its own id; each round takes the min of its
@@ -198,10 +223,16 @@ object Dedup {
     *
     * @param docs  (doc_id) universe — isolated docs become singletons
     * @param pairs (doc_a, doc_b) undirected candidate edges
+    * @param init  optional (doc_id, group_id) head-start labels — must be
+    *              a valid intermediate propagation state (each label the
+    *              min of some set of ids reachable from the doc), e.g.
+    *              [[repInitFromBuckets]]; docs absent from it start at
+    *              their own id
     * @return (doc_id, group_id = min reachable doc_id), persisted
     */
   private[graft] def connectedComponents(
-      docs: DataFrame, pairs: DataFrame): DataFrame = {
+      docs: DataFrame, pairs: DataFrame,
+      init: Option[DataFrame] = None): DataFrame = {
     // pre-partitioned on the per-round join key (dst = doc_id), so the
     // cached edge list is shuffled ONCE here and every propagation round
     // only exchanges the (much smaller) label side
@@ -229,8 +260,18 @@ object Dedup {
       (if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0),
         v.getLong(1))
     }
-    var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
-      .localCheckpoint(eager = true)
+    var labels = init match {
+      case Some(i) =>
+        docs.select(col("doc_id"))
+          .join(i.withColumnRenamed("doc_id", "i_doc"),
+            col("doc_id") === col("i_doc"), "left")
+          .select(col("doc_id"),
+            coalesce(col("group_id"), col("doc_id")).as("group_id"))
+          .localCheckpoint(eager = true)
+      case None =>
+        docs.select(col("doc_id"), col("doc_id").as("group_id"))
+          .localCheckpoint(eager = true)
+    }
     val (sum0, n0) = labelStats(labels)
     var checksum = sum0
     var converged = n0 == 0L
@@ -266,11 +307,18 @@ object Dedup {
     * with a recursive CTE — an independent algorithm cross-check of the
     * propagation loop.
     */
-  def d6DedupGroups: Q = (s, dir) =>
-    connectedComponents(
+  def d6DedupGroups: Q = (s, dir) => {
+    // the bucket arrays feed two consumers (candidate pairs + the
+    // first-round labels), so persist them for the span of the
+    // propagation loop — the signature/banding scan runs once
+    val buckets = bucketArrays(bandRows(s, dir)).persist()
+    val out = connectedComponents(
       Tables.documents(s, dir).select(col("doc_id")),
-      bucketedPairs(bandRows(s, dir)))
-      .orderBy(col("doc_id"))
+      pairsFromBuckets(buckets),
+      init = Some(repInitFromBuckets(buckets)))
+    buckets.unpersist()
+    out.orderBy(col("doc_id"))
+  }
 
   /** p1: the end-to-end corpus-curation query a training-data run
     * actually executes over the document table, in production order —
@@ -301,10 +349,13 @@ object Dedup {
       .select(col("doc_id"), col("text"), col("n_tokens"),
         col("stop_ratio"))
       .persist()
+    val buckets = bucketArrays(bandRowsOf(minhashSigsOf(
+      curated.select(col("doc_id"), col("text"))))).persist()
     val groups = connectedComponents(
       curated.select(col("doc_id")),
-      bucketedPairs(bandRowsOf(minhashSigsOf(
-        curated.select(col("doc_id"), col("text"))))))
+      pairsFromBuckets(buckets),
+      init = Some(repInitFromBuckets(buckets)))
+    buckets.unpersist()
     // group_id values ARE the representative doc_ids (min of each
     // component), so the inner join on doc_id === group_id both selects
     // the representatives and attaches their duplicate counts

@@ -106,6 +106,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.bucketedPairs(small).count() === 10)
   }
 
+  test("bucket-rep init equals a propagation round: same groups, head start") {
+    import spark.implicits._
+    // overlapping buckets (doc 5 bridges them) + an out-of-bucket doc
+    val bands = (Seq((1L, 0, "a"), (5L, 0, "a"), (9L, 0, "a")) ++
+      Seq((5L, 1, "b"), (3L, 1, "b")) ++
+      Seq((7L, 0, "c"))).toDF("doc_id", "band", "key")
+    val buckets = Dedup.bucketArrays(bands)
+    val init = Dedup.repInitFromBuckets(buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // exactly min(own, min bucket-rep): the bridge doc takes the lower rep
+    assert(init === Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 3L -> 3L))
+    val docs = Seq(1L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val pairs = Dedup.pairsFromBuckets(buckets)
+    val plain = Dedup.connectedComponents(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val seeded = Dedup.connectedComponents(docs, pairs,
+      init = Some(Dedup.repInitFromBuckets(buckets)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(seeded === plain)
+    assert(seeded === Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 9L -> 1L, 7L -> 7L))
+  }
+
   test("min-label propagation resolves transitive groups and singletons") {
     import spark.implicits._
     // a 10-hop chain (forces multiple propagation rounds: diameter 9),
