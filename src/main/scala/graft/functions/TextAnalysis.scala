@@ -42,8 +42,27 @@ object TextAnalysis {
     "t1_token_stats" -> t1TokenStats,
     "t2_lang_guess" -> t2LangGuess,
     "t3_fingerprint" -> t3Fingerprint,
-    "t4_bpe_tokens" -> t4BpeTokens
+    "t4_bpe_tokens" -> t4BpeTokens,
+    "t5_repetition" -> t5Repetition
   )
+
+  /** Within-document repetition score: the fraction of duplicated word
+    * 3-shingles (1 − distinct/total), the standard boilerplate/repetition
+    * quality gate a pretraining pipeline filters on. Pure per-row
+    * expressions — no shuffle, embarrassingly parallel at any scale; docs
+    * with < 3 tokens score 0 (no shingles to repeat).
+    */
+  def t5Repetition: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("sh", shinglesCol(col("toks")))
+      .select(col("doc_id"),
+        size(col("sh")).as("n_shingles"),
+        round(when(size(col("sh")) > 0,
+          lit(1.0) -
+            size(array_distinct(col("sh"))).cast("double") / size(col("sh")))
+          .otherwise(lit(0.0)), 6).as("dup_ratio"))
+      .orderBy(col("doc_id"))
 
   /** BPE-ish subword boundary: letter runs, digit runs, and single
     * non-alphanumeric marks — the regex twin of a byte-pair pre-tokenizer
@@ -200,6 +219,17 @@ object TextAnalysis {
          |  FROM documents)
          |SELECT doc_id, len(bpe) AS n_bpe,
          |  len(list_distinct(bpe)) AS n_bpe_uniq
-         |FROM b ORDER BY doc_id""".stripMargin
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "t5_repetition" ->
+      s"""WITH $toksSql,
+         |s AS (SELECT doc_id,
+         |  list_transform(generate_series(1, len(toks) - 2),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+         |  FROM t)
+         |SELECT doc_id, len(sh) AS n_shingles,
+         |  round(CASE WHEN len(sh) > 0
+         |    THEN 1.0 - len(list_distinct(sh)) * 1.0 / len(sh)
+         |    ELSE 0.0 END, 6) AS dup_ratio
+         |FROM s ORDER BY doc_id""".stripMargin
   )
 }
