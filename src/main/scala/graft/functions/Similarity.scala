@@ -179,9 +179,36 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("qid"), col("nid"))
-    val approx = ProbeSettings.map { np =>
-      annIvf(s, dir, np).select(lit(np).as("np"), col("qid"), col("nid"))
-    }.reduce(_ unionAll _)
+    // every nprobe setting probes a PREFIX of the same distance-sorted
+    // cell list, so one assignment scan + one candidate join serves the
+    // whole curve: queries explode to (np, cell) pairs, candidates join
+    // once on the cell id, and the top-5 window partitions by (np, qid).
+    // (The per-setting annIvf formulation re-assigned every vector to its
+    // cell once per nprobe — 3 identical scans of the big side.)
+    val cs = Clustering.centers(s, dir)
+    val assigned = e
+      .withColumn("a", Clustering.assignStruct(col("features"), cs))
+      .select(col("vec_id").as("nid"), col("features").as("nv"),
+        col("a.cluster").as("cell"))
+    val cellsSorted = array_sort(array(cs.map { case (cid, vec) =>
+      struct(
+        Linalg.euclidCol(col("qv"), typedlit(vec)).as("dist"),
+        lit(cid).as("cluster"))
+    }: _*))
+    val probes = q
+      .crossJoin(ProbeSettings.toDF("np"))
+      .select(col("qid"), col("qv"), col("np"),
+        explode(transform(slice(cellsSorted, lit(1), col("np")),
+          p => p.getField("cluster"))).as("cell"))
+    val wnp = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("dist"), col("nid"))
+    val approx = probes.join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("np"), col("qid"), col("nid"),
+        Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
+      .withColumn("rank", row_number().over(wnp))
+      .where(col("rank") <= 5)
+      .select(col("np"), col("qid"), col("nid"))
     val hits = approx.join(exact, Seq("qid", "nid"), "left_semi")
       .groupBy(col("np")).agg(count(lit(1)).as("n_hit"))
     ProbeSettings.toDF("np")
