@@ -40,7 +40,8 @@ object Relational {
     "q15_order_size_classes" -> q15OrderSizeClasses,
     "q17_cube_quantity" -> q17CubeQuantity,
     "q18_nationkeys_except" -> q18NationkeysExcept,
-    "q19_above_brand_avg" -> q19AboveBrandAvg
+    "q19_above_brand_avg" -> q19AboveBrandAvg,
+    "q20_grouping_sets" -> q20GroupingSets
   )
 
   /** TPC-H Q1 shape: single-table scan + hash agg with partial aggregation;
@@ -283,6 +284,24 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** GROUPING SETS — the asymmetric grouping variant rollup (q8) and cube
+    * (q17) can't express: per-returnflag totals, per-linestatus totals,
+    * and the grand total, WITHOUT the (flag, status) cross combination.
+    * Same one-shuffle Expand-based plan as rollup/cube — each input row
+    * fans out to its grouping sets before the partial aggregation.
+    */
+  def q20GroupingSets: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** EXCEPT (set difference): nations with customers but no suppliers. */
   def q18NationkeysExcept: Q = (s, dir) =>
     Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
@@ -446,6 +465,13 @@ object Relational {
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin
+        |ORDER BY nationkey""".stripMargin,
+    "q20_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
   )
 }
