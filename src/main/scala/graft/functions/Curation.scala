@@ -92,13 +92,18 @@ object Curation {
       .orderBy(col("source"), col("rk"))
   }
 
-  /** p4: greedy contiguous sequence packing — docs in doc_id order fill
-    * [[PackBudget]]-token sequences; a document starts a new sequence when
-    * the tokens packed *before* it already reach the budget (so sequences
-    * may overrun by their last document — the standard greedy packer).
-    * The cumulative sum runs per [[PackShard]]-wide doc_id shard: at scale
-    * the window key is the shard id, every shard packs independently in
-    * parallel, and no global sort ever happens.
+  /** p4: offset-quantized contiguous sequence packing — the shard's token
+    * stream (docs in doc_id order) is cut at fixed [[PackBudget]] offsets
+    * and each document belongs to the sequence containing its FIRST
+    * token: seq = floor(tokens-before / budget). A boundary-crossing
+    * document therefore overruns its sequence AND its overrun is charged
+    * against the next sequence's span (unlike a reset-on-overrun greedy
+    * packer, which would restart the count at each overrun — offset
+    * quantization is chosen precisely because it needs no sequential
+    * reset state, just a cumulative sum). The window runs per
+    * [[PackShard]]-wide doc_id shard: at scale the window key is the
+    * shard id, every shard packs independently in parallel, and no
+    * global sort ever happens.
     */
   def p4SeqPacking: Q = (s, dir) => {
     val before = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

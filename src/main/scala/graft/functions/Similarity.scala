@@ -114,36 +114,50 @@ object Similarity {
     * s5); at scale the cell id becomes the partition key so a probe
     * touches nprobe/K of the data.
     */
-  def annIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  def annIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame =
+    probedTopK(s, dir, Seq(nprobe))
+      .select(col("qid"), col("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+
+  /** The shared probe machinery behind s3 AND s5's recall measurement —
+    * one definition, so the measured index is always the served index.
+    * Every nprobe setting probes a PREFIX of the same distance-sorted
+    * cell list, so one assignment scan + one candidate join serves any
+    * set of settings: queries explode to (np, cell) pairs, candidates
+    * join once on the cell id (the pruning), and the top-5 window
+    * partitions by (np, qid). Returns (np, qid, rank, nid).
+    */
+  private def probedTopK(s: SparkSession, dir: String,
+      settings: Seq[Int]): DataFrame = {
+    import s.implicits._
     val cs = Clustering.centers(s, dir)
-    val assigned = Tables.embeddings(s, dir)
+    val e = Tables.embeddings(s, dir)
+    val assigned = e
       .withColumn("a", Clustering.assignStruct(col("features"), cs))
-      .select(col("vec_id"), col("features"), col("a.cluster").as("cell"))
-    // the nprobe nearest cells per query: same literal-centroid sorted
-    // struct array as assignStruct, sliced to nprobe and exploded
-    val probeCells = explode(transform(
-      slice(array_sort(array(cs.map { case (cid, vec) =>
-        struct(
-          Linalg.euclidCol(col("features"), typedlit(vec)).as("dist"),
-          lit(cid).as("cluster"))
-      }: _*)), 1, nprobe),
-      p => p.getField("cluster")))
-    val q = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("features").as("qv"),
-        probeCells.as("cell"))
-    val c = assigned
       .select(col("vec_id").as("nid"), col("features").as("nv"),
-        col("cell"))
-    val w = Window.partitionBy(col("qid"))
+        col("a.cluster").as("cell"))
+    // the probed cells per query: same literal-centroid sorted struct
+    // array as assignStruct, sliced per setting and exploded
+    val cellsSorted = array_sort(array(cs.map { case (cid, vec) =>
+      struct(
+        Linalg.euclidCol(col("qv"), typedlit(vec)).as("dist"),
+        lit(cid).as("cluster"))
+    }: _*))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("features").as("qv"))
+      .crossJoin(settings.toDF("np"))
+      .select(col("qid"), col("qv"), col("np"),
+        explode(transform(slice(cellsSorted, lit(1), col("np")),
+          p => p.getField("cluster"))).as("cell"))
+    val w = Window.partitionBy(col("np"), col("qid"))
       .orderBy(col("dist"), col("nid"))
-    q.join(c, Seq("cell")) // equi-join on the coarse cell = the pruning
+    probes.join(assigned, Seq("cell")) // equi-join on the cell = the pruning
       .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
+      .select(col("np"), col("qid"), col("nid"),
         Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("nid"))
-      .orderBy(col("qid"), col("rank"))
+      .select(col("np"), col("qid"), col("rank"), col("nid"))
   }
 
   /** Single-probe face of [[annIvf]] — the cheapest point of the
@@ -179,35 +193,10 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("qid"), col("nid"))
-    // every nprobe setting probes a PREFIX of the same distance-sorted
-    // cell list, so one assignment scan + one candidate join serves the
-    // whole curve: queries explode to (np, cell) pairs, candidates join
-    // once on the cell id, and the top-5 window partitions by (np, qid).
-    // (The per-setting annIvf formulation re-assigned every vector to its
-    // cell once per nprobe — 3 identical scans of the big side.)
-    val cs = Clustering.centers(s, dir)
-    val assigned = e
-      .withColumn("a", Clustering.assignStruct(col("features"), cs))
-      .select(col("vec_id").as("nid"), col("features").as("nv"),
-        col("a.cluster").as("cell"))
-    val cellsSorted = array_sort(array(cs.map { case (cid, vec) =>
-      struct(
-        Linalg.euclidCol(col("qv"), typedlit(vec)).as("dist"),
-        lit(cid).as("cluster"))
-    }: _*))
-    val probes = q
-      .crossJoin(ProbeSettings.toDF("np"))
-      .select(col("qid"), col("qv"), col("np"),
-        explode(transform(slice(cellsSorted, lit(1), col("np")),
-          p => p.getField("cluster"))).as("cell"))
-    val wnp = Window.partitionBy(col("np"), col("qid"))
-      .orderBy(col("dist"), col("nid"))
-    val approx = probes.join(assigned, Seq("cell"))
-      .where(col("qid") =!= col("nid"))
-      .select(col("np"), col("qid"), col("nid"),
-        Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
-      .withColumn("rank", row_number().over(wnp))
-      .where(col("rank") <= 5)
+    // the SAME probedTopK that serves s3 — the measured recall is the
+    // served algorithm's by construction, and the whole curve costs one
+    // assignment scan + one candidate join
+    val approx = probedTopK(s, dir, ProbeSettings)
       .select(col("np"), col("qid"), col("nid"))
     val hits = approx.join(exact, Seq("qid", "nid"), "left_semi")
       .groupBy(col("np")).agg(count(lit(1)).as("n_hit"))

@@ -35,13 +35,30 @@ object Writers {
 
   /** Compact a parquet dataset into ~`targetFileBytes`-sized files:
     * plan file count from the CURRENT on-disk size (ceil(bytes/target)),
-    * then rewrite through a round-robin repartition — an even rebalance
-    * with one shuffle, no skew sensitivity to the input layout. Returns
-    * (files before, files after). Content is preserved row-for-row
-    * (spec-checked); ordering is not, like every distributed rewrite.
+    * then rewrite through one shuffle. Returns (files before, planned
+    * output partitions). Content is preserved row-for-row (spec-checked);
+    * ordering is not, like every distributed rewrite.
+    *
+    * `partitionCols` preserves a partitioned layout (e.g. the `day=`
+    * directories [[writeEventsByDay]] lays down): rows repartition BY the
+    * partition columns so each directory's rows land in few tasks, and
+    * the rewrite keeps the directory structure — without it a compaction
+    * pass would flatten the layout and take directory pruning away from
+    * every downstream reader. A partition directory is the compaction
+    * quantum in that mode (never less than one file per directory).
+    *
+    * Writes to a FRESH path, by contract: in-place compaction is not
+    * atomic on a plain filesystem (Spark refuses to overwrite a path it
+    * is reading). Periodic jobs should compact to a sibling path and
+    * swap; the require makes that contract loud instead of a confusing
+    * runtime AnalysisException.
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Nil): (Int, Int) = {
+    require(new Path(inPath) != new Path(outPath),
+      "compact writes to a fresh path (in-place overwrite of the input " +
+        "is not atomic); compact to a sibling directory and swap")
     val fs = new Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listFiles(new Path(inPath), true)
@@ -55,9 +72,13 @@ object Writers {
       }
     }
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(inPath)
-      .repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    val df = spark.read.parquet(inPath)
+    val writer =
+      (if (partitionCols.isEmpty) df.repartition(nOut)
+       else df.repartition(nOut, partitionCols.map(col): _*))
+        .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.isEmpty) writer
+     else writer.partitionBy(partitionCols: _*)).parquet(outPath)
     (nFiles, nOut)
   }
 }

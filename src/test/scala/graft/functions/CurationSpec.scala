@@ -48,7 +48,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
-  test("p4 packing matches a driver-side greedy packer re-implementation") {
+  test("p4 packing matches a driver-side offset-quantized re-implementation") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(TextAnalysis.tokensCol(col("text"))).as("n_tokens"))
@@ -77,7 +77,8 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .toSet
     assert(got == expected)
     // every sequence but a shard's last is filled to at least the budget
-    // minus its largest doc (greedy never leaves that much slack)
+    // minus its largest doc (a sequence spans exactly PackBudget stream
+    // offsets, so only boundary overrun can shorten it)
     val lastSeq = got.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     val maxDoc = docs.map(_._2).max
     got.foreach { case (shard, seq, _, n) =>

@@ -8,12 +8,31 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 
 /** The write-side contract: date-partitioned layout prunes at the scan,
-  * and compaction reduces file count without touching content.
+  * and compaction reduces file count without touching content — or the
+  * layout, when told the partition columns.
   */
 class SinksSpec extends AnyFunSuite with SparkTestBase {
 
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    tmpDirs += d
+    d.toString
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete()
+  }
+
+  override def afterAll(): Unit = {
+    tmpDirs.foreach(rmTree)
+    super.afterAll()
+  }
+
   test("date-partitioned sink: day directories + partition-pruned reads") {
-    val out = Files.createTempDirectory("graft_sink_").toString
+    val out = tmp("graft_sink_")
     val events = Tables.events(spark, sfDir)
     Writers.writeEventsByDay(events, out)
     val dayDirs = new java.io.File(out).listFiles()
@@ -34,8 +53,8 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("compaction: fewer, size-targeted files, identical content") {
-    val src = Files.createTempDirectory("graft_small_").toString
-    val dst = Files.createTempDirectory("graft_compact_").toString
+    val src = tmp("graft_small_")
+    val dst = tmp("graft_compact_")
     // simulate the small-file problem: 32 tiny files (lineitem has
     // enough rows that no round-robin partition comes up empty)
     Tables.lineitem(spark, sfDir).repartition(32).write
@@ -51,5 +70,28 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     val a = spark.read.parquet(src).collect().map(_.toSeq).toSet
     val b = spark.read.parquet(dst).collect().map(_.toSeq).toSet
     assert(a === b)
+  }
+
+  test("partitioned compaction preserves the day layout and pruning") {
+    val src = tmp("graft_sink_")
+    val dst = tmp("graft_compact_")
+    Writers.writeEventsByDay(Tables.events(spark, sfDir), src)
+    Writers.compact(spark, src, dst,
+      targetFileBytes = 4L * 1024 * 1024, partitionCols = Seq("day"))
+    val srcDays = new java.io.File(src).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("day=")).sorted
+    val dstDays = new java.io.File(dst).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("day=")).sorted
+    assert(dstDays.toSeq === srcDays.toSeq,
+      "compaction must keep the partition directories")
+    val back = spark.read.parquet(dst)
+    val plan = back.filter(col("day") === srcDays.head.stripPrefix("day="))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"))
+    assert(back.count() === spark.read.parquet(src).count())
+    // in-place compaction is refused loudly, not half-done
+    assertThrows[IllegalArgumentException] {
+      Writers.compact(spark, src, src)
+    }
   }
 }
