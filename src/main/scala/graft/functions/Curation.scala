@@ -57,14 +57,22 @@ object Curation {
     * scale.
     */
   def p2HashSplit: Q = (s, dir) =>
-    Tables.documents(s, dir)
+    splitCounts(Tables.documents(s, dir)).orderBy(col("split"))
+
+  /** The split tag + counts as ONE transform over any (doc_id, n_chars)
+    * frame — the same definition runs the batch query (p2) and
+    * incrementally over a document stream (StreamingSpec): the tag is a
+    * stateless per-row expression, so an arriving document lands in its
+    * final split immediately and the aggregate just accumulates.
+    */
+  def splitCounts(docs: DataFrame): DataFrame =
+    docs
       .withColumn("split",
         when(pctBucket < TrainPct, "train")
           .when(pctBucket < ValPct, "val")
           .otherwise("test"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
-      .orderBy(col("split"))
 
   /** Per-source document quota for p3, derived from the source id's
     * numeric suffix so quotas differ across sources: 8 + 2·(n mod 7)

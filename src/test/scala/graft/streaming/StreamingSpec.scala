@@ -27,6 +27,7 @@ case class AsofEv(ts: Timestamp, user_id: Long, event_type: String,
 case class ClickState(tsMillis: Long)
 case class AsofOut(user_id: Long, event_id: Long, purchase_at: String,
     click_at: Option[String])
+case class DocRow(doc_id: Long, n_chars: Long)
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
@@ -303,6 +304,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
           Option(r.getString(3)))).toSet
       assert(got === want)
       assert(got.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("streaming hash split converges to the batch split counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => DocRow(r.getLong(0), r.getLong(1))).toSeq
+    val input = MemoryStream[DocRow]
+    // the SAME splitCounts transform that p2 runs in batch
+    val query = graft.functions.Curation.splitCounts(input.toDF())
+      .writeStream.format("memory").queryName("split_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val got = spark.table("split_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.functions.Curation
+        .splitCounts(docs.toDF("doc_id", "n_chars")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want)
+      assert(got.map(_._1) === Set("train", "val", "test"))
     } finally query.stop()
   }
 }
