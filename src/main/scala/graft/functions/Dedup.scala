@@ -54,6 +54,7 @@ object Dedup {
     "d4_simhash" -> d4Simhash,
     "d5_jaccard_pairs" -> d5JaccardPairs,
     "d6_dedup_groups" -> d6DedupGroups,
+    "d7_semantic_groups" -> d7SemanticGroups,
     "p1_corpus_curation" -> p1CorpusCuration
   )
 
@@ -320,6 +321,23 @@ object Dedup {
     out.orderBy(col("doc_id"))
   }
 
+  /** d7: SEMANTIC near-duplicate groups — the same transitive-closure
+    * step as d6, but over the embedding-cosine candidate pairs (s4's
+    * sign-LSH-bucketed, cosine-verified edges) instead of lexical LSH
+    * collisions. Exact dedup (d1), lexical groups (d6), and semantic
+    * groups (d7) are the three rungs of a production dedup ladder; the
+    * component resolver is one shared implementation. The DuckDB oracle
+    * recomputes reachability over the same cosine pairs with a recursive
+    * CTE.
+    */
+  def d7SemanticGroups: Q = (s, dir) =>
+    connectedComponents(
+      Tables.embeddings(s, dir).select(col("vec_id").as("doc_id")),
+      Similarity.nearDupPairs(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("group_id"))
+      .orderBy(col("vec_id"))
+
   /** p1: the end-to-end corpus-curation query a training-data run
     * actually executes over the document table, in production order —
     * quality gates FIRST (token count, stopword ratio, language-ID), then
@@ -505,6 +523,16 @@ object Dedup {
          |$edgesReachSql,
          |${grpSqlFrom("documents")}
          |SELECT doc_id, group_id FROM grp ORDER BY doc_id""".stripMargin,
+    // reachability over the embedding-cosine pairs (the SQL pair fragment
+    // lives beside its Spark twin in Similarity)
+    "d7_semantic_groups" ->
+      s"""WITH RECURSIVE ${Similarity.nearDupPairSql},
+         |$edgesReachSql,
+         |grp AS (SELECT e.vec_id AS doc_id,
+         |    least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS group_id
+         |  FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
+         |  GROUP BY e.vec_id)
+         |SELECT doc_id AS vec_id, group_id FROM grp ORDER BY vec_id""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_distinct(string_split_regex(trim(text), '\s+')),

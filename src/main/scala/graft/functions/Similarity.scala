@@ -90,7 +90,15 @@ object Similarity {
     *-mates, never all pairs; at 100 TB the bucket id is the shuffle key
     * and per-bucket candidate lists stay small.
     */
-  def s4EmbeddingNeardup: Q = (s, dir) => {
+  def s4EmbeddingNeardup: Q = (s, dir) =>
+    nearDupPairs(s, dir)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** The verified near-dup candidate pairs behind s4 — also the edge list
+    * of the semantic dedup-group query (Dedup d7).
+    */
+  private[functions] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val b = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("features"),
         bucketExpr(s, dir, NearDupPlanes).as("bucket"))
@@ -103,8 +111,6 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         Linalg.cosineCol(col("fa"), col("fb")).as("cos"))
       .where(col("cos") >= NearDupCosine)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** IVF-style ANN: vectors are partitioned into K coarse cells (the fixed
@@ -210,6 +216,28 @@ object Similarity {
   }
 
   // ---- DuckDB oracles ------------------------------------------------------
+
+  /** CTE list producing the near-dup candidate `pairs(doc_a, doc_b)` — the
+    * SQL twin of [[nearDupPairs]], consumed by the d7 semantic-group
+    * oracle's reachability closure (Dedup).
+    */
+  private[functions] val nearDupPairSql: String =
+    s"""pl AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
+       |  FROM embeddings WHERE vec_id < $NearDupPlanes),
+       |b AS (SELECT e.vec_id,
+       |  sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.pv) > 0
+       |    THEN (1::BIGINT << pid::INT) ELSE 0 END)::BIGINT AS bucket
+       |  FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
+       |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pairs AS (
+       |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+       |    SELECT bx.vec_id AS vec_a, by2.vec_id AS vec_b,
+       |      list_cosine_similarity(x.v, y.v) AS cos
+       |    FROM b bx JOIN b by2
+       |      ON bx.bucket = by2.bucket AND bx.vec_id < by2.vec_id
+       |    JOIN p x ON x.vec_id = bx.vec_id
+       |    JOIN p y ON y.vec_id = by2.vec_id)
+       |  WHERE cos >= $NearDupCosine)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "s1_cosine_topk" ->
