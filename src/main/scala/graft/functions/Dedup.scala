@@ -218,9 +218,8 @@ object Dedup {
     * old-vs-new join. Each round is a join + min-aggregate on the edge
     * list: at 100 TB that is two shuffles per round over O(n·cap) edges
     * (the d3 bucket cap bounds E), with rounds = graph diameter — the
-    * star edges keep duplicate components shallow. Production upgrade
-    * path at extreme diameters: large-star/small-star pointer doubling,
-    * same per-round shape.
+    * star edges keep duplicate components shallow. For extreme diameters
+    * the `pointerDoubling` flag makes rounds O(log d) — see below.
     *
     * @param docs  (doc_id) universe — isolated docs become singletons
     * @param pairs (doc_a, doc_b) undirected candidate edges
@@ -229,11 +228,24 @@ object Dedup {
     *              min of some set of ids reachable from the doc), e.g.
     *              [[repInitFromBuckets]]; docs absent from it start at
     *              their own id
+    * @param pointerDoubling add a label-of-label hop each round
+    *              (`label ← min(label, label(label))`, the pointer-jumping
+    *              half of large-star/small-star): influence distance
+    *              doubles per round, so a diameter-d component converges
+    *              in O(log d) rounds instead of O(d), at the price of one
+    *              extra small self-join of the label frame per round.
+    *              Correctness is unchanged — label(label) is reachable by
+    *              transitivity, labels stay monotone. Off by default:
+    *              d6/p1's star topology keeps diameters tiny, so the
+    *              extra join costs more than the rounds it saves; turn it
+    *              on for deep-chain graphs (spec'd on a chain the plain
+    *              loop's round cap cannot finish).
     * @return (doc_id, group_id = min reachable doc_id), persisted
     */
   private[graft] def connectedComponents(
       docs: DataFrame, pairs: DataFrame,
-      init: Option[DataFrame] = None): DataFrame = {
+      init: Option[DataFrame] = None,
+      pointerDoubling: Boolean = false): DataFrame = {
     // pre-partitioned on the per-round join key (dst = doc_id), so the
     // cached edge list is shuffled ONCE here and every propagation round
     // only exchanges the (much smaller) label side
@@ -281,12 +293,20 @@ object Dedup {
       val nbrMin = edges
         .join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("group_id")).as("nbr_min"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
             .as("group_id"))
-        .localCheckpoint(eager = true)
+      val next = (if (!pointerDoubling) stepped
+        else {
+          val hop = labels.select(col("doc_id").as("h_doc"),
+            col("group_id").as("h_grp"))
+          stepped.join(hop, col("group_id") === col("h_doc"), "left")
+            .select(col("doc_id"),
+              least(col("group_id"), coalesce(col("h_grp"), col("group_id")))
+                .as("group_id"))
+        }).localCheckpoint(eager = true)
       // labels only ever decrease → fixpoint iff the sum is unchanged
       val nextSum = labelStats(next)._1
       labels = next

@@ -150,6 +150,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.count() === 0L)
   }
 
+  test("pointer doubling finishes a chain the plain round cap cannot") {
+    import spark.implicits._
+    // a chain deeper than MaxPropagationRounds: plain propagation moves
+    // the min one hop per round and must hit the cap; the pointer-jumping
+    // variant doubles influence distance per round and converges in
+    // O(log d)
+    val n = Dedup.MaxPropagationRounds + 10L
+    val docs = (0L until n).toDF("doc_id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalArgumentException] {
+      Dedup.connectedComponents(docs, chain)
+    }
+    val groups = Dedup.connectedComponents(docs, chain,
+      pointerDoubling = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(groups.length === n)
+    assert(groups.forall(_._2 === 0L), "whole chain is one component")
+  }
+
   test("min-label propagation == union-find on random graphs") {
     import spark.implicits._
     // a handful of randomized graphs (each case runs a real multi-job
