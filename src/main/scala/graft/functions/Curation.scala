@@ -88,16 +88,22 @@ object Curation {
     * makes the sample content-stable: the kept set only changes where
     * documents were actually added or removed.
     */
-  def p3DomainMix: Q = (s, dir) => {
+  def p3DomainMix: Q = (s, dir) =>
+    domainMix(Tables.documents(s, dir)).orderBy(col("source"), col("rk"))
+
+  /** The quota-sample transform over any (source, doc_id) frame; the
+    * window orders by explicit keys (hash, id), so the result is
+    * invariant to the input's partitioning (spec'd).
+    */
+  def domainMix(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("hk"), col("doc_id"))
-    Tables.documents(s, dir)
+    docs
       .select(col("source"), col("doc_id"),
         hash60(col("doc_id").cast("string")).as("hk"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= quotaOf(col("source")))
       .select(col("source"), col("rk"), col("doc_id"))
-      .orderBy(col("source"), col("rk"))
   }
 
   /** p4: offset-quantized contiguous sequence packing — the shard's token
@@ -113,10 +119,17 @@ object Curation {
     * shard id, every shard packs independently in parallel, and no
     * global sort ever happens.
     */
-  def p4SeqPacking: Q = (s, dir) => {
+  def p4SeqPacking: Q = (s, dir) =>
+    seqPacking(Tables.documents(s, dir)).orderBy(col("shard"), col("seq"))
+
+  /** The packing transform over any (doc_id, text) frame; the per-shard
+    * cumulative sum orders by doc_id, so the result is invariant to the
+    * input's partitioning (spec'd).
+    */
+  def seqPacking(docs: DataFrame): DataFrame = {
     val before = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), (col("doc_id") / PackShard).cast("long").as("shard"),
         size(tokensCol(col("text"))).as("n_tokens"))
       .withColumn("seq",
@@ -124,7 +137,6 @@ object Curation {
           PackBudget).cast("long"))
       .groupBy(col("shard"), col("seq"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      .orderBy(col("shard"), col("seq"))
   }
 
   // ---- DuckDB oracles ------------------------------------------------------

@@ -48,6 +48,23 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("curation results are invariant to the input partitioning") {
+    // window-based ops are where accidental order-dependence hides: the
+    // same transform over a differently-partitioned input must produce
+    // identical rows (the windows order by explicit keys, never by
+    // arrival order)
+    val docs = Tables.documents(spark, sfDir)
+    val shuffled = docs.repartition(7, col("lang"))
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      Curation.splitCounts, Curation.domainMix, Curation.seqPacking
+    ).foreach { t =>
+      val a = t(docs).collect().map(_.toSeq).toSet
+      val b = t(shuffled).collect().map(_.toSeq).toSet
+      assert(a === b)
+      assert(a.nonEmpty)
+    }
+  }
+
   test("p4 packing matches a driver-side offset-quantized re-implementation") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
