@@ -248,10 +248,15 @@ object Dedup {
       pointerDoubling: Boolean = false): DataFrame = {
     // pre-partitioned on the per-round join key (dst = doc_id), so the
     // cached edge list is shuffled ONCE here and every propagation round
-    // only exchanges the (much smaller) label side
+    // only exchanges the (much smaller) label side. Symmetrization is an
+    // explode of each pair into both directions — ONE scan of `pairs`,
+    // where a unionAll of two selects would execute the (possibly
+    // expensive, e.g. d7's cosine-verify join) pair plan twice
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .persist()
     // localCheckpoint (eager) per round: the iterative plan references
@@ -289,34 +294,35 @@ object Dedup {
     var checksum = sum0
     var converged = n0 == 0L
     var round = 0
-    while (!converged && round < MaxPropagationRounds) {
-      val nbrMin = edges
-        .join(labels, col("dst") === col("doc_id"))
-        .groupBy(col("src")).agg(min(col("group_id")).as("nbr_min"))
-      val stepped = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(labels("doc_id"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
-            .as("group_id"))
-      val next = (if (!pointerDoubling) stepped
-        else {
-          val hop = labels.select(col("doc_id").as("h_doc"),
-            col("group_id").as("h_grp"))
-          stepped.join(hop, col("group_id") === col("h_doc"), "left")
-            .select(col("doc_id"),
-              least(col("group_id"), coalesce(col("h_grp"), col("group_id")))
-                .as("group_id"))
-        }).localCheckpoint(eager = true)
-      // labels only ever decrease → fixpoint iff the sum is unchanged
-      val nextSum = labelStats(next)._1
-      labels = next
-      converged = nextSum.compareTo(checksum) == 0
-      checksum = nextSum
-      round += 1
-    }
-    require(converged,
-      s"label propagation still changing after $MaxPropagationRounds rounds")
-    edges.unpersist()
+    try {
+      while (!converged && round < MaxPropagationRounds) {
+        val nbrMin = edges
+          .join(labels, col("dst") === col("doc_id"))
+          .groupBy(col("src")).agg(min(col("group_id")).as("nbr_min"))
+        val stepped = labels
+          .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+          .select(labels("doc_id"),
+            least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
+              .as("group_id"))
+        val next = (if (!pointerDoubling) stepped
+          else {
+            val hop = labels.select(col("doc_id").as("h_doc"),
+              col("group_id").as("h_grp"))
+            stepped.join(hop, col("group_id") === col("h_doc"), "left")
+              .select(col("doc_id"),
+                least(col("group_id"), coalesce(col("h_grp"), col("group_id")))
+                  .as("group_id"))
+          }).localCheckpoint(eager = true)
+        // labels only ever decrease → fixpoint iff the sum is unchanged
+        val nextSum = labelStats(next)._1
+        labels = next
+        converged = nextSum.compareTo(checksum) == 0
+        checksum = nextSum
+        round += 1
+      }
+      require(converged,
+        s"label propagation still changing after $MaxPropagationRounds rounds")
+    } finally edges.unpersist() // also on the divergence throw
     labels
   }
 
@@ -513,12 +519,15 @@ object Dedup {
       |  UNION
       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
-  /** Per-doc min-reachable group over an arbitrary doc universe. */
-  private def grpSqlFrom(src: String) =
-    s"""grp AS (SELECT d.doc_id,
-       |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS group_id
-       |  FROM $src d LEFT JOIN reach r ON r.src = d.doc_id
-       |  GROUP BY d.doc_id)""".stripMargin
+  /** Per-doc min-reachable group over an arbitrary doc universe; `idCol`
+    * names the universe's id column (documents: doc_id, embeddings:
+    * vec_id) — one closure formulation serves the d6/p1/d7 oracles.
+    */
+  private def grpSqlFrom(src: String, idCol: String = "doc_id") =
+    s"""grp AS (SELECT d.$idCol AS doc_id,
+       |    least(d.$idCol, coalesce(min(r.dst), d.$idCol)) AS group_id
+       |  FROM $src d LEFT JOIN reach r ON r.src = d.$idCol
+       |  GROUP BY d.$idCol)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -548,10 +557,7 @@ object Dedup {
     "d7_semantic_groups" ->
       s"""WITH RECURSIVE ${Similarity.nearDupPairSql},
          |$edgesReachSql,
-         |grp AS (SELECT e.vec_id AS doc_id,
-         |    least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS group_id
-         |  FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
-         |  GROUP BY e.vec_id)
+         |${grpSqlFrom("embeddings", "vec_id")}
          |SELECT doc_id AS vec_id, group_id FROM grp ORDER BY vec_id""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (SELECT doc_id,

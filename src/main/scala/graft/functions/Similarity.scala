@@ -217,9 +217,10 @@ object Similarity {
 
   // ---- DuckDB oracles ------------------------------------------------------
 
-  /** CTE list producing the near-dup candidate `pairs(doc_a, doc_b)` — the
-    * SQL twin of [[nearDupPairs]], consumed by the d7 semantic-group
-    * oracle's reachability closure (Dedup).
+  /** CTE list producing the near-dup candidate `pairs(doc_a, doc_b, cos)`
+    * — the SQL twin of [[nearDupPairs]], the ONE source of truth behind
+    * both the s4 oracle and the d7 semantic-group oracle's reachability
+    * closure (Dedup).
     */
   private[functions] val nearDupPairSql: String =
     s"""pl AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
@@ -230,7 +231,7 @@ object Similarity {
        |  FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
        |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |pairs AS (
-       |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+       |  SELECT vec_a AS doc_a, vec_b AS doc_b, cos FROM (
        |    SELECT bx.vec_id AS vec_a, by2.vec_id AS vec_b,
        |      list_cosine_similarity(x.v, y.v) AS cos
        |    FROM b bx JOIN b by2
@@ -276,21 +277,9 @@ object Similarity {
          |  WHERE q.vec_id < 5)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "s4_embedding_neardup" ->
-      s"""WITH pl AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
-         |  FROM embeddings WHERE vec_id < $NearDupPlanes),
-         |b AS (SELECT e.vec_id,
-         |  sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.pv) > 0
-         |    THEN (1::BIGINT << pid::INT) ELSE 0 END)::BIGINT AS bucket
-         |  FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
-         |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
-         |  SELECT bx.vec_id AS vec_a, by2.vec_id AS vec_b,
-         |    list_cosine_similarity(x.v, y.v) AS cos
-         |  FROM b bx JOIN b by2
-         |    ON bx.bucket = by2.bucket AND bx.vec_id < by2.vec_id
-         |  JOIN p x ON x.vec_id = bx.vec_id
-         |  JOIN p y ON y.vec_id = by2.vec_id)
-         |WHERE cos >= $NearDupCosine ORDER BY vec_a, vec_b""".stripMargin,
+      s"""WITH $nearDupPairSql
+         |SELECT doc_a AS vec_a, doc_b AS vec_b, round(cos, 4) AS cos
+         |FROM pairs ORDER BY vec_a, vec_b""".stripMargin,
     "s5_ann_recall" ->
       s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT vec_id + 1 AS cid, embedding::DOUBLE[] AS cv
