@@ -42,8 +42,44 @@ object Curation {
   def queries: Map[String, Q] = Map(
     "p2_hash_split" -> p2HashSplit,
     "p3_domain_mix" -> p3DomainMix,
-    "p4_seq_packing" -> p4SeqPacking
+    "p4_seq_packing" -> p4SeqPacking,
+    "p5_decontaminate" -> p5Decontaminate
   )
+
+  /** Eval-set boundary (doc_id < this = held-out) and overlap gram size
+    * for p5. 4-token grams on the fixture corpus surface real
+    * near-duplicate contamination without the 3-gram noise floor.
+    */
+  val EvalDocs = 20
+  val GramSize = 4
+
+  /** p5: decontamination — find training documents sharing any
+    * [[GramSize]]-token gram with a held-out eval document, the overlap
+    * check every pretraining run owes its eval sets. Per-doc gram sets
+    * are DISTINCT (array_distinct before explode), so the count per
+    * (train, eval) pair is the number of distinct shared grams. The eval
+    * side is tiny by construction (an eval set, not a corpus) and rides
+    * a broadcast hint: at 100 TB this is a broadcast semi-join pass over
+    * the training scan — no shuffle of the big side.
+    */
+  def p5Decontaminate: Q = (s, dir) => {
+    val toks = tokensCol(col("text"))
+    val grams = when(size(toks) >= GramSize,
+      transform(sequence(lit(1), size(toks) - (GramSize - 1)), i =>
+        concat_ws(" ", (0 until GramSize).map(j =>
+          element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(grams).as("gs"))
+    val ev = g.where(col("doc_id") < EvalDocs)
+      .select(col("doc_id").as("eval_doc"), explode(col("gs")).as("gram"))
+    val tr = g.where(col("doc_id") >= EvalDocs)
+      .select(col("doc_id").as("train_doc"), explode(col("gs")).as("gram"))
+    tr.join(broadcast(ev), Seq("gram"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
 
   /** Stable per-document percent bucket: md5 of the decimal doc_id.
     * Content-derived (not row-order-derived), so adding or removing other
@@ -159,6 +195,24 @@ object Curation {
          |  FROM documents)
          |WHERE rk <= 8 + 2 * (substr(source, 4)::INT % 7)
          |ORDER BY source, rk""".stripMargin,
+    "p5_decontaminate" -> {
+      val parts = (0 until GramSize).map(j => s"toks[i+$j]")
+        .mkString("||' '||")
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(
+         |    list_transform(generate_series(1, len(toks) - ${GramSize - 1}),
+         |      i -> $parts)) AS gs
+         |  FROM t),
+         |ev AS (SELECT doc_id AS eval_doc, unnest(gs) AS gram FROM g
+         |  WHERE doc_id < $EvalDocs),
+         |tr AS (SELECT doc_id AS train_doc, unnest(gs) AS gram FROM g
+         |  WHERE doc_id >= $EvalDocs)
+         |SELECT train_doc, eval_doc, count(*) AS n_shared
+         |FROM tr JOIN ev USING (gram)
+         |GROUP BY train_doc, eval_doc
+         |ORDER BY train_doc, eval_doc""".stripMargin
+    },
     "p4_seq_packing" ->
       s"""WITH t AS (SELECT doc_id, doc_id // $PackShard AS shard,
          |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens

@@ -43,8 +43,27 @@ object TextAnalysis {
     "t2_lang_guess" -> t2LangGuess,
     "t3_fingerprint" -> t3Fingerprint,
     "t4_bpe_tokens" -> t4BpeTokens,
-    "t5_repetition" -> t5Repetition
+    "t5_repetition" -> t5Repetition,
+    "t6_vocab" -> t6Vocab
   )
+
+  /** Vocabulary size for [[t6Vocab]] — below the fixture's distinct-token
+    * count so the top-k actually truncates.
+    */
+  val VocabSize = 20
+
+  /** Vocabulary induction: the corpus-global top-[[VocabSize]] tokens by
+    * frequency (ties broken alphabetically — deterministic), the first
+    * step of building a tokenizer from a corpus. GroupBy + limit compiles
+    * to map-side partial counts and TakeOrderedAndProject: one shuffle of
+    * per-mapper token partials, never a global sort of the corpus.
+    */
+  def t6Vocab: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(tokensCol(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(VocabSize)
 
   /** Within-document repetition score: the fraction of duplicated word
     * 3-shingles (1 − distinct/total), the standard boilerplate/repetition
@@ -220,6 +239,11 @@ object TextAnalysis {
          |SELECT doc_id, len(bpe) AS n_bpe,
          |  len(list_distinct(bpe)) AS n_bpe_uniq
          |FROM b ORDER BY doc_id""".stripMargin,
+    "t6_vocab" ->
+      s"""SELECT tok, count(*) AS n
+         |FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents)
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT $VocabSize""".stripMargin,
     "t5_repetition" ->
       s"""WITH $toksSql,
          |s AS (SELECT doc_id,
