@@ -63,22 +63,42 @@ object Curation {
     * the training scan — no shuffle of the big side.
     */
   def p5Decontaminate: Q = (s, dir) => {
-    val toks = tokensCol(col("text"))
-    val grams = when(size(toks) >= GramSize,
-      transform(sequence(lit(1), size(toks) - (GramSize - 1)), i =>
-        concat_ws(" ", (0 until GramSize).map(j =>
-          element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
-    val g = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(grams).as("gs"))
-    val ev = g.where(col("doc_id") < EvalDocs)
-      .select(col("doc_id").as("eval_doc"), explode(col("gs")).as("gram"))
-    val tr = g.where(col("doc_id") >= EvalDocs)
-      .select(col("doc_id").as("train_doc"), explode(col("gs")).as("gram"))
+    val base = Tables.documents(s, dir)
+    // the doc_id range filters sit BEFORE gram building, so they push to
+    // the parquet scan — the eval branch reads ~EvalDocs rows, not the
+    // corpus, and neither branch tokenizes the other's rows
+    val ev = distinctGrams(base.where(col("doc_id") < EvalDocs))
+      .withColumnRenamed("doc_id", "eval_doc")
+    val tr = distinctGrams(base.where(col("doc_id") >= EvalDocs))
+      .withColumnRenamed("doc_id", "train_doc")
     tr.join(broadcast(ev), Seq("gram"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
+  /** Distinct [[GramSize]]-token grams per document as (doc_id, gram)
+    * rows, built STRUCTURALLY: posexplode tokenizes each document
+    * exactly once, `lead` windows over (doc, position) assemble the
+    * grams, and a distinct dedups within documents. The array-lambda
+    * formulation (`transform(sequence(..), i => concat_ws(element_at(
+    * toks, i+j)..))`) looks natural but re-evaluates the captured `toks`
+    * split expression once per element_at — four regex splits of the
+    * full text PER GRAM (measured 25.6s at sf0.1 vs ~1s here; same bug
+    * class as the bucketedPairs re-sort, see SCALE.md).
+    */
+  private def distinctGrams(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"),
+        posexplode(tokensCol(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), concat_ws(" ",
+        col("tok") +: (1 until GramSize).map(j =>
+          lead(col("tok"), j).over(w)): _*).as("gram"),
+        lead(col("tok"), GramSize - 1).over(w).isNotNull.as("full"))
+      .where(col("full"))
+      .select(col("doc_id"), col("gram"))
+      .distinct()
   }
 
   /** Stable per-document percent bucket: md5 of the decimal doc_id.
