@@ -31,7 +31,8 @@ object Similarity {
     "s2_lsh_buckets" -> s2LshBuckets,
     "s3_ann_ivf" -> s3AnnIvf,
     "s4_embedding_neardup" -> s4EmbeddingNeardup,
-    "s5_ann_recall" -> s5AnnRecall
+    "s5_ann_recall" -> s5AnnRecall,
+    "s6_quant_recall" -> s6QuantRecall
   )
 
   /** Plane count for the near-dup bucketing — coarser than [[NumPlanes]]
@@ -215,6 +216,83 @@ object Similarity {
       .orderBy(col("np"))
   }
 
+  /** Embedding dimensionality of the fixture corpus (shared with the
+    * oracle's generate_series) and the int8 code range for s6.
+    */
+  val Dim = 64
+  val QuantLevels = 255
+
+  /** s6: int8 scalar quantization of the embedding column — the standard
+    * 4× compression an ANN index applies before storing 100 TB of
+    * vectors — with its quality measured the same way s5 measures the
+    * IVF index: recall of the quantized brute-force top-5 against the
+    * exact top-5.
+    *
+    * Two passes, both scale-shaped: (1) per-dimension min/max — a
+    * posexplode into (dim, x) rows + a [[Dim]]-key partial aggregate (one
+    * shuffle of per-mapper 64-row partials); (2) quantize/dequantize as
+    * per-row expressions against the collected stats embedded as plan
+    * literals (64 doubles — the same literal-broadcast pattern as the
+    * centroid assignment). Codes are exact integers in doubles, so
+    * `code_sum` is an order-independent exact check; `mae_micro` (mean
+    * per-value absolute reconstruction error, ×10⁶, each value rounded to
+    * an integer BEFORE averaging) is exact for the same reason.
+    */
+  def s6QuantRecall: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val stats = e
+      .select(posexplode(col("features")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("dim"))
+      .collect()
+    require(stats.length == Dim, s"expected $Dim dims, got ${stats.length}")
+    val mnL = typedlit(stats.map(_.getDouble(1)))
+    val mxL = typedlit(stats.map(_.getDouble(2)))
+    def mnAt(i: org.apache.spark.sql.Column) = element_at(mnL, i + 1)
+    def mxAt(i: org.apache.spark.sql.Column) = element_at(mxL, i + 1)
+    val quantized = e.select(
+      col("vec_id"),
+      col("features"),
+      transform(col("features"), (x, i) =>
+        when(mxAt(i) === mnAt(i), lit(0.0))
+          .otherwise(round((x - mnAt(i)) / (mxAt(i) - mnAt(i)) * QuantLevels,
+            0))).as("codes"))
+      .select(col("vec_id"), col("features"), col("codes"),
+        transform(col("codes"), (c, i) =>
+          mnAt(i) + c * ((mxAt(i) - mnAt(i)) / lit(QuantLevels.toDouble)))
+          .as("dq"))
+    val meas = quantized.agg(
+      sum(aggregate(col("codes"), lit(0.0), _ + _)).cast("long")
+        .as("code_sum"),
+      round(sum(aggregate(
+        zip_with(col("features"), col("dq"),
+          (a, b) => round(abs(a - b) * lit(1000000), 0)),
+        lit(0.0), _ + _)) / (count(lit(1)) * Dim), 2).as("mae_micro"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    def top5(frame: DataFrame, vcol: String): DataFrame = {
+      val q = frame.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col(vcol).as("qv"))
+      val c = frame.select(col("vec_id").as("nid"), col(vcol).as("nv"))
+      q.crossJoin(c)
+        .where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("qid"), col("nid"))
+    }
+    val exact = top5(e, "features")
+    val approx = top5(quantized, "dq")
+    approx.join(exact, Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(meas)
+      .select(col("code_sum"), col("mae_micro"),
+        col("n_hit"), col("n_exact"),
+        round(col("n_hit") / col("n_exact"), 6).as("recall"))
+  }
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   /** CTE list producing the near-dup candidate `pairs(doc_a, doc_b, cos)`
@@ -280,6 +358,42 @@ object Similarity {
       s"""WITH $nearDupPairSql
          |SELECT doc_a AS vec_a, doc_b AS vec_b, round(cos, 4) AS cos
          |FROM pairs ORDER BY vec_a, vec_b""".stripMargin,
+    "s6_quant_recall" ->
+      s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT vec_id, i, v[i] AS x
+         |  FROM p CROSS JOIN generate_series(1, $Dim) t(i)),
+         |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY i),
+         |d AS (SELECT vec_id, i, x, mn, mx,
+         |    CASE WHEN mx = mn THEN 0.0
+         |      ELSE round((x - mn) / (mx - mn) * $QuantLevels, 0) END AS code
+         |  FROM x JOIN st USING (i)),
+         |dd AS (SELECT vec_id, i, x, code,
+         |    mn + code * ((mx - mn) / ${QuantLevels.toDouble}) AS dq FROM d),
+         |dv AS (SELECT vec_id, list(dq ORDER BY i) AS v FROM dd
+         |  GROUP BY vec_id),
+         |m AS (SELECT sum(code)::BIGINT AS code_sum,
+         |    round(avg(round(abs(x - dq) * 1000000, 0)), 2) AS mae_micro
+         |  FROM dd),
+         |exact AS (SELECT qid, nid FROM (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_distance(q.v, n.v), n.vec_id) AS rank
+         |  FROM p q JOIN p n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5) WHERE rank <= 5),
+         |approx AS (SELECT qid, nid FROM (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_distance(q.v, n.v), n.vec_id) AS rank
+         |  FROM dv q JOIN dv n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5) WHERE rank <= 5),
+         |h AS (SELECT count(*) AS n_hit FROM approx
+         |  WHERE EXISTS (SELECT 1 FROM exact e
+         |    WHERE e.qid = approx.qid AND e.nid = approx.nid)),
+         |ne AS (SELECT count(*) AS n_exact FROM exact)
+         |SELECT code_sum, mae_micro, n_hit::BIGINT AS n_hit,
+         |  n_exact::BIGINT AS n_exact,
+         |  round(n_hit * 1.0 / n_exact, 6) AS recall
+         |FROM m CROSS JOIN h CROSS JOIN ne""".stripMargin,
     "s5_ann_recall" ->
       s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT vec_id + 1 AS cid, embedding::DOUBLE[] AS cv

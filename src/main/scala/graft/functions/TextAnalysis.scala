@@ -44,7 +44,9 @@ object TextAnalysis {
     "t3_fingerprint" -> t3Fingerprint,
     "t4_bpe_tokens" -> t4BpeTokens,
     "t5_repetition" -> t5Repetition,
-    "t6_vocab" -> t6Vocab
+    "t6_vocab" -> t6Vocab,
+    "t7_quality_gate" -> t7QualityGate,
+    "t8_boilerplate" -> t8Boilerplate
   )
 
   /** Vocabulary size for [[t6Vocab]] — below the fixture's distinct-token
@@ -82,6 +84,65 @@ object TextAnalysis {
             size(array_distinct(col("sh"))).cast("double") / size(col("sh")))
           .otherwise(lit(0.0)), 6).as("dup_ratio"))
       .orderBy(col("doc_id"))
+
+  /** t7 gate thresholds — calibrated on the sf0.01 fixture so every rule
+    * fires (322 keep / 99 low_diversity / 43 too_short / 36 no_stopwords):
+    * a doc is dropped by the FIRST failing rule, the short-circuit shape
+    * every production quality cascade uses (cheap rules first, so most
+    * drops never pay for the expensive rules).
+    */
+  val MinTokens = 20
+  val MinUniqRatio = 0.35
+  val MinStopRatio = 0.02
+
+  /** Quality-rule cascade (Gopher-style): per-document keep/drop verdict
+    * with the first-failing rule as the reason. Pure per-row expressions
+    * over one tokenization — no shuffle, embarrassingly parallel; the
+    * downstream filter is `verdict = 'keep'`.
+    */
+  def t7QualityGate: Q = (s, dir) =>
+    withQualityVerdict(Tables.documents(s, dir)
+      .withColumn("toks", tokensCol(col("text"))))
+      .select(col("doc_id"), col("verdict"))
+      .orderBy(col("doc_id"))
+
+  /** Adds a `verdict` column to a frame carrying a `toks` array — shared
+    * by t7 and the streaming quality gate (one definition runs batch and
+    * incremental: the verdict is stateless per-row, so a document's fate
+    * is sealed on arrival).
+    */
+  def withQualityVerdict(df: DataFrame): DataFrame = {
+    val n = size(col("toks")).cast("double")
+    df.withColumn("verdict",
+      when(size(col("toks")) < MinTokens, "too_short")
+        .when(size(array_distinct(col("toks"))) / n < MinUniqRatio,
+          "low_diversity")
+        .when(size(filter(col("toks"), t => t.isin(stopwords: _*))) / n
+          < MinStopRatio, "no_stopwords")
+        .otherwise("keep"))
+  }
+
+  /** Boilerplate-gram output size and document-frequency floor for t8. */
+  val BoilerplateTop = 50
+  val MinDf = 3
+
+  /** Cross-document boilerplate detection: the top-[[BoilerplateTop]]
+    * word 3-shingles by DOCUMENT frequency (distinct per doc, so a gram
+    * repeated inside one document counts once — within-doc repetition is
+    * t5's job; this finds template text shared ACROSS documents, the
+    * C4-style boilerplate-removal signal). GroupBy + limit compiles to
+    * map-side partial counts and TakeOrderedAndProject — one shuffle of
+    * per-mapper gram partials, never a global sort of the gram stream.
+    */
+  def t8Boilerplate: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("toks", tokensCol(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesCol(col("toks")))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= MinDf)
+      .orderBy(col("df").desc, col("gram"))
+      .limit(BoilerplateTop)
 
   /** BPE-ish subword boundary: letter runs, digit runs, and single
     * non-alphanumeric marks — the regex twin of a byte-pair pre-tokenizer
@@ -244,6 +305,25 @@ object TextAnalysis {
          |FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
          |  FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT $VocabSize""".stripMargin,
+    "t7_quality_gate" ->
+      s"""WITH $toksSql
+         |SELECT doc_id, CASE
+         |  WHEN len(toks) < $MinTokens THEN 'too_short'
+         |  WHEN len(list_distinct(toks)) * 1.0 / len(toks) < $MinUniqRatio
+         |    THEN 'low_diversity'
+         |  WHEN len(list_filter(toks, x -> x IN ${inListSql(stopwords)}))
+         |    * 1.0 / len(toks) < $MinStopRatio THEN 'no_stopwords'
+         |  ELSE 'keep' END AS verdict
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "t8_boilerplate" ->
+      s"""WITH $toksSql,
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(generate_series(1, len(toks) - 2),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+         |  FROM t)
+         |SELECT gram, count(*) AS df FROM g
+         |GROUP BY gram HAVING count(*) >= $MinDf
+         |ORDER BY df DESC, gram LIMIT $BoilerplateTop""".stripMargin,
     "t5_repetition" ->
       s"""WITH $toksSql,
          |s AS (SELECT doc_id,

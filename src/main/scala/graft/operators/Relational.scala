@@ -41,7 +41,8 @@ object Relational {
     "q17_cube_quantity" -> q17CubeQuantity,
     "q18_nationkeys_except" -> q18NationkeysExcept,
     "q19_above_brand_avg" -> q19AboveBrandAvg,
-    "q20_grouping_sets" -> q20GroupingSets
+    "q20_grouping_sets" -> q20GroupingSets,
+    "q21_pivot" -> q21Pivot
   )
 
   /** TPC-H Q1 shape: single-table scan + hash agg with partial aggregation;
@@ -302,6 +303,26 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Pivot value list — declared, not discovered: passing explicit values
+    * to `pivot` skips the extra distinct-collection job Spark otherwise
+    * runs, the difference between one pass and two over a 100 TB fact
+    * table.
+    */
+  val OrderPriorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** PIVOT: yearly revenue spread across order priorities as columns.
+    * Compiles to ONE hash aggregate over the fact table (pivot_first
+    * partials per priority) — same single-shuffle shape as the DuckDB
+    * twin's conditional-aggregation CASE columns.
+    */
+  def q21Pivot: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderpriority", OrderPriorities)
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("o_year"))
+
   /** EXCEPT (set difference): nations with customers but no suppliers. */
   def q18NationkeysExcept: Q = (s, dir) =>
     Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
@@ -472,6 +493,16 @@ object Relational {
         | count(*) AS n_lines
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q21_pivot" -> {
+      val cells = OrderPriorities.map(p =>
+        s"""  round(sum(CASE WHEN o_orderpriority = '$p'
+           |    THEN o_totalprice END), 2) AS "$p"""".stripMargin)
+        .mkString(",\n")
+      s"""SELECT year(o_orderdate)::INT AS o_year,
+         |$cells
+         |FROM orders
+         |GROUP BY o_year ORDER BY o_year""".stripMargin
+    }
   )
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Invariants of the quality gate (t7), boilerplate detection (t8), the
+  * int8 quantization measurement (s6), and the pivot (q21) — the semantics
+  * the sf0.001 smoke sweep and the sf0.01 oracle can't see on their own.
+  */
+class TextQualitySpec extends AnyFunSuite with SparkTestBase {
+
+  test("t7 cascade: first failing rule wins, keep means every rule passed") {
+    import spark.implicits._
+    // 5 tokens (fails too_short) that are also all identical (would fail
+    // low_diversity) and stopword-free (would fail no_stopwords): the
+    // verdict must be the FIRST rule, too_short
+    val docs = Seq(
+      1L -> Seq.fill(5)("zap").mkString(" "),
+      // 40 tokens, all the same word: passes length, fails diversity —
+      // and has no stopwords, so the cascade must stop at low_diversity
+      2L -> Seq.fill(40)("zap").mkString(" "),
+      // 40 distinct stopword-free tokens: fails only no_stopwords
+      3L -> (1 to 40).map(i => s"w$i").mkString(" "),
+      // 40 distinct tokens with enough stopwords: keep
+      4L -> ((1 to 38).map(i => s"w$i") ++ Seq("the", "a")).mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .withQualityVerdict(docs.withColumn("toks",
+        TextAnalysis.tokensCol(col("text"))))
+      .select(col("doc_id"), col("verdict"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "too_short", 2L -> "low_diversity",
+      3L -> "no_stopwords", 4L -> "keep"))
+  }
+
+  test("t8 counts DOCUMENT frequency: within-doc repeats count once") {
+    val rows = TextAnalysis.t8Boilerplate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // df is a count of documents, so no gram's df can exceed the corpus
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.forall(r => r.getLong(1) >= TextAnalysis.MinDf &&
+      r.getLong(1) <= nDocs))
+    // ordering contract: non-increasing df, gram ascending within a df tie
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sliding(2).forall {
+      case Array((d1, g1), (d2, g2)) => d1 > d2 || (d1 == d2 && g1 < g2)
+      case _ => true
+    })
+    // distinct-per-doc semantics, independently: the fixture's most
+    // frequent gram's df equals the number of documents containing it
+    val (topDf, topGram) = pairs.head
+    val containing = Tables.documents(spark, sfDir)
+      .withColumn("toks", TextAnalysis.tokensCol(col("text")))
+      .where(array_contains(
+        TextAnalysis.shinglesCol(col("toks")), topGram))
+      .count()
+    assert(containing == topDf)
+  }
+
+  test("s6 quantization: codes bound the error, recall is sane") {
+    val r = Similarity.s6QuantRecall(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val codeSum = row.getLong(0)
+    val mae = row.getDouble(1)
+    val nHit = row.getLong(2)
+    val nExact = row.getLong(3)
+    val recall = row.getDouble(4)
+    val n = Tables.embeddings(spark, sfDir).count()
+    // codes are in [0, 255] per value, so their sum is bounded by N·Dim·255
+    assert(codeSum > 0 && codeSum <= n * Similarity.Dim * 255L)
+    // scalar quantization error is at most half a step of the widest
+    // dimension; the fixture's per-dim ranges are < 4.0, so half a step
+    // is < 4/255/2 ≈ 0.0078 = 7843 micro
+    assert(mae > 0 && mae < 8000)
+    assert(nExact == 25 && nHit <= nExact)
+    // int8 reconstruction barely moves a 64-dim euclidean ranking
+    assert(recall >= 0.8 && recall <= 1.0)
+  }
+
+  test("q21 pivot cells equal the equivalent group-by aggregation") {
+    val pivoted = Relational.q21Pivot(spark, sfDir).collect()
+    val years = pivoted.map(_.getInt(0))
+    assert(years.distinct.length == years.length && years.nonEmpty)
+    // independently aggregate one (year, priority) cell the long way
+    val expected = Tables.orders(spark, sfDir)
+      .where(year(col("o_orderdate")) === years.head &&
+        col("o_orderpriority") === Relational.OrderPriorities.head)
+      .agg(round(sum(col("o_totalprice")), 2)).collect().head
+    val cell = pivoted.find(_.getInt(0) == years.head).get.get(1)
+    assert((expected.isNullAt(0) && cell == null) ||
+      cell == expected.getDouble(0))
+  }
+}
