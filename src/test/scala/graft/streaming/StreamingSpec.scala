@@ -28,6 +28,7 @@ case class ClickState(tsMillis: Long)
 case class AsofOut(user_id: Long, event_id: Long, purchase_at: String,
     click_at: Option[String])
 case class DocRow(doc_id: Long, n_chars: Long)
+case class TextRow(doc_id: Long, text: String)
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
@@ -331,6 +332,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       assert(got === want)
       assert(got.map(_._1) === Set("train", "val", "test"))
+    } finally query.stop()
+  }
+
+  test("streaming quality gate converges to the batch verdict histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => TextRow(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TextRow]
+    // the SAME withQualityVerdict transform t7 runs in batch — the
+    // verdict is a stateless per-row expression, so it streams as-is
+    val query = graft.functions.TextAnalysis
+      .withQualityVerdict(input.toDF().withColumn("toks",
+        graft.functions.TextAnalysis.tokensCol(col("text"))))
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val got = spark.table("gate_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val want = graft.functions.TextAnalysis
+        .withQualityVerdict(docs.toDF("doc_id", "text").withColumn("toks",
+          graft.functions.TextAnalysis.tokensCol(col("text"))))
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === want)
+      assert(got.values.sum == docs.length)
     } finally query.stop()
   }
 }
