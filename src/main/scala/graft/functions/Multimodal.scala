@@ -9,46 +9,225 @@ import graft.sources.Tables
   * engine as opaque `binary` columns with typed metadata; decode /
   * feature-extract run as batched per-partition transforms.
   *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * DETERMINISTIC FAKE (clearly marked): it derives pseudo-metadata from the
-  * bytes. Everything around it — the binary column representation, the
-  * schema of the decoded struct, the mapPartitions batch shape (one codec
-  * init per partition, streamed rows), and the partitioning — is the real
-  * production plumbing a codec would drop into.
+  * Header decode is REAL byte arithmetic against the public format specs:
+  * PNG signature + IHDR (big-endian dims), JPEG segment walk to SOF
+  * (big-endian dims, fill-byte tolerant), BMP BITMAPINFOHEADER
+  * (little-endian, negative height = top-down), GIF logical screen
+  * descriptor (little-endian). No codec library is needed for metadata —
+  * only pixel decode would need one, and the container ships none, so the
+  * per-item `feature` embedding remains a clearly-marked deterministic
+  * placeholder (a rolling byte hash standing in for a vision encoder).
   */
 object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Typed decode result — the schema a real codec would emit. */
+  /** Typed decode result — format/width/height/magic are genuinely parsed
+    * from the payload bytes; `feature` is the placeholder embedding.
+    * width/height are -1 when the format is unknown or the header is
+    * truncated; magic is the leading byte (-1 for empty payloads).
+    */
   final case class MediaMeta(
       id: Long,
       nBytes: Int,
       format: String,
       width: Int,
       height: Int,
+      magic: Int,
       feature: Array[Float])
 
-  /** STUB decode — deterministic fake standing in for an image/audio codec
-    * (no codec libraries in this environment). Real implementation swaps
-    * ONLY this function; the Spark-side plumbing is unchanged.
-    */
-  def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = bytes.length
-    val magic = if (n > 0) bytes(0) & 0xff else 0
-    val format = magic % 3 match {
-      case 0 => "png"
-      case 1 => "jpeg"
-      case _ => "webp"
+  // ---------------------------------------------------------------- sniff
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def startsWith(b: Array[Byte], sig: Array[Int]): Boolean =
+    b.length >= sig.length && {
+      var i = 0
+      while (i < sig.length && (b(i) & 0xff) == sig(i)) i += 1
+      i == sig.length
     }
-    // fake dimensions + an 8-dim "embedding" from a rolling byte hash
+
+  /** Magic-byte format sniff (prefix-only, mirrored exactly by the DuckDB
+    * oracle's hex-slice CASE): png / jpeg / bmp / gif / unknown.
+    */
+  def sniffFormat(b: Array[Byte]): String =
+    if (startsWith(b, PngSig)) "png"
+    else if (startsWith(b, Array(0xff, 0xd8))) "jpeg"
+    else if (startsWith(b, Array(0x42, 0x4d))) "bmp"
+    else if (startsWith(b, Array(0x47, 0x49, 0x46, 0x38, 0x37, 0x61)) ||
+      startsWith(b, Array(0x47, 0x49, 0x46, 0x38, 0x39, 0x61))) "gif"
+    else "unknown"
+
+  // ------------------------------------------------------- byte accessors
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def beU16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def beU32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def leU16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def leI32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  // ------------------------------------------------------ dimension parse
+
+  /** PNG: 8-byte signature, then the IHDR chunk (4-byte length, "IHDR",
+    * width/height as big-endian u32 at offsets 16/20).
+    */
+  private def pngDims(b: Array[Byte]): (Int, Int) =
+    if (b.length < 24 || !(u8(b, 12) == 'I' && u8(b, 13) == 'H' &&
+      u8(b, 14) == 'D' && u8(b, 15) == 'R')) (-1, -1)
+    else {
+      val w = beU32(b, 16); val h = beU32(b, 20)
+      if (w > Int.MaxValue || h > Int.MaxValue) (-1, -1)
+      else (w.toInt, h.toInt)
+    }
+
+  /** JPEG: walk marker segments from SOI until a start-of-frame marker
+    * (C0–CF except C4/C8/CC); height/width are big-endian u16 at SOF
+    * payload offsets 3/5. Fill bytes (repeated FF) before a marker and
+    * standalone markers (RST0–7, TEM) are skipped per the spec.
+    */
+  private def jpegDims(b: Array[Byte]): (Int, Int) = {
+    val n = b.length
+    var i = 2
+    while (i + 1 < n) {
+      if (u8(b, i) != 0xff) return (-1, -1) // lost marker sync
+      var j = i
+      while (j < n && u8(b, j) == 0xff) j += 1 // fill bytes
+      if (j >= n) return (-1, -1)
+      val marker = b(j) & 0xff
+      val isSof = marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+      if (isSof) {
+        return if (j + 7 < n) (beU16(b, j + 6), beU16(b, j + 4)) else (-1, -1)
+      } else if (marker == 0xd9) return (-1, -1) // EOI before any SOF
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 1
+      else {
+        if (j + 2 >= n) return (-1, -1)
+        val len = beU16(b, j + 1)
+        if (len < 2) return (-1, -1)
+        i = j + 1 + len
+      }
+    }
+    (-1, -1)
+  }
+
+  /** BMP: BITMAPINFOHEADER little-endian i32 dims at offsets 18/22; a
+    * negative height means top-down row order — magnitude is the height.
+    */
+  private def bmpDims(b: Array[Byte]): (Int, Int) =
+    if (b.length < 26) (-1, -1)
+    else (leI32(b, 18), math.abs(leI32(b, 22)))
+
+  /** GIF: logical screen descriptor little-endian u16 dims at offsets 6/8. */
+  private def gifDims(b: Array[Byte]): (Int, Int) =
+    if (b.length < 10) (-1, -1) else (leU16(b, 6), leU16(b, 8))
+
+  /** (width, height) parsed from real header bytes; (-1, -1) for unknown
+    * formats or truncated headers.
+    */
+  def parseDims(format: String, b: Array[Byte]): (Int, Int) = format match {
+    case "png"  => pngDims(b)
+    case "jpeg" => jpegDims(b)
+    case "bmp"  => bmpDims(b)
+    case "gif"  => gifDims(b)
+    case _      => (-1, -1)
+  }
+
+  /** PLACEHOLDER embedding — a rolling byte hash standing in for a vision
+    * encoder (no ML codec in this environment). Everything metadata-side
+    * is real; only this vector is fake, and it is deterministic.
+    */
+  def featureOf(bytes: Array[Byte]): Array[Float] = {
     var h = 1125899906842597L
     var i = 0
-    while (i < n) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
-    val feature = Array.tabulate(8)(k =>
-      (((h >>> (k * 8)) & 0xff).toFloat / 255f))
-    MediaMeta(id, n, format, 64 + magic % 192, 64 + (magic * 7) % 192, feature)
+    while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+    Array.tabulate(8)(k => (((h >>> (k * 8)) & 0xff).toFloat / 255f))
   }
+
+  /** Real header decode: sniff the format from magic bytes, parse the
+    * dimensions from the header, record the leading byte. Replaces the
+    * round-1..4 deterministic-fake `decodeStub`.
+    */
+  def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val fmt = sniffFormat(bytes)
+    val (w, h) = parseDims(fmt, bytes)
+    val magic = if (bytes.length > 0) bytes(0) & 0xff else -1
+    MediaMeta(id, bytes.length, fmt, w, h, magic, featureOf(bytes))
+  }
+
+  // ------------------------------------------------------ header builders
+
+  /** Minimal REAL 33-byte PNG header stream: signature + IHDR chunk
+    * (8-bit RGBA, real CRC32 over type+data). Parsers that check the
+    * chunk CRC accept it.
+    */
+  def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(33)
+    PngSig.foreach(out.write)
+    val chunk = new java.io.ByteArrayOutputStream(17)
+    "IHDR".foreach(c => chunk.write(c))
+    Seq(w, h).foreach { v =>
+      chunk.write((v >>> 24) & 0xff); chunk.write((v >>> 16) & 0xff)
+      chunk.write((v >>> 8) & 0xff); chunk.write(v & 0xff)
+    }
+    Seq(8, 6, 0, 0, 0).foreach(chunk.write) // depth, RGBA, deflate, none, none
+    val body = chunk.toByteArray
+    Seq(0, 0, 0, 13).foreach(out.write) // IHDR data length
+    out.write(body)
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    val c = crc.getValue
+    Seq(24, 16, 8, 0).foreach(s => out.write(((c >>> s) & 0xff).toInt))
+    out.toByteArray
+  }
+
+  /** Minimal REAL 50-byte JPEG: SOI + JFIF APP0 + a COM segment (so the
+    * parser's segment walk is exercised) + baseline SOF0 + EOI.
+    */
+  def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(50)
+    def bytes(vs: Int*): Unit = vs.foreach(out.write)
+    bytes(0xff, 0xd8) // SOI
+    bytes(0xff, 0xe0, 0x00, 0x10) // APP0, len 16
+    "JFIF".foreach(c => out.write(c))
+    bytes(0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    bytes(0xff, 0xfe, 0x00, 0x07) // COM, len 7
+    "graft".foreach(c => out.write(c))
+    bytes(0xff, 0xc0, 0x00, 0x11, 0x08) // SOF0, len 17, precision 8
+    bytes((h >>> 8) & 0xff, h & 0xff, (w >>> 8) & 0xff, w & 0xff)
+    bytes(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    bytes(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Minimal REAL 54-byte BMP: BITMAPFILEHEADER + BITMAPINFOHEADER
+    * (24-bit, bottom-up), no pixel data.
+    */
+  def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(54)
+    def le32(v: Int): Unit = Seq(0, 8, 16, 24).foreach(s => out.write((v >>> s) & 0xff))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write('B'); out.write('M')
+    le32(54); le32(0); le32(54) // file size, reserved, pixel offset
+    le32(40); le32(w); le32(h) // info header size, width, height
+    le16(1); le16(24) // planes, bpp
+    (0 until 6).foreach(_ => le32(0)) // compression..importantColors
+    out.toByteArray
+  }
+
+  /** Minimal REAL 14-byte GIF89a: header + logical screen descriptor +
+    * trailer.
+    */
+  def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(14)
+    "GIF89a".foreach(c => out.write(c))
+    Seq(w & 0xff, (w >>> 8) & 0xff, h & 0xff, (h >>> 8) & 0xff).foreach(out.write)
+    Seq(0x00, 0x00, 0x00, 0x3b).foreach(out.write)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------ pipelines
 
   /** The batched decode pipeline: binary column in, typed struct out.
     * mapPartitions so a real codec initializes once per partition (the
@@ -61,8 +240,8 @@ object Multimodal {
     media.select(col("id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real codec: init decoder context here, once per partition
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        // real pixel codec would init its decoder context here, once
+        it.map { case (id, bytes) => decode(id, bytes) }
       }
   }
 
@@ -99,7 +278,7 @@ object Multimodal {
             val from = f * FrameSize
             val until = math.min(from + FrameSize, bytes.length)
             val fb = java.util.Arrays.copyOfRange(bytes, from, until)
-            FrameMeta(id, f, fb.length, decodeStub(id, fb).feature)
+            FrameMeta(id, f, fb.length, featureOf(fb))
           }
         }
       }
@@ -122,8 +301,8 @@ object Multimodal {
   }
 
   /** Fixture media: the documents table's text bytes as an opaque payload
-    * (the container ships no real media; the bytes are irrelevant to the
-    * plumbing under test).
+    * (the container ships no real media; text bytes exercise the unknown-
+    * format path, [[mm3HeaderParse]] exercises the real-header paths).
     */
   def fixtureMedia(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -131,7 +310,8 @@ object Multimodal {
 
   def queries: Map[String, Q] = Map(
     "mm1_binary_meta" -> mm1BinaryMeta,
-    "mm2_frame_census" -> mm2FrameCensus
+    "mm2_frame_census" -> mm2FrameCensus,
+    "mm3_header_parse" -> mm3HeaderParse
   )
 
   /** Frame-sampling census over the REAL [[frameSample]] dataset: sampled
@@ -146,21 +326,66 @@ object Multimodal {
       .agg(count(lit(1)).as("n_sampled"), max(col("frameIdx")).as("last_idx"))
       .orderBy(col("id"))
 
-  /** Binary-column metadata extraction, expression-only (no stub): byte
-    * length + leading byte — the part of decode that IS portable SQL, and
-    * the oracle-checkable face of the binary plumbing.
+  /** Binary-column metadata through the REAL decode path: byte length,
+    * sniffed format, leading byte. The oracle re-sniffs in DuckDB by hex
+    * blob slicing — an engine-independent check of the magic-byte rules.
+    * (Text payloads mostly land in `unknown`; a text that *starts with*
+    * "BM"/"GIF8…" legitimately sniffs as that format on both sides.)
     */
   def mm1BinaryMeta: Q = (s, dir) =>
-    fixtureMedia(s, dir)
-      .select(col("id"),
-        length(col("payload")).as("n_bytes"),
-        ascii(col("payload").cast("string")).as("magic"))
+    decodeAll(fixtureMedia(s, dir), s)
+      .toDF()
+      .select(col("id"), col("nBytes").cast("long").as("n_bytes"),
+        col("format"), col("magic"))
       .orderBy(col("id"))
 
+  /** Round-trip header check: per document, BUILD a real image header
+    * (format selected by doc_id % 4, dimensions derived from doc_id) and
+    * run it through the REAL [[decode]]. The oracle predicts format,
+    * width, height and byte count from the arithmetic alone — builder and
+    * parser would have to be wrong in exactly compensating ways (across
+    * both endiannesses and all four formats) to pass falsely.
+    */
+  def mm3HeaderParse: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (16 + (id * 31) % 4080).toInt
+          val h = (16 + (id * 17) % 2160).toInt
+          val bytes = (id % 4) match {
+            case 0 => pngBytes(w, h)
+            case 1 => jpegBytes(w, h)
+            case 2 => bmpBytes(w, h)
+            case _ => gifBytes(w, h)
+          }
+          decode(id, bytes)
+        }
+      }
+      .toDF()
+      .select(col("id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("nBytes").cast("long").as("n_bytes"))
+      .orderBy(col("id"))
+  }
+
   def oracles: Map[String, String] = Map(
+    // hex() is DuckDB's blob slice: prefix compare against the same magic
+    // sequences sniffFormat checks, leading byte from the first hex pair
     "mm1_binary_meta" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
-        |  ascii(substr(text, 1, 1)) AS magic
+        |  CASE
+        |    WHEN substr(hex(encode(text)), 1, 16) = '89504E470D0A1A0A' THEN 'png'
+        |    WHEN substr(hex(encode(text)), 1, 4) = 'FFD8' THEN 'jpeg'
+        |    WHEN substr(hex(encode(text)), 1, 4) = '424D' THEN 'bmp'
+        |    WHEN substr(hex(encode(text)), 1, 12)
+        |      IN ('474946383761', '474946383961') THEN 'gif'
+        |    ELSE 'unknown' END AS format,
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
+        |    ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END AS magic
         |FROM documents ORDER BY id""".stripMargin,
     // pure frame-layout arithmetic: nf = ceil(bytes/FrameSize) frames,
     // sampled at stride FrameEvery → count + last index. Zero-byte
@@ -173,6 +398,17 @@ object Multimodal {
          |  (((octet_length(encode(text)) + ${FrameSize - 1}) // $FrameSize
          |    - 1) // $FrameEvery) * $FrameEvery AS last_idx
          |FROM documents WHERE octet_length(encode(text)) > 0
-         |ORDER BY id""".stripMargin
+         |ORDER BY id""".stripMargin,
+    // predicts the round-trip from arithmetic alone; byte counts are the
+    // fixed header-stream sizes each builder emits
+    "mm3_header_parse" ->
+      """SELECT doc_id AS id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'bmp' ELSE 'gif' END AS format,
+        |  16 + (doc_id * 31) % 4080 AS width,
+        |  16 + (doc_id * 17) % 2160 AS height,
+        |  CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 50
+        |    WHEN 2 THEN 54 ELSE 14 END AS n_bytes
+        |FROM documents ORDER BY id""".stripMargin
   )
 }

@@ -17,7 +17,11 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val rows = decoded.collect()
     assert(rows.length === 500)
     assert(rows.forall(_.nBytes > 0))
-    assert(rows.forall(m => Set("png", "jpeg", "webp").contains(m.format)))
+    // real sniff: text payloads land in "unknown" unless they happen to
+    // start with a genuine magic sequence
+    assert(rows.forall(m =>
+      Set("png", "jpeg", "bmp", "gif", "unknown").contains(m.format)))
+    assert(rows.exists(_.format === "unknown"))
     assert(rows.forall(_.feature.length === 8))
     // determinism: same payload → same meta
     val again = Multimodal.decodeAll(media, spark).collect()
