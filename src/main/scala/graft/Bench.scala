@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
   * Methodology: one untimed warmup pass (JIT + codegen compilation +
-  * filesystem cache), then TWO timed passes reporting the per-query
-  * minimum (damps JIT/GC noise). Each query executes through the noop
+  * filesystem cache), then THREE timed passes reporting the per-query
+  * MEDIAN — a single-pass outlier (GC pause, compilation stall) moves a
+  * min/max but never the median, so cross-round deltas of ~0.2s become
+  * readable instead of noise. Each query executes through the noop
   * datasource sink — a full materialization of every output row and
   * column; `.count()` would let Catalyst prune the projections and
   * under-measure expression-heavy queries.
@@ -38,13 +40,15 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup pass (untimed), then min of two timed passes (JIT/GC noise)
+    // warmup pass (untimed), then median of three timed passes
     names.foreach(n => runOne(n, SparkEntry.queries(n)))
-    val pass1 = names.map(n => n -> runOne(n, SparkEntry.queries(n))).toMap
-    val pass2 = names.map(n => n -> runOne(n, SparkEntry.queries(n))).toMap
+    val passes = (1 to 3).map(_ =>
+      names.map(n => n -> runOne(n, SparkEntry.queries(n))).toMap)
     val results = names.map { n =>
-      val (a, b) = (pass1(n), pass2(n))
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val ok = passes.map(_(n)).filter(_ >= 0).sorted
+      // median of the successful passes (upper-median when a pass failed:
+      // conservative); -1 marks a query that never succeeded
+      n -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
     }
 
     // Locale.ROOT: the f-interpolator is locale-sensitive and would emit

@@ -102,9 +102,11 @@ object Curation {
   }
 
   /** Stable per-document percent bucket: md5 of the decimal doc_id.
-    * Content-derived (not row-order-derived), so adding or removing other
+    * Id-derived (not row-order-derived), so adding or removing other
     * documents never reshuffles a document's split — the invariant that
-    * keeps eval sets stable across corpus versions.
+    * keeps eval sets stable across corpus versions. (Re-ingesting the
+    * same content under NEW ids does re-bucket it; hash a content
+    * fingerprint instead if that stability is required.)
     */
   private def pctBucket = hash60(col("doc_id").cast("string")) % 100
 
@@ -135,7 +137,8 @@ object Curation {
     * ∈ {8, 10, …, 20}.
     */
   private def quotaOf(src: org.apache.spark.sql.Column) =
-    lit(8) + lit(2) * (substring(src, 4, 10).cast("int") % 7)
+    lit(8) + lit(2) *
+      (substring(src, 4, Int.MaxValue).cast("int") % 7)
 
   /** p3: domain mixing by per-source quota — keep each source's `quota`
     * documents with the lowest (hash, doc_id), i.e. a deterministic

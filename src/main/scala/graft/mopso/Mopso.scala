@@ -80,10 +80,11 @@ object Mopso {
     // schema inference K/F/N (Spark_MOPSO_Avg.scala:89-103) — one job for
     // K+N instead of the reference's three collect round-trips
     val kn = base.agg(
-      countDistinct(col("label")).as("k"), count(lit(1)).as("n")).head()
+      countDistinct(col("label")).as("k"), count(lit(1)).as("n"),
+      first(size(col("features"))).as("f")).head()
     val k = cfg.kOverride.getOrElse(kn.getLong(0).toInt)
     val total = kn.getLong(1)
-    val numFeatures = base.select(size(col("features"))).head().getInt(0)
+    val numFeatures = kn.getInt(2)
 
     // A4 feature bounds in ONE pass (the reference scans once per feature,
     // Spark_MOPSO_Avg.scala:1239-1252); shared helper returns (pos, mn,

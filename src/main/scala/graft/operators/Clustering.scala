@@ -144,11 +144,20 @@ object Clustering {
       .orderBy(col("label"))
   }
 
-  /** Purity total: Σ majority counts / N (Spark_MOPSO_Avg.scala:339-355). */
+  /** Purity total: Σ majority counts / N (Spark_MOPSO_Avg.scala:339-355).
+    * N is derived in-plan as Σn over the full label×cluster histogram —
+    * one job, no separate count() action.
+    */
   def c6Purity: Q = (s, dir) => {
-    val top = c5PurityByLabel(s, dir)
-    val n = Tables.labeledPoints(s, dir).count()
-    top.agg(round(sum(col("n_top")) / lit(n.toDouble), 6).as("purity"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("n").desc, col("cluster"))
+    assigned(s, dir)
+      .groupBy(col("label"), col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .agg(round(
+        sum(when(col("rn") === 1, col("n")).otherwise(lit(0L))) /
+          sum(col("n")).cast("double"), 6).as("purity"))
   }
 
   /** Inertia / WSSSE: Σ d² (E5, Spark_MOPSO_Avg.scala:1351-1364). */
@@ -380,24 +389,142 @@ object Clustering {
     * Particle variants, MOPSO_Single.scala:994-1020): sort by f2, middle
     * entries get |f1(prev)−f1(next)|·|f2(prev)−f2(next)|; endpoints are
     * unbounded in the reference (Double.MaxValue) → NULL here.
+    *
+    * Dispatch: fronts within [[MaxGlobalWindowFront]] run the global
+    * window (one partition — fine at that size, and the exact shape the
+    * oracle mirrors); adversarial fronts beyond it run the
+    * range-partitioned boundary-exchange formulation
+    * ([[crowdingRange]]) — spec'd equal on both fixture and synthetic
+    * fronts (RangeWindowSpec).
     */
   def c12Crowding: Q = (s, dir) => {
+    val f = paretoFront(fitnessPoints(s, dir), s)
+    val out =
+      if (f.count() <= MaxGlobalWindowFront) crowdingGlobalWindow(f)
+      else crowdingRange(f, s)
+    out.orderBy(col("id"))
+  }
+
+  /** The global-window crowding form (exact oracle twin; single-partition
+    * sort, so only for fronts within [[MaxGlobalWindowFront]]).
+    */
+  private[graft] def crowdingGlobalWindow(front: DataFrame): DataFrame = {
     val w = Window.orderBy(col("f2"), col("id"))
-    guardedFront(s, dir)
+    front
       .withColumn("crowding", round(
         abs(lag(col("f1"), 1).over(w) - lead(col("f1"), 1).over(w)) *
           abs(lag(col("f2"), 1).over(w) - lead(col("f2"), 1).over(w)), 6))
       .select(col("id"), col("crowding"))
-      .orderBy(col("id"))
+  }
+
+  /** Range-partitioned crowding with boundary exchange — the 100 TB form
+    * of the (f2, id)-ordered lag/lead pass:
+    *
+    *  1. `repartitionByRange(f2, id)` + in-partition sort reproduces the
+    *     global order across partitions (partition p's rows all precede
+    *     partition p+1's).
+    *  2. Each partition's FIRST and LAST rows (≤ 2·parts rows total) are
+    *     collected and re-broadcast — the only cross-partition data any
+    *     row's lag/lead needs.
+    *  3. A streaming sliding-3 pass inside each partition computes the
+    *     product formula; a partition's edge rows borrow the neighbor
+    *     partition's boundary row from the broadcast. Global endpoints
+    *     (no neighbor anywhere) stay NULL, as in the window form.
+    *
+    * No single-partition stage anywhere; memory per task is O(1) beyond
+    * the partition scan.
+    */
+  def crowdingRange(front: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ds = front.select(col("id").cast("long"), col("f1"), col("f2"))
+      .as[(Long, Double, Double)]
+      .repartitionByRange(parts, col("f2"), col("id"))
+      .sortWithinPartitions(col("f2"), col("id"))
+      .persist()
+    // boundary exchange: (first, last) row per partition
+    val edges: Array[(Int, Option[(Long, Double, Double)], Option[(Long, Double, Double)])] =
+      ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var first: (Long, Double, Double) = null
+        var last: (Long, Double, Double) = null
+        it.foreach { r => if (first == null) first = r; last = r }
+        Iterator.single((pid, Option(first), Option(last)))
+      }.collect()
+    // neighbor rows across EMPTY partitions too: for each partition, the
+    // last row of the nearest non-empty partition before it and the first
+    // row of the nearest non-empty one after it
+    val byPid = edges.sortBy(_._1)
+    val prevOf = scala.collection.mutable.Map.empty[Int, Option[(Long, Double, Double)]]
+    var runningLast: Option[(Long, Double, Double)] = None
+    byPid.foreach { case (pid, _, last) =>
+      prevOf(pid) = runningLast
+      if (last.isDefined) runningLast = last
+    }
+    val nextOf = scala.collection.mutable.Map.empty[Int, Option[(Long, Double, Double)]]
+    var runningFirst: Option[(Long, Double, Double)] = None
+    byPid.reverseIterator.foreach { case (pid, first, _) =>
+      nextOf(pid) = runningFirst
+      if (first.isDefined) runningFirst = first
+    }
+    val bc = spark.sparkContext.broadcast(
+      (prevOf.toMap, nextOf.toMap))
+    val out = ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.get().partitionId()
+      val (pm, nm) = bc.value
+      // pad with the neighbors' boundary rows (None at global endpoints);
+      // sliding(3) centers exactly the partition's own rows
+      val padded: Iterator[Option[(Long, Double, Double)]] =
+        Iterator.single(pm.getOrElse(pid, None)) ++
+          it.map(Some(_)) ++ Iterator.single(nm.getOrElse(pid, None))
+      padded.sliding(3).withPartial(false).map { w =>
+        val center = w(1).get
+        val c = for (p <- w(0); n <- w(2)) yield
+          math.abs(p._2 - n._2) * math.abs(p._3 - n._3)
+        (center._1, c)
+      }
+    }.toDF("id", "crowding")
+      .withColumn("crowding", round(col("crowding"), 6))
+      .persist()
+    // materialize while ds is still cached: a recompute would resample
+    // the range bounds underneath the broadcast boundary map
+    out.count()
+    ds.unpersist()
+    out
   }
 
   /** Min-max normalization of the front's objectives to [0,1] (F4,
     * Spark_MOPSO_Avg.scala:407-427).
+    *
+    * No window at any size: the four extrema are ONE scalar aggregate
+    * (map-side partials, 1-row result) broadcast back over the front — the
+    * same values the unbounded-window form computes, with no
+    * single-partition stage, so no size guard is needed. Equality with the
+    * window form is spec-pinned (RangeWindowSpec).
     */
-  def c13MinmaxNorm: Q = (s, dir) => {
+  def c13MinmaxNorm: Q = (s, dir) =>
+    minmaxAgg(paretoFront(fitnessPoints(s, dir), s))
+      .orderBy(col("id"))
+
+  /** The aggregate+broadcast minmax form — scale-safe at any front size. */
+  def minmaxAgg(front: DataFrame): DataFrame = {
+    val stats = front.agg(
+      min(col("f1")).as("mn1"), max(col("f1")).as("mx1"),
+      min(col("f2")).as("mn2"), max(col("f2")).as("mx2"))
+    front.crossJoin(broadcast(stats))
+      .select(col("id"),
+        round((col("f1") - col("mn1")) / (col("mx1") - col("mn1")), 6)
+          .as("nf1"),
+        round((col("f2") - col("mn2")) / (col("mx2") - col("mn2")), 6)
+          .as("nf2"))
+  }
+
+  /** The unbounded-window minmax form, kept as the spec twin of
+    * [[minmaxAgg]] (single partition — verify-scale only).
+    */
+  private[graft] def minmaxGlobalWindow(front: DataFrame): DataFrame = {
     val w = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    guardedFront(s, dir)
+    front
       .withColumn("nf1", round(
         (col("f1") - min(col("f1")).over(w)) /
           (max(col("f1")).over(w) - min(col("f1")).over(w)), 6))
@@ -405,7 +532,6 @@ object Clustering {
         (col("f2") - min(col("f2")).over(w)) /
           (max(col("f2")).over(w) - min(col("f2")).over(w)), 6))
       .select(col("id"), col("nf1"), col("nf2"))
-      .orderBy(col("id"))
   }
 
   // ---- whole-data evaluation metrics ---------------------------------------

@@ -36,6 +36,7 @@ object Relational {
     "q12_brand_type_shapes" -> q12BrandTypeShapes,
     "q13_monthly_revenue" -> q13MonthlyRevenue,
     "q16_quantity_percentiles" -> q16QuantityPercentiles,
+    "q16b_approx_percentiles" -> q16bApproxPercentiles,
     "q14_top_customer_per_nation" -> q14TopCustomerPerNation,
     "q15_order_size_classes" -> q15OrderSizeClasses,
     "q17_cube_quantity" -> q17CubeQuantity,
@@ -265,6 +266,34 @@ object Relational {
           .as("p50_price"))
       .orderBy(col("l_returnflag"))
 
+  /** The 100 TB percentile form made executable: t-digest-style
+    * `percentile_approx` (mergeable partial sketches, one pass, no
+    * per-group sort) checked against the exact interpolated percentile
+    * IN THE SAME PLAN. Emits `abs(approx − exact) ≤ tol` as a
+    * deterministic boolean — the sketch's rank-error guarantee holds
+    * under any partial-merge order, so the boolean is stable even though
+    * the raw approx value need not be.
+    *
+    * Tolerance: l_quantity is integral 1..50; approx returns a real data
+    * value while exact interpolates between adjacent ones, so the gap is
+    * ≤ 1 + (rank error ≈ N/accuracy mapped through the value CDF) « 2.
+    */
+  def q16bApproxPercentiles: Q = (s, dir) => {
+    def exact(c: String, p: Double) = percentile(col(c), lit(p))
+    def approx(c: String, p: Double) =
+      percentile_approx(col(c), lit(p), lit(10000))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(exact("l_quantity", 0.5), 4).as("p50_exact"),
+        round(exact("l_quantity", 0.9), 4).as("p90_exact"),
+        (abs(approx("l_quantity", 0.5) - exact("l_quantity", 0.5)) <= 2.0)
+          .as("p50_within"),
+        (abs(approx("l_quantity", 0.9) - exact("l_quantity", 0.9)) <= 2.0)
+          .as("p90_within"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** CASE-expression bucketing: order-size histogram. */
   def q15OrderSizeClasses: Q = (s, dir) =>
     Tables.orders(s, dir)
@@ -458,6 +487,15 @@ object Relational {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the oracle predicts the within-tolerance booleans (the sketch's
+    // rank-error bound makes them deterministically true) and recomputes
+    // the exact legs; DuckDB has no twin of Spark's percentile_approx
+    "q16b_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_exact,
+        |  true AS p50_within, true AS p90_within
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q14_top_customer_per_nation" ->
       """WITH spend AS (

@@ -22,11 +22,20 @@ object Writers {
     * whole directories before any IO (PartitionFilters in the scan plan,
     * verified in SinksSpec); `maxRecordsPerFile` caps runaway files
     * inside a hot partition.
+    *
+    * The day key is the UTC day of the instant, computed by epoch-day
+    * arithmetic (timestamp→long is the UTC epoch second, so the layout is
+    * identical under any `spark.sql.session.timeZone` — `date_format`
+    * would render the session-local day and reshuffle the directory
+    * layout across differently-configured writers).
     */
   def writeEventsByDay(events: DataFrame, outPath: String,
       maxRecordsPerFile: Long = 5000000L): Unit =
     events
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("day",
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          floor(col("ts").cast("long") / 86400L).cast("int"))
+          .cast("string"))
       .write
       .partitionBy("day")
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -35,9 +44,12 @@ object Writers {
 
   /** Compact a parquet dataset into ~`targetFileBytes`-sized files:
     * plan file count from the CURRENT on-disk size (ceil(bytes/target)),
-    * then rewrite through one shuffle. Returns (files before, planned
-    * output partitions). Content is preserved row-for-row (spec-checked);
-    * ordering is not, like every distributed rewrite.
+    * then rewrite through one shuffle. Returns (files before, files
+    * actually written) — counted on disk after the rewrite, so the second
+    * number is meaningful in both modes (unpartitioned: ≈ planned
+    * partitions; partitioned: one file per partition directory per task
+    * that holds its rows). Content is preserved row-for-row
+    * (spec-checked); ordering is not, like every distributed rewrite.
     *
     * `partitionCols` preserves a partitioned layout (e.g. the `day=`
     * directories [[writeEventsByDay]] lays down): rows repartition BY the
@@ -56,21 +68,28 @@ object Writers {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       partitionCols: Seq[String] = Nil): (Int, Int) = {
-    require(new Path(inPath) != new Path(outPath),
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val inFs = new Path(inPath).getFileSystem(hconf)
+    val outFs = new Path(outPath).getFileSystem(hconf)
+    // compare fully-qualified paths so equivalent spellings of the same
+    // location ('file:///x' vs '/x', trailing slash) hit the require, not
+    // Spark's less friendly cannot-overwrite-input failure downstream
+    val qIn = inFs.makeQualified(new Path(inPath))
+    val qOut = outFs.makeQualified(new Path(outPath))
+    require(qIn != qOut,
       "compact writes to a fresh path (in-place overwrite of the input " +
         "is not atomic); compact to a sibling directory and swap")
-    val fs = new Path(inPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listFiles(new Path(inPath), true)
-    var nFiles = 0
-    var totalBytes = 0L
-    while (files.hasNext) {
-      val f = files.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        nFiles += 1
-        totalBytes += f.getLen
+    def countParquet(fs: org.apache.hadoop.fs.FileSystem, p: Path): (Int, Long) = {
+      val files = fs.listFiles(p, true)
+      var n = 0
+      var bytes = 0L
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
       }
+      (n, bytes)
     }
+    val (nFiles, totalBytes) = countParquet(inFs, qIn)
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(inPath)
     val writer =
@@ -79,6 +98,6 @@ object Writers {
         .write.mode(SaveMode.Overwrite)
     (if (partitionCols.isEmpty) writer
      else writer.partitionBy(partitionCols: _*)).parquet(outPath)
-    (nFiles, nOut)
+    (nFiles, countParquet(outFs, qOut)._1)
   }
 }
