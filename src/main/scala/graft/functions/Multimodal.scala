@@ -112,12 +112,23 @@ object Multimodal {
     (-1, -1)
   }
 
-  /** BMP: BITMAPINFOHEADER little-endian i32 dims at offsets 18/22; a
-    * negative height means top-down row order — magnitude is the height.
+  /** BMP: dispatch on the DIB header size at offset 14. The legacy
+    * 12-byte BITMAPCOREHEADER carries u16 dims at offsets 18/20;
+    * BITMAPINFOHEADER and its extensions (size >= 40) carry i32 dims at
+    * offsets 18/22, where a negative height means top-down row order —
+    * magnitude is the height. Unknown DIB sizes and non-positive widths
+    * are rejected as (-1, -1) rather than returned as garbage.
     */
-  private def bmpDims(b: Array[Byte]): (Int, Int) =
-    if (b.length < 26) (-1, -1)
-    else (leI32(b, 18), math.abs(leI32(b, 22)))
+  private def bmpDims(b: Array[Byte]): (Int, Int) = {
+    if (b.length < 22) return (-1, -1)
+    val dibSize = leI32(b, 14)
+    val (w, h) =
+      if (dibSize == 12) (leU16(b, 18), leU16(b, 20))
+      else if (dibSize >= 40 && b.length >= 26)
+        (leI32(b, 18), math.abs(leI32(b, 22)))
+      else return (-1, -1)
+    if (w <= 0 || h < 0) (-1, -1) else (w, h)
+  }
 
   /** GIF: logical screen descriptor little-endian u16 dims at offsets 6/8. */
   private def gifDims(b: Array[Byte]): (Int, Int) =
@@ -213,6 +224,20 @@ object Multimodal {
     le32(40); le32(w); le32(h) // info header size, width, height
     le16(1); le16(24) // planes, bpp
     (0 until 6).foreach(_ => le32(0)) // compression..importantColors
+    out.toByteArray
+  }
+
+  /** Minimal REAL 26-byte legacy BMP: BITMAPFILEHEADER + 12-byte
+    * BITMAPCOREHEADER (u16 dims), no pixel data.
+    */
+  def bmpCoreBytes(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(26)
+    def le32(v: Int): Unit = Seq(0, 8, 16, 24).foreach(s => out.write((v >>> s) & 0xff))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write('B'); out.write('M')
+    le32(26); le32(0); le32(26) // file size, reserved, pixel offset
+    le32(12) // core header size
+    le16(w); le16(h); le16(1); le16(24) // width, height, planes, bpp
     out.toByteArray
   }
 

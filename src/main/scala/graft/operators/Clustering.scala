@@ -466,22 +466,51 @@ object Clustering {
       nextOf(pid) = runningFirst
       if (first.isDefined) runningFirst = first
     }
+    val edgeOf: Map[Int, (Option[(Long, Double, Double)], Option[(Long, Double, Double)])] =
+      byPid.map { case (pid, first, last) => pid -> (first, last) }.toMap
     val bc = spark.sparkContext.broadcast(
-      (prevOf.toMap, nextOf.toMap))
-    val out = ds.mapPartitions { it =>
+      (prevOf.toMap, nextOf.toMap, edgeOf))
+    val out = ds.mapPartitions { it0 =>
       val pid = org.apache.spark.TaskContext.get().partitionId()
-      val (pm, nm) = bc.value
+      val (pm, nm, em) = bc.value
+      // The boundary map is only valid if THIS pass sees the exact
+      // partitioning the edge-collection job saw (same RangePartitioner,
+      // same cached rows). Track what this pass actually sees and fail
+      // loudly at exhaustion on any drift — cache eviction or executor
+      // loss could otherwise silently recompute different range bounds.
+      val (expFirst, expLast) = em.getOrElse(pid, (None, None))
+      var seenFirst: Option[(Long, Double, Double)] = None
+      var seenLast: Option[(Long, Double, Double)] = None
+      val it = it0.map { r =>
+        if (seenFirst.isEmpty) seenFirst = Some(r)
+        seenLast = Some(r)
+        r
+      }
       // pad with the neighbors' boundary rows (None at global endpoints);
       // sliding(3) centers exactly the partition's own rows
       val padded: Iterator[Option[(Long, Double, Double)]] =
         Iterator.single(pm.getOrElse(pid, None)) ++
           it.map(Some(_)) ++ Iterator.single(nm.getOrElse(pid, None))
-      padded.sliding(3).withPartial(false).map { w =>
+      val slid = padded.sliding(3).withPartial(false).map { w =>
         val center = w(1).get
         val c = for (p <- w(0); n <- w(2)) yield
           math.abs(p._2 - n._2) * math.abs(p._3 - n._3)
         (center._1, c)
       }
+      val invariantCheck: Iterator[(Long, Option[Double])] =
+        new Iterator[(Long, Option[Double])] {
+          def hasNext: Boolean = {
+            require(seenFirst == expFirst && seenLast == expLast,
+              s"crowdingRange partition $pid drifted from the broadcast " +
+                s"boundary map: saw ($seenFirst, $seenLast), expected " +
+                s"($expFirst, $expLast) — the cached range partitioning " +
+                "was recomputed underneath the boundary-exchange pass")
+            false
+          }
+          def next(): (Long, Option[Double]) =
+            throw new NoSuchElementException
+        }
+      slid ++ invariantCheck
     }.toDF("id", "crowding")
       .withColumn("crowding", round(col("crowding"), 6))
       .persist()

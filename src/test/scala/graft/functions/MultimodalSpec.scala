@@ -95,6 +95,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(dims(b) === ((320, 200)))
   }
 
+  test("BMP: 12-byte BITMAPCOREHEADER parses u16 dims; bad DIB rejected") {
+    assert(dims(Multimodal.bmpCoreBytes(320, 200)) === ((320, 200)))
+    assert(dims(Multimodal.bmpCoreBytes(65535, 1)) === ((65535, 1)))
+    // unknown DIB header size (e.g. 16) must NOT misparse as info-header
+    val odd = Multimodal.bmpBytes(320, 200)
+    odd(14) = 16
+    assert(dims(odd) === ((-1, -1)))
+    // corrupt non-positive width is rejected, not passed through
+    val negW = Multimodal.bmpBytes(320, 200)
+    val w = -320
+    (0 until 4).foreach(i => negW(18 + i) = ((w >>> (8 * i)) & 0xff).toByte)
+    assert(dims(negW) === ((-1, -1)))
+    val zeroW = Multimodal.bmpBytes(0, 200)
+    assert(dims(zeroW) === ((-1, -1)))
+  }
+
   test("decode composes sniff + dims + magic + placeholder feature") {
     val m = Multimodal.decode(7L, Multimodal.jpegBytes(800, 600))
     assert(m.format === "jpeg" && m.width === 800 && m.height === 600)
