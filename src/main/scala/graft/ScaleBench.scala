@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Measured-scaling harness (VERDICT r4 "What's missing" §2: the 100 TB
+  * claims were plan-audited but only ever measured at sf0.1).
+  *
+  * Materializes a ×`mult` scaled copy of the sf0.1 fixtures and times a
+  * representative heavy query set against it, so SCALE.md can cite
+  * MEASURED scaling curves instead of argued ones.
+  *
+  * Scaling model (documented, deliberate):
+  *  - Fact tables (`lineitem`, `orders`, `events`, `documents`,
+  *    `embeddings`) are unioned ×mult with per-copy key remapping
+  *    (`key + copy·1e8`) so copies stay distinct entities — orderkeys
+  *    remap in lock-step in orders+lineitem, preserving join fan-out.
+  *  - Dimension tables stay fixed (each customer simply owns ×mult
+  *    orders — the usual fact-grows-faster-than-dims shape).
+  *  - `documents.text` gets a per-copy suffix and `embeddings.embedding`
+  *    a per-copy epsilon shift: without them every doc/vector would have
+  *    mult−1 EXACT clones and the dedup/ANN workloads would degenerate
+  *    into one giant duplicate class instead of scaling realistically.
+  *  - `events.ts` shifts by `copy` seconds to avoid exact-timestamp
+  *    collisions in the as-of join.
+  *
+  * Query set: the per-shape heavy hitters. The O(n²)-by-design exact
+  * oracle forms (c9/c10/c14 all-pairs, d5's capped verifier) are
+  * excluded — their documented scale twins (c17/c19, d3-fed
+  * verification) are in the set; that substitution IS the scale story.
+  *
+  * Methodology: one untimed warmup query for JIT/codegen, then ONE timed
+  * pass per query through the noop sink (multi-second queries; median-of-3
+  * would triple a multi-minute run for noise that matters at the 0.1s
+  * scale, not here).
+  *
+  * Usage: `runMain graft.ScaleBench [srcDir] [mult] [workDir]`
+  * — defaults `/root/testdata/sf0.1`, 10, `/tmp/graft_scale`.
+  */
+object ScaleBench {
+
+  private val CopyOffset = 100000000L
+
+  val scaleSet: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_revenue_by_nation", "q13_monthly_revenue",
+    "q14_top_customer_per_nation", "q16b_approx_percentiles",
+    "d1_exact_dedup", "d2_minhash_sig", "d3_lsh_pairs", "d4_simhash",
+    "d6_dedup_groups",
+    "p1_corpus_curation", "p2_hash_split", "p5_decontaminate",
+    "s1_cosine_topk", "s2_lsh_buckets", "s3_ann_ivf",
+    "s4_embedding_neardup", "s5_ann_recall",
+    "t1_token_stats", "t3_fingerprint", "t5_repetition",
+    "t7_quality_gate", "t8_boilerplate",
+    "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",
+    "c1_assign", "c17_conn_partitioned", "c19_conn_topk",
+    "mm2_frame_census")
+
+  /** One scaled copy of a fact table: keys shifted, content perturbed. */
+  private def copyOf(spark: SparkSession, src: String, name: String,
+      i: Int): DataFrame = {
+    val off = CopyOffset * i
+    name match {
+      case "lineitem" =>
+        Tables.lineitem(spark, src)
+          .withColumn("l_orderkey", col("l_orderkey") + lit(off))
+      case "orders" =>
+        Tables.orders(spark, src)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(off))
+      case "events" =>
+        Tables.events(spark, src)
+          .withColumn("event_id", col("event_id") + lit(off))
+          .withColumn("ts",
+            col("ts") + expr(s"INTERVAL $i SECOND"))
+      case "documents" =>
+        val d = Tables.documents(spark, src)
+          .withColumn("doc_id", col("doc_id") + lit(off))
+        val shifted =
+          if (i == 0) d
+          else d.withColumn("text", concat(col("text"), lit(s" cp$i")))
+        shifted.withColumn("n_chars", length(col("text")).cast("long"))
+      case "embeddings" =>
+        val eps = (i * 5e-4).toFloat
+        Tables.table(spark, src, "embeddings")
+          .withColumn("vec_id", col("vec_id") + lit(off))
+          .withColumn("embedding",
+            transform(col("embedding"), x => (x + lit(eps)).cast("float")))
+      case other =>
+        Tables.table(spark, src, other)
+    }
+  }
+
+  private val factTables =
+    Seq("lineitem", "orders", "events", "documents", "embeddings")
+
+  /** Builds the scaled dataset dir (idempotent: skips when present). */
+  def materialize(spark: SparkSession, src: String, mult: Int,
+      work: String): Unit = {
+    Tables.names.foreach { name =>
+      val dest = s"$work/$name.parquet"
+      if (!new java.io.File(dest, "_SUCCESS").exists()) {
+        val df =
+          if (factTables.contains(name))
+            (0 until mult).map(copyOf(spark, src, name, _))
+              .reduce(_ union _)
+          else Tables.table(spark, src, name)
+        df.write.mode("overwrite").parquet(dest)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val work0 = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val work = s"$work0/x$mult"
+    val spark = graft.core.GraftSession.local("graft-scale", 32)
+
+    materialize(spark, src, mult, work)
+    val rows = factTables.map(t =>
+      t -> Tables.table(spark, work, t).count()).toMap
+
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, work)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    timeOne(scaleSet.head) // warmup: JIT + codegen + page cache
+    val results = scaleSet.map(n => n -> timeOne(n))
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val rj = rows.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"scale_total","value":${fmt(total)},""" +
+      s""""unit":"sec","mult":$mult,"queries":$qs,"rows":$rj,"src":"$src"}"""
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -49,36 +49,78 @@ case class TopKByKey(
   override def createAggregationBuffer(): mutable.ArrayBuffer[(Any, Any)] =
     mutable.ArrayBuffer.empty
 
-  /** Sort ascending by key and keep the k smallest. Amortized: callers
-    * invoke it only when the buffer exceeds 2k, so total update cost is
-    * O(n log k) with O(k) state between prunes.
-    */
-  private def prune(buf: mutable.ArrayBuffer[(Any, Any)]): Unit = {
-    buf.sortInPlace()(pairOrdering)
-    if (buf.length > k) buf.takeInPlace(k)
+  // The buffer is a size-k binary MAX-heap by key (root = current worst
+  // survivor). Once full, each candidate costs exactly ONE key comparison
+  // against the root, and `InternalRow.copyValue` — the per-row
+  // allocation that dominated the flat-buffer + periodic-sort version —
+  // runs only for candidates that actually displace a survivor (O(k log n)
+  // of them in expectation under random arrival order, not O(n)).
+
+  private def siftUp(buf: mutable.ArrayBuffer[(Any, Any)], start: Int): Unit = {
+    var i = start
+    while (i > 0) {
+      val parent = (i - 1) / 2
+      if (keyOrdering.compare(buf(i)._1, buf(parent)._1) > 0) {
+        val t = buf(i); buf(i) = buf(parent); buf(parent) = t
+        i = parent
+      } else return
+    }
   }
+
+  private def siftDown(buf: mutable.ArrayBuffer[(Any, Any)], start: Int): Unit = {
+    val n = buf.length
+    var i = start
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var largest = i
+      if (l < n && keyOrdering.compare(buf(l)._1, buf(largest)._1) > 0) largest = l
+      if (r < n && keyOrdering.compare(buf(r)._1, buf(largest)._1) > 0) largest = r
+      if (largest == i) return
+      val t = buf(i); buf(i) = buf(largest); buf(largest) = t
+      i = largest
+    }
+  }
+
+  /** Offer an ALREADY-COPIED pair (merge path / deserialized state). */
+  private def offerOwned(buf: mutable.ArrayBuffer[(Any, Any)],
+      pair: (Any, Any)): Unit =
+    if (buf.length < k) {
+      buf += pair
+      siftUp(buf, buf.length - 1)
+    } else if (keyOrdering.compare(pair._1, buf(0)._1) < 0) {
+      buf(0) = pair
+      siftDown(buf, 0)
+    }
 
   override def update(buf: mutable.ArrayBuffer[(Any, Any)],
       input: InternalRow): mutable.ArrayBuffer[(Any, Any)] = {
     val kv = key.eval(input)
     if (kv != null) { // null keys are unrankable — dropped, like ORDER BY LIMIT
-      val vv = value.eval(input)
-      // eval results may alias reused row buffers — copy before storing
-      buf += ((InternalRow.copyValue(kv), InternalRow.copyValue(vv)))
-      if (buf.length > 2 * k) prune(buf)
+      if (buf.length < k) {
+        // eval results may alias reused row buffers — copy before storing
+        buf += ((InternalRow.copyValue(kv),
+          InternalRow.copyValue(value.eval(input))))
+        siftUp(buf, buf.length - 1)
+      } else if (keyOrdering.compare(kv, buf(0)._1) < 0) {
+        // compare BEFORE copying: rejected candidates (the vast majority
+        // of an all-pairs stream) never allocate
+        buf(0) = ((InternalRow.copyValue(kv),
+          InternalRow.copyValue(value.eval(input))))
+        siftDown(buf, 0)
+      }
     }
     buf
   }
 
   override def merge(b1: mutable.ArrayBuffer[(Any, Any)],
       b2: mutable.ArrayBuffer[(Any, Any)]): mutable.ArrayBuffer[(Any, Any)] = {
-    b1 ++= b2
-    if (b1.length > 2 * k) prune(b1)
+    b2.foreach(offerOwned(b1, _))
     b1
   }
 
   override def eval(buf: mutable.ArrayBuffer[(Any, Any)]): Any = {
-    prune(buf)
+    buf.sortInPlace()(pairOrdering)
     new GenericArrayData(buf.map(_._2).toArray)
   }
 
