@@ -36,8 +36,11 @@ import graft.sources.Tables
   * would triple a multi-minute run for noise that matters at the 0.1s
   * scale, not here).
   *
-  * Usage: `runMain graft.ScaleBench [srcDir] [mult] [workDir]`
-  * — defaults `/root/testdata/sf0.1`, 10, `/tmp/graft_scale`.
+  * Usage: `runMain graft.ScaleBench [srcDir] [mult] [workDir] [set]`
+  * — defaults `/root/testdata/sf0.1`, 10, `/tmp/graft_scale`, `full`.
+  * `set=linear` drops the queries with Θ(n²) COMPUTE (c19's exact
+  * all-pairs Conn — shuffle-bounded but still quadratic work) for the
+  * larger multipliers where only the scalable forms are the point.
   */
 object ScaleBench {
 
@@ -115,6 +118,11 @@ object ScaleBench {
     val mult = if (args.length > 1) args(1).toInt else 10
     val work0 = if (args.length > 2) args(2) else "/tmp/graft_scale"
     val work = s"$work0/x$mult"
+    val quadraticCompute = Set("c19_conn_topk")
+    val set =
+      if (args.length > 3 && args(3) == "linear")
+        scaleSet.filterNot(quadraticCompute)
+      else scaleSet
     val spark = graft.core.GraftSession.local("graft-scale", 32)
 
     materialize(spark, src, mult, work)
@@ -132,8 +140,8 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    timeOne(scaleSet.head) // warmup: JIT + codegen + page cache
-    val results = scaleSet.map(n => n -> timeOne(n))
+    timeOne(set.head) // warmup: JIT + codegen + page cache
+    val results = set.map(n => n -> timeOne(n))
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -43,7 +43,8 @@ object Curation {
     "p2_hash_split" -> p2HashSplit,
     "p3_domain_mix" -> p3DomainMix,
     "p4_seq_packing" -> p4SeqPacking,
-    "p5_decontaminate" -> p5Decontaminate
+    "p5_decontaminate" -> p5Decontaminate,
+    "p5b_decontaminate_bloom" -> p5bDecontaminateBloom
   )
 
   /** Eval-set boundary (doc_id < this = held-out) and overlap gram size
@@ -71,6 +72,46 @@ object Curation {
       .withColumnRenamed("doc_id", "eval_doc")
     val tr = distinctGrams(base.where(col("doc_id") >= EvalDocs))
       .withColumnRenamed("doc_id", "train_doc")
+    tr.join(broadcast(ev), Seq("gram"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
+  /** p5b: the same decontamination RESULT through a Bloom prefilter —
+    * p5's 100 TB form. p5 broadcasts the eval gram set as a join hash
+    * table (tens of bytes per entry); past a few billion eval grams that
+    * table outgrows executor memory while the equivalent Bloom filter
+    * (~10 bits/gram at 1% fpp) still broadcasts. The train-side gram
+    * stream is prefiltered by Spark's own runtime-row-filter expression
+    * ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * over xxhash64(gram), fed from an explicitly built filter), so only
+    * the surviving sliver — true overlaps plus ≤1% false positives —
+    * reaches the exact join. Bloom filters have no false negatives, so
+    * the output is identical to p5's and shares its DuckDB oracle: the
+    * oracle proves the prefilter dropped nothing it shouldn't have.
+    */
+  def p5bDecontaminateBloom: Q = (s, dir) => {
+    val base = Tables.documents(s, dir)
+    val ev = distinctGrams(base.where(col("doc_id") < EvalDocs))
+      .withColumnRenamed("doc_id", "eval_doc")
+    // the eval side is tiny by construction — the count and the filter
+    // build are two small jobs over ~EvalDocs documents
+    val bloom = ev.select(xxhash64(col("gram")).as("h"))
+      .stat.bloomFilter("h", math.max(ev.count(), 1L), 0.01)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.graft.Bridge.expression(lit(bloomBytes)),
+        org.apache.spark.sql.graft.Bridge.expression(
+          xxhash64(col("gram")))))
+    val tr = distinctGrams(base.where(col("doc_id") >= EvalDocs))
+      .withColumnRenamed("doc_id", "train_doc")
+      .where(mightContain)
     tr.join(broadcast(ev), Seq("gram"))
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
@@ -202,6 +243,28 @@ object Curation {
 
   private val hkSql = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
 
+  /** Shared by p5 and its Bloom-prefilter twin p5b — identical output is
+    * the twin's contract.
+    */
+  private val p5OracleSql: String = {
+    val parts = (0 until GramSize).map(j => s"toks[i+$j]")
+      .mkString("||' '||")
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |g AS (SELECT doc_id, list_distinct(
+       |    list_transform(generate_series(1, len(toks) - ${GramSize - 1}),
+       |      i -> $parts)) AS gs
+       |  FROM t),
+       |ev AS (SELECT doc_id AS eval_doc, unnest(gs) AS gram FROM g
+       |  WHERE doc_id < $EvalDocs),
+       |tr AS (SELECT doc_id AS train_doc, unnest(gs) AS gram FROM g
+       |  WHERE doc_id >= $EvalDocs)
+       |SELECT train_doc, eval_doc, count(*) AS n_shared
+       |FROM tr JOIN ev USING (gram)
+       |GROUP BY train_doc, eval_doc
+       |ORDER BY train_doc, eval_doc""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "p2_hash_split" ->
       s"""SELECT split, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
@@ -218,24 +281,10 @@ object Curation {
          |  FROM documents)
          |WHERE rk <= 8 + 2 * (substr(source, 4)::INT % 7)
          |ORDER BY source, rk""".stripMargin,
-    "p5_decontaminate" -> {
-      val parts = (0 until GramSize).map(j => s"toks[i+$j]")
-        .mkString("||' '||")
-      s"""WITH t AS (SELECT doc_id,
-         |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-         |g AS (SELECT doc_id, list_distinct(
-         |    list_transform(generate_series(1, len(toks) - ${GramSize - 1}),
-         |      i -> $parts)) AS gs
-         |  FROM t),
-         |ev AS (SELECT doc_id AS eval_doc, unnest(gs) AS gram FROM g
-         |  WHERE doc_id < $EvalDocs),
-         |tr AS (SELECT doc_id AS train_doc, unnest(gs) AS gram FROM g
-         |  WHERE doc_id >= $EvalDocs)
-         |SELECT train_doc, eval_doc, count(*) AS n_shared
-         |FROM tr JOIN ev USING (gram)
-         |GROUP BY train_doc, eval_doc
-         |ORDER BY train_doc, eval_doc""".stripMargin
-    },
+    "p5_decontaminate" -> p5OracleSql,
+    // p5b produces p5's exact rows (Bloom prefilter + exact verify);
+    // hash-matching the same oracle proves the prefilter lost nothing
+    "p5b_decontaminate_bloom" -> p5OracleSql,
     "p4_seq_packing" ->
       s"""WITH t AS (SELECT doc_id, doc_id // $PackShard AS shard,
          |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens

@@ -104,4 +104,18 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
           s"shard $shard seq $seq underfilled: $n tokens")
     }
   }
+
+  test("p5b Bloom-prefiltered decontamination equals exact p5 row-for-row") {
+    val exact = Curation.p5Decontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bloomed = Curation.p5bDecontaminateBloom(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact.nonEmpty, "fixture should surface real contamination")
+    assert(bloomed === exact)
+    // the prefilter is really in the plan (not optimized away)
+    val plan = Curation.p5bDecontaminateBloom(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "Bloom prefilter missing from the physical plan")
+  }
 }
