@@ -241,6 +241,99 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Full REAL 24-bit BMP with pixel data: BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + bottom-up BGR rows padded to 4-byte stride.
+    * `px(x, y)` supplies (r, g, b) for the TOP-DOWN logical pixel grid.
+    */
+  def bmpPixelBytes(w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = (3 * w + 3) / 4 * 4
+    val size = 54 + stride * h
+    val out = new java.io.ByteArrayOutputStream(size)
+    def le32(v: Int): Unit = Seq(0, 8, 16, 24).foreach(s => out.write((v >>> s) & 0xff))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    out.write('B'); out.write('M')
+    le32(size); le32(0); le32(54)
+    le32(40); le32(w); le32(h)
+    le16(1); le16(24)
+    le32(0); le32(stride * h) // BI_RGB, image size
+    (0 until 4).foreach(_ => le32(0))
+    var y = h - 1 // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        out.write(b & 0xff); out.write(g & 0xff); out.write(r & 0xff)
+        x += 1
+      }
+      var pad = stride - 3 * w
+      while (pad > 0) { out.write(0); pad -= 1 }
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Decoded uncompressed BMP: `rgb` is row-major TOP-DOWN, 3 bytes per
+    * pixel (r, g, b) — row order already normalized from the file's
+    * bottom-up (positive height) or top-down (negative height) layout.
+    */
+  final case class BmpImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** REAL pixel decode for uncompressed 24-bit BMPs (BI_RGB, INFO or
+    * CORE DIB header). Pure byte arithmetic — no codec library. Returns
+    * None for other formats/bit depths/compressions or truncated data.
+    */
+  def decodeBmpPixels(b: Array[Byte]): Option[BmpImage] = {
+    if (b.length < 26 || !(b(0) == 'B' && b(1) == 'M')) return None
+    val pixOff = leI32(b, 10)
+    val dibSize = leI32(b, 14)
+    val (w, rawH, bpp, compression) =
+      if (dibSize == 12) (leU16(b, 18), leU16(b, 20), leU16(b, 24), 0)
+      else if (dibSize >= 40 && b.length >= 34)
+        (leI32(b, 18), leI32(b, 22), leU16(b, 28), leI32(b, 30))
+      else return None
+    if (w <= 0 || rawH == 0 || bpp != 24 || compression != 0) return None
+    val h = math.abs(rawH)
+    val topDown = rawH < 0
+    val stride = (3 * w + 3) / 4 * 4
+    if (pixOff < 0 || pixOff.toLong + stride.toLong * h > b.length) return None
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val base = pixOff + srcRow * stride
+      var x = 0
+      while (x < w) {
+        rgb(3 * (y * w + x)) = b(base + 3 * x + 2) // r (file stores BGR)
+        rgb(3 * (y * w + x) + 1) = b(base + 3 * x + 1) // g
+        rgb(3 * (y * w + x) + 2) = b(base + 3 * x) // b
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpImage(w, h, rgb))
+  }
+
+  /** REAL nearest-neighbor resize of an uncompressed 24-bit BMP,
+    * re-encoded as BMP bytes. Target dims scale the LONGEST side to
+    * `box` exactly (integer arithmetic: w2 = max(1, w·box / max(w,h)),
+    * src = (dst · src_dim) / dst_dim — floor maps, no floating point, so
+    * an oracle can predict every output pixel). None when the payload
+    * isn't a decodable 24-bit BMP.
+    */
+  def resizeBmp(bytes: Array[Byte], box: Int): Option[Array[Byte]] =
+    decodeBmpPixels(bytes).map { img =>
+      val m = math.max(img.width, img.height)
+      val w2 = math.max(1, img.width * box / m)
+      val h2 = math.max(1, img.height * box / m)
+      bmpPixelBytes(w2, h2, (x2, y2) => {
+        val sx = x2 * img.width / w2
+        val sy = y2 * img.height / h2
+        val i = 3 * (sy * img.width + sx)
+        (img.rgb(i) & 0xff, img.rgb(i + 1) & 0xff, img.rgb(i + 2) & 0xff)
+      })
+    }
+
   /** Minimal REAL 14-byte GIF89a: header + logical screen descriptor +
     * trailer.
     */
@@ -313,6 +406,7 @@ object Multimodal {
     * batched shape (a real resizer allocates its buffers once per
     * partition). Stub semantics: clamp into the target box, preserving
     * the decoded struct's schema so downstream stages are unchanged.
+    * The REAL pixel path for uncompressed BMPs is [[resizePayloads]].
     */
   def resizeAll(decoded: Dataset[MediaMeta], spark: SparkSession,
       maxW: Int, maxH: Int): Dataset[MediaMeta] = {
@@ -323,6 +417,47 @@ object Multimodal {
         width = math.min(m.width, maxW),
         height = math.min(m.height, maxH)))
     }
+  }
+
+  /** Resized (id, payload) row: original and resized dims plus the
+    * re-encoded bytes and their decoded-pixel checksum.
+    */
+  final case class ResizedMedia(
+      id: Long,
+      origW: Int,
+      origH: Int,
+      newW: Int,
+      newH: Int,
+      nBytes: Int,
+      pxSum: Long)
+
+  /** REAL payload resize pipeline: binary column in, resized binary
+    * stats out, via [[resizeBmp]] — actual pixel decode, nearest-neighbor
+    * sampling, and re-encode for 24-bit BMPs (no codec library needed;
+    * compressed formats return no row here and keep the metadata-clamp
+    * path of [[resizeAll]]). The checksum is computed by DECODING the
+    * re-encoded output — the value witnesses the full
+    * decode→resize→encode→decode round trip, not the intermediate state.
+    */
+  def resizePayloads(media: DataFrame, spark: SparkSession,
+      box: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          for {
+            orig <- decodeBmpPixels(bytes)
+            out <- resizeBmp(bytes, box)
+            dec <- decodeBmpPixels(out)
+          } yield {
+            var s = 0L
+            dec.rgb.foreach(v => s += (v & 0xff))
+            ResizedMedia(id, orig.width, orig.height,
+              dec.width, dec.height, out.length, s)
+          }
+        }
+      }
   }
 
   /** Fixture media: the documents table's text bytes as an opaque payload
@@ -336,8 +471,52 @@ object Multimodal {
   def queries: Map[String, Q] = Map(
     "mm1_binary_meta" -> mm1BinaryMeta,
     "mm2_frame_census" -> mm2FrameCensus,
-    "mm3_header_parse" -> mm3HeaderParse
+    "mm3_header_parse" -> mm3HeaderParse,
+    "mm4_resize_bmp" -> mm4ResizeBmp
   )
+
+  /** mm4 gradient-BMP geometry: source dims derived from doc_id, longest
+    * side scaled to [[ResizeBox]] by [[resizeBmp]].
+    */
+  val ResizeBox = 8
+
+  /** mm4: REAL pixel round trip — per document, build a 24-bit BMP whose
+    * pixels follow an integer gradient of (x, y, doc_id), then
+    * decode → nearest-neighbor resize → re-encode → decode again through
+    * the real byte-level codec ([[resizePayloads]]), emitting the resized
+    * dims, byte count, and the decoded-output pixel checksum. The oracle
+    * predicts every emitted value — including the checksum of all resized
+    * pixels — from integer arithmetic alone (the same floor maps
+    * [[resizeBmp]] uses), so builder, decoder, resizer, and encoder would
+    * all have to be wrong in compensating ways to pass falsely.
+    */
+  def mm4ResizeBmp: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (4 + id % 13).toInt
+          val h = (4 + id % 11).toInt
+          (id, bmpPixelBytes(w, h, (x, y) =>
+            (((x * 7 + y * 3 + id) % 256).toInt,
+              ((x * 5 + id * 2) % 256).toInt,
+              ((y * 11 + id * 3) % 256).toInt)))
+        }
+      }
+      .toDF("id", "payload")
+    resizePayloads(media, s, ResizeBox)
+      .toDF()
+      .select(col("id"),
+        col("origW").cast("long").as("orig_w"),
+        col("origH").cast("long").as("orig_h"),
+        col("newW").cast("long").as("new_w"),
+        col("newH").cast("long").as("new_h"),
+        col("nBytes").cast("long").as("n_bytes"),
+        col("pxSum").as("px_sum"))
+      .orderBy(col("id"))
+  }
 
   /** Frame-sampling census over the REAL [[frameSample]] dataset: sampled
     * frame count and last sampled index per media item. The oracle
@@ -434,6 +613,28 @@ object Multimodal {
         |  16 + (doc_id * 17) % 2160 AS height,
         |  CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 50
         |    WHEN 2 THEN 54 ELSE 14 END AS n_bytes
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+    // predicts the FULL pixel round trip arithmetically: dims from the
+    // integer fit-to-box formula, byte count from the 4-byte row stride,
+    // and the checksum by replaying the gradient + floor-map
+    // nearest-neighbor sampling per resized pixel (nested scalar
+    // generate_series lambdas)
+    "mm4_resize_bmp" ->
+      s"""WITH g AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+         |    4 + doc_id % 11 AS h FROM documents),
+         |d AS (SELECT doc_id, w, h,
+         |    greatest(1, (w * $ResizeBox) // greatest(w, h)) AS w2,
+         |    greatest(1, (h * $ResizeBox) // greatest(w, h)) AS h2
+         |  FROM g)
+         |SELECT doc_id AS id, w AS orig_w, h AS orig_h,
+         |  w2 AS new_w, h2 AS new_h,
+         |  (54 + ((3 * w2 + 3) // 4 * 4) * h2)::BIGINT AS n_bytes,
+         |  list_sum(list_transform(generate_series(0, h2 - 1), y ->
+         |    list_sum(list_transform(generate_series(0, w2 - 1), x ->
+         |      ((x * w // w2) * 7 + (y * h // h2) * 3 + doc_id) % 256
+         |      + ((x * w // w2) * 5 + doc_id * 2) % 256
+         |      + ((y * h // h2) * 11 + doc_id * 3) % 256))))::BIGINT
+         |    AS px_sum
+         |FROM d ORDER BY id""".stripMargin
   )
 }

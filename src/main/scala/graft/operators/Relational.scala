@@ -262,8 +262,14 @@ object Relational {
       .agg(
         round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
         round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 2)
-          .as("p50_price"))
+        // price rides an integer-cent scale: a median of even-count 2dp
+        // money lands EXACTLY on x.xx5, where the two engines' ulp-apart
+        // interpolations round to different cents. Cents are exact
+        // doubles (< 2^53), their midpoint is an exact .5, and both
+        // engines round .5 away from zero — edge eliminated, value
+        // identical
+        (round(percentile(round(col("l_extendedprice") * 100, 0),
+          lit(0.5)), 0) / 100).as("p50_price"))
       .orderBy(col("l_returnflag"))
 
   /** The 100 TB percentile form made executable: t-digest-style
@@ -486,7 +492,8 @@ object Relational {
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price
+        |  round(quantile_cont(round(l_extendedprice * 100, 0), 0.5), 0)
+        |    / 100 AS p50_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the oracle predicts the within-tolerance booleans (the sketch's
     // rank-error bound makes them deterministically true) and recomputes

@@ -120,6 +120,69 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decode(9L, Array.empty[Byte]).magic === -1)
   }
 
+  test("BMP pixel codec: encode→decode round-trips every pixel exactly") {
+    val px = (x: Int, y: Int) => ((x * 7 + y) % 256, (x + y * 5) % 256, (x * y) % 256)
+    // widths 1..5 cover all four row-padding residues
+    (1 to 5).foreach { w =>
+      val img = Multimodal.decodeBmpPixels(Multimodal.bmpPixelBytes(w, 3, px)).get
+      assert(img.width === w && img.height === 3)
+      for (y <- 0 until 3; x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        val i = 3 * (y * w + x)
+        assert((img.rgb(i) & 0xff, img.rgb(i + 1) & 0xff, img.rgb(i + 2) & 0xff)
+          === ((r, g, b)), s"pixel ($x,$y) at width $w")
+      }
+    }
+  }
+
+  test("BMP pixel codec: top-down files decode to the same pixels") {
+    val bytes = Multimodal.bmpPixelBytes(4, 3, (x, y) => (x * 10 + y, 0, 0))
+    val up = Multimodal.decodeBmpPixels(bytes).get
+    // flip to top-down: negate height, reverse the stored row order
+    val stride = (3 * 4 + 3) / 4 * 4
+    val neg = -3
+    (0 until 4).foreach(i => bytes(22 + i) = ((neg >>> (8 * i)) & 0xff).toByte)
+    val rows = (0 until 3).map(r =>
+      java.util.Arrays.copyOfRange(bytes, 54 + r * stride, 54 + (r + 1) * stride))
+    rows.reverse.zipWithIndex.foreach { case (row, r) =>
+      System.arraycopy(row, 0, bytes, 54 + r * stride, stride)
+    }
+    val down = Multimodal.decodeBmpPixels(bytes).get
+    assert(down.rgb.toSeq === up.rgb.toSeq)
+  }
+
+  test("BMP pixel codec: rejects non-24bpp, compressed, truncated") {
+    assert(Multimodal.decodeBmpPixels(Multimodal.pngBytes(4, 4)).isEmpty)
+    // headers-only BMP (no pixel data) is truncated for its declared dims
+    assert(Multimodal.decodeBmpPixels(Multimodal.bmpBytes(4, 4)).isEmpty)
+    val comp = Multimodal.bmpPixelBytes(4, 4, (_, _) => (1, 2, 3))
+    comp(30) = 1 // BI_RLE8
+    assert(Multimodal.decodeBmpPixels(comp).isEmpty)
+    val bpp = Multimodal.bmpPixelBytes(4, 4, (_, _) => (1, 2, 3))
+    bpp(28) = 8
+    assert(Multimodal.decodeBmpPixels(bpp).isEmpty)
+  }
+
+  test("resizeBmp: nearest-neighbor floor maps, verified pixel by pixel") {
+    val px = (x: Int, y: Int) => ((x * 3 + y * 7) % 256, (x * 11) % 256, (y * 13) % 256)
+    val resized = Multimodal.resizeBmp(
+      Multimodal.bmpPixelBytes(12, 6, px), box = 8).get
+    val img = Multimodal.decodeBmpPixels(resized).get
+    assert(img.width === 8 && img.height === 4) // 12x6 fit to longest=8
+    for (y2 <- 0 until 4; x2 <- 0 until 8) {
+      val (r, g, b) = px(x2 * 12 / 8, y2 * 6 / 4)
+      val i = 3 * (y2 * 8 + x2)
+      assert((img.rgb(i) & 0xff, img.rgb(i + 1) & 0xff, img.rgb(i + 2) & 0xff)
+        === ((r, g, b)), s"resized pixel ($x2,$y2)")
+    }
+    // upscale path: 2x2 -> 8x8 replicates each source pixel 4x4
+    val up = Multimodal.decodeBmpPixels(
+      Multimodal.resizeBmp(Multimodal.bmpPixelBytes(2, 2, px), 8).get).get
+    assert(up.width === 8 && up.height === 8)
+    assert((up.rgb(3 * (3 * 8 + 3)) & 0xff) === px(0, 0)._1)
+    assert((up.rgb(3 * (4 * 8 + 4)) & 0xff) === px(1, 1)._1)
+  }
+
   test("mm3 header round-trip query matches its arithmetic prediction") {
     val rows = Multimodal.mm3HeaderParse(spark, sfDir).collect()
     assert(rows.length === 500)
