@@ -18,15 +18,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared factory: bench measures the exact session config the engine
+    // ships (incl. the object-hash fallback threshold — see GraftSession)
+    val spark = graft.core.GraftSession.local("graft-bench", cpus.toInt)
 
     def runOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

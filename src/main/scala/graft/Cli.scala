@@ -37,6 +37,14 @@ object Cli {
 
   private val Variants = Set("avg", "labelPartition", "particle", "single")
 
+  private def numArg(name: String, v: String): Long =
+    try v.toLong
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$name must be an integer, got '$v'\n$usage")
+    }
+
   def parse(args: Array[String]): CliArgs = {
     require(args.length >= 5 && args.length <= 8, usage)
     val lsz = args(4) match {
@@ -51,13 +59,13 @@ object Cli {
       s"unknown variant '$variant' (one of ${Variants.mkString("/")})\n$usage")
     CliArgs(
       dataPath = args(0),
-      workers = args(1).toInt,
-      subPop = args(2).toInt,
-      iterMax = args(3).toInt,
+      workers = numArg("workers", args(1)).toInt,
+      subPop = numArg("subPop", args(2)).toInt,
+      iterMax = numArg("iterMax", args(3)).toInt,
       labelStartWithZero = lsz,
       variant = variant,
       outDir = if (args.length > 6) args(6) else "mopso-out",
-      seed = if (args.length > 7) args(7).toLong else 42L)
+      seed = if (args.length > 7) numArg("seed", args(7)) else 42L)
   }
 
   def configFor(a: CliArgs): MopsoConfig = {

@@ -54,6 +54,15 @@ object Curation {
   val EvalDocs = 20
   val GramSize = 4
 
+  /** p5b Bloom sizing: slots provisioned for the eval gram count (size
+    * for the REAL eval set when deploying — capacity below the true
+    * count degrades fpp, never correctness, since the exact join
+    * re-verifies every survivor) and the false-positive target that sets
+    * bits-per-slot.
+    */
+  val BloomCapacity = 1L << 20
+  val BloomFppTarget = 0.01
+
   /** p5: decontamination — find training documents sharing any
     * [[GramSize]]-token gram with a held-out eval document, the overlap
     * check every pretraining run owes its eval sets. Per-doc gram sets
@@ -95,10 +104,13 @@ object Curation {
     val base = Tables.documents(s, dir)
     val ev = distinctGrams(base.where(col("doc_id") < EvalDocs))
       .withColumnRenamed("doc_id", "eval_doc")
-    // the eval side is tiny by construction — the count and the filter
-    // build are two small jobs over ~EvalDocs documents
+    // fixed capacity instead of an ev.count() pre-job: the gram pipeline
+    // then runs exactly twice (filter build + exact-join build), its
+    // inherent minimum without a cache leak. Overprovisioning only makes
+    // the filter bits sparser; at [[BloomFppTarget]] fpp the capacity
+    // costs ~10 bits/slot, so even 1M slots broadcast ~1.2 MB
     val bloom = ev.select(xxhash64(col("gram")).as("h"))
-      .stat.bloomFilter("h", math.max(ev.count(), 1L), 0.01)
+      .stat.bloomFilter("h", BloomCapacity, BloomFppTarget)
     val bloomBytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

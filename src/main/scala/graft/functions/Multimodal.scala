@@ -127,7 +127,9 @@ object Multimodal {
       else if (dibSize >= 40 && b.length >= 26)
         (leI32(b, 18), math.abs(leI32(b, 22)))
       else return (-1, -1)
-    if (w <= 0 || h < 0) (-1, -1) else (w, h)
+    // h == 0 (a zero-area image) is as undecodable as a negative width;
+    // abs(Int.MinValue) is still negative, so the h check also catches it
+    if (w <= 0 || h <= 0) (-1, -1) else (w, h)
   }
 
   /** GIF: logical screen descriptor little-endian u16 dims at offsets 6/8. */
@@ -283,6 +285,13 @@ object Multimodal {
     * CORE DIB header). Pure byte arithmetic — no codec library. Returns
     * None for other formats/bit depths/compressions or truncated data.
     */
+  /** Decode guard: no legitimate payload here exceeds 64k on a side, and
+    * the cap keeps every stride/size product inside exact Int range —
+    * crafted headers with huge declared dims must fail CLEANLY (None),
+    * not overflow the bounds check into an out-of-range read.
+    */
+  private val MaxDecodeDim = 65535
+
   def decodeBmpPixels(b: Array[Byte]): Option[BmpImage] = {
     if (b.length < 26 || !(b(0) == 'B' && b(1) == 'M')) return None
     val pixOff = leI32(b, 10)
@@ -292,11 +301,17 @@ object Multimodal {
       else if (dibSize >= 40 && b.length >= 34)
         (leI32(b, 18), leI32(b, 22), leU16(b, 28), leI32(b, 30))
       else return None
-    if (w <= 0 || rawH == 0 || bpp != 24 || compression != 0) return None
-    val h = math.abs(rawH)
+    // all-Long validation BEFORE any Int arithmetic: w, |rawH| bounded so
+    // stride·h and 3·w·h below stay exact (rawH may be Int.MinValue,
+    // whose math.abs is still negative — compare via Long)
+    val hL = math.abs(rawH.toLong)
+    if (w <= 0 || w > MaxDecodeDim || hL == 0L || hL > MaxDecodeDim ||
+      bpp != 24 || compression != 0) return None
+    val h = hL.toInt
     val topDown = rawH < 0
     val stride = (3 * w + 3) / 4 * 4
-    if (pixOff < 0 || pixOff.toLong + stride.toLong * h > b.length) return None
+    if (pixOff < 0 || pixOff.toLong + stride.toLong * h > b.length ||
+      3L * w * h > Int.MaxValue) return None
     val rgb = new Array[Byte](3 * w * h)
     var y = 0
     while (y < h) {
@@ -322,17 +337,23 @@ object Multimodal {
     * isn't a decodable 24-bit BMP.
     */
   def resizeBmp(bytes: Array[Byte], box: Int): Option[Array[Byte]] =
-    decodeBmpPixels(bytes).map { img =>
-      val m = math.max(img.width, img.height)
-      val w2 = math.max(1, img.width * box / m)
-      val h2 = math.max(1, img.height * box / m)
-      bmpPixelBytes(w2, h2, (x2, y2) => {
-        val sx = x2 * img.width / w2
-        val sy = y2 * img.height / h2
-        val i = 3 * (sy * img.width + sx)
-        (img.rgb(i) & 0xff, img.rgb(i + 1) & 0xff, img.rgb(i + 2) & 0xff)
-      })
-    }
+    decodeBmpPixels(bytes).map(resizeImage(_, box))
+
+  /** The resample+re-encode half of [[resizeBmp]], for callers that
+    * already hold the decoded image (one decode, not two, per pipeline
+    * row).
+    */
+  def resizeImage(img: BmpImage, box: Int): Array[Byte] = {
+    val m = math.max(img.width, img.height)
+    val w2 = math.max(1, img.width * box / m)
+    val h2 = math.max(1, img.height * box / m)
+    bmpPixelBytes(w2, h2, (x2, y2) => {
+      val sx = x2 * img.width / w2
+      val sy = y2 * img.height / h2
+      val i = 3 * (sy * img.width + sx)
+      (img.rgb(i) & 0xff, img.rgb(i + 1) & 0xff, img.rgb(i + 2) & 0xff)
+    })
+  }
 
   /** Minimal REAL 14-byte GIF89a: header + logical screen descriptor +
     * trailer.
@@ -447,8 +468,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           for {
-            orig <- decodeBmpPixels(bytes)
-            out <- resizeBmp(bytes, box)
+            orig <- decodeBmpPixels(bytes) // decoded ONCE per row
+            out = resizeImage(orig, box)
             dec <- decodeBmpPixels(out)
           } yield {
             var s = 0L

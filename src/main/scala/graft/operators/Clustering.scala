@@ -266,15 +266,6 @@ object Clustering {
     * reference's whole-data variant does.
     */
   def c19ConnTopk: Q = (s, dir) => {
-    // ObjectHashAggregateExec falls back to SORT-based aggregation once a
-    // task sees more than spark.sql.objectHashAggregate.sortBased
-    // .fallbackThreshold distinct keys (default 128). Every point is a
-    // key here, so the default would sort the full n² candidate stream —
-    // exactly the blow-up the k-bounded aggregate exists to avoid. The
-    // hash map holds one ≤2L-entry buffer per point: tiny. Session-wide
-    // set, like Tables.events' nanosAsLong convention.
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "10000000")
     val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
     val x = pc.select(col("id").as("xi"), col("features").as("xv"),
       col("cluster").as("cx"))

@@ -26,6 +26,11 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
       Cli.parse(Array("x.csv", "2", "4", "5", "2")))
     intercept[IllegalArgumentException](
       Cli.parse(Array("x.csv", "2", "4", "5", "1", "bogus")))
+    // non-numeric counts fail with the usage text, not a bare
+    // NumberFormatException
+    val e = intercept[IllegalArgumentException](
+      Cli.parse(Array("x.csv", "four", "4", "5", "1")))
+    assert(e.getMessage.contains("workers") && e.getMessage.contains("usage:"))
   }
 
   test("configFor maps variants to their reference presets") {

@@ -163,6 +163,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeBmpPixels(bpp).isEmpty)
   }
 
+  test("BMP pixel codec: crafted overflow headers fail cleanly, not crash") {
+    def withDims(w: Int, h: Int): Array[Byte] = {
+      val b = Multimodal.bmpPixelBytes(4, 4, (_, _) => (1, 2, 3))
+      (0 until 4).foreach { i =>
+        b(18 + i) = ((w >>> (8 * i)) & 0xff).toByte
+        b(22 + i) = ((h >>> (8 * i)) & 0xff).toByte
+      }
+      b
+    }
+    // 3*w+3 overflows Int into a negative stride without the dim cap
+    assert(Multimodal.decodeBmpPixels(withDims(715827883, 4)).isEmpty)
+    // |Int.MinValue| is still negative; must not reach the allocator
+    assert(Multimodal.decodeBmpPixels(withDims(4, Int.MinValue)).isEmpty)
+    assert(Multimodal.decodeBmpPixels(withDims(4, 0)).isEmpty)
+    // zero-area headers are also rejected at the dims (metadata) level
+    assert(dims(Multimodal.bmpBytes(320, 0)) === ((-1, -1)))
+  }
+
   test("resizeBmp: nearest-neighbor floor maps, verified pixel by pixel") {
     val px = (x: Int, y: Int) => ((x * 3 + y * 7) % 256, (x * 11) % 256, (y * 13) % 256)
     val resized = Multimodal.resizeBmp(
