@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,7 +43,8 @@ object Relational {
     "q18_nationkeys_except" -> q18NationkeysExcept,
     "q19_above_brand_avg" -> q19AboveBrandAvg,
     "q20_grouping_sets" -> q20GroupingSets,
-    "q21_pivot" -> q21Pivot
+    "q21_pivot" -> q21Pivot,
+    "q22_approx_distinct" -> q22ApproxDistinct
   )
 
   /** TPC-H Q1 shape: single-table scan + hash agg with partial aggregation;
@@ -300,6 +301,31 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The 100 TB cardinality form made executable, on the q16b pattern:
+    * HyperLogLog++ `approx_count_distinct` (fixed-size mergeable register
+    * sketches — one pass, no per-group distinct shuffle) checked against
+    * exact `count(distinct)` IN THE SAME PLAN, emitting
+    * `|approx − exact| / exact ≤ 5%` as a deterministic boolean. The
+    * sketch hashes values with a fixed seed and merges registers by max,
+    * so the estimate is partitioning-independent — the boolean is stable
+    * under any cluster layout. rsd = 2%, so the 5% acceptance bound holds
+    * with wide margin; exact legs stay as the verify-scale oracle.
+    */
+  def q22ApproxDistinct: Q = (s, dir) => {
+    def within(c: String): Column = {
+      val ex = countDistinct(col(c)).cast("double")
+      (abs(approx_count_distinct(col(c), 0.02) - ex) / ex <= 0.05)
+    }
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        within("l_partkey").as("parts_within"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        within("l_suppkey").as("supps_within"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** CASE-expression bucketing: order-size histogram. */
   def q15OrderSizeClasses: Q = (s, dir) =>
     Tables.orders(s, dir)
@@ -548,6 +574,17 @@ object Relational {
          |$cells
          |FROM orders
          |GROUP BY o_year ORDER BY o_year""".stripMargin
-    }
+    },
+    // exact legs recomputed; the within-bound booleans are deterministic
+    // (HLL++ rsd 2% vs a 5% acceptance bound) — DuckDB has no twin of
+    // Spark's sketch, so the bound IS the cross-engine contract
+    "q22_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+        |  true AS parts_within,
+        |  count(DISTINCT l_suppkey)::BIGINT AS exact_supps,
+        |  true AS supps_within
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
