@@ -147,16 +147,83 @@ object Multimodal {
     case _      => (-1, -1)
   }
 
-  /** PLACEHOLDER embedding — a rolling byte hash standing in for a vision
-    * encoder (no ML codec in this environment). Everything metadata-side
-    * is real; only this vector is fake, and it is deterministic.
+  /** Fallback embedding for payloads the engine cannot pixel-decode
+    * (compressed formats, truncated data): a deterministic rolling byte
+    * hash. Decodable 24-bit BMPs get the REAL pixel-statistics vector —
+    * see [[featureOf]].
     */
-  def featureOf(bytes: Array[Byte]): Array[Float] = {
+  def byteHashFeature(bytes: Array[Byte]): Array[Float] = {
     var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
     Array.tabulate(8)(k => (((h >>> (k * 8)) & 0xff).toFloat / 255f))
   }
+
+  /** Per-image pixel statistics — the REAL embedding's integer witnesses
+    * plus the derived 8-dim vector. Every field is a pure function of the
+    * decoded RGB bytes:
+    *   - sumR/sumG/sumB: exact per-channel byte sums;
+    *   - hist(k): count of pixels whose integer luma
+    *     `(299·r + 587·g + 114·b) / 1000` (floor) falls in bin
+    *     `luma · 5 / 256` (floor) — five bins, 0..4;
+    *   - emb = [meanR, meanG, meanB, hist₀/n … hist₄/n] with channel
+    *     means normalized by 255 so every component lies in [0, 1].
+    * All divisions are IEEE doubles of exact integers, so a SQL oracle
+    * replaying the same integer arithmetic reproduces the vector bit-for-
+    * bit (before any rounding).
+    */
+  final case class PixelStats(
+      id: Long,
+      width: Int,
+      height: Int,
+      nPx: Long,
+      sumR: Long,
+      sumG: Long,
+      sumB: Long,
+      hist: Array[Long],
+      domC: Int,
+      domB: Int,
+      emb: Array[Double])
+
+  def pixelStats(id: Long, img: BmpImage): PixelStats = {
+    val n = img.width.toLong * img.height
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](5)
+    var i = 0
+    while (i < img.rgb.length) {
+      val r = img.rgb(i) & 0xff
+      val g = img.rgb(i + 1) & 0xff
+      val b = img.rgb(i + 2) & 0xff
+      sr += r; sg += g; sb += b
+      val lum = (299 * r + 587 * g + 114 * b) / 1000
+      hist(lum * 5 / 256) += 1
+      i += 3
+    }
+    // dominant channel / luma bin: first index attaining the max (exact
+    // integer comparisons — the near-dup blocking key must tie-break
+    // identically in the SQL twin)
+    val domC = if (sr >= sg && sr >= sb) 0 else if (sg >= sb) 1 else 2
+    var domB = 0
+    var k = 1
+    while (k < 5) { if (hist(k) > hist(domB)) domB = k; k += 1 }
+    val nd = n.toDouble
+    val emb = Array(
+      sr / (255.0 * n), sg / (255.0 * n), sb / (255.0 * n),
+      hist(0) / nd, hist(1) / nd, hist(2) / nd, hist(3) / nd, hist(4) / nd)
+    PixelStats(id, img.width, img.height, n, sr, sg, sb, hist, domC, domB, emb)
+  }
+
+  /** The REAL embedding: decodable 24-bit BMPs get the deterministic
+    * pixel-statistics vector of [[pixelStats]] (computed from the REAL
+    * decoded pixels); payloads the byte-level codec cannot decode fall
+    * back to [[byteHashFeature]]. The vision-encoder placeholder of
+    * rounds 1–6 is gone for every format the engine can decode.
+    */
+  def featureOf(bytes: Array[Byte]): Array[Float] =
+    decodeBmpPixels(bytes) match {
+      case Some(img) => pixelStats(0L, img).emb.map(_.toFloat)
+      case None      => byteHashFeature(bytes)
+    }
 
   /** Real header decode: sniff the format from magic bytes, parse the
     * dimensions from the header, record the leading byte. Replaces the
@@ -493,7 +560,9 @@ object Multimodal {
     "mm1_binary_meta" -> mm1BinaryMeta,
     "mm2_frame_census" -> mm2FrameCensus,
     "mm3_header_parse" -> mm3HeaderParse,
-    "mm4_resize_bmp" -> mm4ResizeBmp
+    "mm4_resize_bmp" -> mm4ResizeBmp,
+    "mm5_pixel_embedding" -> mm5PixelEmbedding,
+    "mm6_pixel_neardup" -> mm6PixelNeardup
   )
 
   /** mm4 gradient-BMP geometry: source dims derived from doc_id, longest
@@ -511,9 +580,13 @@ object Multimodal {
     * [[resizeBmp]] uses), so builder, decoder, resizer, and encoder would
     * all have to be wrong in compensating ways to pass falsely.
     */
-  def mm4ResizeBmp: Q = (s, dir) => {
+  /** The shared gradient-BMP fixture behind mm4/mm5/mm6: one REAL 24-bit
+    * BMP per document, dims `(4 + id%13, 4 + id%11)`, pixels an integer
+    * gradient of (x, y, doc_id) — every byte predictable by arithmetic.
+    */
+  def gradientMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions { it =>
@@ -527,6 +600,10 @@ object Multimodal {
         }
       }
       .toDF("id", "payload")
+  }
+
+  def mm4ResizeBmp: Q = (s, dir) => {
+    val media = gradientMedia(s, dir)
     resizePayloads(media, s, ResizeBox)
       .toDF()
       .select(col("id"),
@@ -537,6 +614,77 @@ object Multimodal {
         col("nBytes").cast("long").as("n_bytes"),
         col("pxSum").as("px_sum"))
       .orderBy(col("id"))
+  }
+
+  /** The decoded pixel-statistics dataset behind mm5/mm6: gradient BMP per
+    * document → REAL byte-level decode → [[pixelStats]]. One decode per
+    * row, batched mapPartitions shape (same as [[decodeAll]]).
+    */
+  private def gradientStats(s: SparkSession, dir: String) = {
+    import s.implicits._
+    gradientMedia(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeBmpPixels(bytes).map(img => pixelStats(id, img))
+        }
+      }
+  }
+
+  /** mm5: the REAL pixel-statistics embedding, integer-witnessed — per
+    * document, decode the gradient BMP through the byte-level codec and
+    * emit the embedding's exact integer numerators (channel sums, five
+    * luma-histogram bin counts, pixel count) plus the three normalized
+    * channel means. The oracle replays the gradient + luma + binning
+    * arithmetic per pixel in SQL, so the decoded-pixel statistics — and
+    * therefore the embedding vector they determine — are checked
+    * end-to-end with no float tolerance on the witnesses.
+    */
+  def mm5PixelEmbedding: Q = (s, dir) =>
+    gradientStats(s, dir)
+      .toDF()
+      .select(col("id"), col("nPx").as("n_px"),
+        col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+        col("sumB").as("sum_b"),
+        element_at(col("hist"), 1).as("h0"),
+        element_at(col("hist"), 2).as("h1"),
+        element_at(col("hist"), 3).as("h2"),
+        element_at(col("hist"), 4).as("h3"),
+        element_at(col("hist"), 5).as("h4"),
+        round(element_at(col("emb"), 1), 6).as("mean_r"),
+        round(element_at(col("emb"), 2), 6).as("mean_g"),
+        round(element_at(col("emb"), 3), 6).as("mean_b"))
+      .orderBy(col("id"))
+
+  /** Cosine threshold for the pixel-embedding near-dup verify. */
+  val PixelNearDupCosine = 0.9
+
+  /** mm6: near-duplicate detection over the REAL embeddings — the s4
+    * bucket-then-verify shape fed by decoded pixels instead of the
+    * pre-made embeddings table. Blocking key = (width, height, dominant
+    * channel, dominant luma bin) — content-derived, exact-integer, so at
+    * scale it is the shuffle key and the cosine verify touches bucket
+    * mates only, never all pairs. Sign-LSH is the wrong blocker here
+    * (pixel-stats vectors are non-negative, so every sign bit is 1);
+    * dominance bucketing is the equivalent coarse quantization for
+    * one-sided embeddings.
+    */
+  def mm6PixelNeardup: Q = (s, dir) => {
+    val st = gradientStats(s, dir).toDF()
+      .select(col("id"), col("width"), col("height"),
+        col("domC"), col("domB"), col("emb"))
+    val keys = Seq("width", "height", "domC", "domB")
+    val x = st.select(col("id").as("doc_a") +: col("emb").as("ea") +:
+      keys.map(col): _*)
+    val y = st.select(col("id").as("doc_b") +: col("emb").as("eb") +:
+      keys.map(col): _*)
+    x.join(y, keys)
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.core.Linalg.cosineCol(col("ea"), col("eb")).as("cos"))
+      .where(col("cos") >= PixelNearDupCosine)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Frame-sampling census over the REAL [[frameSample]] dataset: sampled
@@ -595,6 +743,39 @@ object Multimodal {
         col("height").cast("long").as("height"),
         col("nBytes").cast("long").as("n_bytes"))
       .orderBy(col("id"))
+  }
+
+  /** The gradient channel expressions as DuckDB SQL (x, y, doc_id free) —
+    * the one source of truth the mm5/mm6 oracles replay per pixel.
+    */
+  private val rSql = "((x * 7 + y * 3 + doc_id) % 256)"
+  private val gSql = "((x * 5 + doc_id * 2) % 256)"
+  private val bSql = "((y * 11 + doc_id * 3) % 256)"
+  private val binSql =
+    s"((((299 * $rSql + 587 * $gSql + 114 * $bSql) // 1000) * 5) // 256)"
+
+  /** `SUM over the w×h grid of <inner>` as nested DuckDB lambdas. */
+  private def gridSum(inner: String): String =
+    s"""list_sum(list_transform(generate_series(0, h - 1), y ->
+       |    list_sum(list_transform(generate_series(0, w - 1), x ->
+       |      $inner))))::BIGINT""".stripMargin
+
+  /** Shared mm5/mm6 oracle prefix: per document, the gradient image's
+    * exact integer pixel statistics (channel sums + 5 luma-bin counts),
+    * replayed arithmetically — no image bytes on the oracle side at all.
+    */
+  private val pixelStatsSql: String = {
+    val hs = (0 until 5).map { k =>
+      s"  ${gridSum(s"CASE WHEN $binSql = $k THEN 1 ELSE 0 END")} AS h$k"
+    }.mkString(",\n")
+    s"""g AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+       |  FROM documents),
+       |st AS (SELECT doc_id, w, h, (w * h)::BIGINT AS n,
+       |  ${gridSum(rSql)} AS sum_r,
+       |  ${gridSum(gSql)} AS sum_g,
+       |  ${gridSum(bSql)} AS sum_b,
+       |$hs
+       |  FROM g)""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -656,6 +837,39 @@ object Multimodal {
          |      + ((x * w // w2) * 5 + doc_id * 2) % 256
          |      + ((y * h // h2) * 11 + doc_id * 3) % 256))))::BIGINT
          |    AS px_sum
-         |FROM d ORDER BY id""".stripMargin
+         |FROM d ORDER BY id""".stripMargin,
+    // exact integer witnesses of the pixel-statistics embedding (sums and
+    // bin counts have NO float tolerance); the means are the same integers
+    // divided as IEEE doubles on both sides
+    "mm5_pixel_embedding" ->
+      s"""WITH $pixelStatsSql
+         |SELECT doc_id AS id, n AS n_px, sum_r, sum_g, sum_b,
+         |  h0, h1, h2, h3, h4,
+         |  round(sum_r / (255.0 * n), 6) AS mean_r,
+         |  round(sum_g / (255.0 * n), 6) AS mean_g,
+         |  round(sum_b / (255.0 * n), 6) AS mean_b
+         |FROM st ORDER BY id""".stripMargin,
+    // bucket-then-verify near-dup over the REAL embeddings: blocking key
+    // and embedding list rebuilt from the same integer stats, cosine
+    // verified inside buckets only — the SQL twin of the s4-shaped plan
+    "mm6_pixel_neardup" ->
+      s"""WITH $pixelStatsSql,
+         |e AS (SELECT doc_id, w, h,
+         |    CASE WHEN sum_r >= sum_g AND sum_r >= sum_b THEN 0
+         |      WHEN sum_g >= sum_b THEN 1 ELSE 2 END AS dom_c,
+         |    CASE greatest(h0, h1, h2, h3, h4)
+         |      WHEN h0 THEN 0 WHEN h1 THEN 1 WHEN h2 THEN 2
+         |      WHEN h3 THEN 3 ELSE 4 END AS dom_b,
+         |    [sum_r / (255.0 * n), sum_g / (255.0 * n), sum_b / (255.0 * n),
+         |     h0 / (1.0 * n), h1 / (1.0 * n), h2 / (1.0 * n),
+         |     h3 / (1.0 * n), h4 / (1.0 * n)] AS emb
+         |  FROM st)
+         |SELECT doc_a, doc_b, round(cos, 4) AS cos FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    list_cosine_similarity(a.emb, b.emb) AS cos
+         |  FROM e a JOIN e b
+         |    ON a.w = b.w AND a.h = b.h AND a.dom_c = b.dom_c
+         |    AND a.dom_b = b.dom_b AND a.doc_id < b.doc_id)
+         |WHERE cos >= $PixelNearDupCosine ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -201,6 +201,68 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert((up.rgb(3 * (4 * 8 + 4)) & 0xff) === px(1, 1)._1)
   }
 
+  test("pixelStats: sums, luma histogram, and embedding from known pixels") {
+    // 2x2 image with hand-picked channels: luma and bins computed by hand
+    //   (10,20,30): luma (2990+11740+3420)/1000 = 18  -> bin 18*5/256 = 0
+    //   (200,10,0): luma (59800+5870+0)/1000   = 65  -> bin 1
+    //   (0,250,0):  luma 146750/1000           = 146 -> bin 2
+    //   (255,255,255): luma 254745/1000        = 254 -> bin 4
+    val pxs = Seq((10, 20, 30), (200, 10, 0), (0, 250, 0), (255, 255, 255))
+    val img = Multimodal.decodeBmpPixels(Multimodal.bmpPixelBytes(2, 2,
+      (x, y) => pxs(y * 2 + x))).get
+    val st = Multimodal.pixelStats(3L, img)
+    assert(st.nPx === 4 && st.width === 2 && st.height === 2)
+    assert((st.sumR, st.sumG, st.sumB) === ((465L, 535L, 285L)))
+    assert(st.hist.toSeq === Seq(1L, 1L, 1L, 0L, 1L))
+    assert(st.domC === 1) // green sum wins
+    assert(st.domB === 0) // four-way tie in counts 1: first bin wins
+    assert(st.emb(0) === 465.0 / (255.0 * 4))
+    assert(st.emb(3) === 0.25 && st.emb(6) === 0.0 && st.emb(7) === 0.25)
+    // dominant-channel tie goes to the FIRST channel (r before g before b)
+    val tied = Multimodal.pixelStats(0L, Multimodal.decodeBmpPixels(
+      Multimodal.bmpPixelBytes(1, 1, (_, _) => (9, 9, 9))).get)
+    assert(tied.domC === 0 && tied.domB === 0)
+  }
+
+  test("featureOf: real pixel-statistics vector for BMPs, hash fallback") {
+    val bmp = Multimodal.bmpPixelBytes(3, 2, (x, y) => (x * 40, y * 80, 5))
+    val img = Multimodal.decodeBmpPixels(bmp).get
+    val exp = Multimodal.pixelStats(0L, img).emb.map(_.toFloat)
+    assert(Multimodal.featureOf(bmp).toSeq === exp.toSeq)
+    // non-decodable payloads keep the deterministic byte-hash fallback
+    val txt = "not an image".getBytes
+    assert(Multimodal.featureOf(txt).toSeq ===
+      Multimodal.byteHashFeature(txt).toSeq)
+    assert(Multimodal.featureOf(txt).forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("mm5/mm6: embedding witnesses match arithmetic; near-dup pairs " +
+    "share the blocking key and clear the cosine bar") {
+    val rows = Multimodal.mm5PixelEmbedding(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = (4 + id % 13).toInt; val h = (4 + id % 11).toInt
+      assert(r.getLong(1) === w.toLong * h, s"doc $id n_px")
+      // replay one witness end-to-end: the red-channel sum
+      var sr = 0L
+      for (y <- 0 until h; x <- 0 until w) sr += (x * 7 + y * 3 + id) % 256
+      assert(r.getLong(2) === sr, s"doc $id sum_r")
+      // bins partition the pixels
+      assert((5 to 9).map(r.getLong).sum === w.toLong * h, s"doc $id bins")
+    }
+    val pairs = Multimodal.mm6PixelNeardup(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(p.getDouble(2) >= Multimodal.PixelNearDupCosine - 1e-4)
+      // both ends must genuinely share the content-derived blocking key
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      assert(a < b)
+      assert(a % 13 === b % 13, s"pair ($a,$b) width key")
+      assert(a % 11 === b % 11, s"pair ($a,$b) height key")
+    }
+  }
+
   test("mm3 header round-trip query matches its arithmetic prediction") {
     val rows = Multimodal.mm3HeaderParse(spark, sfDir).collect()
     assert(rows.length === 500)
