@@ -451,24 +451,149 @@ object Multimodal {
       }
   }
 
-  /** Typed per-frame decode result (video frame-sampling schema). */
+  /** Typed per-frame decode result (video frame-sampling schema); `head`
+    * is the first payload byte of the frame (-1 when empty) — the cheap
+    * alignment witness the census oracle predicts arithmetically.
+    */
   final case class FrameMeta(
       id: Long,
       frameIdx: Int,
       nBytes: Int,
+      head: Int,
       feature: Array[Float])
 
-  /** Frame-sampling layout: fake frame size and sampling stride. */
+  /** Fallback record layout for NON-container byte streams (fixed-size
+    * chunking) and the sampling stride shared by both demux paths.
+    */
   val FrameSize = 256
   val FrameEvery = 4
 
-  /** STUB frame demux + sample — video containers become fixed-size byte
-    * chunks (no demuxer in this environment); every [[FrameEvery]]-th
-    * frame is decoded. The plumbing is the real shape: a row-EXPLODING
-    * mapPartitions (one media row in, many frame rows out) with the
-    * demuxer context initialized once per partition, and the sampling
-    * stride applied before any decode work — frames that aren't sampled
-    * are never materialized.
+  // ----------------------------------------------------------- Y4M demux
+
+  /** Parsed YUV4MPEG2 stream header: dims, colorspace, the exact byte
+    * size of one planar frame payload, and the header-line length
+    * (offset of the first FRAME marker).
+    */
+  final case class Y4mInfo(
+      width: Int,
+      height: Int,
+      colorspace: String,
+      frameBytes: Int,
+      headerLen: Int)
+
+  /** Bytes per planar frame for the layouts the demuxer understands —
+    * public Y4M spec: C420* subsamples chroma 2×2 (needs even dims),
+    * C422 2×1 (even width), C444 full, Cmono luma only.
+    */
+  private def y4mFrameBytes(w: Int, h: Int, cs: String): Option[Int] =
+    if (cs.startsWith("C420"))
+      if (w % 2 == 0 && h % 2 == 0) Some(w * h * 3 / 2) else None
+    else if (cs == "C422") if (w % 2 == 0) Some(2 * w * h) else None
+    else if (cs == "C444") Some(3 * w * h)
+    else if (cs == "Cmono") Some(w * h)
+    else None
+
+  private val Y4mMagic = "YUV4MPEG2".getBytes("US-ASCII")
+  private val FrameMark = "FRAME".getBytes("US-ASCII")
+
+  /** REAL Y4M header parse: `YUV4MPEG2 W<w> H<h> [F/I/A/X...] [C<cs>]\n`.
+    * Pure byte arithmetic against the public YUV4MPEG2 spec — no codec
+    * library. Unknown colorspaces, odd dims under subsampling, missing
+    * dims, over-[[MaxDecodeDim]] dims, and a header line that never
+    * terminates (scan capped at 256 bytes) all fail CLEANLY as None.
+    */
+  def parseY4mHeader(b: Array[Byte]): Option[Y4mInfo] = {
+    if (b.length < 10 || !(0 until 9).forall(i => b(i) == Y4mMagic(i)) ||
+      b(9) != ' ') return None
+    val cap = math.min(b.length, 256)
+    var nl = 10
+    while (nl < cap && b(nl) != '\n') nl += 1
+    if (nl >= cap) return None
+    var w = -1
+    var h = -1
+    var cs = "C420jpeg" // spec default when no C param is present
+    new String(b, 10, nl - 10, "US-ASCII").split(' ').foreach { tok =>
+      if (tok.nonEmpty) tok.charAt(0) match {
+        case 'W' => w = tok.tail.toIntOption.getOrElse(-1)
+        case 'H' => h = tok.tail.toIntOption.getOrElse(-1)
+        case 'C' => cs = tok
+        case _   => () // F (rate), I (interlace), A (aspect), X (vendor)
+      }
+    }
+    if (w <= 0 || h <= 0 || w > MaxDecodeDim || h > MaxDecodeDim) None
+    else y4mFrameBytes(w, h, cs).map(fb => Y4mInfo(w, h, cs, fb, nl + 1))
+  }
+
+  /** REAL Y4M builder twin (same role as [[bmpPixelBytes]]): header +
+    * `FRAME\n`-delimited planar payloads, frame f filled with byte
+    * `fill(f)` — every emitted byte predictable by arithmetic.
+    */
+  def y4mBytes(w: Int, h: Int, nFrames: Int, cs: String = "C420jpeg",
+      fill: Int => Int = _ => 0): Array[Byte] = {
+    val fb = y4mFrameBytes(w, h, cs).getOrElse(
+      throw new IllegalArgumentException(s"unsupported y4m layout ${w}x$h $cs"))
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 $cs\n".getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + nFrames * (6 + fb))
+    out.write(header)
+    var f = 0
+    while (f < nFrames) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val payload = new Array[Byte](fb)
+      java.util.Arrays.fill(payload, (fill(f) & 0xff).toByte)
+      out.write(payload)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Walk the REAL frame boundaries of a parsed Y4M stream, emitting only
+    * every `every`-th frame: at each position expect a FRAME marker,
+    * optional frame parameters up to `\n`, then exactly
+    * `info.frameBytes` of planar payload. Unsampled frames advance `pos`
+    * WITHOUT copying a byte (stride before decode); a malformed marker or
+    * truncated trailing frame ends the walk, keeping the frames already
+    * demuxed — robust-ingest semantics for a 100 TB media crawl.
+    */
+  private def y4mSampledFrames(id: Long, b: Array[Byte], info: Y4mInfo,
+      every: Int): Iterator[FrameMeta] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FrameMeta]
+    var pos = info.headerLen
+    var idx = 0
+    var ok = true
+    while (ok && pos + FrameMark.length <= b.length) {
+      if (!(0 until FrameMark.length).forall(i => b(pos + i) == FrameMark(i)))
+        ok = false
+      else {
+        var nl = pos + FrameMark.length
+        val cap = math.min(b.length, nl + 256)
+        while (nl < cap && b(nl) != '\n') nl += 1
+        val from = nl + 1
+        if (nl >= cap || from + info.frameBytes > b.length) ok = false
+        else {
+          if (idx % every == 0) {
+            val head = if (info.frameBytes > 0) b(from) & 0xff else -1
+            out += FrameMeta(id, idx, info.frameBytes, head,
+              featureOf(java.util.Arrays.copyOfRange(b, from,
+                from + info.frameBytes)))
+          }
+          idx += 1
+          pos = from + info.frameBytes
+        }
+      }
+    }
+    out.iterator
+  }
+
+  /** Frame demux + sample. Y4M payloads (sniffed by the YUV4MPEG2 magic)
+    * get the REAL container demux — frame boundaries from the parsed
+    * header's frame size and per-frame FRAME markers; anything else falls
+    * back to fixed-size [[FrameSize]] chunking (the honest treatment of
+    * an unknown byte stream as a record sequence). Both paths share the
+    * plumbing shape: a row-EXPLODING mapPartitions (one media row in,
+    * many frame rows out, demuxer context initialized once per
+    * partition) with the sampling stride applied BEFORE any decode work —
+    * frames that aren't sampled are never materialized.
     */
   def frameSample(media: DataFrame, spark: SparkSession,
       every: Int = FrameEvery): Dataset[FrameMeta] = {
@@ -477,14 +602,19 @@ object Multimodal {
     media.select(col("id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real demuxer: init container parser here, once per partition
+        // real demuxer context initializes here, once per partition
         it.flatMap { case (id, bytes) =>
-          val nFrames = (bytes.length + FrameSize - 1) / FrameSize
-          Iterator.range(0, nFrames, every).map { f =>
-            val from = f * FrameSize
-            val until = math.min(from + FrameSize, bytes.length)
-            val fb = java.util.Arrays.copyOfRange(bytes, from, until)
-            FrameMeta(id, f, fb.length, featureOf(fb))
+          parseY4mHeader(bytes) match {
+            case Some(info) => y4mSampledFrames(id, bytes, info, every)
+            case None =>
+              val nFrames = (bytes.length + FrameSize - 1) / FrameSize
+              Iterator.range(0, nFrames, every).map { f =>
+                val from = f * FrameSize
+                val until = math.min(from + FrameSize, bytes.length)
+                val fb = java.util.Arrays.copyOfRange(bytes, from, until)
+                val head = if (fb.length > 0) fb(0) & 0xff else -1
+                FrameMeta(id, f, fb.length, head, featureOf(fb))
+              }
           }
         }
       }
@@ -687,16 +817,47 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Frame-sampling census over the REAL [[frameSample]] dataset: sampled
-    * frame count and last sampled index per media item. The oracle
-    * recomputes both from octet_length arithmetic alone — an independent
-    * check that the demux/sample loop touches exactly the frames the
-    * layout promises.
+  /** The Y4M fixture behind mm2: one REAL YUV4MPEG2 stream per document —
+    * even dims and frame count derived from doc_id, colorspace cycling
+    * through 4:2:0 / 4:4:4 / mono (so the census exercises every frame-
+    * size formula), frame f's payload filled with byte (id + f) % 256.
+    */
+  def y4mMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (2 * (2 + id % 6)).toInt
+          val h = (2 * (2 + id % 4)).toInt
+          val nf = (1 + id % 9).toInt
+          val cs = (id % 3) match {
+            case 0 => "C420jpeg"
+            case 1 => "C444"
+            case _ => "Cmono"
+          }
+          (id, y4mBytes(w, h, nf, cs, f => ((id + f) % 256).toInt))
+        }
+      }
+      .toDF("id", "payload")
+  }
+
+  /** mm2: frame-sampling census over the REAL Y4M demux — per stream, the
+    * sampled frame count, last sampled index, total sampled payload
+    * bytes, and the sum of each sampled frame's first payload byte. The
+    * oracle predicts all four from header arithmetic alone (frame size by
+    * colorspace, stride-4 sampling, the (id + f) % 256 fill), so marker
+    * walking, frame sizing, AND byte-exact frame alignment are checked —
+    * a misaligned demux would shift `head_sum` even when counts survive.
     */
   def mm2FrameCensus: Q = (s, dir) =>
-    frameSample(fixtureMedia(s, dir), s)
+    frameSample(y4mMedia(s, dir), s)
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_sampled"), max(col("frameIdx")).as("last_idx"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max(col("frameIdx")).cast("long").as("last_idx"),
+        sum(col("nBytes")).as("bytes_sampled"),
+        sum(col("head")).as("head_sum"))
       .orderBy(col("id"))
 
   /** Binary-column metadata through the REAL decode path: byte length,
@@ -793,18 +954,23 @@ object Multimodal {
         |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
         |    ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END AS magic
         |FROM documents ORDER BY id""".stripMargin,
-    // pure frame-layout arithmetic: nf = ceil(bytes/FrameSize) frames,
-    // sampled at stride FrameEvery → count + last index. Zero-byte
-    // payloads produce NO frames and hence no census row on the Spark
-    // side — the WHERE keeps both engines row-aligned on that edge
+    // pure Y4M frame-layout arithmetic: frame count / dims / colorspace
+    // replayed from doc_id, frame size by layout (fb2 = bytes per 2 luma
+    // samples: C420→3, C444→6, Cmono→2), stride-FrameEvery sampling, and
+    // the (id + f) % 256 fill of each sampled frame's first byte
     "mm2_frame_census" ->
-      s"""SELECT doc_id AS id,
-         |  ((octet_length(encode(text)) + ${FrameSize - 1}) // $FrameSize
-         |    + ${FrameEvery - 1}) // $FrameEvery AS n_sampled,
-         |  (((octet_length(encode(text)) + ${FrameSize - 1}) // $FrameSize
-         |    - 1) // $FrameEvery) * $FrameEvery AS last_idx
-         |FROM documents WHERE octet_length(encode(text)) > 0
-         |ORDER BY id""".stripMargin,
+      s"""WITH p AS (SELECT doc_id, 2 * (2 + doc_id % 6) AS w,
+         |    2 * (2 + doc_id % 4) AS h, 1 + doc_id % 9 AS nf,
+         |    CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 6 ELSE 2 END AS fb2
+         |  FROM documents)
+         |SELECT doc_id AS id,
+         |  (nf + ${FrameEvery - 1}) // $FrameEvery AS n_sampled,
+         |  ((nf - 1) // $FrameEvery) * $FrameEvery AS last_idx,
+         |  ((nf + ${FrameEvery - 1}) // $FrameEvery)
+         |    * (w * h * fb2 // 2) AS bytes_sampled,
+         |  list_sum(list_transform(generate_series(0, (nf - 1) // $FrameEvery),
+         |    k -> (doc_id + $FrameEvery * k) % 256))::BIGINT AS head_sum
+         |FROM p ORDER BY id""".stripMargin,
     // predicts the round-trip from arithmetic alone; byte counts are the
     // fixed header-stream sizes each builder emits
     "mm3_header_parse" ->

@@ -263,6 +263,87 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Y4M: header parse round-trips the builder across layouts") {
+    val p420 = Multimodal.parseY4mHeader(Multimodal.y4mBytes(8, 6, 2)).get
+    assert(p420.width === 8 && p420.height === 6)
+    assert(p420.colorspace === "C420jpeg" && p420.frameBytes === 8 * 6 * 3 / 2)
+    val p444 = Multimodal.parseY4mHeader(
+      Multimodal.y4mBytes(5, 3, 1, "C444")).get
+    assert(p444.frameBytes === 3 * 5 * 3)
+    val mono = Multimodal.parseY4mHeader(
+      Multimodal.y4mBytes(7, 3, 1, "Cmono")).get
+    assert(mono.frameBytes === 21)
+    val p422 = Multimodal.parseY4mHeader(
+      "YUV4MPEG2 W6 H3 C422\n".getBytes("US-ASCII")).get
+    assert(p422.frameBytes === 2 * 6 * 3)
+    // spec default colorspace (no C param) is 4:2:0; X params are skipped
+    val dflt = Multimodal.parseY4mHeader(
+      "YUV4MPEG2 W4 H2 F30:1 Ip A0:0 XYSCSS=420JPEG\n".getBytes("US-ASCII")).get
+    assert(dflt.colorspace === "C420jpeg" && dflt.frameBytes === 12)
+    assert(dflt.headerLen === "YUV4MPEG2 W4 H2 F30:1 Ip A0:0 XYSCSS=420JPEG\n".length)
+  }
+
+  test("Y4M: malformed headers and layouts fail cleanly as None") {
+    def p(s: String) = Multimodal.parseY4mHeader(s.getBytes("US-ASCII"))
+    assert(p("YUV4MPEG2 W5 H3 C420jpeg\n").isEmpty) // odd dims under 4:2:0
+    assert(p("YUV4MPEG2 W5 H3 C422\n").isEmpty)     // odd width under 4:2:2
+    assert(p("YUV4MPEG2 W4 H2 Cweird\n").isEmpty)   // unknown colorspace
+    assert(p("YUV4MPEG2 H2 Cmono\n").isEmpty)       // missing width
+    assert(p("YUV4MPEG2 W0 H2 Cmono\n").isEmpty)    // non-positive dim
+    assert(p("YUV4MPEG2 Wx H2 Cmono\n").isEmpty)    // non-numeric dim
+    assert(p("YUV4MPEG3 W4 H2\n").isEmpty)          // wrong magic
+    assert(p("YUV4MPEG2 W4 H2 Cmono").isEmpty)      // unterminated header
+    assert(p("YUV4MPEG2 W4 H2 " + "X".repeat(300) + "\n").isEmpty) // scan cap
+    assert(Multimodal.parseY4mHeader(Array.empty[Byte]).isEmpty)
+  }
+
+  test("Y4M: frameSample demuxes real frame boundaries with the stride") {
+    import spark.implicits._
+    // 9 mono 3x2 frames, frame f filled with byte 100 + f
+    val media = Seq((5L, Multimodal.y4mBytes(3, 2, 9, "Cmono", f => 100 + f)))
+      .toDF("id", "payload")
+    val frames = Multimodal.frameSample(media, spark, every = 4)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq === Seq(0, 4, 8))
+    assert(frames.forall(_.nBytes === 6))
+    assert(frames.map(_.head).toSeq === Seq(100, 104, 108))
+    // a truncated trailing frame is dropped, earlier frames kept
+    val whole = Multimodal.y4mBytes(3, 2, 5, "Cmono")
+    val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length - 2)
+    val cutFrames = Multimodal.frameSample(
+      Seq((6L, cut)).toDF("id", "payload"), spark, every = 1).collect()
+    assert(cutFrames.map(_.frameIdx).sorted.toSeq === Seq(0, 1, 2, 3))
+    // garbage between frames ends the walk instead of misparsing
+    val broken = whole.clone()
+    val secondMark = Multimodal.parseY4mHeader(whole).get.headerLen + 6 + 6
+    broken(secondMark) = 'X'
+    val brokenFrames = Multimodal.frameSample(
+      Seq((7L, broken)).toDF("id", "payload"), spark, every = 1).collect()
+    assert(brokenFrames.map(_.frameIdx).toSeq === Seq(0))
+  }
+
+  test("mm2 census matches the Y4M layout arithmetic per document") {
+    val rows = Multimodal.mm2FrameCensus(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = (2 * (2 + id % 6)).toInt
+      val h = (2 * (2 + id % 4)).toInt
+      val nf = (1 + id % 9).toInt
+      val fb = (id % 3) match {
+        case 0 => w * h * 3 / 2
+        case 1 => 3 * w * h
+        case _ => w * h
+      }
+      val ns = (nf + 3) / 4
+      assert(r.getLong(1) === ns, s"doc $id n_sampled")
+      assert(r.getLong(2) === ((nf - 1) / 4) * 4, s"doc $id last_idx")
+      assert(r.getLong(3) === ns.toLong * fb, s"doc $id bytes_sampled")
+      val hs = (0 until nf by 4).map(f => (id + f) % 256).sum
+      assert(r.getLong(4) === hs, s"doc $id head_sum")
+    }
+  }
+
   test("mm3 header round-trip query matches its arithmetic prediction") {
     val rows = Multimodal.mm3HeaderParse(spark, sfDir).collect()
     assert(rows.length === 500)
