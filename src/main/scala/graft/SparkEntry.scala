@@ -24,7 +24,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     mopsoArchive(spark, "/root/testdata/sf0.001")
 
-  private def mopsoArchive(spark: SparkSession, dir: String): DataFrame = {
+  /** `private[graft]` so MopsoE2ESpec pins THIS exact driver-checked run
+    * (config + seed) against the committed cross-round golden file.
+    */
+  private[graft] def mopsoArchive(spark: SparkSession, dir: String): DataFrame = {
     val cfg = MopsoConfig.avg(numPartitions = 8).copy(
       iterMax = 10, partitioning = Config.PartByIdRange)
     val result = Mopso.run(spark, Tables.labeledPoints(spark, dir), cfg,

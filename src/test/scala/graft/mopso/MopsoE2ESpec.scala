@@ -26,6 +26,34 @@ class MopsoE2ESpec extends AnyFunSuite with SparkTestBase {
     assert(r1.purities.toSeq === r2.purities.toSeq)
   }
 
+  test("cross-round golden: the m1 driver query reproduces the committed " +
+    "archive exactly") {
+    // the EXACT surface the driver's m1 row exercises (config + seed +
+    // fixture), pinned against a committed golden so drift introduced in
+    // ANY round — not just within one session — fails loudly
+    val got = graft.SparkEntry.mopsoArchive(spark, sfDir)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/m1_archive_sf0.001.csv"))
+    val golden = try src.getLines()
+      .filterNot(l => l.startsWith("#") || l.startsWith("rank"))
+      .map { l =>
+        val Array(r, d, c, p) = l.split(',')
+        (r.toInt, d.toDouble, c.toDouble, p.toDouble)
+      }.toVector
+    finally src.close()
+    assert(got.length === golden.length,
+      s"archive size drifted: ${got.length} vs golden ${golden.length}")
+    got.zip(golden).foreach { case ((r1, d1, c1, p1), (r2, d2, c2, p2)) =>
+      assert(r1 === r2)
+      // golden is rounded to 6 decimals; agree at that precision
+      assert(math.abs(d1 - d2) < 5e-7, s"rank $r1 dev: $d1 vs golden $d2")
+      assert(math.abs(c1 - c2) < 5e-7, s"rank $r1 conn: $c1 vs golden $c2")
+      assert(math.abs(p1 - p2) < 5e-7, s"rank $r1 purity: $p1 vs golden $p2")
+    }
+  }
+
   test("archive invariants: non-empty, ≤ repository, mutually non-dominated") {
     val r = Mopso.run(spark, data, cfg, seed = 7L)
     assert(r.archive.nonEmpty)
