@@ -54,14 +54,20 @@ object Curation {
   val EvalDocs = 20
   val GramSize = 4
 
-  /** p5b Bloom sizing: slots provisioned for the eval gram count (size
-    * for the REAL eval set when deploying — capacity below the true
-    * count degrades fpp, never correctness, since the exact join
-    * re-verifies every survivor) and the false-positive target that sets
-    * bits-per-slot.
+  /** p5b Bloom sizing: the false-positive target that sets bits-per-slot,
+    * and the slot floor for degenerate (near-empty) eval sets. Capacity
+    * is DERIVED per run from the eval side's actual distinct-gram count
+    * (one cheap `count()` over the tiny side), so the ~10 bits/gram
+    * story holds at ANY eval-suite size — a fixed capacity either wastes
+    * broadcast bytes or silently degrades fpp as the suite grows.
+    * Capacity below the true count would degrade fpp, never correctness:
+    * the exact join re-verifies every survivor.
     */
-  val BloomCapacity = 1L << 20
   val BloomFppTarget = 0.01
+  val BloomMinSlots = 1L << 10
+
+  private[functions] def bloomCapacityOf(nEvalGrams: Long): Long =
+    math.max(nEvalGrams, BloomMinSlots)
 
   /** p5: decontamination — find training documents sharing any
     * [[GramSize]]-token gram with a held-out eval document, the overlap
@@ -72,14 +78,18 @@ object Curation {
     * a broadcast hint: at 100 TB this is a broadcast semi-join pass over
     * the training scan — no shuffle of the big side.
     */
-  def p5Decontaminate: Q = (s, dir) => {
-    val base = Tables.documents(s, dir)
+  def p5Decontaminate: Q = (s, dir) => decontaminate(Tables.documents(s, dir))
+
+  /** The p5 transform over any (doc_id, text) frame (spec feeds synthetic
+    * corpora through both this and the Bloom twin).
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
     // the doc_id range filters sit BEFORE gram building, so they push to
     // the parquet scan — the eval branch reads ~EvalDocs rows, not the
     // corpus, and neither branch tokenizes the other's rows
-    val ev = distinctGrams(base.where(col("doc_id") < EvalDocs))
+    val ev = distinctGrams(docs.where(col("doc_id") < EvalDocs))
       .withColumnRenamed("doc_id", "eval_doc")
-    val tr = distinctGrams(base.where(col("doc_id") >= EvalDocs))
+    val tr = distinctGrams(docs.where(col("doc_id") >= EvalDocs))
       .withColumnRenamed("doc_id", "train_doc")
     tr.join(broadcast(ev), Seq("gram"))
       .groupBy(col("train_doc"), col("eval_doc"))
@@ -100,17 +110,22 @@ object Curation {
     * the output is identical to p5's and shares its DuckDB oracle: the
     * oracle proves the prefilter dropped nothing it shouldn't have.
     */
-  def p5bDecontaminateBloom: Q = (s, dir) => {
-    val base = Tables.documents(s, dir)
-    val ev = distinctGrams(base.where(col("doc_id") < EvalDocs))
+  def p5bDecontaminateBloom: Q = (s, dir) =>
+    decontaminateBloom(Tables.documents(s, dir))
+
+  /** The p5b transform over any (doc_id, text) frame. */
+  def decontaminateBloom(docs: DataFrame): DataFrame = {
+    val ev = distinctGrams(docs.where(col("doc_id") < EvalDocs))
       .withColumnRenamed("doc_id", "eval_doc")
-    // fixed capacity instead of an ev.count() pre-job: the gram pipeline
-    // then runs exactly twice (filter build + exact-join build), its
-    // inherent minimum without a cache leak. Overprovisioning only makes
-    // the filter bits sparser; at [[BloomFppTarget]] fpp the capacity
-    // costs ~10 bits/slot, so even 1M slots broadcast ~1.2 MB
+    // capacity from the eval side's true gram count: one count() pre-job
+    // over the tiny side (an eval set, not a corpus — the third pass of
+    // the small gram pipeline costs ~nothing and keeps bits/gram fixed
+    // at any suite size; persist ev first if an eval suite ever isn't
+    // small). At [[BloomFppTarget]] each slot costs ~10 bits, so even
+    // 1M derived slots broadcast ~1.2 MB
+    val capacity = bloomCapacityOf(ev.count())
     val bloom = ev.select(xxhash64(col("gram")).as("h"))
-      .stat.bloomFilter("h", BloomCapacity, BloomFppTarget)
+      .stat.bloomFilter("h", capacity, BloomFppTarget)
     val bloomBytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
@@ -121,7 +136,7 @@ object Curation {
         org.apache.spark.sql.graft.Bridge.expression(lit(bloomBytes)),
         org.apache.spark.sql.graft.Bridge.expression(
           xxhash64(col("gram")))))
-    val tr = distinctGrams(base.where(col("doc_id") >= EvalDocs))
+    val tr = distinctGrams(docs.where(col("doc_id") >= EvalDocs))
       .withColumnRenamed("doc_id", "train_doc")
       .where(mightContain)
     tr.join(broadcast(ev), Seq("gram"))
@@ -140,7 +155,7 @@ object Curation {
     * full text PER GRAM (measured 25.6s at sf0.1 vs ~1s here; same bug
     * class as the bucketedPairs re-sort, see SCALE.md).
     */
-  private def distinctGrams(docs: DataFrame): DataFrame = {
+  private[functions] def distinctGrams(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     docs
       .select(col("doc_id"),

@@ -118,4 +118,41 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("might_contain"),
       "Bloom prefilter missing from the physical plan")
   }
+
+  test("p5b Bloom capacity derives from the eval gram count and the " +
+    "derived filter loses nothing on a larger synthetic eval set") {
+    import spark.implicits._
+    // synthetic corpus with an eval side ~20x the fixture's gram volume:
+    // 300 tokens per eval doc, and each train doc replants a 40-token
+    // slice of one eval doc so the contamination set is non-trivial
+    def tok(i: Long, t: Int): String = s"w${(i * 131 + t * 7) % 100000}"
+    val docs = (0L until 120L).map { i =>
+      val own = (0 until 300).map(t => tok(i, t))
+      val text =
+        if (i < Curation.EvalDocs) own.mkString(" ")
+        else if (i % 3 == 0) {
+          val src = i % Curation.EvalDocs
+          (own.take(100) ++ (0 until 40).map(t => tok(src, 50 + t)) ++
+            own.drop(140)).mkString(" ")
+        } else own.mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    // the sizing path: capacity == the eval side's true distinct-gram
+    // count once above the floor, the floor for degenerate sets
+    val nEval = Curation.distinctGrams(
+      docs.where($"doc_id" < Curation.EvalDocs)).count()
+    assert(nEval > Curation.BloomMinSlots,
+      s"synthetic eval side too small to exercise the derived path: $nEval")
+    assert(Curation.bloomCapacityOf(nEval) === nEval)
+    assert(Curation.bloomCapacityOf(5L) === Curation.BloomMinSlots)
+    assert(Curation.bloomCapacityOf(0L) === Curation.BloomMinSlots)
+    // no false negatives at the derived size: Bloom twin == exact, and
+    // the contamination is real
+    val exact = Curation.decontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bloomed = Curation.decontaminateBloom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact.nonEmpty)
+    assert(bloomed === exact)
+  }
 }
