@@ -70,8 +70,25 @@ object Events {
     * for custom state (StreamingSpec).
     */
   def sessions(events: DataFrame): DataFrame =
-    events
+    sessionCore(events.withColumn("tss", date_trunc("second", col("ts"))))
+
+  /** Streaming twin of [[sessions]]: the identical session expression over
+    * a watermarked event time — open sessions live in the state store,
+    * finalize once the watermark passes their gap, and (because the state
+    * store is checkpointed) survive a stop/restart of the query
+    * exactly-once (spec'd in StreamingSpec's checkpoint-recovery case).
+    */
+  def sessionsWatermarked(stream: DataFrame,
+      delay: String = "30 minutes"): DataFrame =
+    sessionCore(stream
       .withColumn("tss", date_trunc("second", col("ts")))
+      .withWatermark("tss", delay))
+
+  /** The ONE session definition both modes share (module invariant: batch
+    * and stream run the same logical plan).
+    */
+  private def sessionCore(truncated: DataFrame): DataFrame =
+    truncated
       .groupBy(session_window(col("tss"), "10 minutes").as("w"),
         col("user_id"))
       .agg(count(lit(1)).as("n_events"),

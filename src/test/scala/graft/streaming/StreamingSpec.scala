@@ -181,6 +181,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("e3 sessionization recovers from a checkpoint restart exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sess-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-sess-out").toString
+
+    val evs = eventRows().filter(_.user_id < 40).sortBy(_.ts.getTime)
+    assert(evs.nonEmpty)
+    val maxTs = evs.map(_.ts.getTime).max
+    val sentinelUser = 999999L
+
+    // one plan, started twice against the same checkpoint + file sink —
+    // the operational recovery path a long-lived pipeline rides
+    val input = MemoryStream[Ev]
+    def start() = Events.sessionsWatermarked(input.toDF())
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val q1 = start()
+    try {
+      input.addData(first)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the checkpoint: sessions left OPEN at the stop (the
+    // split lands mid-gap for many users) must merge with their
+    // continuation, not re-emit or fork
+    val q2 = start()
+    try {
+      input.addData(second)
+      q2.processAllAvailable()
+      // the watermark advances at batch boundaries from the PREVIOUS
+      // batch's max event time, so push it past every real session twice
+      (1 to 2).foreach { k =>
+        input.addData(Seq(Ev(new Timestamp(maxTs + k * 24L * 3600 * 1000),
+          sentinelUser, "view", 0.0)))
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .filter(col("user_id") =!= sentinelUser)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // exactly-once across the restart: a replayed/re-emitted session would
+    // surface as a duplicated finalized row
+    assert(got.length === got.distinct.length,
+      s"duplicated session rows after restart")
+    // and complete: every batch session (the e3 answer) is present once
+    val want = Events.sessions(
+      Tables.events(spark, sfDir).filter(col("user_id") < 40))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sorted.toSeq === want.sorted.toSeq)
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window batch") {
     import spark.implicits._
     val gapMs = 10L * 60 * 1000
