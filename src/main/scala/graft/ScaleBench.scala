@@ -58,7 +58,11 @@ object ScaleBench {
     "t7_quality_gate", "t8_boilerplate",
     "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",
     "c1_assign", "c17_conn_partitioned", "c19_conn_topk",
-    "mm2_frame_census")
+    "mm2_frame_census",
+    // the full seeded MOPSO loop — the reference's defining scaling risk
+    // (per-iteration broadcast + bounded collect, SURVEY §7.4.5); linear
+    // per iteration, so it stays in the linear set too
+    "m1_mopso_archive")
 
   /** One scaled copy of a fact table: keys shifted, content perturbed. */
   private def copyOf(spark: SparkSession, src: String, name: String,
@@ -113,19 +117,86 @@ object ScaleBench {
     }
   }
 
+  /** The q3 broadcast→shuffle mitigation, measured: bucket lineitem and
+    * orders on the order key (one-time ingest cost, reported separately),
+    * run the SAME q3 plan over the bucketed tables, and time it against
+    * the plain-parquet form in the same session. Bucketing satisfies the
+    * big-big join's required distribution, so neither fact side shuffles
+    * — the co-located-join pattern ScaleTechniquesSpec proves
+    * exchange-free, here demonstrated at scale. Returns the timing
+    * entries; asserts both forms agree before trusting either number.
+    */
+  private def q3BucketCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    val db = "graft_bucket"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db " +
+      s"LOCATION '$work/bucket_warehouse'")
+    spark.sql(s"USE $db")
+    val t0 = System.nanoTime()
+    if (!spark.catalog.tableExists("li_b")) {
+      Tables.lineitem(spark, work).write
+        .bucketBy(32, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+      Tables.orders(spark, work).write
+        .bucketBy(32, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
+    }
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    import graft.operators.Relational
+    def run(li: DataFrame, o: DataFrame): (Double, Array[(String, Double, Long)]) = {
+      val df = Relational.q3Core(li, o,
+        Tables.customer(spark, work), Tables.nation(spark, work))
+      val t = System.nanoTime()
+      val rows = df.collect().map(r => // 25 rows
+        (r.getString(0), r.getDouble(1), r.getLong(2)))
+      ((System.nanoTime() - t) / 1e9, rows)
+    }
+    def plain() = run(Tables.lineitem(spark, work), Tables.orders(spark, work))
+    def bucketed() = run(spark.table("li_b"), spark.table("o_b"))
+    // one untimed pass each: JIT/codegen + page cache, fair to both forms
+    plain(); bucketed()
+    val (plainSec, plainRows) = plain()
+    val (bucketSec, bucketRows) = bucketed()
+    // keys and counts must match exactly; the revenue sums ride different
+    // aggregation orders (shuffle-hash vs colocated SMJ), so the rounded
+    // cent may legitimately differ by one ulp-flip — tolerate 1 cent
+    require(plainRows.length == bucketRows.length &&
+      plainRows.zip(bucketRows).forall { case ((n1, r1, c1), (n2, r2, c2)) =>
+        n1 == n2 && c1 == c2 && math.abs(r1 - r2) <= 0.011
+      }, "bucketed q3 diverged from the plain plan")
+    Seq("q3_plain" -> plainSec, "q3_bucketed" -> bucketSec,
+      "q3_bucket_build" -> buildSec)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 10
     val work0 = if (args.length > 2) args(2) else "/tmp/graft_scale"
     val work = s"$work0/x$mult"
     val quadraticCompute = Set("c19_conn_topk")
+    val mode = if (args.length > 3) args(3) else "full"
     val set =
-      if (args.length > 3 && args(3) == "linear")
-        scaleSet.filterNot(quadraticCompute)
+      if (mode == "linear") scaleSet.filterNot(quadraticCompute)
       else scaleSet
     val spark = graft.core.GraftSession.local("graft-scale", 32)
 
     materialize(spark, src, mult, work)
+
+    if (mode == "q3bucket") {
+      // comparison-only mode: plain vs bucketed q3 on the scaled facts
+      val results = q3BucketCompare(spark, work)
+      def fmt(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val line = s"""{"metric":"q3_bucket_compare","mult":$mult,""" +
+        s""""unit":"sec","queries":$qs,"src":"$src"}"""
+      println(line)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_SCALE_OUT", "scale_q3bucket.json")),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      spark.stop()
+      return
+    }
     val rows = factTables.map(t =>
       t -> Tables.table(spark, work, t).count()).toMap
 

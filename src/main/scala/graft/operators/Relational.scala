@@ -79,11 +79,16 @@ object Relational {
   /** 4-way join: lineitem⋈orders (big-big, shuffle on orderkey) then
     * customer, then broadcast nation — classic star-join shape.
     */
-  def q3RevenueByNation: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-    val o = Tables.orders(s, dir)
-    val c = Tables.customer(s, dir)
-    val n = Tables.nation(s, dir)
+  def q3RevenueByNation: Q = (s, dir) =>
+    q3Core(Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), Tables.nation(s, dir))
+
+  /** The q3 plan over caller-supplied inputs — ScaleBench feeds BUCKETED
+    * lineitem/orders tables through the same plan to measure the
+    * co-located-join mitigation of the big-big shuffle at x100.
+    */
+  def q3Core(li: DataFrame, o: DataFrame, c: DataFrame,
+      n: DataFrame): DataFrame =
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
@@ -93,7 +98,6 @@ object Relational {
           .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("n_name"))
-  }
 
   /** TPC-H Q6 shape: pure filter + scalar agg; every predicate is
     * parquet-pushable (PushedFilters shows range + range + range).
