@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mopso.{Config, Mopso, MopsoConfig}
-import graft.operators.{Clustering, Relational}
+import graft.operators.{Clustering, RangeJoin, Relational}
 import graft.sources.Tables
 import graft.streaming.Events
 
@@ -39,7 +39,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Clustering.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Curation.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Events.queries ++ Map(
+      Similarity.queries ++ Multimodal.queries ++ Events.queries ++
+      RangeJoin.queries ++ Map(
         // full MOPSO loop — stochastic-but-seeded, no SQL equivalent →
         // rows-only check (archive is non-empty and ≤ repository)
         "m1_mopso_archive" -> ((s, dir) => mopsoArchive(s, dir))
@@ -51,5 +52,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Clustering.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Curation.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ Events.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ Events.oracles ++
+      RangeJoin.oracles
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The binned point-in-interval join must equal the naive
+  * crossJoin+filter formulation — an independent algorithm — for every
+  * bin width, including widths larger than any interval, smaller than
+  * all, and exactly boundary-aligned. Boundary semantics pinned
+  * explicitly: a point at `start` matches, a point at `end` does not.
+  */
+class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  private val HourUs = 3600L * 1000000
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Deterministic pseudo-random points + intervals around one day. */
+  private def fixtures: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val base = ts("2024-03-01 00:00:00").getTime // ms epoch
+    val points = (0 until 400).map { i =>
+      val offMin = (i * 7919) % (48 * 60) // spread over 2 days
+      (i.toLong, new Timestamp(base + offMin * 60000L))
+    }.toDF("pid", "pt")
+    val intervals = (0 until 60).map { j =>
+      val startMin = (j * 6007) % (48 * 60)
+      val lenMin = 1 + (j * 251) % 600 // 1 min .. 10 h
+      (j.toLong, new Timestamp(base + startMin * 60000L),
+        new Timestamp(base + (startMin + lenMin) * 60000L))
+    }.toDF("iid", "ivl_start", "ivl_end")
+    (points, intervals)
+  }
+
+  private def naive(points: DataFrame, intervals: DataFrame): Set[(Long, Long)] =
+    points.crossJoin(intervals)
+      .where(col("pt") >= col("ivl_start") && col("pt") < col("ivl_end"))
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def binned(points: DataFrame, intervals: DataFrame,
+      binUs: Long): Set[(Long, Long)] =
+    RangeJoin.binnedPointInterval(points, "pt", intervals,
+      "ivl_start", "ivl_end", binUs)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("binned join equals the naive nested-loop join at many bin widths") {
+    val (p, i) = fixtures
+    val expected = naive(p, i)
+    assert(expected.nonEmpty)
+    for (binUs <- Seq(HourUs / 4, HourUs, 6 * HourUs, 24 * HourUs,
+        7L * 24 * HourUs)) {
+      assert(binned(p, i, binUs) === expected, s"binUs=$binUs")
+    }
+  }
+
+  test("start inclusive, end exclusive, empty intervals dropped") {
+    import spark.implicits._
+    val p = Seq(
+      (1L, ts("2024-03-01 08:00:00")), // == start → in
+      (2L, ts("2024-03-01 09:59:59")), // last second → in
+      (3L, ts("2024-03-01 10:00:00")), // == end → out
+      (4L, ts("2024-03-01 07:59:59"))  // before → out
+    ).toDF("pid", "pt")
+    val i = Seq(
+      (10L, ts("2024-03-01 08:00:00"), ts("2024-03-01 10:00:00")),
+      (11L, ts("2024-03-01 08:00:00"), ts("2024-03-01 08:00:00")), // empty
+      (12L, ts("2024-03-01 10:00:00"), ts("2024-03-01 08:00:00"))  // inverted
+    ).toDF("iid", "ivl_start", "ivl_end")
+    // bin width aligned exactly on the 2-hour interval: the end−1µs bin
+    // arithmetic is what keeps point 3 out and point 1 in
+    assert(binned(p, i, 2 * HourUs) === Set((1L, 10L), (2L, 10L)))
+    // and with a deliberately misaligned width
+    assert(binned(p, i, 7L * 60 * 1000000) === Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("interval spanning many bins matches a point in each covered bin") {
+    import spark.implicits._
+    val p = (0 until 30).map(h =>
+      (h.toLong, ts(f"2024-03-01 $h%02d:30:00".take(19)))).toDF("pid", "pt")
+    val i = Seq((1L, ts("2024-03-01 03:00:00"), ts("2024-03-01 21:00:00")))
+      .toDF("iid", "ivl_start", "ivl_end")
+    val got = binned(p, i, HourUs) // 18 one-hour bins
+    assert(got === (3 until 21).map(h => (h.toLong, 1L)).toSet)
+  }
+
+  test("column-name clash is rejected") {
+    import spark.implicits._
+    val p = Seq((1L, ts("2024-03-01 00:00:00"))).toDF("pid", "pt")
+    val i = Seq((1L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00")))
+      .toDF("pid", "ivl_start", "ivl_end")
+    assertThrows[IllegalArgumentException] {
+      RangeJoin.binnedPointInterval(p, "pt", i, "ivl_start", "ivl_end", HourUs)
+    }
+  }
+
+  test("e6 campaign derivation overlaps: events match 2-3 campaigns") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val joined = RangeJoin.binnedPointInterval(
+      ev.select(col("ts"), col("event_id")),
+      "ts", RangeJoin.campaignsOf(ev), "start_ts", "end_ts",
+      12L * HourUs)
+    val perEvent = joined.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")), max(col("n"))).head()
+    // interior events: 08:00+ of day d matches campaigns d, d-1 (and d-2
+    // before 08:00); only dataset-edge days fall to 1
+    assert(perEvent.getLong(0) >= 1 && perEvent.getLong(1) <= 3)
+  }
+}
