@@ -33,6 +33,17 @@ object GraftSession {
       // removed the memory guard for every later query in the session).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 21).toString)
+      // Spark's default parquet timestamp encoding is legacy INT96, and
+      // parquet-mr deliberately writes NO min/max statistics for INT96
+      // (it is not byte-orderable) — so every timestamp column the
+      // engine writes would be invisible to row-group pruning and
+      // ineligible for filter pushdown on re-read, silently costing
+      // full scans on any time-ranged query over engine-written data
+      // (measured in SinksSpec's sorted-layout case: 1000/1000 rows
+      // emitted vs ~125 once stats exist). INT64 micros matches the
+      // engine's µs timestamp semantics and carries full stats.
+      // Engine-wide convention, same rationale as the threshold above.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -42,6 +42,30 @@ object Writers {
       .mode(SaveMode.Overwrite)
       .parquet(outPath)
 
+  /** Sort-on-write layout: range-partition rows by `sortCol` into
+    * `numFiles` files, each sorted within, so every parquet row group
+    * carries TIGHT min/max stats on the key. A range predicate on that
+    * key then skips whole row groups inside the reader — the scan emits
+    * ~only the matching rows — where an unsorted layout leaves every row
+    * group's [min,max] spanning the full domain and the scan emits
+    * everything for the residual Filter to discard. SinksSpec measures
+    * the difference on the scan's own numOutputRows metric.
+    *
+    * This is the other half of the layout story next to
+    * [[writeEventsByDay]]: directory partitioning prunes at FILE
+    * granularity on the partition key (coarse, free at planning); sorted
+    * row groups prune at PAGE/ROW-GROUP granularity on any stats-typed
+    * column (fine, free at read). At 100 TB both compose: partition by
+    * day, sort within by the hot range key, and a time-ranged scan reads
+    * a sliver of one directory. Cost: one range exchange at write time —
+    * paid once, saved on every read.
+    */
+  def writeSortedBy(df: DataFrame, outPath: String, sortCol: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
   /** Compact a parquet dataset into ~`targetFileBytes`-sized files:
     * plan file count from the CURRENT on-disk size (ceil(bytes/target)),
     * then rewrite through one shuffle. Returns (files before, files

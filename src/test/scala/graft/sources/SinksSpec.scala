@@ -94,4 +94,50 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
       Writers.compact(spark, src, src)
     }
   }
+
+  test("sorted layout: range filter skips row groups at the reader") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val events = Tables.events(spark, sfDir).select(col("ts"), col("value"))
+    val sortedPath = tmp("graft_sorted_")
+    val shuffledPath = tmp("graft_shuffled_")
+    Writers.writeSortedBy(events, sortedPath, "ts", numFiles = 8)
+    // adversarial twin: same rows, same file count, but round-robin
+    // placement so every file's ts [min,max] spans the whole domain
+    events.repartition(8).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(shuffledPath)
+
+    // the middle ~10% of the time span
+    val Array(lo, hi) = events
+      .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val (qlo, qhi) = (lo + (hi - lo) * 45 / 100, lo + (hi - lo) * 55 / 100)
+    def rangeOf(path: String) =
+      spark.read.parquet(path).where(
+        col("ts") >= timestamp_seconds(lit(qlo)) &&
+          col("ts") < timestamp_seconds(lit(qhi)))
+
+    val matching = rangeOf(sortedPath).count()
+    assert(matching > 0 && matching === rangeOf(shuffledPath).count())
+
+    /** Rows the SCAN emitted (post row-group pruning, pre residual
+      * Filter) — the metric the sorted layout is supposed to shrink.
+      */
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // no exchange in this plan → executedPlan is final
+      val scan = df.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }.head
+      assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual"),
+        "ts range predicate must reach the parquet reader")
+      scan.metrics("numOutputRows").value
+    }
+    val total = events.count()
+    val sortedRows = scanRows(rangeOf(sortedPath))
+    val shuffledRows = scanRows(rangeOf(shuffledPath))
+    // unsorted: every row group overlaps the range → the scan emits all
+    // rows; sorted: only the covering groups → a fraction. The factor-2
+    // bound is loose (observed ~8x) so stat-boundary jitter can't flake.
+    assert(shuffledRows === total)
+    assert(sortedRows * 2 < shuffledRows,
+      s"sorted scan emitted $sortedRows of $shuffledRows — no skipping")
+  }
 }
