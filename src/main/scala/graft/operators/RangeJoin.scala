@@ -31,7 +31,8 @@ object RangeJoin {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
-    "e6_range_campaigns" -> e6RangeCampaigns
+    "e6_range_campaigns" -> e6RangeCampaigns,
+    "e7_session_campaign_overlap" -> e7SessionCampaignOverlap
   )
 
   /** Floor-division of a timestamp into a `binMicros`-wide bin id.
@@ -76,6 +77,40 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval-to-interval overlap join: every (left, right) pair whose
+    * half-open intervals intersect (aS < bE && bS < aE — touching
+    * intervals do NOT overlap).
+    *
+    * Same binning as [[binnedPointInterval]] with one extra problem: a
+    * pair can share MANY bins and would match once per shared bin. The
+    * usual fix (`distinct` after the join) is a second shuffle over the
+    * result; instead each pair is emitted exactly once by construction —
+    * only in the bin containing `max(aStart, bStart)`. Any overlapping
+    * pair both covers that instant (it is inside both intervals' spans),
+    * so both sides have a row in that bin; and it is one specific bin,
+    * so no other shared bin survives the filter. Exactly-once without a
+    * dedup pass, spec-pinned against the naive join.
+    */
+  def binnedIntervalOverlap(
+      left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binMicros: Long): DataFrame = {
+    require(binMicros > 0, s"bin width must be positive: $binMicros")
+    val clash = left.columns.toSet intersect right.columns.toSet
+    require(clash.isEmpty, s"ambiguous columns across sides: $clash")
+    def explodeBins(df: DataFrame, s: String, e: String): DataFrame =
+      df.where(col(e) > col(s))
+        .withColumn("__bin", explode(sequence(
+          binOf(col(s), binMicros),
+          binOf(col(e) - expr("INTERVAL 1 MICROSECOND"), binMicros))))
+    explodeBins(left, lStart, lEnd)
+      .join(explodeBins(right, rStart, rEnd), Seq("__bin"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("__bin") === greatest(
+          binOf(col(lStart), binMicros), binOf(col(rStart), binMicros)))
+      .drop("__bin")
+  }
+
   /** The campaign table e6 joins against, derived deterministically from
     * the events fixture: one 48-hour campaign per distinct event day,
     * running [day 08:00, day+2 08:00). Consecutive days overlap, so each
@@ -112,6 +147,43 @@ object RangeJoin {
       .orderBy(col("campaign_day"))
   }
 
+  /** Per-user session intervals — the session_window the e3 oracle
+    * already proved equivalent to gap-based sessionization, kept as
+    * timestamps instead of formatted strings so the interval join can
+    * consume them. End = last event + gap, Spark's session semantics.
+    */
+  def sessionIntervals(events: DataFrame): DataFrame =
+    events.withColumn("tss", date_trunc("second", col("ts")))
+      .groupBy(session_window(col("tss"), "10 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("w.start").as("sess_start"), col("w.end").as("sess_end"))
+
+  /** e7: which campaigns did each user session overlap — the
+    * interval-interval case (a session can straddle a campaign boundary,
+    * so point-in-interval on any single event timestamp under-counts).
+    * Both sides are intervals and both sides grow with the data: the
+    * binned overlap join with exactly-once max-start-bin emission is
+    * the 100 TB form; `distinct`-after-join would add a result-sized
+    * shuffle, and a nested loop would not finish.
+    */
+  def e7SessionCampaignOverlap: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    binnedIntervalOverlap(
+      sessionIntervals(ev), "sess_start", "sess_end",
+      campaignsOf(ev), "start_ts", "end_ts",
+      binMicros = 12L * 3600 * 1000000)
+      .groupBy(col("campaign_day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        date_format(col("campaign_day").cast("timestamp"), "yyyy-MM-dd")
+          .as("campaign_day"),
+        col("n_sessions"), col("n_users"))
+      .orderBy(col("campaign_day"))
+  }
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   def oracles: Map[String, String] = Map(
@@ -129,6 +201,35 @@ object RangeJoin {
         |  count(*) AS n_events, round(sum(e.value), 2) AS sum_value
         |FROM events e JOIN campaigns c
         |  ON e.ts >= c.start_ts AND e.ts < c.end_ts
+        |GROUP BY c.campaign_day ORDER BY campaign_day""".stripMargin,
+    // sessions rebuilt with the e3 oracle's gap CTE (independently of
+    // session_window), then the naive interval-overlap join
+    "e7_session_campaign_overlap" ->
+      """WITH t AS (SELECT user_id, date_trunc('second', ts) AS tss
+        |  FROM events),
+        |flagged AS (SELECT user_id, tss,
+        |  CASE WHEN tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss)
+        |      > INTERVAL 10 MINUTE OR
+        |    lag(tss) OVER (PARTITION BY user_id ORDER BY tss) IS NULL
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM t),
+        |sess AS (SELECT user_id, tss,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY tss
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |si AS (SELECT user_id, min(tss) AS sess_start,
+        |    max(tss) + INTERVAL 10 MINUTE AS sess_end
+        |  FROM sess GROUP BY user_id, sid),
+        |campaigns AS (
+        |  SELECT d AS campaign_day,
+        |    CAST(d AS TIMESTAMP) + INTERVAL 8 HOUR AS start_ts,
+        |    CAST(d AS TIMESTAMP) + INTERVAL 56 HOUR AS end_ts
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events))
+        |SELECT strftime(CAST(campaign_day AS TIMESTAMP), '%Y-%m-%d')
+        |    AS campaign_day,
+        |  count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
+        |FROM si JOIN campaigns c
+        |  ON si.sess_start < c.end_ts AND c.start_ts < si.sess_end
         |GROUP BY c.campaign_day ORDER BY campaign_day""".stripMargin
   )
 }

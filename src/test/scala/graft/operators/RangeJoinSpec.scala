@@ -100,6 +100,63 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Second interval set with distinct column names for overlap tests. */
+  private def rightIntervals: DataFrame = {
+    import spark.implicits._
+    val base = ts("2024-03-01 00:00:00").getTime
+    (0 until 45).map { k =>
+      val startMin = (k * 9473) % (48 * 60)
+      val lenMin = 1 + (k * 397) % 900 // 1 min .. 15 h
+      (k.toLong, new Timestamp(base + startMin * 60000L),
+        new Timestamp(base + (startMin + lenMin) * 60000L))
+    }.toDF("rid", "r_start", "r_end")
+  }
+
+  private def naiveOverlap(l: DataFrame, r: DataFrame): Seq[(Long, Long)] =
+    l.crossJoin(r)
+      .where(col("ivl_start") < col("r_end") &&
+        col("r_start") < col("ivl_end"))
+      .select(col("iid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+
+  private def binnedOverlap(l: DataFrame, r: DataFrame,
+      binUs: Long): Seq[(Long, Long)] =
+    RangeJoin.binnedIntervalOverlap(l, "ivl_start", "ivl_end",
+      r, "r_start", "r_end", binUs)
+      .select(col("iid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+
+  test("interval overlap equals naive join AND emits each pair once") {
+    val l = fixtures._2
+    val r = rightIntervals
+    val expected = naiveOverlap(l, r)
+    assert(expected.nonEmpty)
+    for (binUs <- Seq(HourUs / 2, 3 * HourUs, 24 * HourUs)) {
+      val got = binnedOverlap(l, r, binUs)
+      // multiset equality: the max-start-bin emission must produce each
+      // overlapping pair EXACTLY once with no distinct pass to hide
+      // duplicates behind
+      assert(got.sorted === expected.sorted, s"binUs=$binUs")
+      assert(got.distinct.length === got.length, s"dups at binUs=$binUs")
+    }
+  }
+
+  test("touching intervals do not overlap; containment matches once") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, ts("2024-03-01 08:00:00"), ts("2024-03-01 10:00:00")),
+      (2L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))
+    ).toDF("iid", "ivl_start", "ivl_end")
+    val r = Seq(
+      (10L, ts("2024-03-01 10:00:00"), ts("2024-03-01 12:00:00")), // touch 1
+      (11L, ts("2024-03-01 09:00:00"), ts("2024-03-01 09:30:00")), // inside 1
+      (12L, ts("2024-03-01 08:00:00"), ts("2024-03-01 10:00:00"))  // == 1
+    ).toDF("rid", "r_start", "r_end")
+    val got = binnedOverlap(l, r, HourUs)
+    assert(got.sorted === Seq((1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (2L, 12L)).sorted)
+  }
+
   test("e6 campaign derivation overlaps: events match 2-3 campaigns") {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val joined = RangeJoin.binnedPointInterval(
