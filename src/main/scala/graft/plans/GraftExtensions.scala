@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, EuclidDistance, TopKByKey, WeightedEuclid}
+import graft.functions.{CosineSimilarity, CountMinEstimate, DotProduct, EuclidDistance, TopKByKey, WeightedEuclid}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * vector kernels as SQL functions at session build time —
@@ -60,5 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"top_k_by_key: k must be an integer literal, got $other")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      info(classOf[CountMinEstimate], "cms_estimate",
+        "cms_estimate(sketch, key) - Count-Min point-frequency estimate " +
+          "of a string key; sketch must be a binary literal."),
+      (exprs: Seq[Expression]) => CountMinEstimate(exprs(0), exprs(1))))
   }
 }

@@ -31,6 +31,24 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
           "(3.0d, 30L), (1.0d, 10L), (2.0d, 20L) AS tab(k, v)")
         .head().getSeq[Long](0)
       assert(topk === Seq(10L, 20L))
+      // cms_estimate resolves and over-counts never under-counts
+      val cms = org.apache.spark.util.sketch.CountMinSketch.create(
+        0.01, 0.99, 42)
+      Seq("a", "a", "b").foreach(t => cms.addBinary(t.getBytes("UTF-8")))
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      s2.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("a"),
+          org.apache.spark.sql.Row("b"), org.apache.spark.sql.Row("zz")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tok",
+            org.apache.spark.sql.types.StringType))))
+        .createOrReplaceTempView("cms_toks")
+      val hex = bos.toByteArray.map("%02X".format(_)).mkString
+      val ests = s2.sql(
+        s"SELECT tok, cms_estimate(X'$hex', tok) AS est FROM cms_toks")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(ests("a") >= 2 && ests("b") >= 1 && ests("zz") >= 0)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)

@@ -429,4 +429,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(got.values.sum == docs.length)
     } finally query.stop()
   }
+
+  test("streaming binned range join matches the batch join") {
+    // the binned point-in-interval join is a plain equi-join on the bin
+    // key plus filters, so it runs unchanged as a stream-static join —
+    // no watermark needed (the static side is bounded, state-free)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val staticEvents = Tables.events(spark, sfDir)
+    val campaigns = graft.operators.RangeJoin.campaignsOf(staticEvents)
+    val binUs = 12L * 3600 * 1000000
+    val input = MemoryStream[Ev]
+    val joined = graft.operators.RangeJoin.binnedPointInterval(
+      input.toDF().select(col("ts"), col("user_id"), col("value")),
+      "ts", campaigns, "start_ts", "end_ts", binUs)
+      .select(col("user_id"), col("ts"), col("campaign_day"))
+    val query = joined.writeStream
+      .format("memory").queryName("range_join_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val rows = eventRows()
+      input.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1).getTime, r.getDate(2).toString)
+      val got = spark.table("range_join_out").collect().map(key).sorted
+      val want = graft.operators.RangeJoin.binnedPointInterval(
+        staticEvents.select(col("ts"), col("user_id"), col("value")),
+        "ts", campaigns, "start_ts", "end_ts", binUs)
+        .select(col("user_id"), col("ts"), col("campaign_day"))
+        .collect().map(key).sorted
+      assert(want.nonEmpty && got.toSeq === want.toSeq)
+    } finally query.stop()
+  }
 }
