@@ -46,7 +46,8 @@ object TextAnalysis {
     "t5_repetition" -> t5Repetition,
     "t6_vocab" -> t6Vocab,
     "t7_quality_gate" -> t7QualityGate,
-    "t8_boilerplate" -> t8Boilerplate
+    "t8_boilerplate" -> t8Boilerplate,
+    "t10_oov_rate" -> t10OovRate
   )
 
   /** Vocabulary size for [[t6Vocab]] — below the fixture's distinct-token
@@ -66,6 +67,29 @@ object TextAnalysis {
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok"))
       .limit(VocabSize)
+
+  /** Vocabulary APPLICATION — the per-document coverage check run after
+    * inducing a tokenizer (t6): token count, out-of-vocabulary count,
+    * and OOV ratio against the corpus-global top-[[VocabSize]] vocab.
+    * The vocab is a [[VocabSize]]-row aggregate broadcast into a left
+    * join, so the corpus-sized token stream is touched exactly once and
+    * the per-doc counts are map-side partials — at 100 TB this is one
+    * scan + one doc_id-keyed shuffle of K-row groups, with the real
+    * (50k-entry) vocab still far under any broadcast threshold.
+    */
+  def t10OovRate: Q = (s, dir) => {
+    val vocab = t6Vocab(s, dir).select(col("tok"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1))),
+        Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_ratio"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Within-document repetition score: the fraction of duplicated word
     * 3-shingles (1 − distinct/total), the standard boilerplate/repetition
@@ -334,6 +358,18 @@ object TextAnalysis {
          |  round(CASE WHEN len(sh) > 0
          |    THEN 1.0 - len(list_distinct(sh)) * 1.0 / len(sh)
          |    ELSE 0.0 END, 6) AS dup_ratio
-         |FROM s ORDER BY doc_id""".stripMargin
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "t10_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT tok FROM tk
+         |  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT $VocabSize)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+         |    THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+         |  round(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+         |    THEN 0 ELSE 1 END)::DOUBLE / count(*), 6) AS oov_ratio
+         |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
