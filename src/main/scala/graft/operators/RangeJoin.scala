@@ -30,6 +30,15 @@ object RangeJoin {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-interval bin-explosion cap. An interval spanning more than this
+    * many bins (a year-long interval against 1-second bins) means the
+    * bin width is mis-chosen for the workload: the explode would
+    * multiply the interval side by millions and the job would "work"
+    * while silently shuffling garbage volume. Fail the ROW loudly
+    * (raise_error inside the plan — no driver-side pre-scan) instead.
+    */
+  val MaxBinsPerInterval = 10000L
+
   def queries: Map[String, Q] = Map(
     "e6_range_campaigns" -> e6RangeCampaigns,
     "e7_session_campaign_overlap" -> e7SessionCampaignOverlap
@@ -62,16 +71,9 @@ object RangeJoin {
       points: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       binMicros: Long): DataFrame = {
-    require(binMicros > 0, s"bin width must be positive: $binMicros")
-    val clash = points.columns.toSet intersect intervals.columns.toSet
-    require(clash.isEmpty, s"ambiguous columns across sides: $clash")
+    requireJoinable(points, intervals, binMicros)
     val p = points.withColumn("__bin", binOf(col(tsCol), binMicros))
-    val i = intervals
-      .where(col(endCol) > col(startCol))
-      .withColumn("__bin", explode(sequence(
-        binOf(col(startCol), binMicros),
-        // end is exclusive: the last covered instant is end − 1µs
-        binOf(col(endCol) - expr("INTERVAL 1 MICROSECOND"), binMicros))))
+    val i = explodeBins(intervals, startCol, endCol, binMicros)
     p.join(i, Seq("__bin"))
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bin")
@@ -95,20 +97,39 @@ object RangeJoin {
       left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,
       binMicros: Long): DataFrame = {
-    require(binMicros > 0, s"bin width must be positive: $binMicros")
-    val clash = left.columns.toSet intersect right.columns.toSet
-    require(clash.isEmpty, s"ambiguous columns across sides: $clash")
-    def explodeBins(df: DataFrame, s: String, e: String): DataFrame =
-      df.where(col(e) > col(s))
-        .withColumn("__bin", explode(sequence(
-          binOf(col(s), binMicros),
-          binOf(col(e) - expr("INTERVAL 1 MICROSECOND"), binMicros))))
-    explodeBins(left, lStart, lEnd)
-      .join(explodeBins(right, rStart, rEnd), Seq("__bin"))
+    requireJoinable(left, right, binMicros)
+    explodeBins(left, lStart, lEnd, binMicros)
+      .join(explodeBins(right, rStart, rEnd, binMicros), Seq("__bin"))
       .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
         col("__bin") === greatest(
           binOf(col(lStart), binMicros), binOf(col(rStart), binMicros)))
       .drop("__bin")
+  }
+
+  private def requireJoinable(a: DataFrame, b: DataFrame,
+      binMicros: Long): Unit = {
+    require(binMicros > 0, s"bin width must be positive: $binMicros")
+    val clash = a.columns.toSet intersect b.columns.toSet
+    require(clash.isEmpty, s"ambiguous columns across sides: $clash")
+    require(!a.columns.contains("__bin") && !b.columns.contains("__bin"),
+      "__bin is reserved by the binned range join")
+  }
+
+  /** Empty/inverted intervals dropped; end exclusive (last covered
+    * instant is end − 1µs); rows wider than [[MaxBinsPerInterval]] bins
+    * fail loudly inside the plan.
+    */
+  private def explodeBins(df: DataFrame, s: String, e: String,
+      binMicros: Long): DataFrame = {
+    val lastBin = binOf(col(e) - expr("INTERVAL 1 MICROSECOND"), binMicros)
+    val firstBin = binOf(col(s), binMicros)
+    df.where(col(e) > col(s))
+      .withColumn("__bin", explode(sequence(firstBin,
+        when(lastBin - firstBin < lit(MaxBinsPerInterval), lastBin)
+          .otherwise(raise_error(concat(
+            lit(s"interval spans more than $MaxBinsPerInterval bins " +
+              "(bin width mis-chosen for this workload): "),
+            col(s).cast("string"), lit(" .. "), col(e).cast("string")))))))
   }
 
   /** The campaign table e6 joins against, derived deterministically from

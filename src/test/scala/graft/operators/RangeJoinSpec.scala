@@ -98,6 +98,28 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException] {
       RangeJoin.binnedPointInterval(p, "pt", i, "ivl_start", "ivl_end", HourUs)
     }
+    val pReserved = Seq((1L, ts("2024-03-01 00:00:00")))
+      .toDF("__bin", "pt")
+    assertThrows[IllegalArgumentException] {
+      RangeJoin.binnedPointInterval(pReserved, "pt",
+        i.withColumnRenamed("pid", "iid"), "ivl_start", "ivl_end", HourUs)
+    }
+  }
+
+  test("interval wider than the bin cap fails loudly inside the plan") {
+    import spark.implicits._
+    val p = Seq((1L, ts("2024-03-01 00:00:00"))).toDF("pid", "pt")
+    // 2 years against 1-hour bins: > MaxBinsPerInterval (10000)
+    val i = Seq((1L, ts("2024-01-01 00:00:00"), ts("2026-01-01 00:00:00")))
+      .toDF("iid", "ivl_start", "ivl_end")
+    val ex = intercept[Exception] {
+      RangeJoin.binnedPointInterval(p, "pt", i,
+        "ivl_start", "ivl_end", HourUs).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("spans more than")), msgs(ex))
   }
 
   /** Second interval set with distinct column names for overlap tests. */
