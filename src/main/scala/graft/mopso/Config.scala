@@ -133,6 +133,29 @@ object MopsoConfig {
   def avg(numPartitions: Int = 32): MopsoConfig =
     MopsoConfig(numPartitions = numPartitions)
 
+  /** Per-partition point budget for [[partitionsFor]]. ~2500 points keeps
+    * the partition-local neighbor build (O(nᵤ²) pairs ≈ 6.3M per
+    * partition) comfortably in-task while leaving partitions coarse
+    * enough that the per-iteration scheduling overhead stays amortized.
+    */
+  val TargetPointsPerPartition = 2500L
+
+  /** The partition count that keeps the Avg variant linear as data grows
+    * (SCALE.md round 7): the partition-scoped Conn precomputation is
+    * O(Σ nᵤ²), so a PINNED partition count goes quadratic — measured 17x
+    * for the x10→x100 decade at the reference's 8 — while holding nᵤ
+    * constant restores O(n·nᵤ) (measured 26s vs 192s at x100). Use
+    * `avg(partitionsFor(df.count()))` when the input is not
+    * fixture-sized; m1's driver contract deliberately keeps the
+    * reference's pinned 8 for fidelity.
+    */
+  def partitionsFor(totalPoints: Long,
+      targetPerPartition: Long = TargetPointsPerPartition): Int = {
+    require(totalPoints >= 0 && targetPerPartition > 0)
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      (totalPoints + targetPerPartition - 1) / targetPerPartition)).toInt
+  }
+
   /** Spark_MOPSO_Avg_labelPartition: Avg + label-hash partitioning. */
   def labelPartition(numPartitions: Int = 32): MopsoConfig =
     MopsoConfig(numPartitions = numPartitions,
