@@ -95,6 +95,38 @@ class SinksSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dynamic partition pruning: a filtered dim prunes day directories") {
+    // the day= layout's second payoff beyond static pruning: when the
+    // filter arrives through a JOIN (classic fact⋈dim), Spark's DPP
+    // builds the day list from the broadcast dim at runtime and prunes
+    // fact directories that static planning could not — at 100 TB this
+    // is the difference between scanning the full history and the two
+    // days the dim selected
+    import spark.implicits._
+    val out = tmp("graft_dpp_")
+    Writers.writeEventsByDay(Tables.events(spark, sfDir), out)
+    val fact = spark.read.parquet(out)
+    // partition-column type inference reads day= back as DATE
+    val allDays = fact.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(allDays.length > 2)
+    // the dim must be a real source with a surviving Filter node — a
+    // local relation constant-folds its filter away and the DPP rule no
+    // longer sees a selective predicate to propagate
+    val dimPath = tmp("graft_dpp_dim_")
+    allDays.map(d => (d, if (d <= allDays(1)) "keep" else "drop"))
+      .toSeq.toDF("d_day", "d_tag").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dimPath)
+    val joined = fact
+      .join(spark.read.parquet(dimPath).where(col("d_tag") === "keep"),
+        col("day") === col("d_day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+    val want = fact.where(col("day") <= allDays(1)).count()
+    assert(joined.count() === want && want > 0)
+  }
+
   test("sorted layout: range filter skips row groups at the reader") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val events = Tables.events(spark, sfDir).select(col("ts"), col("value"))
