@@ -53,9 +53,12 @@ object Sketches {
   def t9HeavyHitters: Q = (s, dir) => {
     val toks = Tables.documents(s, dir)
       .select(explode(TextAnalysis.tokensCol(col("text"))).as("tok"))
-    val totalTokens = toks.count()
     val cms = toks.stat.countMinSketch(
       "tok", CmsEps, CmsConfidence, CmsSeed)
+    // N for the ε·N bound comes from the sketch itself (totalCount is
+    // the number of added items) — no separate count() pass over the
+    // corpus
+    val totalTokens = cms.totalCount()
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       cms.writeTo(bos)
