@@ -106,6 +106,27 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pre-epoch timestamps bin with floor semantics, not truncation") {
+    // negative epoch micros: a truncating division would shift bins
+    // toward zero and points near an edge would change sides; pmod keeps
+    // floor semantics so 1969 data joins exactly like 2024 data
+    import spark.implicits._
+    val base = ts("1969-06-01 00:00:00").getTime
+    val p = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(base + ((i * 7919) % (72 * 60)) * 60000L))
+    }.toDF("pid", "pt")
+    val i = (0 until 40).map { j =>
+      val startMin = (j * 6007) % (72 * 60)
+      (j.toLong, new Timestamp(base + startMin * 60000L),
+        new Timestamp(base + (startMin + 1 + (j * 251) % 480) * 60000L))
+    }.toDF("iid", "ivl_start", "ivl_end")
+    val expected = naive(p, i)
+    assert(expected.nonEmpty)
+    for (binUs <- Seq(7919L * 1000000, HourUs, 24 * HourUs)) {
+      assert(binned(p, i, binUs) === expected, s"binUs=$binUs")
+    }
+  }
+
   test("interval wider than the bin cap fails loudly inside the plan") {
     import spark.implicits._
     val p = Seq((1L, ts("2024-03-01 00:00:00"))).toDF("pid", "pt")
