@@ -58,7 +58,7 @@ object ScaleBench {
     "t7_quality_gate", "t8_boilerplate",
     "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",
     "e6_range_campaigns", "e7_session_campaign_overlap",
-    "t9_heavy_hitters",
+    "t9_heavy_hitters", "t10_oov_rate",
     "c1_assign", "c17_conn_partitioned", "c19_conn_topk",
     "mm2_frame_census",
     // the full seeded MOPSO loop — the reference's defining scaling risk
