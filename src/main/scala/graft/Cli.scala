@@ -33,7 +33,10 @@ object Cli {
   val usage: String =
     """usage: graft.Cli <dataPath> <workers> <subPop> <iterMax> <labelStartWithZero 0|1>
       |                 [variant avg|labelPartition|particle|single]
-      |                 [outDir] [seed]""".stripMargin
+      |                 [outDir] [seed]
+      |  subPop = 0 (engine extension): auto-size the partition count to
+      |  hold ~2500 points per partition — the linear-scaling rule for
+      |  the partition-scoped fitness (SCALE.md round 7)""".stripMargin
 
   private val Variants = Set("avg", "labelPartition", "particle", "single")
 
@@ -88,7 +91,15 @@ object Cli {
       if (a.dataPath.endsWith(".parquet")) spark.read.parquet(a.dataPath)
       else Tables.labeledCsv(spark, a.dataPath,
         labeled = true, labelStartWithZero = a.labelStartWithZero)
-    val result = Mopso.run(spark, data, configFor(a), a.seed)
+    val cfg0 = configFor(a)
+    // subPop=0 → auto partitioning (only meaningful for the partitioned
+    // variants; particle/single fix their own)
+    val cfg =
+      if (a.subPop == 0 &&
+          (a.variant == "avg" || a.variant == "labelPartition"))
+        cfg0.copy(numPartitions = MopsoConfig.partitionsFor(data.count()))
+      else cfg0
+    val result = Mopso.run(spark, data, cfg, a.seed)
     val path = Report.saveMopsoReport(spark, result, a.outDir, stamp = true)
     // the reference prints its base-info + timing block; the essentials
     println(s"archive=${result.archive.length} k=${result.k} " +

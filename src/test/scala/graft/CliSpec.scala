@@ -70,5 +70,12 @@ class CliSpec extends AnyFunSuite with SparkTestBase {
     assert(text.contains("archive size:"))
     assert(text.contains("k: 2, features: 2, points: 60"))
     assert(text.contains("kmeans baseline purity:"))
+
+    // subPop=0: auto partitioning (60 points -> 1 partition) runs e2e
+    val auto = Cli.parse(Array(csv.toString, "4", "0", "2", "1",
+      "avg", dir.resolve("out_auto").toString, "42"))
+    val autoReport = Cli.run(spark, auto)
+    assert(new java.io.File(autoReport).listFiles()
+      .exists(_.getName.startsWith("part-")))
   }
 }
