@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -53,6 +53,7 @@ object Dedup {
     "d3_lsh_pairs" -> d3LshPairs,
     "d4_simhash" -> d4Simhash,
     "d5_jaccard_pairs" -> d5JaccardPairs,
+    "d8_simhash_pairs" -> d8SimhashPairs,
     "d6_dedup_groups" -> d6DedupGroups,
     "d7_semantic_groups" -> d7SemanticGroups,
     "p1_corpus_curation" -> p1CorpusCuration
@@ -444,6 +445,57 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
       .orderBy(col("doc_id"))
 
+  /** Bands and hamming radius for [[d8SimhashPairs]]. 4 bands of 8 bits
+    * over the 32-bit simhash: by pigeonhole, any pair within hamming
+    * [[SimhashHammingMax]] = 3 leaves at least one band untouched, so
+    * the band join finds EVERY such pair — the oracle can therefore be
+    * the naive all-pairs form and match exactly (no recall gap to
+    * excuse). Radius > bands−1 would break that guarantee.
+    */
+  val SimhashBands = 4
+  val SimhashHammingMax = 3
+
+  /** d8: the rung that USES d4's simhash — near-dup candidate pairs via
+    * band equality, verified by exact hamming distance. Same shuffle
+    * shape as d3: the join key is (band, band_value), so candidates
+    * co-locate per band bucket instead of all-pairs. Each qualifying
+    * pair is emitted EXACTLY once — only by its FIRST agreeing band
+    * (computable per-row from the two hashes, the e7 max-start-bin
+    * trick in bitwise form) — so no result-sized distinct pass. At
+    * corpus scale the per-bucket volume rides the same capping pattern
+    * as [[d3LshPairs]]' bucketedPairs; the fixture's buckets are small
+    * enough to pair exhaustively.
+    */
+  def d8SimhashPairs: Q = (s, dir) => {
+    def bandOf(h: Column, b: Int): Column =
+      shiftright(h, 8 * b).bitwiseAND(lit(0xFFL))
+    val sh = d4Simhash(s, dir)
+    val withBands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimhashBands).map(b =>
+        struct(lit(b).as("band"),
+          bandOf(col("simhash"), b).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val l = withBands.select(col("band"), col("bv"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val r = withBands.select(col("band"), col("bv"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    // smallest band index on which the two hashes agree (when-chain in
+    // ascending band order); keeping only band === firstMatch makes the
+    // emission exactly-once without a distinct
+    val firstMatch = (SimhashBands - 1 to 0 by -1)
+      .foldLeft(lit(-1): Column)((acc, b) =>
+        when(bandOf(col("a_sh"), b) === bandOf(col("b_sh"), b), lit(b))
+          .otherwise(acc))
+    l.join(r, Seq("band", "bv"))
+      .where(col("a_id") < col("b_id") && col("band") === firstMatch)
+      .withColumn("hamming",
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .where(col("hamming") <= SimhashHammingMax)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** n-gram (unigram-set) Jaccard similarity for the first 100 docs:
     * |A∩B| / |A∪B| over distinct token sets, thresholded. The exact
     * verifier for LSH candidates — at scale it runs on d3's output, here
@@ -570,6 +622,25 @@ object Dedup {
         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
         |      THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
         |FROM t ORDER BY doc_id""".stripMargin,
+    // the naive all-pairs form IS the exact oracle: 4x8 banding with
+    // radius 3 has guaranteed recall (pigeonhole), so the Spark side's
+    // band join must reproduce every qualifying pair
+    "d8_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(list_distinct(string_split_regex(trim(text), '\\s+')),
+         |    x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_sum(list_transform(generate_series(0, 31), b ->
+         |    CASE WHEN list_sum(list_transform(hs, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+         |  FROM t)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashHammingMax
+         |ORDER BY a_id, b_id""".stripMargin,
     "d5_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id,
         |  list_distinct(string_split_regex(trim(text), '\s+')) AS toks
