@@ -15,7 +15,8 @@ object Explain {
       else Seq("q1_pricing_summary", "q3_revenue_by_nation",
         "q4_ship_filter_agg", "q19_above_brand_avg", "c1_assign",
         "c9_knn", "c19_conn_topk", "d3_lsh_pairs", "e5_asof_attribution",
-        "s3_ann_ivf")
+        "s3_ann_ivf", "e6_range_campaigns", "d8_simhash_pairs",
+        "t9_heavy_hitters")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
