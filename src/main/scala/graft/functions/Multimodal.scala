@@ -587,13 +587,16 @@ object Multimodal {
 
   /** Frame demux + sample. Y4M payloads (sniffed by the YUV4MPEG2 magic)
     * get the REAL container demux — frame boundaries from the parsed
-    * header's frame size and per-frame FRAME markers; anything else falls
-    * back to fixed-size [[FrameSize]] chunking (the honest treatment of
-    * an unknown byte stream as a record sequence). Both paths share the
-    * plumbing shape: a row-EXPLODING mapPartitions (one media row in,
-    * many frame rows out, demuxer context initialized once per
-    * partition) with the sampling stride applied BEFORE any decode work —
-    * frames that aren't sampled are never materialized.
+    * header's frame size and per-frame FRAME markers; GIF payloads get
+    * the REAL block walk — one frame per image descriptor, its span from
+    * descriptor through the end of its LZW data sub-blocks
+    * ([[gifFrameSpans]]); anything else falls back to fixed-size
+    * [[FrameSize]] chunking (the honest treatment of an unknown byte
+    * stream as a record sequence). All paths share the plumbing shape: a
+    * row-EXPLODING mapPartitions (one media row in, many frame rows out,
+    * demuxer context initialized once per partition) with the sampling
+    * stride applied BEFORE any decode work — frames that aren't sampled
+    * are never materialized.
     */
   def frameSample(media: DataFrame, spark: SparkSession,
       every: Int = FrameEvery): Dataset[FrameMeta] = {
@@ -606,6 +609,13 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           parseY4mHeader(bytes) match {
             case Some(info) => y4mSampledFrames(id, bytes, info, every)
+            case None if isGif(bytes) =>
+              gifFrameSpans(bytes).iterator.zipWithIndex.collect {
+                case ((from, len), idx) if idx % every == 0 =>
+                  FrameMeta(id, idx, len, bytes(from) & 0xff,
+                    featureOf(java.util.Arrays.copyOfRange(
+                      bytes, from, from + len)))
+              }
             case None =>
               val nFrames = (bytes.length + FrameSize - 1) / FrameSize
               Iterator.range(0, nFrames, every).map { f =>
@@ -618,6 +628,113 @@ object Multimodal {
           }
         }
       }
+  }
+
+  // ---- GIF container walk (public spec, pure byte arithmetic) -------------
+
+  private val Gif87 = "GIF87a".getBytes("US-ASCII")
+  private val Gif89 = "GIF89a".getBytes("US-ASCII")
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && ((0 until 6).forall(i => b(i) == Gif87(i)) ||
+      (0 until 6).forall(i => b(i) == Gif89(i)))
+
+  /** Color-table byte length from a GIF flags byte: present when bit 7
+    * is set, 3·2^(size+1) bytes with size in bits 2-0.
+    */
+  private def gifColorTableLen(flags: Int): Int =
+    if ((flags & 0x80) != 0) 3 * (1 << ((flags & 0x07) + 1)) else 0
+
+  /** Advance past a data sub-block chain (length-prefixed blocks ending
+    * at a 0-length terminator); -1 when the chain runs off the buffer.
+    */
+  private def gifSkipSubBlocks(b: Array[Byte], pos0: Int): Int = {
+    var pos = pos0
+    while (pos < b.length) {
+      val len = b(pos) & 0xff
+      if (len == 0) return pos + 1
+      pos += 1 + len
+    }
+    -1
+  }
+
+  /** REAL GIF frame boundaries: (offset, length) of every image
+    * descriptor span — 0x2C + 9-byte descriptor + optional local color
+    * table + LZW-min-code byte + data sub-blocks through their
+    * terminator. Extensions (0x21 label + sub-blocks) are walked and
+    * skipped; the 0x3B trailer, an unknown block byte, or any structure
+    * running off the buffer ends the walk, KEEPING the frames already
+    * found (robust-ingest semantics, same contract as the Y4M walk).
+    * The LZW pixel data itself is not decoded — boundaries, sizes and
+    * counts are what a 100 TB media-crawl census needs.
+    */
+  def gifFrameSpans(b: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    if (!isGif(b) || b.length < 13) return out.toSeq
+    // logical screen descriptor at 6: dims(4), flags, bg, aspect
+    var pos = 13 + gifColorTableLen(b(10) & 0xff)
+    var ok = true
+    while (ok && pos < b.length) {
+      (b(pos) & 0xff) match {
+        case 0x3B => ok = false // trailer: clean end
+        case 0x21 => // extension: label byte then sub-blocks
+          val next =
+            if (pos + 2 <= b.length) gifSkipSubBlocks(b, pos + 2) else -1
+          if (next < 0) ok = false else pos = next
+        case 0x2C =>
+          if (pos + 10 > b.length) ok = false
+          else {
+            val start = pos
+            val dataStart = pos + 10 + gifColorTableLen(b(pos + 9) & 0xff) + 1
+            if (dataStart > b.length) ok = false
+            else {
+              val next = gifSkipSubBlocks(b, dataStart)
+              if (next < 0) ok = false
+              else { out += ((start, next - start)); pos = next }
+            }
+          }
+        case _ => ok = false // unknown block byte: stop, keep prior frames
+      }
+    }
+    out.toSeq
+  }
+
+  /** GIF builder twin ([[y4mBytes]]' role): GIF89a header + optional
+    * global color table + per-frame [graphic-control extension +] image
+    * descriptor [+ local color table] + one `dataLen`-byte LZW sub-block
+    * filled with `fill(frame)` + terminator, closed by the 0x3B trailer.
+    * Every span [[gifFrameSpans]] must report is predictable by
+    * arithmetic from these parameters.
+    */
+  def gifBytes(w: Int, h: Int, nFrames: Int, withGct: Boolean = true,
+      withExt: Boolean = true, lctEvery: Int = 0, dataLen: Int = 12,
+      fill: Int => Int = identity): Array[Byte] = {
+    require(w > 0 && w <= 0xFFFF && h > 0 && h <= 0xFFFF && nFrames >= 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(if (withGct) 0x81 else 0x00) // GCT flag + size bits 001 → 4 entries
+    out.write(0); out.write(0)
+    if (withGct) out.write(new Array[Byte](3 * 4))
+    (0 until nFrames).foreach { f =>
+      if (withExt) { // graphic control: 0x21 0xF9, 4-byte block, terminator
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write(new Array[Byte](4)); out.write(0)
+      }
+      out.write(0x2C); u16(0); u16(0); u16(w); u16(h)
+      val hasLct = lctEvery > 0 && f % lctEvery == 0
+      out.write(if (hasLct) 0x80 else 0x00) // LCT size bits 000 → 2 entries
+      if (hasLct) out.write(new Array[Byte](3 * 2))
+      out.write(8) // LZW minimum code size
+      out.write(dataLen)
+      val data = new Array[Byte](dataLen)
+      java.util.Arrays.fill(data, (fill(f) & 0xff).toByte)
+      out.write(data)
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x3B)
+    out.toByteArray
   }
 
   /** Resize pass over decoded media — per-row transform in the same

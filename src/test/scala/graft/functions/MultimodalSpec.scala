@@ -322,6 +322,53 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(brokenFrames.map(_.frameIdx).toSeq === Seq(0))
   }
 
+  test("GIF: frame spans round-trip the builder arithmetic") {
+    // span size = 0x2C+9 descriptor (10) [+ LCT] + lzw-min (1) +
+    // block (1 + dataLen) + terminator (1)
+    def span(dataLen: Int, lct: Int) = 10 + lct + 1 + (1 + dataLen) + 1
+    val b = Multimodal.gifBytes(7, 5, 6, withGct = true, withExt = true,
+      lctEvery = 3, dataLen = 12)
+    val spans = Multimodal.gifFrameSpans(b)
+    assert(spans.length === 6)
+    // frames 0 and 3 carry a 2-entry local color table (6 bytes)
+    assert(spans.map(_._2) === Seq(span(12, 6), span(12, 0), span(12, 0),
+      span(12, 6), span(12, 0), span(12, 0)))
+    // spans are contiguous up to the extension blocks between them
+    assert(spans.forall { case (from, _) => (b(from) & 0xff) == 0x2C })
+    // no GCT, no extensions: first span starts right after the 13-byte
+    // header
+    val plain = Multimodal.gifBytes(3, 3, 2, withGct = false,
+      withExt = false)
+    assert(Multimodal.gifFrameSpans(plain).head._1 === 13)
+  }
+
+  test("GIF: malformed streams keep the frames already walked") {
+    val whole = Multimodal.gifBytes(4, 4, 4, dataLen = 8)
+    // truncate inside frame 3's data sub-block
+    val spans = Multimodal.gifFrameSpans(whole)
+    val cut = java.util.Arrays.copyOfRange(whole, 0,
+      spans(3)._1 + spans(3)._2 - 3)
+    assert(Multimodal.gifFrameSpans(cut).length === 3)
+    // an unknown block byte between frames stops the walk
+    val broken = whole.clone()
+    broken(spans(2)._1) = 0x55
+    assert(Multimodal.gifFrameSpans(broken).length === 2)
+    // non-GIF and too-short inputs produce no spans
+    assert(Multimodal.gifFrameSpans("GIF89a".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.gifFrameSpans(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("GIF: frameSample demuxes descriptor frames with the stride") {
+    import spark.implicits._
+    val media = Seq((9L, Multimodal.gifBytes(5, 4, 7, dataLen = 10)))
+      .toDF("id", "payload")
+    val frames = Multimodal.frameSample(media, spark, every = 3)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq === Seq(0, 3, 6))
+    assert(frames.forall(_.head === 0x2C))
+    assert(frames.forall(_.nBytes === 10 + 1 + 11 + 1))
+  }
+
   test("mm2 census matches the Y4M layout arithmetic per document") {
     val rows = Multimodal.mm2FrameCensus(spark, sfDir).collect()
     assert(rows.length === 500)
