@@ -809,7 +809,8 @@ object Multimodal {
     "mm3_header_parse" -> mm3HeaderParse,
     "mm4_resize_bmp" -> mm4ResizeBmp,
     "mm5_pixel_embedding" -> mm5PixelEmbedding,
-    "mm6_pixel_neardup" -> mm6PixelNeardup
+    "mm6_pixel_neardup" -> mm6PixelNeardup,
+    "mm7_gif_census" -> mm7GifCensus
   )
 
   /** mm4 gradient-BMP geometry: source dims derived from doc_id, longest
@@ -977,6 +978,49 @@ object Multimodal {
         sum(col("head")).as("head_sum"))
       .orderBy(col("id"))
 
+  /** The GIF fixture behind mm7: one REAL multi-frame GIF per document,
+    * every structural knob derived from doc_id — frame count, data-block
+    * length, global color table on even ids, extension blocks on ids not
+    * divisible by 3, and (on ids divisible by 4) a local color table on
+    * every second frame — so the census exercises each branch of the
+    * block walk.
+    */
+  def gifMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id, gifBytes(
+            w = (3 + id % 7).toInt, h = (3 + id % 5).toInt,
+            nFrames = (1 + id % 8).toInt,
+            withGct = id % 2 == 0, withExt = id % 3 != 0,
+            lctEvery = if (id % 4 == 0) 2 else 0,
+            dataLen = (5 + id % 20).toInt,
+            fill = f => ((id + f) % 256).toInt))
+        }
+      }
+      .toDF("id", "payload")
+  }
+
+  /** mm7: frame census over the REAL GIF block walk (mm2's shape for the
+    * second container): per stream, sampled frame count, last sampled
+    * index, and total sampled span bytes. The oracle predicts all three
+    * from the builder arithmetic — span = 13 + dataLen + localColorTable
+    * bytes — with the stride-[[FrameEvery]] sampling replayed in SQL, so
+    * descriptor walking, sub-block skipping, and color-table sizing are
+    * all checked byte-exactly. (Sampled indices are multiples of 4, so
+    * under `lctEvery = 2` every sampled frame carries the 6-byte LCT.)
+    */
+  def mm7GifCensus: Q = (s, dir) =>
+    frameSample(gifMedia(s, dir), s)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max(col("frameIdx")).cast("long").as("last_idx"),
+        sum(col("nBytes")).as("bytes_sampled"))
+      .orderBy(col("id"))
+
   /** Binary-column metadata through the REAL decode path: byte length,
     * sniffed format, leading byte. The oracle re-sniffs in DuckDB by hex
     * blob slicing — an engine-independent check of the magic-byte rules.
@@ -1087,6 +1131,21 @@ object Multimodal {
          |    * (w * h * fb2 // 2) AS bytes_sampled,
          |  list_sum(list_transform(generate_series(0, (nf - 1) // $FrameEvery),
          |    k -> (doc_id + $FrameEvery * k) % 256))::BIGINT AS head_sum
+         |FROM p ORDER BY id""".stripMargin,
+    // predicts the GIF block-walk census from builder arithmetic: span =
+    // 13 + dataLen + LCT bytes; sampled indices are multiples of
+    // FrameEvery, all even, so lctEvery=2 puts the 6-byte LCT on every
+    // sampled frame of ids divisible by 4
+    "mm7_gif_census" ->
+      s"""WITH p AS (SELECT doc_id, 1 + doc_id % 8 AS nf,
+         |    5 + doc_id % 20 AS dl,
+         |    CASE WHEN doc_id % 4 = 0 THEN 6 ELSE 0 END AS lct
+         |  FROM documents)
+         |SELECT doc_id AS id,
+         |  (nf + ${FrameEvery - 1}) // $FrameEvery AS n_sampled,
+         |  ((nf - 1) // $FrameEvery) * $FrameEvery AS last_idx,
+         |  ((nf + ${FrameEvery - 1}) // $FrameEvery) * (13 + dl + lct)
+         |    AS bytes_sampled
          |FROM p ORDER BY id""".stripMargin,
     // predicts the round-trip from arithmetic alone; byte counts are the
     // fixed header-stream sizes each builder emits
