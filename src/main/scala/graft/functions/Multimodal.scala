@@ -48,7 +48,7 @@ object Multimodal {
     }
 
   /** Magic-byte format sniff (prefix-only, mirrored exactly by the DuckDB
-    * oracle's hex-slice CASE): png / jpeg / bmp / gif / unknown.
+    * oracle's hex-slice CASE): png / jpeg / bmp / gif / tiff / unknown.
     */
   def sniffFormat(b: Array[Byte]): String =
     if (startsWith(b, PngSig)) "png"
@@ -56,6 +56,8 @@ object Multimodal {
     else if (startsWith(b, Array(0x42, 0x4d))) "bmp"
     else if (startsWith(b, Array(0x47, 0x49, 0x46, 0x38, 0x37, 0x61)) ||
       startsWith(b, Array(0x47, 0x49, 0x46, 0x38, 0x39, 0x61))) "gif"
+    else if (startsWith(b, Array(0x49, 0x49, 0x2a, 0x00)) ||
+      startsWith(b, Array(0x4d, 0x4d, 0x00, 0x2a))) "tiff"
     else "unknown"
 
   // ------------------------------------------------------- byte accessors
@@ -136,6 +138,43 @@ object Multimodal {
   private def gifDims(b: Array[Byte]): (Int, Int) =
     if (b.length < 10) (-1, -1) else (leU16(b, 6), leU16(b, 8))
 
+  /** TIFF: the one genuinely DUAL-endian format — byte order from the
+    * `II`/`MM` magic, then the u32 offset of the first IFD, whose 12-byte
+    * entries carry ImageWidth (tag 256) and ImageLength (tag 257) as
+    * SHORT (type 3, first two value bytes) or LONG (type 4). Missing
+    * tags, unsupported value types, or any structure running off the
+    * buffer fail cleanly as (-1, -1).
+    */
+  private def tiffDims(b: Array[Byte]): (Int, Int) = {
+    if (b.length < 8) return (-1, -1)
+    val be = u8(b, 0) == 0x4d
+    def rd16(i: Int): Int = if (be) beU16(b, i) else leU16(b, i)
+    def rd32(i: Int): Long =
+      if (be) beU32(b, i) else leI32(b, i).toLong & 0xFFFFFFFFL
+    val ifd = rd32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return (-1, -1)
+    val off = ifd.toInt
+    val n = rd16(off)
+    var w = -1L
+    var h = -1L
+    var e = 0
+    while (e < n) {
+      val p = off + 2 + e * 12
+      if (p + 12 > b.length) return (-1, -1)
+      val tag = rd16(p)
+      val value: Long = rd16(p + 2) match {
+        case 3 => rd16(p + 8).toLong // SHORT: first 2 value bytes
+        case 4 => rd32(p + 8) // LONG
+        case _ => -1L
+      }
+      if (tag == 256) w = value else if (tag == 257) h = value
+      e += 1
+    }
+    if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+      (w.toInt, h.toInt)
+    else (-1, -1)
+  }
+
   /** (width, height) parsed from real header bytes; (-1, -1) for unknown
     * formats or truncated headers.
     */
@@ -144,6 +183,7 @@ object Multimodal {
     case "jpeg" => jpegDims(b)
     case "bmp"  => bmpDims(b)
     case "gif"  => gifDims(b)
+    case "tiff" => tiffDims(b)
     case _      => (-1, -1)
   }
 
@@ -433,6 +473,32 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Minimal REAL 38-byte TIFF in either byte order: II/MM magic + 42,
+    * IFD at offset 8 with exactly ImageWidth (LONG) and ImageLength
+    * (SHORT — so both value encodings are exercised), zero next-IFD.
+    */
+  def tiffBytes(w: Int, h: Int, bigEndian: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && h <= 0xFFFF)
+    val out = new java.io.ByteArrayOutputStream(38)
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit =
+      if (bigEndian) { w16(((v >> 16) & 0xFFFF).toInt); w16((v & 0xFFFF).toInt) }
+      else { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    if (bigEndian) { out.write(0x4d); out.write(0x4d) }
+    else { out.write(0x49); out.write(0x49) }
+    w16(42)
+    w32(8L) // first IFD right after the header
+    w16(2) // entry count
+    w16(256); w16(4); w32(1L); w32(w.toLong) // ImageWidth as LONG
+    // ImageLength as SHORT: value sits in the FIRST two value bytes,
+    // remaining two are padding per the spec
+    w16(257); w16(3); w32(1L); w16(h); w16(0)
+    w32(0L) // no next IFD
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------ pipelines
 
   /** The batched decode pipeline: binary column in, typed struct out.
@@ -706,7 +772,7 @@ object Multimodal {
     * Every span [[gifFrameSpans]] must report is predictable by
     * arithmetic from these parameters.
     */
-  def gifBytes(w: Int, h: Int, nFrames: Int, withGct: Boolean = true,
+  def gifStreamBytes(w: Int, h: Int, nFrames: Int, withGct: Boolean = true,
       withExt: Boolean = true, lctEvery: Int = 0, dataLen: Int = 12,
       fill: Int => Int = identity): Array[Byte] = {
     require(w > 0 && w <= 0xFFFF && h > 0 && h <= 0xFFFF && nFrames >= 0)
@@ -992,7 +1058,7 @@ object Multimodal {
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          (id, gifBytes(
+          (id, gifStreamBytes(
             w = (3 + id % 7).toInt, h = (3 + id % 5).toInt,
             nFrames = (1 + id % 8).toInt,
             withGct = id % 2 == 0, withExt = id % 3 != 0,
@@ -1050,11 +1116,13 @@ object Multimodal {
         it.map { id =>
           val w = (16 + (id * 31) % 4080).toInt
           val h = (16 + (id * 17) % 2160).toInt
-          val bytes = (id % 4) match {
+          val bytes = (id % 5) match {
             case 0 => pngBytes(w, h)
             case 1 => jpegBytes(w, h)
             case 2 => bmpBytes(w, h)
-            case _ => gifBytes(w, h)
+            case 3 => gifBytes(w, h)
+            // TIFF alternates byte order — the dual-endian format
+            case _ => tiffBytes(w, h, bigEndian = id % 2 == 0)
           }
           decode(id, bytes)
         }
@@ -1111,6 +1179,8 @@ object Multimodal {
         |    WHEN substr(hex(encode(text)), 1, 4) = '424D' THEN 'bmp'
         |    WHEN substr(hex(encode(text)), 1, 12)
         |      IN ('474946383761', '474946383961') THEN 'gif'
+        |    WHEN substr(hex(encode(text)), 1, 8)
+        |      IN ('49492A00', '4D4D002A') THEN 'tiff'
         |    ELSE 'unknown' END AS format,
         |  CASE WHEN octet_length(encode(text)) = 0 THEN -1
         |    ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END AS magic
@@ -1151,12 +1221,12 @@ object Multimodal {
     // fixed header-stream sizes each builder emits
     "mm3_header_parse" ->
       """SELECT doc_id AS id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-        |    WHEN 2 THEN 'bmp' ELSE 'gif' END AS format,
+        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'bmp' WHEN 3 THEN 'gif' ELSE 'tiff' END AS format,
         |  16 + (doc_id * 31) % 4080 AS width,
         |  16 + (doc_id * 17) % 2160 AS height,
-        |  CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 50
-        |    WHEN 2 THEN 54 ELSE 14 END AS n_bytes
+        |  CASE doc_id % 5 WHEN 0 THEN 33 WHEN 1 THEN 50
+        |    WHEN 2 THEN 54 WHEN 3 THEN 14 ELSE 38 END AS n_bytes
         |FROM documents ORDER BY id""".stripMargin,
     // predicts the FULL pixel round trip arithmetically: dims from the
     // integer fit-to-box formula, byte count from the 4-byte row stride,

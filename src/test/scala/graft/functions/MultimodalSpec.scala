@@ -23,6 +23,9 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val gif87 = Multimodal.gifBytes(3, 4)
     gif87(4) = '7'.toByte // GIF87a is a legal variant
     assert(Multimodal.sniffFormat(gif87) === "gif")
+    assert(Multimodal.sniffFormat(Multimodal.tiffBytes(1, 1)) === "tiff")
+    assert(Multimodal.sniffFormat(
+      Multimodal.tiffBytes(1, 1, bigEndian = true)) === "tiff")
     assert(Multimodal.sniffFormat("hello world".getBytes) === "unknown")
     assert(Multimodal.sniffFormat(Array.empty[Byte]) === "unknown")
     // a text payload that merely STARTS with "BM" sniffs as bmp — by design
@@ -34,6 +37,11 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     cases.foreach { case (w, h) =>
       assert(dims(Multimodal.pngBytes(w, h)) === ((w, h)), s"png $w x $h")
       assert(dims(Multimodal.bmpBytes(w, h)) === ((w, h)), s"bmp $w x $h")
+      if (h <= 65535) {
+        assert(dims(Multimodal.tiffBytes(w, h)) === ((w, h)), s"tiff-le $w")
+        assert(dims(Multimodal.tiffBytes(w, h, bigEndian = true))
+          === ((w, h)), s"tiff-be $w")
+      }
       if (w <= 65535 && h <= 65535) {
         assert(dims(Multimodal.jpegBytes(w, h)) === ((w, h)), s"jpeg $w x $h")
         assert(dims(Multimodal.gifBytes(w, h)) === ((w, h)), s"gif $w x $h")
@@ -48,7 +56,9 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       Multimodal.pngBytes(640, 480),
       Multimodal.jpegBytes(640, 480),
       Multimodal.bmpBytes(640, 480),
-      Multimodal.gifBytes(640, 480)
+      Multimodal.gifBytes(640, 480),
+      Multimodal.tiffBytes(640, 480),
+      Multimodal.tiffBytes(640, 480, bigEndian = true)
     ).foreach { full =>
       (0 until full.length).foreach { n =>
         val cut = java.util.Arrays.copyOfRange(full, 0, n)
@@ -109,6 +119,26 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(dims(negW) === ((-1, -1)))
     val zeroW = Multimodal.bmpBytes(0, 200)
     assert(dims(zeroW) === ((-1, -1)))
+  }
+
+  test("TIFF: missing tags and unsupported value types reject cleanly") {
+    // drop ImageLength by retagging entry 2 to an unrelated tag (259)
+    val noLen = Multimodal.tiffBytes(320, 200)
+    noLen(22) = 3; noLen(23) = 1 // tag 259 little-endian
+    assert(dims(noLen) === ((-1, -1)))
+    // RATIONAL (type 5) width is unsupported → rejected, not misread
+    val rat = Multimodal.tiffBytes(320, 200)
+    rat(12) = 5
+    assert(dims(rat) === ((-1, -1)))
+    // an IFD offset pointing past the buffer fails cleanly
+    val far = Multimodal.tiffBytes(320, 200)
+    far(4) = 0xF0.toByte
+    assert(dims(far) === ((-1, -1)))
+    // big-endian value bytes are NOT valid little-endian ones: flipping
+    // just the magic must change or reject the parse, never alias
+    val flip = Multimodal.tiffBytes(320, 200, bigEndian = true)
+    flip(0) = 0x49; flip(1) = 0x49; flip(2) = 0x2A; flip(3) = 0x00
+    assert(dims(flip) !== ((320, 200)))
   }
 
   test("decode composes sniff + dims + magic + placeholder feature") {
@@ -326,7 +356,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // span size = 0x2C+9 descriptor (10) [+ LCT] + lzw-min (1) +
     // block (1 + dataLen) + terminator (1)
     def span(dataLen: Int, lct: Int) = 10 + lct + 1 + (1 + dataLen) + 1
-    val b = Multimodal.gifBytes(7, 5, 6, withGct = true, withExt = true,
+    val b = Multimodal.gifStreamBytes(7, 5, 6, withGct = true, withExt = true,
       lctEvery = 3, dataLen = 12)
     val spans = Multimodal.gifFrameSpans(b)
     assert(spans.length === 6)
@@ -337,13 +367,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(spans.forall { case (from, _) => (b(from) & 0xff) == 0x2C })
     // no GCT, no extensions: first span starts right after the 13-byte
     // header
-    val plain = Multimodal.gifBytes(3, 3, 2, withGct = false,
+    val plain = Multimodal.gifStreamBytes(3, 3, 2, withGct = false,
       withExt = false)
     assert(Multimodal.gifFrameSpans(plain).head._1 === 13)
   }
 
   test("GIF: malformed streams keep the frames already walked") {
-    val whole = Multimodal.gifBytes(4, 4, 4, dataLen = 8)
+    val whole = Multimodal.gifStreamBytes(4, 4, 4, dataLen = 8)
     // truncate inside frame 3's data sub-block
     val spans = Multimodal.gifFrameSpans(whole)
     val cut = java.util.Arrays.copyOfRange(whole, 0,
@@ -360,7 +390,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
 
   test("GIF: frameSample demuxes descriptor frames with the stride") {
     import spark.implicits._
-    val media = Seq((9L, Multimodal.gifBytes(5, 4, 7, dataLen = 10)))
+    val media = Seq((9L, Multimodal.gifStreamBytes(5, 4, 7, dataLen = 10)))
       .toDF("id", "payload")
     val frames = Multimodal.frameSample(media, spark, every = 3)
       .collect().sortBy(_.frameIdx)
@@ -396,8 +426,9 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length === 500)
     rows.foreach { r =>
       val id = r.getLong(0)
-      val expFmt = (id % 4) match {
-        case 0 => "png"; case 1 => "jpeg"; case 2 => "bmp"; case _ => "gif"
+      val expFmt = (id % 5) match {
+        case 0 => "png"; case 1 => "jpeg"; case 2 => "bmp"
+        case 3 => "gif"; case _ => "tiff"
       }
       assert(r.getString(1) === expFmt, s"doc $id format")
       assert(r.getLong(2) === 16 + (id * 31) % 4080, s"doc $id width")
