@@ -44,7 +44,8 @@ object Relational {
     "q19_above_brand_avg" -> q19AboveBrandAvg,
     "q20_grouping_sets" -> q20GroupingSets,
     "q21_pivot" -> q21Pivot,
-    "q22_approx_distinct" -> q22ApproxDistinct
+    "q22_approx_distinct" -> q22ApproxDistinct,
+    "q23_custkeys_intersect" -> q23CustkeysIntersect
   )
 
   /** TPC-H Q1 shape: single-table scan + hash agg with partial aggregation;
@@ -395,6 +396,21 @@ object Relational {
         Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
       .orderBy(col("nationkey"))
 
+  /** INTERSECT (the third set op next to q11's UNION and q18's EXCEPT):
+    * customers who placed an urgent order AND a high-value order. Spark
+    * plans it as a left-semi aggregate join — distinct on each side,
+    * shuffle on the key, no cross product.
+    */
+  def q23CustkeysIntersect: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+      .intersect(
+        o.where(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+  }
+
   /** Correlated scalar subquery: parts priced above 1.05× their brand's
     * average. Written as SQL ON PURPOSE — this exercises Catalyst's
     * decorrelation (RewriteCorrelatedScalarSubquery turns the per-row
@@ -589,6 +605,12 @@ object Relational {
         |  count(DISTINCT l_suppkey)::BIGINT AS exact_supps,
         |  true AS supps_within
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    "q23_custkeys_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY custkey""".stripMargin
   )
 }
