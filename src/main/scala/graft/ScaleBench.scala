@@ -60,6 +60,7 @@ object ScaleBench {
     "e6_range_campaigns", "e7_session_campaign_overlap",
     "t9_heavy_hitters", "t10_oov_rate",
     "c1_assign", "c17_conn_partitioned", "c19_conn_topk",
+    "c20_silhouette_simplified",
     "mm2_frame_census",
     // the full seeded MOPSO loop — the reference's defining scaling risk
     // (per-iteration broadcast + bounded collect, SURVEY §7.4.5); linear

@@ -107,6 +107,12 @@ final case class MopsoConfig(
     clampPosition: Boolean = false,
     kOverride: Option[Int] = None, // default: inferred = countDistinct(label)
     withSilhouette: Boolean = false, // O(n²) — small data only
+    /** Use the O(n·K) simplified silhouette (c20 form) for the E3
+      * final-result selection instead of the exact O(n²) scorer — the
+      * scale-safe default for real data sizes. Only read when
+      * `withSilhouette` is on.
+      */
+    silhouetteSimplified: Boolean = false,
     kmeansIter: Int = 30, // numberOfKMeansIter, Spark_MOPSO_Avg.scala:38
     /** SURVEY §7.4.6 scale option: evaluate fitness on a seeded Bernoulli
       * sample of each partition (< 1.0 trades fidelity for the O(n²)

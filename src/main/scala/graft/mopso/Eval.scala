@@ -55,13 +55,48 @@ object Eval {
     s / n
   }
 
+  /** Simplified silhouette — the bounded O(n·K) twin of [[silhouette]]
+    * (distributed face: the oracle-checked c20 query). a(i) = distance to
+    * the own (nearest) centroid, b(i) = distance to the second-nearest;
+    * s = (b−a)/max(a,b). Points equidistant from everything (max = 0)
+    * score 0, matching the exact form's degenerate-case convention.
+    */
+  def simplifiedSilhouette(block: EvalBlock,
+      centers: Array[Array[Double]]): Double = {
+    val n = block.points.length
+    val k = centers.length
+    if (n == 0 || k < 2) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      var a = Double.MaxValue
+      var b = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val d = Linalg.euclid(block.points(i), centers(c))
+        if (d < a) { b = a; a = d } else if (d < b) b = d
+        c += 1
+      }
+      val m = math.max(a, b)
+      if (m > 0) s += (b - a) / m
+      i += 1
+    }
+    s / n
+  }
+
   /** selectBestArchiveAsFinalResult (Spark_MOPSO_Avg.scala:578-602):
     * score every archive entry by mean silhouette, return the scores and
     * the winning centroid set sorted ascending by first coordinate.
+    * `simplified = true` (config `silhouetteSimplified`) swaps the exact
+    * O(n²) scorer for the O(n·K) [[simplifiedSilhouette]] — the form that
+    * stays usable on real data sizes.
     */
   def selectBestBySilhouette(archive: Array[ArchiveEntry],
-      block: EvalBlock): (Array[Double], Array[Array[Double]]) = {
-    val sils = archive.map(e => silhouette(block, e.position))
+      block: EvalBlock,
+      simplified: Boolean = false): (Array[Double], Array[Array[Double]]) = {
+    val sils =
+      if (simplified) archive.map(e => simplifiedSilhouette(block, e.position))
+      else archive.map(e => silhouette(block, e.position))
     val best = archive(sils.indexOf(sils.max)).position
     (sils, best.sortBy((c: Array[Double]) => c(0)))
   }

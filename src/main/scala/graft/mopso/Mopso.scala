@@ -295,7 +295,8 @@ object Mopso {
             val rows = nbrRows.map(r => (r._1, r._2)).collect()
             EvalBlock(rows.map(_._1), rows.map(_._2), Array.empty)
           }
-        val (ss, best) = Eval.selectBestBySilhouette(archive, block)
+        val (ss, best) = Eval.selectBestBySilhouette(archive, block,
+          cfg.silhouetteSimplified)
         (Some(ss), Some(best))
       } else (None, None)
 

@@ -49,7 +49,8 @@ object Clustering {
     "c16_accuracy" -> c16Accuracy,
     "c17_conn_partitioned" -> c17ConnPartitioned,
     "c18_weighted_dist" -> c18WeightedDist,
-    "c19_conn_topk" -> c19ConnTopk
+    "c19_conn_topk" -> c19ConnTopk,
+    "c20_silhouette_simplified" -> c20SilhouetteSimplified
   )
 
   /** Bucket width for the partition-local Conn query (c17). */
@@ -591,6 +592,36 @@ object Clustering {
         .as("silhouette"))
   }
 
+  /** Simplified silhouette — the scale-safe twin of c14 (VERDICT r7 §next-1).
+    *
+    * Classic bounded form (the one MLlib's evaluator also uses): a(i) is
+    * the distance to the OWN cluster's centroid, b(i) the min distance to
+    * any other centroid, s = (b−a)/max(a,b). Because assignment is
+    * nearest-centroid, a(i) is simply the smallest centroid distance and
+    * b(i) the second smallest — so the whole metric is one codegen'd pass
+    * over the literal centroid array (the same sorted struct array c1
+    * already builds): O(n·K) compute, zero joins, zero shuffles beyond the
+    * final 1-row aggregate. Contrast c14's exact O(n²) all-pairs form,
+    * which is kept as the oracle-parity face; this is the form
+    * [[graft.mopso.Eval.selectBestBySilhouette]] runs at scale
+    * (config `silhouetteSimplified`).
+    */
+  def c20SilhouetteSimplified: Q = (s, dir) => {
+    val cs = centers(s, dir)
+    val sorted = array_sort(array(cs.map { case (cid, vec) =>
+      struct(
+        Linalg.euclidCol(col("features"), typedlit(vec)).as("dist"),
+        lit(cid).as("cluster"))
+    }: _*))
+    Tables.labeledPoints(s, dir)
+      .select(
+        element_at(sorted, 1).getField("dist").as("ai"),
+        element_at(sorted, 2).getField("dist").as("bi"))
+      .agg(round(avg(
+        (col("bi") - col("ai")) / greatest(col("ai"), col("bi"))), 6)
+        .as("silhouette_s"))
+  }
+
   /** Davies-Bouldin index replicated as written
     * (Spark_MOPSO_Avg.scala:1306-1342): R_ij over pairs j>i, and the
     * running max is NEVER reset across i — so row i contributes the max R
@@ -817,6 +848,20 @@ object Clustering {
          |  FROM p x JOIN p y ON x.id <> y.id
          |  JOIN a ax ON ax.id = x.id JOIN a ay ON ay.id = y.id)
          |WHERE rnk <= $L""".stripMargin),
+    // a(i)/b(i) are the two smallest centroid distances (assignment IS
+    // nearest-centroid), so the oracle ranks per-point distances and keeps
+    // rn 1 and 2 — only the dist VALUES feed the score, so rank ties are
+    // immaterial
+    "c20_silhouette_simplified" ->
+      s"""WITH $P, $C,
+         |r AS (SELECT p.id, list_distance(p.v, c.cv) AS dist,
+         |    row_number() OVER (PARTITION BY p.id
+         |      ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+         |  FROM p CROSS JOIN c)
+         |SELECT round(avg((b.dist - a.dist) /
+         |    greatest(a.dist, b.dist)), 6) AS silhouette_s
+         |FROM (SELECT id, dist FROM r WHERE rn = 1) a
+         |JOIN (SELECT id, dist FROM r WHERE rn = 2) b USING (id)""".stripMargin,
     // weighted euclid over the shifted-positive space; weight = x/sum(x)
     // of the point vector, same left-to-right fold as the Spark kernel
     "c18_weighted_dist" ->

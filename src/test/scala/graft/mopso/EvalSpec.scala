@@ -42,6 +42,53 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(best.zip(best.tail).forall { case (a, c) => a(0) <= c(0) })
   }
 
+  test("local simplified silhouette matches the DataFrame formulation (c20)") {
+    val centers = Clustering.centers(spark, sfDir).map(_._2).toArray
+    val local = Eval.simplifiedSilhouette(block, centers)
+    val df = Clustering.c20SilhouetteSimplified(spark, sfDir)
+      .head().getDouble(0)
+    assert(math.abs(local - df) < 1e-6) // c20 rounds to 6 decimals
+  }
+
+  test("exact and simplified silhouette agree on the best archive entry") {
+    // rank-agreement gate (VERDICT r7 §next-1): on well-separated blobs
+    // the two scorers must select the SAME winner, so flipping
+    // `silhouetteSimplified` never changes the E3 final result on clean
+    // data. (The embeddings fixture's c20 centroids are the FIRST TEN
+    // VECTORS, not blob centers, so it is deliberately not used here.)
+    val blobCenters =
+      Array(Array(0.0, 0.0, 0.0), Array(50.0, 50.0, 0.0),
+        Array(0.0, 100.0, 100.0))
+    val pts = for {
+      (c, ci) <- blobCenters.zipWithIndex
+      i <- 0 until 30
+    } yield c.zipWithIndex.map { case (x, d) =>
+      // deterministic jitter, spread ±1.5 around the blob center
+      x + ((i * 7 + d * 3 + ci) % 31 - 15) * 0.1
+    }
+    val b = EvalBlock(pts, pts.map(_ => 0), Array.empty)
+    val archive = Array(
+      ArchiveEntry(blobCenters, Array(1.0, 1.0), Array(0.0)),
+      // collapsed candidate: every centroid piled on one point
+      ArchiveEntry(Array(pts(0), pts(0).map(_ + 1e-9)),
+        Array(2.0, 2.0), Array(0.0)),
+      // under-K candidate: merges two blobs into one cluster
+      ArchiveEntry(Array(blobCenters(0), blobCenters(2)),
+        Array(3.0, 3.0), Array(0.0)))
+    val (exact, _) = Eval.selectBestBySilhouette(archive, b)
+    val (simp, _) = Eval.selectBestBySilhouette(archive, b, simplified = true)
+    assert(exact.indexOf(exact.max) === simp.indexOf(simp.max))
+    assert(exact.indexOf(exact.max) === 0) // the true blob centers win
+  }
+
+  test("simplified silhouette degenerate cases score 0") {
+    val b = block
+    assert(Eval.simplifiedSilhouette(b, Array(b.points(0))) === 0.0) // k=1
+    assert(Eval.simplifiedSilhouette(
+      EvalBlock(Array.empty, Array.empty, Array.empty),
+      Array(Array(0.0), Array(1.0))) === 0.0) // n=0
+  }
+
   test("degenerate single-cluster entry scores 0, never ~1") {
     val b = block
     val far = Array.fill(64)(1e6)
