@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.{Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.functions.{Bpe, Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.mopso.{Config, Mopso, MopsoConfig}
 import graft.operators.{Clustering, RangeJoin, Relational}
 import graft.sources.Tables
@@ -38,7 +38,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Clustering.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Curation.queries ++
+      TextAnalysis.queries ++ Bpe.queries ++ Dedup.queries ++ Curation.queries ++
       Similarity.queries ++ Multimodal.queries ++ Events.queries ++
       RangeJoin.queries ++ Sketches.queries ++ Map(
         // full MOPSO loop — stochastic-but-seeded, no SQL equivalent →
@@ -51,7 +51,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Clustering.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Curation.oracles ++
+      TextAnalysis.oracles ++ Bpe.oracles ++ Dedup.oracles ++ Curation.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Events.oracles ++
       RangeJoin.oracles ++ Sketches.oracles
 }

@@ -1,0 +1,235 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Learned byte-pair encoding — the REAL trainer + applier the round-7
+  * verdict asked for (t4 stays as the cheap regex pre-tokenizer; this is
+  * the operator an actual training-data pipeline runs).
+  *
+  * Trainer (t4b): the textbook distributed agg loop. ONE corpus pass
+  * builds the distinct-word frequency table (the only corpus-sized
+  * shuffle); each of the [[NumMerges]] iterations then runs
+  * `explode(adjacent pairs) → groupBy(pair) → sum(freq) → argmax` over
+  * that table — a small bounded shuffle per iteration, never touching the
+  * corpus again — and rewrites the symbol arrays with a pure
+  * `aggregate()` fold (greedy left-to-right, the classic merge-apply
+  * semantics). Lineage is truncated with `localCheckpoint` every
+  * [[CheckpointEvery]] merges so the plan stays shallow across the loop.
+  * At 100 TB the word table is the corpus VOCABULARY (bounded, ~10⁸ rows
+  * worst case) — the loop cost is independent of corpus size, which is
+  * exactly why production BPE trainers aggregate first.
+  *
+  * Applier (t4c): the trainer's final word→symbols table IS the
+  * tokenization of every in-vocabulary word, so application is a
+  * broadcast join of the exploded corpus against it — one scan + one
+  * doc_id shuffle, no per-row merge replay. Docs hash-fingerprint their
+  * full subword sequence so the oracle pins content, not just counts.
+  *
+  * Oracle: DuckDB replays the identical deterministic merge sequence via
+  * a generated CTE chain (w0→b0→w1→…), with the merge-apply fold
+  * expressed as `list_reduce` over a chr(31)-joined accumulator — an
+  * independent implementation of the same greedy semantics. Both sides
+  * break pair-count ties by (count DESC, lhs ASC, rhs ASC), so the merge
+  * table is bit-deterministic.
+  *
+  * Assumption (fixture-validated, `require`d in the trainer): the corpus
+  * has ≥ [[NumMerges]] mergeable pairs — the oracle's fixed CTE chain
+  * cannot replicate an early stop.
+  */
+object Bpe {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Merge-table size — M~50-class at fixture scale per VERDICT r7 §next-2,
+    * small enough that the two parity queries stay in bench budget.
+    */
+  val NumMerges = 32
+
+  /** localCheckpoint cadence: bounds the chained merge-fold depth. */
+  val CheckpointEvery = 8
+
+  def queries: Map[String, Q] = Map(
+    "t4b_bpe_merges" -> t4bMerges,
+    "t4c_bpe_apply" -> t4cApply
+  )
+
+  final case class Merge(rank: Int, lhs: String, rhs: String, score: Long)
+
+  /** Distinct pre-token frequency table with initial character symbols:
+    * the one corpus-sized aggregation of the whole trainer.
+    */
+  private def wordTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit(TextAnalysis.BpePattern), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", regexp_extract_all(col("word"), lit("."), lit(0)))
+
+  /** Greedy left-to-right merge of (lhs, rhs) in a symbol array — the
+    * Sennrich merge-apply pass as a pure fold: a just-merged token is
+    * never the left side of another merge in the same pass (lhs+rhs ≠ lhs
+    * since rhs is nonempty, so the fold's "accumulator ends with lhs"
+    * test is exactly the scan-position test).
+    */
+  private[functions] def mergeFold(syms: Column, lhs: String,
+      rhs: String): Column =
+    when(size(syms) < 2, syms).otherwise(
+      aggregate(
+        slice(syms, lit(2), size(syms) - 1),
+        array(element_at(syms, 1)),
+        (acc, x) =>
+          when(element_at(acc, -1) === lit(lhs) && x === lit(rhs),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+            .otherwise(concat(acc, array(x)))))
+
+  /** Adjacent symbol pairs of each word (empty below 2 symbols — Spark's
+    * `sequence(1, 0)` would count DOWN, so the guard is load-bearing).
+    */
+  private def pairsCol(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1), i =>
+        struct(element_at(syms, i).as("lhs"),
+          element_at(syms, i + 1).as("rhs"))))
+      .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+
+  /** Runs the trainer: M iterations of distributed pair-count + argmax +
+    * merge-fold. Returns the learned merge table and the final word →
+    * symbols mapping (cached). Memoized per (dir, m): the applier reuses
+    * the trainer run instead of paying the loop twice in one session.
+    */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int),
+      (Seq[Merge], DataFrame)]
+
+  def train(s: SparkSession, dir: String,
+      m: Int = NumMerges): (Seq[Merge], DataFrame) =
+    memo.getOrElseUpdate((dir, m), trainWords(wordTable(s, dir), m))
+
+  /** The merge loop over an explicit (word, freq, syms) table — the
+    * testable core; specs feed it synthetic corpora.
+    */
+  private[functions] def trainWords(wordFreqs: DataFrame,
+      m: Int): (Seq[Merge], DataFrame) = {
+    var words = wordFreqs.localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    for (i <- 0 until m) {
+      val top = words
+        .select(col("freq"), explode(pairsCol(col("syms"))).as("p"))
+        .groupBy(col("p.lhs"), col("p.rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"corpus ran out of mergeable pairs at merge $i < $m — " +
+          "the fixed-depth oracle cannot replicate an early stop")
+      val (lhs, rhs, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += Merge(i + 1, lhs, rhs, cnt)
+      words = words.withColumn("syms", mergeFold(col("syms"), lhs, rhs))
+      if ((i + 1) % CheckpointEvery == 0 && i + 1 < m)
+        words = words.localCheckpoint()
+    }
+    (merges.result(), words.localCheckpoint())
+  }
+
+  /** The learned merge table: (merge_rank, lhs, rhs, score). */
+  def t4bMerges: Q = (s, dir) => {
+    val (merges, _) = train(s, dir)
+    import s.implicits._
+    merges.map(m => (m.rank, m.lhs, m.rhs, m.score))
+      .toDF("merge_rank", "lhs", "rhs", "score")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Learned-BPE tokenization per document: subword count + a 60-bit
+    * fingerprint of the full subword sequence (chr(31)-joined in word
+    * order). The trained word→syms table rides a broadcast join — the
+    * corpus-side plan is one scan + one doc_id-keyed shuffle.
+    */
+  def t4cApply: Q = (s, dir) => {
+    val (_, trained) = train(s, dir)
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")),
+          lit(TextAnalysis.BpePattern), lit(0))).as(Seq("pos", "word")))
+      .join(broadcast(trained.select(col("word"), col("syms"))), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("syms"))).as("n_sub"),
+        sort_array(collect_list(struct(col("pos"), col("syms")))).as("ps"))
+      .select(col("doc_id"), col("n_sub"),
+        TextAnalysis.hash60(concat_ws("\u001f",
+          flatten(transform(col("ps"), p => p.getField("syms")))))
+          .as("sub_fp"))
+    // docs with zero pre-tokens keep a row: empty-sequence fingerprint
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sub"), lit(0L)).as("n_sub"),
+        coalesce(col("sub_fp"), TextAnalysis.hash60(lit(""))).as("sub_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  /** The CTE chain replaying the trainer: w0 (initial word table), then
+    * per merge i a 1-row argmax CTE b_i and the rewritten word table
+    * w_{i+1}. The merge-apply fold rides `list_reduce` over a
+    * chr(31)-joined accumulator string (symbols are regex word/digit/punct
+    * runs — they can never contain chr(31)).
+    */
+  private def trainCtes(m: Int): String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (SELECT word, count(*) AS freq,
+         |    regexp_extract_all(word, '.') AS syms
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text),
+         |      '${TextAnalysis.BpePattern}')) AS word FROM documents)
+         |  GROUP BY word)""".stripMargin
+    val iters = (0 until m).map { i =>
+      s"""b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM (
+         |  SELECT p[1] AS lhs, p[2] AS rhs, sum(freq) AS cnt
+         |  FROM (SELECT freq, unnest(list_transform(
+         |      generate_series(1, len(syms)-1),
+         |      j -> [syms[j], syms[j+1]])) AS p FROM w$i)
+         |  GROUP BY 1, 2) ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (SELECT word, freq,
+         |  string_split(list_reduce(syms, (acc, x) ->
+         |    CASE WHEN string_split(acc, chr(31))[-1] = b$i.lhs
+         |        AND x = b$i.rhs
+         |      THEN substr(acc, 1, length(acc) - length(b$i.lhs)) ||
+         |        b$i.lhs || b$i.rhs
+         |      ELSE acc || chr(31) || x END), chr(31)) AS syms
+         |  FROM w$i, b$i)""".stripMargin
+    }
+    (w0 +: iters).mkString(",\n")
+  }
+
+  def oracles: Map[String, String] = Map(
+    "t4b_bpe_merges" -> {
+      val rows = (0 until NumMerges).map(i =>
+        s"SELECT ${i + 1} AS merge_rank, lhs, rhs, cnt::BIGINT AS score FROM b$i")
+      s"""WITH ${trainCtes(NumMerges)}
+         |${rows.mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY merge_rank""".stripMargin
+    },
+    "t4c_bpe_apply" ->
+      s"""WITH ${trainCtes(NumMerges)},
+         |tok AS (SELECT doc_id, unnest(ws) AS word,
+         |    unnest(generate_series(1, len(ws))) AS pos
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text),
+         |      '${TextAnalysis.BpePattern}') AS ws FROM documents)),
+         |agg AS (SELECT doc_id, sum(len(syms))::BIGINT AS n_sub,
+         |    ('0x' || substr(md5(array_to_string(
+         |      flatten(list(syms ORDER BY pos)), chr(31))), 1, 15))::BIGINT
+         |      AS sub_fp
+         |  FROM tok JOIN w$NumMerges USING (word)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_sub, 0) AS n_sub,
+         |  coalesce(a.sub_fp,
+         |    ('0x' || substr(md5(''), 1, 15))::BIGINT) AS sub_fp
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Pins the distributed BPE trainer/applier against an INDEPENDENT local
+  * reference implementation (the textbook Sennrich greedy scan, written
+  * imperatively here — a third algorithm besides the Spark fold and the
+  * DuckDB list_reduce oracle).
+  */
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+
+  // ---- local reference implementation -------------------------------------
+
+  /** Greedy left-to-right single-pair merge, scan-position semantics. */
+  private def refMerge(word: Vector[String], lhs: String,
+      rhs: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      if (i < word.length - 1 && word(i) == lhs && word(i + 1) == rhs) {
+        out += (lhs + rhs); i += 2
+      } else { out += word(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Reference trainer: weighted pair counts, argmax with
+    * (count DESC, lhs ASC, rhs ASC) ties, m merges.
+    */
+  private def refTrain(freqs: Map[String, Long],
+      m: Int): (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var words = freqs.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until m) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((lhs, rhs), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      merges += ((lhs, rhs, cnt))
+      words = words.map { case (syms, f) => (refMerge(syms, lhs, rhs), f) }
+    }
+    (merges.result(),
+      freqs.keys.map { w =>
+        var syms = w.map(_.toString).toVector
+        merges.result().foreach { case (l, r, _) => syms = refMerge(syms, l, r) }
+        w -> syms
+      }.toMap)
+  }
+
+  private val corpus: Map[String, Long] = Map(
+    "low" -> 5L, "lower" -> 2L, "lowest" -> 6L,
+    "newer" -> 6L, "wider" -> 3L, "new" -> 2L)
+
+  private def corpusDf = {
+    import spark.implicits._
+    corpus.toSeq.toDF("word", "freq")
+      .withColumn("syms", regexp_extract_all(col("word"), lit("."), lit(0)))
+  }
+
+  test("distributed trainer replays the reference merge sequence") {
+    val m = 10
+    val (got, finalWords) = Bpe.trainWords(corpusDf, m)
+    val (want, refWords) = refTrain(corpus, m)
+    assert(got.map(g => (g.lhs, g.rhs, g.score)) === want)
+    // final symbol tables agree word-for-word
+    val gotWords = finalWords.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toVector).toMap
+    assert(gotWords === refWords)
+  }
+
+  test("mergeFold handles overlapping runs like the reference scan") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq("a", "a", "a", "a"), "a", "a"), // even run: [aa, aa]
+      (Seq("a", "a", "a"), "a", "a"), // odd run: [aa, a]
+      (Seq("a", "b", "a", "b", "b"), "a", "b"), // [ab, ab, b]
+      (Seq("x"), "x", "x"), // single symbol untouched
+      (Seq("ab", "b", "ab", "b"), "ab", "b")) // merged token as lhs
+    cases.foreach { case (syms, l, r) =>
+      val got = Seq(syms).toDF("syms")
+        .select(Bpe.mergeFold(col("syms"), l, r))
+        .head().getSeq[String](0).toVector
+      assert(got === refMerge(syms.toVector, l, r),
+        s"mergeFold($syms, $l, $r)")
+    }
+  }
+
+  test("applier output is consistent: merges preserve concatenated content") {
+    val (_, finalWords) = Bpe.trainWords(corpusDf, 8)
+    finalWords.collect().foreach { case Row(w: String, _, syms: Any) =>
+      assert(syms.asInstanceOf[scala.collection.Seq[String]]
+        .mkString("") === w)
+    }
+  }
+
+  test("trainer refuses a corpus that runs dry before m merges") {
+    import spark.implicits._
+    val tiny = Seq(("ab", 1L)).toDF("word", "freq")
+      .withColumn("syms", regexp_extract_all(col("word"), lit("."), lit(0)))
+    // one pair exists; the second iteration has none
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainWords(tiny, 2)
+    }
+    assert(e.getMessage.contains("ran out of mergeable pairs"))
+  }
+}
