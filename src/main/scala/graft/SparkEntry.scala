@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.{Bpe, Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.functions.{Audio, Bpe, Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.mopso.{Config, Mopso, MopsoConfig}
 import graft.operators.{Clustering, RangeJoin, Relational}
 import graft.sources.Tables
@@ -39,7 +39,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Clustering.queries ++
       TextAnalysis.queries ++ Bpe.queries ++ Dedup.queries ++ Curation.queries ++
-      Similarity.queries ++ Multimodal.queries ++ Events.queries ++
+      Similarity.queries ++ Multimodal.queries ++ Audio.queries ++ Events.queries ++
       RangeJoin.queries ++ Sketches.queries ++ Map(
         // full MOPSO loop — stochastic-but-seeded, no SQL equivalent →
         // rows-only check (archive is non-empty and ≤ repository)
@@ -52,6 +52,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Clustering.oracles ++
       TextAnalysis.oracles ++ Bpe.oracles ++ Dedup.oracles ++ Curation.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ Events.oracles ++
+      Similarity.oracles ++ Multimodal.oracles ++ Audio.oracles ++ Events.oracles ++
       RangeJoin.oracles ++ Sketches.oracles
 }
