@@ -3,20 +3,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan inspection utility: prints the formatted physical plan for the
-  * named queries (or a representative default set) against sf0.001.
-  * Usage: runMain graft.Explain [queryName...]
+  * named queries against sf0.001 — by default EVERY registered query
+  * except the trainer-loop ones (m1 full MOPSO, t4b/t4c BPE: their plan
+  * of record is the per-iteration job, and building them spins the whole
+  * loop), so the default list self-maintains as the surface grows
+  * (VERDICT r7 residual nit).
+  * Usage: runMain graft.Explain [queryName... | prefix like 'q' 'mm']
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local("graft-explain", 8)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val iterative = Set("m1_mopso_archive", "t4b_bpe_merges", "t4c_bpe_apply")
     val names =
-      if (args.nonEmpty) args.toSeq
-      else Seq("q1_pricing_summary", "q3_revenue_by_nation",
-        "q4_ship_filter_agg", "q19_above_brand_avg", "c1_assign",
-        "c9_knn", "c19_conn_topk", "d3_lsh_pairs", "e5_asof_attribution",
-        "s3_ann_ivf", "e6_range_campaigns", "d8_simhash_pairs",
-        "t9_heavy_hitters")
+      if (args.nonEmpty)
+        args.toSeq.flatMap(a =>
+          if (all.contains(a)) Seq(a)
+          else all.filter(_.startsWith(a)))
+      else all.filterNot(iterative)
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

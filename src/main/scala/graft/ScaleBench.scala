@@ -135,13 +135,15 @@ object ScaleBench {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db " +
       s"LOCATION '$work/bucket_warehouse'")
     spark.sql(s"USE $db")
+    // always rebuild: a warehouse surviving a fact regeneration would
+    // otherwise time stale bucketed data (ADVICE r7)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
     val t0 = System.nanoTime()
-    if (!spark.catalog.tableExists("li_b")) {
-      Tables.lineitem(spark, work).write
-        .bucketBy(32, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
-      Tables.orders(spark, work).write
-        .bucketBy(32, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
-    }
+    Tables.lineitem(spark, work).write
+      .bucketBy(32, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    Tables.orders(spark, work).write
+      .bucketBy(32, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
     val buildSec = (System.nanoTime() - t0) / 1e9
     import graft.operators.Relational
     def run(li: DataFrame, o: DataFrame): (Double, Array[(String, Double, Long)]) = {

@@ -33,8 +33,9 @@ object Sketches {
 
   /** ε (fractional over-count bound) and δ via confidence; fixed seed so
     * the sketch — and therefore t9's booleans — are deterministic.
-    * depth = ceil(ln 1/(1−conf)) = 5, width = ceil(e/ε) = 544: ~21 KB of
-    * Long counters broadcast, at ANY corpus size.
+    * Spark's CountMinSketchImpl sizes depth = ceil(−log₂(1−conf)) = 7 and
+    * width = ceil(2/ε) = 400: ~22 KB of Long counters broadcast, at ANY
+    * corpus size.
     */
   val CmsEps = 0.005
   val CmsConfidence = 0.99

@@ -45,16 +45,18 @@ object RangeJoin {
   )
 
   /** Floor-division of a timestamp into a `binMicros`-wide bin id.
-    * Integer-exact: the pmod subtraction makes the numerator an exact
-    * multiple, so the double division yields the integer quotient
-    * exactly (both operands and the true quotient are < 2^53); a plain
-    * `unix_micros(t) / binMicros` ride on double rounding could
-    * misassign a point sitting exactly on a bin edge. pmod (not %)
-    * keeps floor semantics for pre-epoch timestamps.
+    * Integer-exact at the FULL timestamp range: the pmod subtraction
+    * makes the numerator an exact multiple of the divisor, and the
+    * division runs in decimal (Spark gives the quotient ≥ 18 fractional
+    * digits of exact decimal arithmetic — integral here, so the long
+    * cast is lossless). A double division would round for
+    * |unix_micros| ≥ 2^53 (beyond ~year 2255) and could misassign an
+    * edge-sitting point (ADVICE r7). pmod (not %) keeps floor semantics
+    * for pre-epoch timestamps.
     */
-  private def binOf(t: Column, binMicros: Long): Column =
-    ((unix_micros(t) - pmod(unix_micros(t), lit(binMicros))) /
-      lit(binMicros)).cast("long")
+  private[operators] def binOf(t: Column, binMicros: Long): Column =
+    ((unix_micros(t) - pmod(unix_micros(t), lit(binMicros)))
+      .cast("decimal(20,0)") / lit(binMicros)).cast("long")
 
   /** Join every point row to every interval row whose
     * [start, end) contains the point's timestamp.
@@ -119,7 +121,7 @@ object RangeJoin {
     * instant is end − 1µs); rows wider than [[MaxBinsPerInterval]] bins
     * fail loudly inside the plan.
     */
-  private def explodeBins(df: DataFrame, s: String, e: String,
+  private[operators] def explodeBins(df: DataFrame, s: String, e: String,
       binMicros: Long): DataFrame = {
     val lastBin = binOf(col(e) - expr("INTERVAL 1 MICROSECOND"), binMicros)
     val firstBin = binOf(col(s), binMicros)

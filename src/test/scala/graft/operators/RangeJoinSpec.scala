@@ -127,6 +127,64 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("binOf is exact beyond the double-precision range (year 9999)") {
+    // |unix_micros| >= 2^53: a double-division quotient would round and
+    // could misassign an edge-sitting point; the decimal form may not
+    // (ADVICE r7). Edge timestamps at exact multiples of the bin width
+    // are the sensitive inputs.
+    import spark.implicits._
+    val binUs = 3600L * 1000000 // 1h
+    val farUs = 253402300800000000L // 9999-12-31T00:00:00Z in micros
+    val pts = Seq(
+      farUs, // exact bin edge
+      farUs - 1, // one tick before the edge
+      farUs + 1, // one tick after
+      farUs + binUs - 1).zipWithIndex
+      .map { case (us, i) => (i.toLong, us) }.toDF("pid", "us")
+      .select(col("pid"), timestamp_micros(col("us")).as("pt"))
+    val got = pts.select(col("pid"),
+      RangeJoin.binOf(col("pt"), binUs).as("bin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgeBin = farUs / binUs
+    assert(got === Map(0L -> edgeBin, 1L -> (edgeBin - 1),
+      2L -> edgeBin, 3L -> edgeBin))
+  }
+
+  test("hot-bin skew: one interval covering most bins stays bounded") {
+    // the worst case VERDICT r7 §next-6 asks to pin: a single "brand"
+    // campaign spanning ~500 hourly bins while the points pile into one
+    // hot hour. The mitigation is STRUCTURAL, not AQE-dependent: the wide
+    // interval is replicated exactly once per covered bin (bounded by
+    // MaxBinsPerInterval, loudly enforced), so its join work spreads
+    // across every bin's task instead of one key seeing |points| ×
+    // |intervals| rows; the hot POINT bin meets only the intervals that
+    // overlap that hour. AQE skew-split can further split the hot bin at
+    // real sizes, but correctness never depends on it.
+    import spark.implicits._
+    val base = ts("2024-03-01 00:00:00").getTime
+    val hourMs = 3600 * 1000L
+    // 2000 points in ONE hot hour + 500 spread across the month
+    val pts = ((0 until 2000).map(i =>
+      (i.toLong, new Timestamp(base + 240 * hourMs + (i * 1800) % hourMs))) ++
+      (0 until 500).map(i =>
+        (2000L + i, new Timestamp(base + (i % 500) * hourMs + 7 * 60000L))))
+      .toDF("pid", "pt")
+    // one 500-hour mega-interval + 30 narrow 2-hour ones
+    val ivs = ((0 until 30).map { j =>
+      (j.toLong, new Timestamp(base + j * 16 * hourMs),
+        new Timestamp(base + (j * 16 + 2) * hourMs))
+    } :+ (99L, new Timestamp(base), new Timestamp(base + 500 * hourMs)))
+      .toDF("iid", "ivl_start", "ivl_end")
+    val expected = naive(pts, ivs)
+    assert(expected.size > 2000) // the mega-interval matches the hot bin
+    assert(binned(pts, ivs, HourUs) === expected)
+    // bounded replication, exactly once per covered bin: 500 rows for
+    // the mega-interval + 2 per narrow interval
+    val exploded = RangeJoin.explodeBins(ivs, "ivl_start", "ivl_end", HourUs)
+    assert(exploded.count() === 500L + 30 * 2)
+    assert(exploded.where(col("iid") === 99).count() === 500L)
+  }
+
   test("interval wider than the bin cap fails loudly inside the plan") {
     import spark.implicits._
     val p = Seq((1L, ts("2024-03-01 00:00:00"))).toDF("pid", "pt")
