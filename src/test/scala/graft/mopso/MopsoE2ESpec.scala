@@ -26,16 +26,15 @@ class MopsoE2ESpec extends AnyFunSuite with SparkTestBase {
     assert(r1.purities.toSeq === r2.purities.toSeq)
   }
 
-  test("cross-round golden: the m1 driver query reproduces the committed " +
-    "archive exactly") {
-    // the EXACT surface the driver's m1 row exercises (config + seed +
-    // fixture), pinned against a committed golden so drift introduced in
-    // ANY round — not just within one session — fails loudly
-    val got = graft.SparkEntry.mopsoArchive(spark, sfDir)
-      .orderBy("rank").collect()
+  /** Compares an archive DataFrame against a committed golden CSV at the
+    * golden's 6-decimal precision.
+    */
+  private def assertGolden(df: org.apache.spark.sql.DataFrame,
+      resource: String): Unit = {
+    val got = df.orderBy("rank").collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
     val src = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/golden/m1_archive_sf0.001.csv"))
+      getClass.getResourceAsStream(resource))
     val golden = try src.getLines()
       .filterNot(l => l.startsWith("#") || l.startsWith("rank"))
       .map { l =>
@@ -44,14 +43,39 @@ class MopsoE2ESpec extends AnyFunSuite with SparkTestBase {
       }.toVector
     finally src.close()
     assert(got.length === golden.length,
-      s"archive size drifted: ${got.length} vs golden ${golden.length}")
+      s"$resource: archive size drifted: ${got.length} vs ${golden.length}")
     got.zip(golden).foreach { case ((r1, d1, c1, p1), (r2, d2, c2, p2)) =>
       assert(r1 === r2)
-      // golden is rounded to 6 decimals; agree at that precision
       assert(math.abs(d1 - d2) < 5e-7, s"rank $r1 dev: $d1 vs golden $d2")
       assert(math.abs(c1 - c2) < 5e-7, s"rank $r1 conn: $c1 vs golden $c2")
       assert(math.abs(p1 - p2) < 5e-7, s"rank $r1 purity: $p1 vs golden $p2")
     }
+  }
+
+  test("cross-round golden: the m1 driver query reproduces the committed " +
+    "archive exactly") {
+    // the EXACT surface the driver's m1 row exercises (config + seed +
+    // fixture), pinned against a committed golden so drift introduced in
+    // ANY round — not just within one session — fails loudly
+    assertGolden(graft.SparkEntry.mopsoArchive(spark, sfDir),
+      "/golden/m1_archive_sf0.001.csv")
+  }
+
+  test("cross-round golden: Particle variant archive") {
+    // pins the variant-specific code paths the m1/Avg golden cannot see:
+    // global-scope fitness, CrowdProduct, PbestInverted, NO clamping (M7)
+    // and the increasing-w schedule under global eval (M8)
+    val r = Mopso.run(spark, data, MopsoConfig.particle.copy(iterMax = 10),
+      seed = 42L)
+    assertGolden(Mopso.archiveDf(spark, r), "/golden/m1_particle_sf0.001.csv")
+  }
+
+  test("cross-round golden: Single variant archive") {
+    // pins the sequential-oracle path: c1=1.42/c2=1.63, WDecrease (M8),
+    // full velocity+position clamping (M7), driver-local evaluation
+    val r = Mopso.run(spark, data, MopsoConfig.single.copy(iterMax = 10),
+      seed = 42L)
+    assertGolden(Mopso.archiveDf(spark, r), "/golden/m1_single_sf0.001.csv")
   }
 
   test("archive invariants: non-empty, ≤ repository, mutually non-dominated") {
