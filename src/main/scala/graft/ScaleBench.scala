@@ -202,6 +202,66 @@ object ScaleBench {
       "m1_parts8" -> timeRun(8))
   }
 
+  /** The vocab pipeline at corpus scale (VERDICT r7 §next-7): t6+t10
+    * chained, but with a PRODUCTION-sized vocabulary (50k entries — the
+    * fixture queries use 20 to keep oracles readable) so the broadcast
+    * leg is measured at its real size. Three timings: induction alone
+    * (one corpus scan → TakeOrderedAndProject of per-mapper partials),
+    * application alone against the materialized vocab (broadcast join +
+    * doc_id agg), and the un-cached end-to-end chain (what a one-shot
+    * pipeline pays). Sanity: apply output row count equals the doc
+    * count and OOV ratios stay in [0, 1].
+    */
+  private def vocabChainCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.functions.TextAnalysis.tokensCol
+    val VocabBig = 50000
+    def induced = Tables.documents(spark, work)
+      .select(explode(tokensCol(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(VocabBig)
+    def applied(vocab: DataFrame) = Tables.documents(spark, work)
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1))),
+        Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      .select(col("doc_id"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_ratio"))
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    // warmup: JIT + page cache, fair to all three timings
+    applied(induced.select(col("tok"))).write
+      .format("noop").mode("overwrite").save()
+    val (tInduce, vocab) = timed {
+      val v = induced.select(col("tok")).cache()
+      v.count()
+      v
+    }
+    val (tApply, nRows) = timed {
+      val out = applied(vocab).cache()
+      val n = out.count()
+      val bad = out.where(col("oov_ratio") < 0 || col("oov_ratio") > 1).count()
+      out.unpersist()
+      require(bad == 0, "oov_ratio out of [0,1]")
+      n
+    }
+    require(nRows == Tables.documents(spark, work).count(),
+      "apply lost documents")
+    vocab.unpersist()
+    val (tChain, _) = timed {
+      applied(induced.select(col("tok"))).write
+        .format("noop").mode("overwrite").save()
+    }
+    Seq("vocab_induce" -> tInduce, "vocab_apply" -> tApply,
+      "vocab_chained_e2e" -> tChain)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 10
@@ -216,12 +276,15 @@ object ScaleBench {
 
     materialize(spark, src, mult, work)
 
-    if (mode == "q3bucket" || mode == "m1part") {
+    if (mode == "q3bucket" || mode == "m1part" || mode == "vocab") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
           ("q3_bucket_compare", q3BucketCompare(spark, work),
             "scale_q3bucket.json")
+        else if (mode == "vocab")
+          ("vocab_chain", vocabChainCompare(spark, work),
+            "scale_vocab.json")
         else
           ("m1_partition_compare", m1PartitionCompare(spark, work, mult),
             "scale_m1part.json")
