@@ -59,9 +59,12 @@ object ScaleBench {
     "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",
     "e6_range_campaigns", "e7_session_campaign_overlap",
     "t9_heavy_hitters", "t10_oov_rate",
+    // t4b first so t4c's row times the APPLY leg alone (the trainer
+    // memoizes per (dir, m) within the JVM)
+    "t4b_bpe_merges", "t4c_bpe_apply",
     "c1_assign", "c17_conn_partitioned", "c19_conn_topk",
     "c20_silhouette_simplified",
-    "mm2_frame_census",
+    "mm2_frame_census", "mm8_wav_meta", "mm9_pcm_stats",
     // the full seeded MOPSO loop — the reference's defining scaling risk
     // (per-iteration broadcast + bounded collect, SURVEY §7.4.5); linear
     // per iteration, so it stays in the linear set too
