@@ -95,18 +95,31 @@ object Bpe {
           element_at(syms, i + 1).as("rhs"))))
       .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
 
-  /** Runs the trainer: M iterations of distributed pair-count + argmax +
-    * merge-fold. Returns the learned merge table and the final word →
-    * symbols mapping (cached). Memoized per (dir, m): the applier reuses
-    * the trainer run instead of paying the loop twice in one session.
+  /** Memoized trainer results per (dir, m): the applier reuses the most
+    * recent trainer run ("train once, apply everywhere") instead of
+    * paying the loop twice in one session.
     */
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(String, Int),
       (Seq[Merge], DataFrame)]
 
+  /** Runs the trainer — ALWAYS the full M-iteration loop (t4b's bench
+    * row must carry the real trainer cost, not a memo read) — and
+    * refreshes the memo the applier consumes.
+    */
   def train(s: SparkSession, dir: String,
+      m: Int = NumMerges): (Seq[Merge], DataFrame) = {
+    val r = trainWords(wordTable(s, dir), m)
+    memo.put((dir, m), r)
+    r
+  }
+
+  /** The applier's entry: reuse the session's last trainer run, training
+    * only if none exists yet.
+    */
+  def trained(s: SparkSession, dir: String,
       m: Int = NumMerges): (Seq[Merge], DataFrame) =
-    memo.getOrElseUpdate((dir, m), trainWords(wordTable(s, dir), m))
+    memo.getOrElse((dir, m), train(s, dir, m))
 
   /** The merge loop over an explicit (word, freq, syms) table — the
     * testable core; specs feed it synthetic corpora.
@@ -150,12 +163,12 @@ object Bpe {
     * corpus-side plan is one scan + one doc_id-keyed shuffle.
     */
   def t4cApply: Q = (s, dir) => {
-    val (_, trained) = train(s, dir)
+    val (_, wordSyms) = trained(s, dir)
     val perDoc = Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(regexp_extract_all(lower(col("text")),
           lit(TextAnalysis.BpePattern), lit(0))).as(Seq("pos", "word")))
-      .join(broadcast(trained.select(col("word"), col("syms"))), Seq("word"))
+      .join(broadcast(wordSyms.select(col("word"), col("syms"))), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(sum(size(col("syms"))).as("n_sub"),
         sort_array(collect_list(struct(col("pos"), col("syms")))).as("ps"))

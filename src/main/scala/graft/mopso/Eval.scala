@@ -84,6 +84,37 @@ object Eval {
     s / n
   }
 
+  /** Distributed simplified silhouette for EVERY archive entry in ONE
+    * pass over the (never-collected) dataset — the 100 TB face of the E3
+    * final-result selection. Each entry's centroid set rides into the
+    * plan as literals (the c20 shape), and all ≤ `repository` scores are
+    * map-side-partial aggregates of the same scan: one job, zero
+    * shuffles beyond the 1-row aggregate, no dataset collect and no
+    * dataset broadcast.
+    */
+  def simplifiedSilhouetteDf(points: org.apache.spark.sql.DataFrame,
+      centerSets: Seq[Array[Array[Double]]]): Array[Double] = {
+    import org.apache.spark.sql.functions._
+    val aggs = centerSets.zipWithIndex.map { case (cs, i) =>
+      if (cs.length < 2) avg(lit(0.0)).as(s"s$i")
+      else {
+        val sorted = array_sort(array(cs.zipWithIndex.map { case (vec, ci) =>
+          struct(
+            graft.core.Linalg.euclidCol(col("features"), typedlit(vec))
+              .as("dist"),
+            lit(ci).as("c"))
+        }: _*))
+        val a = element_at(sorted, 1).getField("dist")
+        val b = element_at(sorted, 2).getField("dist")
+        coalesce(avg(when(greatest(a, b) > lit(0.0),
+          (b - a) / greatest(a, b)).otherwise(lit(0.0))), lit(0.0))
+          .as(s"s$i")
+      }
+    }
+    val row = points.agg(aggs.head, aggs.tail: _*).head()
+    centerSets.indices.map(row.getDouble).toArray
+  }
+
   /** selectBestArchiveAsFinalResult (Spark_MOPSO_Avg.scala:578-602):
     * score every archive entry by mean silhouette, return the scores and
     * the winning centroid set sorted ascending by first coordinate.

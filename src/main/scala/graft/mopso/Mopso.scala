@@ -277,9 +277,18 @@ object Mopso {
 
     // optional E3 final-result selection: exact silhouette per entry over
     // the collected dataset (the reference also collects here,
-    // Spark_MOPSO_Avg.scala:618 — small-data-only, hence the flag)
+    // Spark_MOPSO_Avg.scala:618 — small-data-only, hence the flag).
+    // With silhouetteSimplified the selection is FULLY DISTRIBUTED: all
+    // archive entries scored by one aggregate pass over the original
+    // DataFrame (Eval.simplifiedSilhouetteDf, the c20 shape) — no
+    // collect at any data size.
     val (sils, bestCenters) =
-      if (cfg.withSilhouette) {
+      if (cfg.withSilhouette && cfg.silhouetteSimplified) {
+        val ss = Eval.simplifiedSilhouetteDf(
+          data.select(col("features")), archive.map(_.position).toSeq)
+        val best = archive(ss.indexOf(ss.max)).position
+        (Some(ss), Some(best.sortBy((c: Array[Double]) => c(0))))
+      } else if (cfg.withSilhouette) {
         val block =
           if (globalBlock != null) globalBlock
           else if (blocksRDD != null) {

@@ -81,6 +81,23 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(exact.indexOf(exact.max) === 0) // the true blob centers win
   }
 
+  test("distributed simplified scorer matches the local one per entry") {
+    // the one-pass all-entries aggregate (100 TB face of E3 selection)
+    // must agree with the collected-block scorer on every center set
+    val b = block
+    val sets = Seq(
+      Clustering.centers(spark, sfDir).map(_._2).toArray,
+      Array(b.points(0), b.points(400)),
+      Array(b.points(0))) // k < 2 → 0.0
+    val dist = Eval.simplifiedSilhouetteDf(
+      Tables.labeledPoints(spark, sfDir).select("features"), sets)
+    val local = sets.map(cs => Eval.simplifiedSilhouette(b, cs))
+    assert(dist.length === 3)
+    dist.zip(local).foreach { case (d, l) =>
+      assert(math.abs(d - l) < 1e-9, s"distributed $d vs local $l")
+    }
+  }
+
   test("simplified silhouette degenerate cases score 0") {
     val b = block
     assert(Eval.simplifiedSilhouette(b, Array(b.points(0))) === 0.0) // k=1

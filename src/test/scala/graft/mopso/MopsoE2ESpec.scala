@@ -109,6 +109,24 @@ class MopsoE2ESpec extends AnyFunSuite with SparkTestBase {
     assert(best0.zip(best0.tail).forall { case (a, b) => a <= b })
   }
 
+  test("silhouetteSimplified: E3 selection runs distributed, no collect") {
+    val r = Mopso.run(spark, data,
+      cfg.copy(iterMax = 3, withSilhouette = true,
+        silhouetteSimplified = true), seed = 42L)
+    val sils = r.silhouettes.get
+    assert(sils.length === r.archive.length)
+    assert(sils.forall(v => v >= -1.0 && v <= 1.0))
+    val best0 = r.bestCenters.get.map(_(0))
+    assert(best0.zip(best0.tail).forall { case (a, b) => a <= b })
+    // the distributed scores must equal the local simplified scorer's
+    val rows = Tables.labeledPoints(spark, sfDir).collect().sortBy(_.getLong(0))
+    val block = EvalBlock(rows.map(_.getSeq[Double](1).toArray),
+      rows.map(_.getInt(2)), Array.empty)
+    r.archive.map(_.position).zip(sils).foreach { case (cs, s) =>
+      assert(math.abs(Eval.simplifiedSilhouette(block, cs) - s) < 1e-9)
+    }
+  }
+
   test("fitness sampling: deterministic, bounded archive, cheaper eval") {
     val sampled = cfg.copy(iterMax = 3, fitnessSampleFraction = 0.5)
     val r1 = Mopso.run(spark, data, sampled, seed = 21L)
