@@ -65,6 +65,7 @@ object ScaleBench {
     "c1_assign", "c17_conn_partitioned", "c19_conn_topk",
     "c20_silhouette_simplified",
     "mm2_frame_census", "mm8_wav_meta", "mm9_pcm_stats",
+    "mm10_audio_neardup",
     // the full seeded MOPSO loop — the reference's defining scaling risk
     // (per-iteration broadcast + bounded collect, SURVEY §7.4.5); linear
     // per iteration, so it stays in the linear set too

@@ -44,7 +44,8 @@ object Audio {
 
   def queries: Map[String, Q] = Map(
     "mm8_wav_meta" -> mm8WavMeta,
-    "mm9_pcm_stats" -> mm9PcmStats
+    "mm9_pcm_stats" -> mm9PcmStats,
+    "mm10_audio_neardup" -> mm10AudioNeardup
   )
 
   // ------------------------------------------------------- byte accessors
@@ -227,6 +228,102 @@ object Audio {
       .orderBy(col("id"), col("channel"))
   }
 
+  /** Cosine threshold for the audio near-dup verify. */
+  val AudioNearDupCosine = 0.99
+
+  /** The near-dup fixture: groups of WAVs sharing identical container
+    * parameters (derived from gid = id % 125, so every id ≡ gid mod 125
+    * lands in the same blocking bucket) but carrying one of two FILL
+    * CLASSES — wide gradient (full amplitude range) on even copies,
+    * narrow band (16-value corridor) on odd copies — plus a bounded
+    * per-copy jitter. Within a class the statistics are near-identical
+    * (cos ≈ 0.999); across classes they differ structurally (cos ≈ 0.9)
+    * — so the verify leg genuinely accepts AND rejects inside the same
+    * bucket rather than rubber-stamping every candidate.
+    */
+  def audioPairMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val gid = id % 125
+          val k = id / 125
+          val jit = ((k / 2) % 4).toInt
+          val narrow = k % 2 == 1
+          (id, wavBytes(
+            sampleRate = SampleRates((gid % 4).toInt),
+            channels = (1 + gid % 2).toInt,
+            bits = if (gid % 3 == 0) 8 else 16,
+            nFrames = (20 + gid % 50).toInt,
+            // jitter is CLAMPED, not wrapped: a wrap flips min/max by a
+            // whole period and breaks the within-class near-identity
+            fill = (f, c) => {
+              val v = ((3 * gid + 7 * f + 11 * c) % 256).toInt
+              if (narrow) 120 + math.min(v % 16 + jit, 15)
+              else math.min(v + jit, 255)
+            }))
+        }
+      }
+      .toDF("id", "payload")
+  }
+
+  /** mm10: the mm6 bucket-then-verify shape fed by DECODED AUDIO — the
+    * per-channel PCM statistics (mm9's integers) as the embedding,
+    * blocking key = the container parameters (sample rate, channels,
+    * width, frame count: content-derived, exact — the shuffle key at
+    * scale), cosine verify inside buckets only. Completes the
+    * decode → embed → near-dup pipeline for the audio modality.
+    */
+  def mm10AudioNeardup: Q = (s, dir) => {
+    import s.implicits._
+    val st = audioPairMedia(s, dir)
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val info = parseWav(bytes).getOrElse(
+          sys.error(s"fixture WAV $id failed to parse"))
+        // [nf] ++ per-channel [mean, min, max]: MEAN, not sum — a sum
+        // aggregates the per-copy jitter nf-fold and would push genuine
+        // near-dups under the cosine threshold
+        val emb = Array.newBuilder[Double]
+        emb += info.nFrames.toDouble
+        var c = 0
+        while (c < info.channels) {
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var f = 0
+          while (f < info.nFrames) {
+            val a = sampleAt(bytes, info, f, c)
+            sum += a
+            if (a < mn) mn = a
+            if (a > mx) mx = a
+            f += 1
+          }
+          emb += sum.toDouble / info.nFrames
+          emb += mn.toDouble
+          emb += mx.toDouble
+          c += 1
+        }
+        (id, info.sampleRate, info.channels, info.bits, info.nFrames,
+          emb.result())
+      }
+      .toDF("id", "sr", "ch", "bits", "nf", "emb")
+    val keys = Seq("sr", "ch", "bits", "nf")
+    val x = st.select(col("id").as("doc_a") +: col("emb").as("ea") +:
+      keys.map(col): _*)
+    val y = st.select(col("id").as("doc_b") +: col("emb").as("eb") +:
+      keys.map(col): _*)
+    x.join(y, keys)
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.core.Linalg.cosineCol(col("ea"), col("eb")).as("cos"))
+      .where(col("cos") >= AudioNearDupCosine)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   /** The id-derived WAV parameters, shared by both oracles. */
@@ -245,7 +342,53 @@ object Audio {
     """CASE WHEN bits = 8 THEN ((3 * doc_id + 7 * f + 11 * c) % 256) - 128
       |      ELSE (((3 * doc_id + 7 * f + 11 * c) % 256) - 128) * 256 END""".stripMargin
 
+  /** Stored byte of (f, c) for the near-dup fixture's two fill classes,
+    * then the decoded amplitude — gid/jit/narrow/bits doc-level columns.
+    */
+  private val pairAmpSql =
+    """CASE WHEN bits = 8
+      |      THEN (CASE WHEN narrow = 1
+      |        THEN 120 + least(((3 * gid + 7 * f + 11 * c) % 256) % 16 + jit, 15)
+      |        ELSE least((3 * gid + 7 * f + 11 * c) % 256 + jit, 255) END) - 128
+      |      ELSE ((CASE WHEN narrow = 1
+      |        THEN 120 + least(((3 * gid + 7 * f + 11 * c) % 256) % 16 + jit, 15)
+      |        ELSE least((3 * gid + 7 * f + 11 * c) % 256 + jit, 255) END) - 128)
+      |        * 256 END""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // embedding = [nf] ++ per-channel [sum, min, max] of the replayed
+    // amplitudes; blocking on the container params; cosine verified
+    // inside buckets only — the SQL twin of the mm6-shaped plan
+    "mm10_audio_neardup" ->
+      s"""WITH g AS (SELECT doc_id, doc_id % 125 AS gid, doc_id // 125 AS k
+         |  FROM documents),
+         |q AS (SELECT doc_id, gid,
+         |    CASE gid % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+         |      WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+         |    (1 + gid % 2) AS ch,
+         |    CASE WHEN gid % 3 = 0 THEN 8 ELSE 16 END AS bits,
+         |    (20 + gid % 50) AS nf,
+         |    ((k // 2) % 4) AS jit,
+         |    (k % 2) AS narrow
+         |  FROM g),
+         |st AS (SELECT doc_id, sr, ch, bits, nf,
+         |    list_concat([nf::DOUBLE],
+         |      flatten(list_transform(generate_series(0, ch - 1), c -> [
+         |        list_sum(list_transform(generate_series(0, nf - 1), f ->
+         |          $pairAmpSql))::DOUBLE / nf,
+         |        list_min(list_transform(generate_series(0, nf - 1), f ->
+         |          $pairAmpSql))::DOUBLE,
+         |        list_max(list_transform(generate_series(0, nf - 1), f ->
+         |          $pairAmpSql))::DOUBLE])))
+         |    AS emb
+         |  FROM q)
+         |SELECT doc_a, doc_b, round(cos, 4) AS cos FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    list_cosine_similarity(a.emb, b.emb) AS cos
+         |  FROM st a JOIN st b
+         |    ON a.sr = b.sr AND a.ch = b.ch AND a.bits = b.bits
+         |    AND a.nf = b.nf AND a.doc_id < b.doc_id)
+         |WHERE cos >= $AudioNearDupCosine ORDER BY doc_a, doc_b""".stripMargin,
     // container size = 12 (RIFF hdr) + padded LIST + 24 (fmt) + 8 + data
     "mm8_wav_meta" ->
       s"""WITH $paramsSql

@@ -74,4 +74,32 @@ class AudioSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length > 0)
     assert(rows.forall(_.getLong(4) > 0)) // n_frames
   }
+
+  test("audio near-dup: blocks on container params, verify discriminates") {
+    // 500 docs give 125 buckets of 4 (two fill classes each): the
+    // verify must accept within-class pairs and REJECT enough
+    // cross-class candidates that the output is a strict subset of the
+    // 125 × C(4,2) = 750 candidates
+    val rows = Audio.mm10AudioNeardup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.length < 750, "verify rejected nothing — rubber stamp")
+    // blocking: every emitted pair shares the container-param bucket
+    // (note: NOT necessarily the same gid — bits is binary, so e.g.
+    // gids g and g+100 with g % 3 == 1 collide on all four params)
+    def params(id: Long) = {
+      val gid = id % 125
+      (gid % 4, gid % 2, gid % 3 == 0, gid % 50)
+    }
+    assert(rows.forall(p => params(p._1) == params(p._2)),
+      "pair emitted across buckets")
+    // same-class mates (ids 250 apart: copies k and k+2, both even or
+    // both odd) are near-identical and must all be found
+    val found = rows.map(p => (p._1, p._2)).toSet
+    (0L until 250L).foreach { i =>
+      assert(found.contains((i, i + 250)), s"missing same-class pair $i")
+    }
+    // every accepted cosine honors the threshold after rounding
+    assert(rows.forall(_._3 >= Audio.AudioNearDupCosine - 5e-5))
+  }
 }
