@@ -271,7 +271,9 @@ object ScaleBench {
     val mult = if (args.length > 1) args(1).toInt else 10
     val work0 = if (args.length > 2) args(2) else "/tmp/graft_scale"
     val work = s"$work0/x$mult"
-    val quadraticCompute = Set("c19_conn_topk")
+    // mm10: the scaled fixture replicates container params verbatim, so
+    // in-bucket pair verification goes quadratic at x100 (SCALE.md §R8)
+    val quadraticCompute = Set("c19_conn_topk", "mm10_audio_neardup")
     val mode = if (args.length > 3) args(3) else "full"
     val set =
       if (mode == "linear") scaleSet.filterNot(quadraticCompute)
