@@ -65,7 +65,7 @@ object ScaleBench {
     "c1_assign", "c17_conn_partitioned", "c19_conn_topk",
     "c20_silhouette_simplified",
     "mm2_frame_census", "mm8_wav_meta", "mm9_pcm_stats",
-    "mm10_audio_neardup",
+    "mm10_audio_neardup", "mm10b_audio_dedup",
     // the full seeded MOPSO loop — the reference's defining scaling risk
     // (per-iteration broadcast + bounded collect, SURVEY §7.4.5); linear
     // per iteration, so it stays in the linear set too
@@ -272,12 +272,19 @@ object ScaleBench {
     val work0 = if (args.length > 2) args(2) else "/tmp/graft_scale"
     val work = s"$work0/x$mult"
     // mm10: the scaled fixture replicates container params verbatim, so
-    // in-bucket pair verification goes quadratic at x100 (SCALE.md §R8)
+    // in-bucket pair verification goes quadratic at x100 (SCALE.md §R8).
+    // These are dropped in `linear` mode AND unconditionally at mult ≥
+    // 100 — a default `full` run at x100 would otherwise hang on them
+    // (their measured mitigations c19→LSH-fed and mm10→mm10b stay in)
     val quadraticCompute = Set("c19_conn_topk", "mm10_audio_neardup")
     val mode = if (args.length > 3) args(3) else "full"
     val set =
-      if (mode == "linear") scaleSet.filterNot(quadraticCompute)
-      else scaleSet
+      if (mode == "linear" || mult >= 100) {
+        if (mode != "linear")
+          System.err.println(s"[scale] mult=$mult: dropping " +
+            quadraticCompute.mkString(", ") + " (quadratic compute)")
+        scaleSet.filterNot(quadraticCompute)
+      } else scaleSet
     val spark = graft.core.GraftSession.local("graft-scale", 32)
 
     materialize(spark, src, mult, work)

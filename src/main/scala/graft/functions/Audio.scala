@@ -45,7 +45,8 @@ object Audio {
   def queries: Map[String, Q] = Map(
     "mm8_wav_meta" -> mm8WavMeta,
     "mm9_pcm_stats" -> mm9PcmStats,
-    "mm10_audio_neardup" -> mm10AudioNeardup
+    "mm10_audio_neardup" -> mm10AudioNeardup,
+    "mm10b_audio_dedup" -> mm10bAudioDedup
   )
 
   // ------------------------------------------------------- byte accessors
@@ -269,34 +270,38 @@ object Audio {
       .toDF("id", "payload")
   }
 
-  /** mm10: the mm6 bucket-then-verify shape fed by DECODED AUDIO — the
-    * per-channel PCM statistics (mm9's integers) as the embedding,
-    * blocking key = the container parameters (sample rate, channels,
-    * width, frame count: content-derived, exact — the shuffle key at
-    * scale), cosine verify inside buckets only. Completes the
-    * decode → embed → near-dup pipeline for the audio modality.
+  /** Per-channel statistic embedding over the near-dup fixture: emb =
+    * [nf] ++ per-channel [mean, min, max] (++ [rms] when `withRms`).
+    * MEAN, not sum — a sum aggregates the per-copy jitter nf-fold and
+    * would push genuine near-dups under the cosine threshold. The rms
+    * component (root of the exact integer sum of squares over nf) adds
+    * an amplitude-ENERGY axis the min/max extremes don't carry: wide and
+    * narrow fill classes differ ~16x in rms, so cross-class cosines drop
+    * further below the threshold while within-class pairs (jitter moves
+    * rms by a few units out of thousands) stay above it — the verify
+    * margin widens (AudioSpec pins this on the two-class fixture).
     */
-  def mm10AudioNeardup: Q = (s, dir) => {
+  private[graft] def pairStats(s: SparkSession, dir: String,
+      withRms: Boolean): DataFrame = {
     import s.implicits._
-    val st = audioPairMedia(s, dir)
+    audioPairMedia(s, dir)
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
         val info = parseWav(bytes).getOrElse(
           sys.error(s"fixture WAV $id failed to parse"))
-        // [nf] ++ per-channel [mean, min, max]: MEAN, not sum — a sum
-        // aggregates the per-copy jitter nf-fold and would push genuine
-        // near-dups under the cosine threshold
         val emb = Array.newBuilder[Double]
         emb += info.nFrames.toDouble
         var c = 0
         while (c < info.channels) {
           var sum = 0L
+          var sumSq = 0L
           var mn = Int.MaxValue
           var mx = Int.MinValue
           var f = 0
           while (f < info.nFrames) {
             val a = sampleAt(bytes, info, f, c)
             sum += a
+            sumSq += a.toLong * a
             if (a < mn) mn = a
             if (a > mx) mx = a
             f += 1
@@ -304,12 +309,33 @@ object Audio {
           emb += sum.toDouble / info.nFrames
           emb += mn.toDouble
           emb += mx.toDouble
+          if (withRms) emb += math.sqrt(sumSq.toDouble / info.nFrames)
           c += 1
         }
         (id, info.sampleRate, info.channels, info.bits, info.nFrames,
           emb.result())
       }
       .toDF("id", "sr", "ch", "bits", "nf", "emb")
+  }
+
+  /** mm10: the mm6 bucket-then-verify shape fed by DECODED AUDIO — the
+    * per-channel PCM statistics (mm9's integers) as the embedding,
+    * blocking key = the container parameters (sample rate, channels,
+    * width, frame count: content-derived, exact — the shuffle key at
+    * scale), cosine verify inside buckets only. Completes the
+    * decode → embed → near-dup pipeline for the audio modality.
+    *
+    * SCALE CONTRACT: this is the exact ALL-QUALIFYING-PAIRS face — its
+    * output is itself quadratic when a bucket is dominated by mutual
+    * near-dups (the scaled fixture replicates container params, so
+    * buckets grow linearly and the verify goes quadratic at x100 —
+    * SCALE.md §mm10). No blocking scheme can emit a quadratic answer
+    * sub-quadratically; the production dedup-feeding form is
+    * [[mm10bAudioDedup]], whose capped emission + transitive closure
+    * keeps the same GROUPS at O(cap²+n) pairs per bucket.
+    */
+  def mm10AudioNeardup: Q = (s, dir) => {
+    val st = pairStats(s, dir, withRms = false)
     val keys = Seq("sr", "ch", "bits", "nf")
     val x = st.select(col("id").as("doc_a") +: col("emb").as("ea") +:
       keys.map(col): _*)
@@ -322,6 +348,91 @@ object Audio {
       .where(col("cos") >= AudioNearDupCosine)
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Width of the quantized channel-0 amplitude bins (8-bit units) for
+    * [[mm10bAudioDedup]]'s second-level blocking — applied to BOTH the
+    * amplitude range (max−min) and the mean. The fixture's clamped
+    * jitter moves a doc's range and mean by at most 3 units, so two
+    * genuine copies land at most ONE bin apart on each axis — which the
+    * two-probe emission covers by construction — while structurally
+    * different fills land far apart on at least one axis: wide vs narrow
+    * classes differ ≳ 7 range bins, and same-range different-gradient
+    * fills (the cos ≈ 0.8 cross-gid wide pairs that a star edge must
+    * never be asked to bridge) differ ≳ 2 mean bins. AudioSpec pins
+    * both properties.
+    */
+  val RangeBinWidth = 16
+
+  /** mm10b — the MEASURED scale mitigation for mm10 (VERDICT r8 §next-1):
+    * audio near-dup re-expressed under the dedup-feeding contract, where
+    * the deliverable is duplicate GROUPS, not the (inherently quadratic)
+    * exhaustive pair list. Three changes versus mm10, each replayed
+    * exactly by the oracle:
+    *
+    *  1. FINER BLOCKING — the key gains two content-derived components:
+    *     the channel-0 amplitude RANGE and MEAN (normalized to 8-bit
+    *     units, quantized to [[RangeBinWidth]] bins), each with TWO-PROBE
+    *     emission (a doc enters the 2×2 probe grid {r,r+1}×{m,m+1}, so a
+    *     pair meets iff it is within one bin on BOTH axes). Two axes
+    *     because each catches what the other misses: range separates the
+    *     fill classes (which the cosine verify alone confuses — cross-
+    *     class extremes can be directionally similar), mean separates
+    *     same-range different-gradient fills (cos ≈ 0.8 pairs that would
+    *     otherwise share a bucket and leave overflow docs behind a star
+    *     edge the verify rejects). Probe buckets come out verify-
+    *     homogeneous, which is what makes the cap below safe.
+    *  2. CAPPED EMISSION — buckets ride [[Dedup.pairsFromBuckets]]: the
+    *     exact clique over the [[Dedup.MaxBucket]] smallest ids plus a
+    *     star edge (bucket min → doc) for overflow. O(cap²+n) pairs per
+    *     bucket instead of O(n²) — at x100 the replicated-container
+    *     buckets that hang mm10 emit linearly here.
+    *  3. TRANSITIVE CLOSURE — verified pairs feed
+    *     [[Dedup.connectedComponents]] (min-label propagation), so every
+    *     doc keeps the group its full clique would give it: within a
+    *     bucket-class all pairs verify (cos ≈ 0.999), hence the star
+    *     topology preserves exactly the uncapped groups.
+    *
+    * Embedding is the rms-extended [[pairStats]] (the robustness axis —
+    * see its scaladoc). One decode scan, one bucket-key shuffle for
+    * candidates, one small verify join, log-depth propagation: the
+    * 100 TB shape. ScaleBench's `mm10b` row pins the x10/x100 decade
+    * where mm10 itself does not finish.
+    */
+  def mm10bAudioDedup: Q = (s, dir) => {
+    val st = pairStats(s, dir, withRms = true).persist()
+    // channel-0 range/mean in 8-bit units (16-bit amplitudes are v·256,
+    // so the division is exact), quantized; emb is [nf, mean0, min0,
+    // max0, rms0, ...]
+    val scale = when(col("bits") === 16, lit(256.0)).otherwise(lit(1.0))
+    val range8 = (element_at(col("emb"), 4) - element_at(col("emb"), 3)) / scale
+    val mean8 = element_at(col("emb"), 2) / scale
+    val probed = st
+      .withColumn("rbin", floor(range8 / RangeBinWidth))
+      .withColumn("mbin", floor(mean8 / RangeBinWidth))
+      .select(col("id"), col("sr"), col("ch"), col("bits"), col("nf"),
+        explode(array(
+          array(col("rbin"), col("mbin")),
+          array(col("rbin"), col("mbin") + 1),
+          array(col("rbin") + 1, col("mbin")),
+          array(col("rbin") + 1, col("mbin") + 1))).as("probe"))
+    val buckets = probed
+      .groupBy(col("sr"), col("ch"), col("bits"), col("nf"), col("probe"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val cand = Dedup.pairsFromBuckets(buckets)
+      .withColumnRenamed("doc_a", "a").withColumnRenamed("doc_b", "b")
+    val verified = cand
+      .join(st.select(col("id").as("a"), col("emb").as("ea")), "a")
+      .join(st.select(col("id").as("b"), col("emb").as("eb")), "b")
+      .where(graft.core.Linalg.cosineCol(col("ea"), col("eb")) >=
+        AudioNearDupCosine)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val out = Dedup.connectedComponents(
+      Tables.documents(s, dir).select(col("doc_id")), verified)
+    st.unpersist()
+    out.select(col("doc_id").as("id"), col("group_id"))
+      .orderBy(col("id"))
   }
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -355,33 +466,47 @@ object Audio {
       |        ELSE least((3 * gid + 7 * f + 11 * c) % 256 + jit, 255) END) - 128)
       |        * 256 END""".stripMargin
 
+  /** The near-dup fixture's stats CTE chain (g → q → st): the id-derived
+    * parameters, then the embedding = [nf] ++ per-channel [mean, min,
+    * max] (++ [rms] for mm10b) of the REPLAYED amplitudes — the SQL twin
+    * of [[pairStats]].
+    */
+  private def pairStSql(withRms: Boolean): String = {
+    val rms = if (!withRms) "" else
+      s""",
+         |        sqrt(list_sum(list_transform(
+         |          list_transform(generate_series(0, nf - 1), f ->
+         |            $pairAmpSql), a -> a * a))::DOUBLE / nf)""".stripMargin
+    s"""g AS (SELECT doc_id, doc_id % 125 AS gid, doc_id // 125 AS k
+       |  FROM documents),
+       |q AS (SELECT doc_id, gid,
+       |    CASE gid % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |      WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+       |    (1 + gid % 2) AS ch,
+       |    CASE WHEN gid % 3 = 0 THEN 8 ELSE 16 END AS bits,
+       |    (20 + gid % 50) AS nf,
+       |    ((k // 2) % 4) AS jit,
+       |    (k % 2) AS narrow
+       |  FROM g),
+       |st AS (SELECT doc_id, sr, ch, bits, nf,
+       |    list_concat([nf::DOUBLE],
+       |      flatten(list_transform(generate_series(0, ch - 1), c -> [
+       |        list_sum(list_transform(generate_series(0, nf - 1), f ->
+       |          $pairAmpSql))::DOUBLE / nf,
+       |        list_min(list_transform(generate_series(0, nf - 1), f ->
+       |          $pairAmpSql))::DOUBLE,
+       |        list_max(list_transform(generate_series(0, nf - 1), f ->
+       |          $pairAmpSql))::DOUBLE$rms])))
+       |    AS emb
+       |  FROM q)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
-    // embedding = [nf] ++ per-channel [sum, min, max] of the replayed
+    // embedding = [nf] ++ per-channel [mean, min, max] of the replayed
     // amplitudes; blocking on the container params; cosine verified
     // inside buckets only — the SQL twin of the mm6-shaped plan
     "mm10_audio_neardup" ->
-      s"""WITH g AS (SELECT doc_id, doc_id % 125 AS gid, doc_id // 125 AS k
-         |  FROM documents),
-         |q AS (SELECT doc_id, gid,
-         |    CASE gid % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-         |      WHEN 2 THEN 22050 ELSE 44100 END AS sr,
-         |    (1 + gid % 2) AS ch,
-         |    CASE WHEN gid % 3 = 0 THEN 8 ELSE 16 END AS bits,
-         |    (20 + gid % 50) AS nf,
-         |    ((k // 2) % 4) AS jit,
-         |    (k % 2) AS narrow
-         |  FROM g),
-         |st AS (SELECT doc_id, sr, ch, bits, nf,
-         |    list_concat([nf::DOUBLE],
-         |      flatten(list_transform(generate_series(0, ch - 1), c -> [
-         |        list_sum(list_transform(generate_series(0, nf - 1), f ->
-         |          $pairAmpSql))::DOUBLE / nf,
-         |        list_min(list_transform(generate_series(0, nf - 1), f ->
-         |          $pairAmpSql))::DOUBLE,
-         |        list_max(list_transform(generate_series(0, nf - 1), f ->
-         |          $pairAmpSql))::DOUBLE])))
-         |    AS emb
-         |  FROM q)
+      s"""WITH ${pairStSql(withRms = false)}
          |SELECT doc_a, doc_b, round(cos, 4) AS cos FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    list_cosine_similarity(a.emb, b.emb) AS cos
@@ -389,6 +514,48 @@ object Audio {
          |    ON a.sr = b.sr AND a.ch = b.ch AND a.bits = b.bits
          |    AND a.nf = b.nf AND a.doc_id < b.doc_id)
          |WHERE cos >= $AudioNearDupCosine ORDER BY doc_a, doc_b""".stripMargin,
+    // the full two-level-blocking + capped-emission + verify + closure
+    // replay: quantized channel-0 (range, mean) with 2×2 two-probe
+    // emission (pairs meet iff their bins differ by ≤ 1 on both axes —
+    // exactly the shared-probe condition), then the d3-shaped row_number
+    // cap (clique over the MaxBucket smallest + star from the bucket
+    // min), cosine verify on candidates only, reachability via the
+    // shared recursive CTE
+    "mm10b_audio_dedup" ->
+      s"""WITH RECURSIVE ${pairStSql(withRms = true)},
+         |rb AS (SELECT doc_id, sr, ch, bits, nf,
+         |    floor((emb[4] - emb[3]) /
+         |      (CASE WHEN bits = 16 THEN 256.0 ELSE 1.0 END)
+         |      / $RangeBinWidth.0)::BIGINT AS rbin,
+         |    floor(emb[2] /
+         |      (CASE WHEN bits = 16 THEN 256.0 ELSE 1.0 END)
+         |      / $RangeBinWidth.0)::BIGINT AS mbin
+         |  FROM st),
+         |probed AS (SELECT doc_id, sr, ch, bits, nf,
+         |    unnest([[rbin, mbin], [rbin, mbin + 1],
+         |            [rbin + 1, mbin], [rbin + 1, mbin + 1]]) AS probe
+         |  FROM rb),
+         |ranked AS (SELECT doc_id, sr, ch, bits, nf, probe,
+         |    row_number() OVER (PARTITION BY sr, ch, bits, nf, probe
+         |      ORDER BY doc_id) AS rn,
+         |    min(doc_id) OVER (PARTITION BY sr, ch, bits, nf, probe) AS rep
+         |  FROM probed),
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ranked a JOIN ranked b
+         |    ON a.sr = b.sr AND a.ch = b.ch AND a.bits = b.bits
+         |    AND a.nf = b.nf AND a.probe = b.probe
+         |    AND a.rn < b.rn AND b.rn <= ${Dedup.MaxBucket}
+         |  UNION ALL
+         |  SELECT rep AS doc_a, doc_id AS doc_b FROM ranked
+         |  WHERE rn > ${Dedup.MaxBucket})),
+         |pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+         |  JOIN st a ON a.doc_id = c.doc_a
+         |  JOIN st b ON b.doc_id = c.doc_b
+         |  WHERE list_cosine_similarity(a.emb, b.emb) >= $AudioNearDupCosine),
+         |${Dedup.edgesReachSql},
+         |${Dedup.grpSqlFrom("documents")}
+         |SELECT doc_id AS id, group_id FROM grp ORDER BY id""".stripMargin,
     // container size = 12 (RIFF hdr) + padded LIST + 24 (fmt) + 8 + data
     "mm8_wav_meta" ->
       s"""WITH $paramsSql

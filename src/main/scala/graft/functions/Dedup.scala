@@ -558,10 +558,10 @@ object Dedup {
        |  WHERE rn > $MaxBucket))""".stripMargin
 
   /** Symmetric edge list + recursive reachability over the `pairs` CTE —
-    * shared by the d6 and p1 oracles (one source of truth for the
-    * closure formulation).
+    * shared by the d6/p1 oracles and Audio's mm10b (one source of truth
+    * for the closure formulation).
     */
-  private val edgesReachSql =
+  private[graft] val edgesReachSql =
     """edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL
@@ -575,7 +575,7 @@ object Dedup {
     * names the universe's id column (documents: doc_id, embeddings:
     * vec_id) — one closure formulation serves the d6/p1/d7 oracles.
     */
-  private def grpSqlFrom(src: String, idCol: String = "doc_id") =
+  private[graft] def grpSqlFrom(src: String, idCol: String = "doc_id") =
     s"""grp AS (SELECT d.$idCol AS doc_id,
        |    least(d.$idCol, coalesce(min(r.dst), d.$idCol)) AS group_id
        |  FROM $src d LEFT JOIN reach r ON r.src = d.$idCol

@@ -102,4 +102,121 @@ class AudioSpec extends AnyFunSuite with SparkTestBase {
     // every accepted cosine honors the threshold after rounding
     assert(rows.forall(_._3 >= Audio.AudioNearDupCosine - 5e-5))
   }
+
+  /** Stats rows keyed for class analysis:
+    * (id, container params, narrow?, gid, rbin, mbin, emb).
+    */
+  private def statRows(withRms: Boolean) =
+    Audio.pairStats(spark, sfDir, withRms).collect().map { r =>
+      val id = r.getLong(0)
+      val bits = r.getInt(3)
+      val emb = r.getSeq[Double](5).toArray
+      val scale = if (bits == 16) 256.0 else 1.0
+      val rbin = math.floor((emb(3) - emb(2)) / scale / Audio.RangeBinWidth).toLong
+      val mbin = math.floor(emb(1) / scale / Audio.RangeBinWidth).toLong
+      (id, (r.getInt(1), r.getInt(2), bits, r.getInt(4)),
+        (id / 125) % 2 == 1, id % 125, rbin, mbin, emb)
+    }
+
+  /** In-bucket cosine extremes over the PARITY boundary: (min cosine
+    * among true copies — same gid AND same fill class; max cosine across
+    * the wide/narrow class boundary).
+    */
+  private def margins(withRms: Boolean): (Double, Double) = {
+    val byBucket = statRows(withRms).groupBy(_._2)
+    var minWithin = 1.0
+    var maxCross = -1.0
+    byBucket.values.foreach { docs =>
+      for (i <- docs.indices; j <- i + 1 until docs.length) {
+        val (a, b) = (docs(i), docs(j))
+        val cos = graft.core.Linalg.cosine(a._7, b._7)
+        if (a._3 == b._3) {
+          if (a._4 == b._4) minWithin = math.min(minWithin, cos)
+        } else maxCross = math.max(maxCross, cos)
+      }
+    }
+    (minWithin, maxCross)
+  }
+
+  test("rms component widens the class-boundary margin (VERDICT r8 §next-7)") {
+    val (withinPlain, crossPlain) = margins(withRms = false)
+    val (withinRms, crossRms) = margins(withRms = true)
+    // true copies stay above threshold under both embeddings
+    assert(withinPlain >= Audio.AudioNearDupCosine)
+    assert(withinRms >= Audio.AudioNearDupCosine)
+    // the energy axis moves BOTH margin endpoints the right way: copies
+    // up, cross-class confusions down
+    assert(withinRms > withinPlain)
+    assert(crossRms < crossPlain)
+    assert(withinRms - crossRms > withinPlain - crossPlain,
+      s"margin did not widen: plain=($withinPlain,$crossPlain) " +
+        s"rms=($withinRms,$crossRms)")
+    // …but no stats embedding separates these classes by cosine alone
+    // (wide extremes can be directionally identical to narrow ones —
+    // maxCross sits ABOVE the threshold). That residue is exactly what
+    // the quantized-range blocking closes: every cross-class pair the
+    // verify would wrongly accept is ≥ 7 range bins away, far outside
+    // the two-probe adjacency.
+    val rows = statRows(withRms = true)
+    val byBucket = rows.groupBy(_._2)
+    byBucket.values.foreach { docs =>
+      for (i <- docs.indices; j <- i + 1 until docs.length) {
+        val (a, b) = (docs(i), docs(j))
+        if (a._3 != b._3 &&
+          graft.core.Linalg.cosine(a._7, b._7) >= Audio.AudioNearDupCosine)
+          assert(math.abs(a._5 - b._5) > 6,
+            s"cross-class accept ${a._1},${b._1} not range-blocked")
+      }
+    }
+  }
+
+  test("mm10b groups equal the closure of blocked-and-verified pairs") {
+    // independent union-find replay of the mm10b contract: candidates =
+    // in-bucket pairs within one bin on BOTH probe axes, accepted at the
+    // cosine threshold (the cap never binds at this size, so this is the
+    // full candidate set — the query's star/clique emission must land on
+    // exactly these components)
+    val rows = statRows(withRms = true)
+    val byBucket = rows.groupBy(_._2)
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    byBucket.values.foreach { docs =>
+      for (i <- docs.indices; j <- i + 1 until docs.length) {
+        val (a, b) = (docs(i), docs(j))
+        if (math.abs(a._5 - b._5) <= 1 && math.abs(a._6 - b._6) <= 1 &&
+          graft.core.Linalg.cosine(a._7, b._7) >= Audio.AudioNearDupCosine) {
+          val (ra, rb) = (find(a._1), find(b._1))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+    }
+    val want = rows.map(r => r._1 -> find(r._1)).toMap
+    val got = Audio.mm10bAudioDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === rows.length)
+    assert(got === want)
+    // the groups are non-trivial in both directions: real merges happen,
+    // and structurally different fills stay apart
+    val nGroups = want.values.toSet.size
+    assert(nGroups > 100 && nGroups < rows.length)
+  }
+
+  test("mm10b blocking: jitter-stable on copies, separating across classes") {
+    val rows = statRows(withRms = false)
+    // every true-copy pair (same gid + parity) survives the 2-D two-probe
+    // adjacency — zero recall loss from the finer blocking
+    rows.groupBy(r => (r._4, r._3)).values.foreach { copies =>
+      for (i <- copies.indices; j <- i + 1 until copies.length) {
+        assert(math.abs(copies(i)._5 - copies(j)._5) <= 1 &&
+          math.abs(copies(i)._6 - copies(j)._6) <= 1,
+          s"true copies ${copies(i)._1},${copies(j)._1} separated by blocking")
+      }
+    }
+    // classes separate on the range axis: narrow in bins {0,1}, wide far up
+    val (n, w) = rows.partition(_._3)
+    assert(n.map(_._5).max <= 1)
+    assert(w.map(_._5).min >= 5)
+  }
 }
