@@ -266,6 +266,30 @@ object ScaleBench {
       "vocab_chained_e2e" -> tChain)
   }
 
+  /** The BPE trainer at production-shaped merge depth (VERDICT r8
+    * §next-2): the fixture queries train M=32 merges to keep the oracle
+    * CTE chain readable; a real tokenizer runs tens of thousands. This
+    * mode times the full trainer at M=1000 (and M=4000 below x100)
+    * against the scaled corpus, recording the merge count actually
+    * reached (early stop is live semantics now — the count IS the
+    * result if the vocabulary exhausts first). The vocabulary-bound
+    * claim is the point: x10→x100 is 10× the corpus but the same
+    * distinct-word table, so the per-merge cost — and hence the whole
+    * loop beyond the initial scan — should barely move.
+    */
+  private def bpeDepthCompare(spark: SparkSession, work: String,
+      mult: Int): Seq[(String, Double)] = {
+    import graft.functions.Bpe
+    val depths = if (mult >= 100) Seq(1000) else Seq(1000, 4000)
+    depths.flatMap { m =>
+      val t0 = System.nanoTime()
+      val (merges, words) = Bpe.train(spark, work, m)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(words.count() > 0, "trainer lost the word table")
+      Seq(s"bpe_m$m" -> sec, s"bpe_m${m}_merges" -> merges.length.toDouble)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 10
@@ -279,7 +303,14 @@ object ScaleBench {
     val quadraticCompute = Set("c19_conn_topk", "mm10_audio_neardup")
     val mode = if (args.length > 3) args(3) else "full"
     val set =
-      if (mode == "linear" || mult >= 100) {
+      // explicit query list (`only:a,b`) — focused mitigation runs; the
+      // caller owns the quadratic-compute risk here
+      if (mode.startsWith("only:")) {
+        val names = mode.stripPrefix("only:").split(",").toSeq
+        names.foreach(n => require(SparkEntry.queries.contains(n),
+          s"unknown query $n"))
+        names
+      } else if (mode == "linear" || mult >= 100) {
         if (mode != "linear")
           System.err.println(s"[scale] mult=$mult: dropping " +
             quadraticCompute.mkString(", ") + " (quadratic compute)")
@@ -289,7 +320,8 @@ object ScaleBench {
 
     materialize(spark, src, mult, work)
 
-    if (mode == "q3bucket" || mode == "m1part" || mode == "vocab") {
+    if (mode == "q3bucket" || mode == "m1part" || mode == "vocab" ||
+        mode == "bpe") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -298,6 +330,9 @@ object ScaleBench {
         else if (mode == "vocab")
           ("vocab_chain", vocabChainCompare(spark, work),
             "scale_vocab.json")
+        else if (mode == "bpe")
+          ("bpe_depth", bpeDepthCompare(spark, work, mult),
+            "scale_bpe.json")
         else
           ("m1_partition_compare", m1PartitionCompare(spark, work, mult),
             "scale_m1part.json")

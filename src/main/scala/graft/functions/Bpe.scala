@@ -35,9 +35,11 @@ import graft.sources.Tables
   * break pair-count ties by (count DESC, lhs ASC, rhs ASC), so the merge
   * table is bit-deterministic.
   *
-  * Assumption (fixture-validated, `require`d in the trainer): the corpus
-  * has ≥ [[NumMerges]] mergeable pairs — the oracle's fixed CTE chain
-  * cannot replicate an early stop.
+  * The trainer stops early when no pair reaches [[MinPairFreq]] (the
+  * production semantics — `m` is a budget, not a promise). The oracle's
+  * fixed CTE chain assumes the gate corpus never stops before
+  * [[NumMerges]] (fixture-validated: rank-32 score is 933); early-stop
+  * corpora are pinned by BpeSpec instead.
   */
 object Bpe {
 
@@ -115,35 +117,58 @@ object Bpe {
   }
 
   /** The applier's entry: reuse the session's last trainer run, training
-    * only if none exists yet.
+    * only if none exists yet. A memo hit is only valid for the SAME live
+    * session — a checkpointed DataFrame's cached blocks die with its
+    * session, so a stale hit would fail (or silently retrain against a
+    * dead context); key validation retrains instead (ADVICE r8).
     */
   def trained(s: SparkSession, dir: String,
       m: Int = NumMerges): (Seq[Merge], DataFrame) =
-    memo.getOrElse((dir, m), train(s, dir, m))
+    memo.get((dir, m))
+      .filter { case (_, df) => (df.sparkSession eq s) &&
+        !s.sparkContext.isStopped }
+      .getOrElse(train(s, dir, m))
+
+  /** Minimum pair frequency worth merging — the standard early-stop
+    * bound: a pair seen once buys no compression (the merged token would
+    * appear exactly once), so training past it is pure memorization.
+    */
+  val MinPairFreq = 2L
 
   /** The merge loop over an explicit (word, freq, syms) table — the
     * testable core; specs feed it synthetic corpora.
+    *
+    * EARLY STOP (VERDICT r8 §next-2): the loop runs to `m` merges OR
+    * until no adjacent pair reaches [[MinPairFreq]], whichever comes
+    * first — production semantics, where `m` is a vocabulary BUDGET, not
+    * a promise. The driver-gate corpus never stops early at
+    * [[NumMerges]] = 32 (its rank-32 score is 933), so the fixed-depth
+    * DuckDB CTE chain stays a valid oracle; a corpus that does stop
+    * early is covered by BpeSpec against the independent local trainer.
     */
   private[functions] def trainWords(wordFreqs: DataFrame,
       m: Int): (Seq[Merge], DataFrame) = {
     var words = wordFreqs.localCheckpoint()
     val merges = Seq.newBuilder[Merge]
-    for (i <- 0 until m) {
+    var i = 0
+    var exhausted = false
+    while (i < m && !exhausted) {
       val top = words
         .select(col("freq"), explode(pairsCol(col("syms"))).as("p"))
         .groupBy(col("p.lhs"), col("p.rhs"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
-      require(top.nonEmpty,
-        s"corpus ran out of mergeable pairs at merge $i < $m — " +
-          "the fixed-depth oracle cannot replicate an early stop")
-      val (lhs, rhs, cnt) =
-        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      merges += Merge(i + 1, lhs, rhs, cnt)
-      words = words.withColumn("syms", mergeFold(col("syms"), lhs, rhs))
-      if ((i + 1) % CheckpointEvery == 0 && i + 1 < m)
-        words = words.localCheckpoint()
+      if (top.isEmpty || top(0).getLong(2) < MinPairFreq) exhausted = true
+      else {
+        val (lhs, rhs, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(i + 1, lhs, rhs, cnt)
+        words = words.withColumn("syms", mergeFold(col("syms"), lhs, rhs))
+        if ((i + 1) % CheckpointEvery == 0 && i + 1 < m)
+          words = words.localCheckpoint()
+      }
+      i += 1
     }
     (merges.result(), words.localCheckpoint())
   }
@@ -190,8 +215,8 @@ object Bpe {
   /** The CTE chain replaying the trainer: w0 (initial word table), then
     * per merge i a 1-row argmax CTE b_i and the rewritten word table
     * w_{i+1}. The merge-apply fold rides `list_reduce` over a
-    * chr(31)-joined accumulator string (symbols are regex word/digit/punct
-    * runs — they can never contain chr(31)).
+    * chr(31)-joined accumulator string (safe: [[TextAnalysis.BpePattern]]
+    * excludes control chars, so no symbol can contain chr(31)).
     */
   private def trainCtes(m: Int): String = {
     val w0 =

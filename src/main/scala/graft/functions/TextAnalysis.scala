@@ -170,9 +170,13 @@ object TextAnalysis {
 
   /** BPE-ish subword boundary: letter runs, digit runs, and single
     * non-alphanumeric marks — the regex twin of a byte-pair pre-tokenizer
-    * split (kept RE2/Java-portable for the oracle).
+    * split (kept RE2/Java-portable for the oracle). Control chars are
+    * excluded from the mark branch (ADVICE r8): U+001F is not regex
+    * whitespace, and a chr(31) symbol would corrupt the BPE oracle's
+    * chr(31)-joined `list_reduce` accumulator and make the t4c
+    * fingerprint separator ambiguous.
     */
-  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s\\x00-\\x1f]"
 
   /** Token counting, tokenizer #2: regex-based subword counts. */
   def t4BpeTokens: Q = (s, dir) =>

@@ -96,7 +96,9 @@ object Eval {
       centerSets: Seq[Array[Array[Double]]]): Array[Double] = {
     import org.apache.spark.sql.functions._
     val aggs = centerSets.zipWithIndex.map { case (cs, i) =>
-      if (cs.length < 2) avg(lit(0.0)).as(s"s$i")
+      // coalesce-guarded like the k≥2 branch: avg over ZERO rows is null
+      // and getDouble would NPE on an empty dataset (ADVICE r8)
+      if (cs.length < 2) coalesce(avg(lit(0.0)), lit(0.0)).as(s"s$i")
       else {
         val sorted = array_sort(array(cs.zipWithIndex.map { case (vec, ci) =>
           struct(

@@ -99,14 +99,53 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("trainer refuses a corpus that runs dry before m merges") {
+  test("trainer early-stops when no pair reaches MinPairFreq") {
     import spark.implicits._
-    val tiny = Seq(("ab", 1L)).toDF("word", "freq")
+    // "ab"×3 supports ONE real merge; after it the only remaining pair
+    // is (c,d) with count 1 — below MinPairFreq, so the loop must stop
+    // at 1 merge even with budget 10 (production semantics: m is a
+    // budget, not a promise)
+    val tiny = Seq(("ab", 3L), ("cd", 1L)).toDF("word", "freq")
       .withColumn("syms", regexp_extract_all(col("word"), lit("."), lit(0)))
-    // one pair exists; the second iteration has none
-    val e = intercept[IllegalArgumentException] {
-      Bpe.trainWords(tiny, 2)
+    val (merges, words) = Bpe.trainWords(tiny, 10)
+    assert(merges.map(m => (m.lhs, m.rhs, m.score)) === Seq(("a", "b", 3L)))
+    // the word table is still fully rewritten up to the stop point
+    val syms = words.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toVector).toMap
+    assert(syms === Map("ab" -> Vector("ab"), "cd" -> Vector("c", "d")))
+  }
+
+  test("trainer early-stops at zero merges on a pairless corpus") {
+    import spark.implicits._
+    val singles = Seq(("a", 5L), ("b", 2L)).toDF("word", "freq")
+      .withColumn("syms", regexp_extract_all(col("word"), lit("."), lit(0)))
+    val (merges, _) = Bpe.trainWords(singles, 4)
+    assert(merges.isEmpty)
+  }
+
+  test("early stop agrees with the reference trainer run to exhaustion") {
+    // reference trainer with the same min-frequency stop; both must
+    // produce the identical (shorter-than-budget) merge sequence
+    var words = corpus.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val want = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    while (!done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val best = counts.minByOption { case ((l, r), c) => (-c, l, r) }
+      best match {
+        case Some(((l, r), c)) if c >= Bpe.MinPairFreq =>
+          want += ((l, r, c))
+          words = words.map { case (syms, f) => (refMerge(syms, l, r), f) }
+        case _ => done = true
+      }
     }
-    assert(e.getMessage.contains("ran out of mergeable pairs"))
+    val wantSeq = want.result()
+    val (got, _) = Bpe.trainWords(corpusDf, 1000)
+    assert(got.map(g => (g.lhs, g.rhs, g.score)) === wantSeq)
+    assert(got.length < 1000, "fixture corpus should exhaust below budget")
   }
 }

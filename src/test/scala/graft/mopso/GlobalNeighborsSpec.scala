@@ -92,6 +92,26 @@ class GlobalNeighborsSpec extends AnyFunSuite with SparkTestBase {
     approxRows.unpersist()
   }
 
+  test("c21 query: LSH-fed Conn carries its own recall, exact leg = c10") {
+    // the declared-query face of buildLsh (VERDICT r8 §next-3): same
+    // plane convention, same bucket join, c19's bounded ranking — with
+    // the recall emitted as data, not asserted from a spec-only path
+    val row = graft.operators.Clustering.c21ConnLsh(spark, sfDir).head()
+    val (connLsh, connExact) = (row.getDouble(0), row.getDouble(1))
+    val (nHit, nExact) = (row.getLong(2), row.getLong(3))
+    val recall = row.getDouble(4)
+    // the exact leg IS c10's value — same neighbor definition and reward
+    val c10 = graft.operators.Clustering.c10Conn(spark, sfDir)
+      .head().getDouble(0)
+    assert(connExact === c10)
+    // internal consistency + the same above-chance bound the RDD-path
+    // test pins (4 planes × 8 tables over this fixture)
+    assert(nHit <= nExact)
+    assert(recall === math.rint(nHit.toDouble / nExact * 1e6) / 1e6)
+    assert(recall > 0.3 && recall <= 1.0, s"c21 recall $recall")
+    assert(connLsh > 0.0 && connLsh <= connExact * 1.5)
+  }
+
   test("MOPSO runs end-to-end on the no-collect global path, seeded-stable") {
     val cfg = MopsoConfig.particle.copy(
       iterMax = 5, numPartitions = 8, globalExactDistributed = true)
