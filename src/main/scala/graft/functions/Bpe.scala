@@ -187,9 +187,21 @@ object Bpe {
     * order). The trained word→syms table rides a broadcast join — the
     * corpus-side plan is one scan + one doc_id-keyed shuffle.
     */
-  def t4cApply: Q = (s, dir) => {
-    val (_, wordSyms) = trained(s, dir)
-    val perDoc = Tables.documents(s, dir)
+  /** The apply core over ANY (doc_id, text) frame — batch t4c and the
+    * streaming twin (StreamingSpec) run THIS one plan: pre-tokenize,
+    * broadcast-join the trained word→syms table, aggregate per doc to
+    * (n_sub, sequence fingerprint). Stateless projections + one
+    * streaming-supported keyed aggregation, so the same code is
+    * incremental under readStream (documents tokenized as they arrive —
+    * the production serving shape for a trained tokenizer). Docs with
+    * zero pre-tokens produce no row here; t4c's batch face backfills
+    * them against the full id list (a stream-static backfill join after
+    * aggregation is not streaming-expressible, and an arriving stream
+    * doc always HAS content).
+    */
+  private[graft] def applyCore(docs: DataFrame,
+      wordSyms: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(regexp_extract_all(lower(col("text")),
           lit(TextAnalysis.BpePattern), lit(0))).as(Seq("pos", "word")))
@@ -201,6 +213,10 @@ object Bpe {
         TextAnalysis.hash60(concat_ws("\u001f",
           flatten(transform(col("ps"), p => p.getField("syms")))))
           .as("sub_fp"))
+
+  def t4cApply: Q = (s, dir) => {
+    val (_, wordSyms) = trained(s, dir)
+    val perDoc = applyCore(Tables.documents(s, dir), wordSyms)
     // docs with zero pre-tokens keep a row: empty-sequence fingerprint
     Tables.documents(s, dir).select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")

@@ -123,6 +123,22 @@ object Eval {
     * `simplified = true` (config `silhouetteSimplified`) swaps the exact
     * O(n²) scorer for the O(n·K) [[simplifiedSilhouette]] — the form that
     * stays usable on real data sizes.
+    *
+    * WHEN THE TWO SCORERS CAN DISAGREE (EvalSpec pins the adversarial
+    * case): the exact silhouette is a function of the induced PARTITION
+    * only — any two entries assigning every point identically score
+    * identically — while the simplified form also scores the centroid
+    * GEOMETRY: pushing both centroids outward along their axis preserves
+    * the decision boundary (same partition, same exact score) but
+    * inflates every point's second-nearest distance b(i), so the
+    * simplified scorer strictly prefers the wider entry. On overlapping
+    * clusters this reorders partition-EQUIVALENT entries — a tie-break
+    * by margin, not a clustering change: the selected partitions remain
+    * identical, which is why the swap is sound for E3 selection (the
+    * reference's contract is "pick a best clustering", and PSO archives
+    * hold converged positions, not adversarially inflated centroids).
+    * On well-separated blobs the winners coincide outright (the r7 spec
+    * case).
     */
   def selectBestBySilhouette(archive: Array[ArchiveEntry],
       block: EvalBlock,

@@ -81,6 +81,48 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(exact.indexOf(exact.max) === 0) // the true blob centers win
   }
 
+  test("overlapping clusters: simplified reorders only partition-equivalent " +
+    "entries (VERDICT r8 §next-5)") {
+    // ADVERSARIAL case — two blobs whose spread equals their separation,
+    // and two candidate entries sharing the SAME decision boundary
+    // (x = 0.5): the true centers, and the same centers pushed outward.
+    val sep = 1.0
+    val pts = for {
+      ci <- Seq(0, 1)
+      i <- 0 until 30
+    } yield Array(
+      ci * sep + ((i * 7 + ci) % 31 - 15) * (1.0 / 15),
+      ((i * 11 + ci * 3) % 31 - 15) * (1.0 / 15))
+    val b = EvalBlock(pts.toArray, pts.map(_ => 0).toArray, Array.empty)
+    val trueCenters = Array(Array(0.0, 0.0), Array(sep, 0.0))
+    val wideCenters = Array(Array(-1.0, 0.0), Array(sep + 1.0, 0.0))
+    val archive = Array(
+      ArchiveEntry(trueCenters, Array(1.0, 1.0), Array(0.0)),
+      ArchiveEntry(wideCenters, Array(2.0, 2.0), Array(0.0)))
+    // both entries induce the IDENTICAL partition…
+    val (cl1, _) = FitnessKernel.assign(b.points, trueCenters)
+    val (cl2, _) = FitnessKernel.assign(b.points, wideCenters)
+    assert(cl1.toSeq === cl2.toSeq)
+    // …so the exact scorer (a function of the partition alone) ties —
+    // and indexOf(max) selects entry 0
+    val (exact, exactBest) = Eval.selectBestBySilhouette(archive, b)
+    assert(math.abs(exact(0) - exact(1)) < 1e-12)
+    // the simplified scorer sees the centroid geometry: the outward pair
+    // inflates b(i) at an unchanged boundary and STRICTLY wins — the
+    // scorers disagree on the entry
+    val (simp, simpBest) =
+      Eval.selectBestBySilhouette(archive, b, simplified = true)
+    assert(simp(1) > simp(0),
+      s"expected wide entry to win under simplified: ${simp.toSeq}")
+    // acceptability bound: the disagreement is representation-only — the
+    // two winners cluster every point identically, so the E3 final
+    // PARTITION is unchanged (and on separated blobs the r7 case already
+    // pins outright winner agreement)
+    val (wl1, _) = FitnessKernel.assign(b.points, exactBest)
+    val (wl2, _) = FitnessKernel.assign(b.points, simpBest)
+    assert(wl1.toSeq === wl2.toSeq)
+  }
+
   test("distributed simplified scorer matches the local one per entry") {
     // the one-pass all-entries aggregate (100 TB face of E3 selection)
     // must agree with the collected-block scorer on every center set

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** The plan audit as a regression GATE (VERDICT r8 §next-8): every
+  * registered non-iterative query is planned against the fixture and its
+  * physical/logical plans are checked for the two scale anti-patterns —
+  * cartesian-shaped joins (CartesianProduct / BroadcastNestedLoopJoin)
+  * and unpartitioned windows (a single-task sort of the whole input) —
+  * outside the repo's DOCUMENTED exemption sites. A new query that
+  * accidentally plans a cross join fails here the day it lands, and a
+  * fixed exemption forces this list to shrink in the same commit.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Construction of these runs a driver loop (trainer / propagation /
+    * full MOPSO) — their plan of record is the per-iteration job, audited
+    * by their own specs, and spinning the loops here would re-test
+    * execution, not planning. Same set as [[graft.Explain]] plus the
+    * propagation-loop consumers.
+    */
+  private val iterative = Set(
+    "m1_mopso_archive", "t4b_bpe_merges", "t4c_bpe_apply",
+    "d6_dedup_groups", "d7_semantic_groups", "p1_corpus_curation",
+    "mm10b_audio_dedup")
+
+  /** Documented cartesian-shaped sites (VERDICT r8 anti-pattern audit —
+    * every one is an exact parity face, a recall/ground-truth
+    * denominator, a ≤100-row verifier leg, or a bounded-literal-side
+    * broadcast NLJ; production candidate generation rides bucket keys):
+    *  - c9/c10/c14/c19/c21: exact KNN / silhouette / Conn legs
+    *  - c13: front rows × the 1-row global min/max aggregate
+    *  - s1/s5/s6: brute-force top-k and exact-recall denominators
+    *  - s3: points × the K=10 centroid rows (IVF cell assignment)
+    *  - d5: the ≤100-doc exact Jaccard verifier
+    */
+  private val allowCartesian = Set(
+    "c9_knn", "c10_conn", "c13_minmax_norm", "c14_silhouette",
+    "c19_conn_topk", "c21_conn_lsh",
+    "s1_cosine_topk", "s3_ann_ivf", "s5_ann_recall", "s6_quant_recall",
+    "d5_jaccard_pairs")
+
+  /** Documented unpartitioned-window sites — each rides a tiny DERIVED
+    * table, never a fact table: c12's crowding sorts the Pareto front
+    * (tens of rows); q13's month-over-month lag sorts the month
+    * aggregate (≤ ~100 rows for years of data).
+    */
+  private val allowGlobalWindow = Set(
+    "c12_crowding", "q13_monthly_revenue")
+
+  private def plans(name: String) = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    (df.queryExecution.optimizedPlan,
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+  }
+
+  test("no undeclared cartesian-shaped join in any query plan") {
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(iterative)
+    val offenders = names.filter { n =>
+      val (_, physical) = plans(n)
+      physical.contains("CartesianProduct") ||
+        physical.contains("BroadcastNestedLoopJoin")
+    }
+    assert(offenders.toSet === allowCartesian,
+      s"cartesian site list drifted — new: " +
+        s"${offenders.toSet -- allowCartesian}, stale: " +
+        s"${allowCartesian -- offenders.toSet}")
+  }
+
+  test("no undeclared unpartitioned window in any query plan") {
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(iterative)
+    val offenders = names.filter { n =>
+      val (optimized, _) = plans(n)
+      optimized.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }
+    assert(offenders.toSet === allowGlobalWindow,
+      s"global-window site list drifted — new: " +
+        s"${offenders.toSet -- allowGlobalWindow}, stale: " +
+        s"${allowGlobalWindow -- offenders.toSet}")
+  }
+}

@@ -397,6 +397,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming BPE apply with the trained table matches batch t4c") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train ONCE on the fixture corpus (the production decomposition:
+    // batch-train, then serve the table to arriving documents)
+    val (_, wordSyms) = graft.functions.Bpe.trained(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => TextRow(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TextRow]
+    // the SAME applyCore plan t4c runs in batch — broadcast join against
+    // the static trained table + one keyed aggregation, incremental
+    val query = graft.functions.Bpe.applyCore(input.toDF(), wordSyms)
+      .writeStream.format("memory").queryName("bpe_apply_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val got = spark.table("bpe_apply_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch answer from the ORACLE-CHECKED query face, minus the
+      // zero-token backfill rows applyCore deliberately omits
+      val want = graft.functions.Bpe.t4cApply(spark, sfDir)
+        .where(col("n_sub") > 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want)
+      assert(got.size === docs.length, "fixture has no zero-token docs")
+    } finally query.stop()
+  }
+
   test("streaming quality gate converges to the batch verdict histogram") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
