@@ -290,6 +290,51 @@ object ScaleBench {
     }
   }
 
+  /** LSH-fed Conn at corpus scale (the c21 claim, measured): a FIXED
+    * sign-LSH layout has a fixed bucket-mass distribution, so its
+    * candidate compute is Θ(n²) — the 4×8 layout that reads as "2.5×
+    * pruning" at fixture size is quadratic all the same. The scale knob
+    * is PLANES: growing them with log₂(mult) splits every table into
+    * ~mult× more buckets, holding per-bucket occupancy (and hence
+    * candidate pairs per point) roughly constant across the decade.
+    * This mode records, for the pinned fixture layout and the scaled
+    * one, the exact candidate-pair count (from the bucket histogram, no
+    * pair materialization) and the end-to-end LSH Conn time; the pinned
+    * timing is skipped with -1 when its own pair count says the run is
+    * a quadratic stall (> ~1.5e9 pairs), because the count already IS
+    * the verdict.
+    */
+  private def connLshCompare(spark: SparkSession, work: String,
+      mult: Int): Seq[(String, Double)] = {
+    import graft.operators.Clustering
+    val tables = Clustering.LshTables
+    val pinned = Clustering.LshPlanes
+    val scaled = pinned + (64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, mult - 1).toLong)).toInt // + ceil(log2(mult))
+    def pairsOf(p: Int): Long =
+      Clustering.lshCandidatePairCount(spark, work, p, tables)
+    def timeConn(p: Int): Double = {
+      val t0 = System.nanoTime()
+      val v = Clustering.connLshValue(spark, work, p, tables).head()
+      require(!v.isNullAt(0) && v.getDouble(0) > 0.0,
+        s"degenerate conn_lsh at planes=$p")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pairsPinned = pairsOf(pinned)
+    val pairsScaled = pairsOf(scaled)
+    val secScaled = timeConn(scaled)
+    val secPinned =
+      if (pairsPinned > 1500000000L) {
+        System.err.println(s"[scale] connlsh planes=$pinned skipped: " +
+          s"$pairsPinned candidate pairs is the quadratic stall itself")
+        -1.0
+      } else timeConn(pinned)
+    Seq(s"connlsh_planes${pinned}_pairs" -> pairsPinned.toDouble,
+      s"connlsh_planes${scaled}_pairs" -> pairsScaled.toDouble,
+      s"connlsh_planes${pinned}_sec" -> secPinned,
+      s"connlsh_planes${scaled}_sec" -> secScaled)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 10
@@ -321,7 +366,7 @@ object ScaleBench {
     materialize(spark, src, mult, work)
 
     if (mode == "q3bucket" || mode == "m1part" || mode == "vocab" ||
-        mode == "bpe") {
+        mode == "bpe" || mode == "connlsh") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -333,6 +378,9 @@ object ScaleBench {
         else if (mode == "bpe")
           ("bpe_depth", bpeDepthCompare(spark, work, mult),
             "scale_bpe.json")
+        else if (mode == "connlsh")
+          ("connlsh_layout", connLshCompare(spark, work, mult),
+            "scale_connlsh.json")
         else
           ("m1_partition_compare", m1PartitionCompare(spark, work, mult),
             "scale_m1part.json")

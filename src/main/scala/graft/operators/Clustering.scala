@@ -300,6 +300,110 @@ object Clustering {
   val LshPlanes = 4
   val LshTables = 8
 
+  /** Data-derived hyperplanes: the first planes·tables point vectors
+    * (the s2 convention), deterministic and oracle-replayable.
+    */
+  private def lshPlaneRows(s: SparkSession, dir: String,
+      numPlanes: Int, numTables: Int): Seq[Array[Double]] =
+    Tables.labeledPoints(s, dir)
+      .orderBy(col("id")).limit(numPlanes * numTables)
+      .select(col("features")).collect()
+      .map(_.getSeq[Double](0).toArray).toSeq
+
+  /** All tables' sign buckets for one point, computed in a single
+    * projection (each point needs every table's bucket anyway).
+    */
+  private def lshSigsCol(planes: Seq[Array[Double]],
+      numPlanes: Int, numTables: Int): Column =
+    array((0 until numTables).map { t =>
+      Linalg.signBucketCol(col("features"),
+        planes.slice(t * numPlanes, (t + 1) * numPlanes))
+    }: _*)
+
+  /** The shared ranking tail (the c19 shape): candidate rows with
+    * columns (xi, xv, cx, yi, yv, cy) through the L-bounded aggregate —
+    * map-side combine prunes every mapper to ≤L pairs per point, so the
+    * exchange never carries the full candidate set. Emits
+    * (xi, yi, same, rnk).
+    */
+  private def topRankedPairs(cands: DataFrame): DataFrame = cands
+    .select(col("xi"),
+      struct(
+        Linalg.euclidCol(col("xv"), col("yv")).as("dist"),
+        col("yi").as("yi")).as("rank_key"),
+      struct(col("yi").as("yi"),
+        (col("cx") === col("cy")).as("same")).as("v"))
+    .groupBy(col("xi"))
+    .agg(graft.functions.TopKAggregate
+      .topKByKey(col("rank_key"), col("v"), L).as("vs"))
+    .select(col("xi"), posexplode(col("vs")).as(Seq("pos", "v")))
+    .select(col("xi"), col("v.yi").as("yi"), col("v.same").as("same"),
+      (col("pos") + lit(1)).as("rnk"))
+
+  /** LSH-fed top-L neighbor ranking at an arbitrary (planes, tables)
+    * layout — the parameterized form behind [[c21ConnLsh]] (which pins
+    * [[LshPlanes]]×[[LshTables]] for the oracle) and ScaleBench's
+    * `connlsh` mode (which grows planes with the data so per-bucket
+    * occupancy — and hence candidate compute — stays bounded; a FIXED
+    * layout has a fixed bucket-mass distribution, so its candidate count
+    * is Θ(n²) no matter how good the layout looked at fixture size).
+    */
+  private[graft] def lshRankedNeighbors(s: SparkSession, dir: String,
+      numPlanes: Int, numTables: Int): DataFrame = {
+    val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
+    val planes = lshPlaneRows(s, dir, numPlanes, numTables)
+    // every table's bucket computed once per point and carried as an
+    // array: the exploded (tbl, bucket) rows drive the bucket join, and
+    // the arrays on BOTH sides let a pair colliding in several tables be
+    // kept exactly once — only by its FIRST agreeing table (the d8
+    // first-match rule) — instead of a result-sized dropDuplicates
+    // shuffle (measured 2x the whole query's cost at sf0.1)
+    val b = pc.withColumn("sigs", lshSigsCol(planes, numPlanes, numTables))
+      .select(col("id"), col("features"), col("cluster"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    val x = b.select(col("tbl"), col("bucket"), col("id").as("xi"),
+      col("features").as("xv"), col("cluster").as("cx"),
+      col("sigs").as("xs"))
+    val y = b.select(col("tbl"), col("bucket"), col("id").as("yi"),
+      col("features").as("yv"), col("cluster").as("cy"),
+      col("sigs").as("ys"))
+    val firstMatch =
+      array_position(zip_with(col("xs"), col("ys"), (a, c) => a === c),
+        lit(true)) - 1
+    topRankedPairs(
+      x.join(y, Seq("tbl", "bucket"))
+        .where(col("xi") =!= col("yi") && col("tbl") === firstMatch))
+  }
+
+  /** The LSH Conn value alone — the production form of [[c21ConnLsh]]
+    * (no exact-leg denominator), what a pipeline actually runs at scale.
+    */
+  private[graft] def connLshValue(s: SparkSession, dir: String,
+      numPlanes: Int, numTables: Int): DataFrame =
+    lshRankedNeighbors(s, dir, numPlanes, numTables).agg(
+      round(sum(when(col("same"), lit(1.0) / col("rnk"))
+        .otherwise(lit(0.0))), 4).as("conn_lsh"))
+
+  /** Candidate-generation COMPUTE at a layout, from the bucket histogram
+    * alone: Σ over (table, bucket) of c·(c−1) — the ordered-pair rows
+    * the bucket join emits before first-match dedup — in one O(n) pass,
+    * no pair materialization. This is the number that decides whether a
+    * layout survives a scale-up, and it is exact arithmetic, not a
+    * wallclock.
+    */
+  private[graft] def lshCandidatePairCount(s: SparkSession, dir: String,
+      numPlanes: Int, numTables: Int): Long = {
+    val pc = assigned(s, dir).select(col("features"))
+    val planes = lshPlaneRows(s, dir, numPlanes, numTables)
+    pc.select(posexplode(lshSigsCol(planes, numPlanes, numTables))
+        .as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L))
+        .as("pairs"))
+      .head().getLong(0)
+  }
+
   /** c21 (VERDICT r8 §next-3): the "LSH feeds exact-over-candidates Conn
     * at scale" claim as an ORACLE-CHECKED artifact. The candidate
     * generator is [[graft.mopso.GlobalNeighbors.buildLsh]]'s shape —
@@ -319,51 +423,7 @@ object Clustering {
     */
   def c21ConnLsh: Q = (s, dir) => {
     val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
-    val planes = Tables.labeledPoints(s, dir)
-      .orderBy(col("id")).limit(LshPlanes * LshTables)
-      .select(col("features")).collect()
-      .map(_.getSeq[Double](0).toArray).toSeq
-    // every table's bucket computed once per point and carried as an
-    // array: the exploded (tbl, bucket) rows drive the bucket join, and
-    // the arrays on BOTH sides let a pair colliding in several tables be
-    // kept exactly once — only by its FIRST agreeing table (the d8
-    // first-match rule) — instead of a result-sized dropDuplicates
-    // shuffle (measured 2x the whole query's cost at sf0.1)
-    val sigs = array((0 until LshTables).map { t =>
-      Linalg.signBucketCol(col("features"),
-        planes.slice(t * LshPlanes, (t + 1) * LshPlanes))
-    }: _*)
-    val b = pc.withColumn("sigs", sigs)
-      .select(col("id"), col("features"), col("cluster"), col("sigs"),
-        posexplode(col("sigs")).as(Seq("tbl", "bucket")))
-    val x = b.select(col("tbl"), col("bucket"), col("id").as("xi"),
-      col("features").as("xv"), col("cluster").as("cx"),
-      col("sigs").as("xs"))
-    val y = b.select(col("tbl"), col("bucket"), col("id").as("yi"),
-      col("features").as("yv"), col("cluster").as("cy"),
-      col("sigs").as("ys"))
-    val firstMatch =
-      array_position(zip_with(col("xs"), col("ys"), (a, c) => a === c),
-        lit(true)) - 1
-    // the shared ranking tail (the c19 shape): candidate rows through the
-    // L-bounded aggregate — map-side combine prunes every mapper to ≤L
-    // pairs per point, so neither leg shuffles its full candidate set
-    def topRanked(cands: DataFrame): DataFrame = cands
-      .select(col("xi"),
-        struct(
-          Linalg.euclidCol(col("xv"), col("yv")).as("dist"),
-          col("yi").as("yi")).as("rank_key"),
-        struct(col("yi").as("yi"),
-          (col("cx") === col("cy")).as("same")).as("v"))
-      .groupBy(col("xi"))
-      .agg(graft.functions.TopKAggregate
-        .topKByKey(col("rank_key"), col("v"), L).as("vs"))
-      .select(col("xi"), posexplode(col("vs")).as(Seq("pos", "v")))
-      .select(col("xi"), col("v.yi").as("yi"), col("v.same").as("same"),
-        (col("pos") + lit(1)).as("rnk"))
-    val approx = topRanked(
-      x.join(y, Seq("tbl", "bucket"))
-        .where(col("xi") =!= col("yi") && col("tbl") === firstMatch))
+    val approx = lshRankedNeighbors(s, dir, LshPlanes, LshTables)
     // exact leg = the recall denominator: same n² candidate COMPUTE as
     // c10 (inherent to "exact"), but ranked through the bounded
     // aggregate so the exchange carries O(n·L) rows, not the n² window
@@ -373,7 +433,7 @@ object Clustering {
       col("cluster").as("cx"))
     val ey = pc.select(col("id").as("yi"), col("features").as("yv"),
       col("cluster").as("cy"))
-    val exact = topRanked(
+    val exact = topRankedPairs(
       ex.crossJoin(ey).where(col("xi") =!= col("yi")))
       .localCheckpoint(eager = true) // two consumers: value + denominator
     val connLsh = approx.agg(

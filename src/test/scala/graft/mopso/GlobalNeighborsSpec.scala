@@ -1,6 +1,6 @@
 package graft.mopso
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, col, posexplode}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -110,6 +110,41 @@ class GlobalNeighborsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall === math.rint(nHit.toDouble / nExact * 1e6) / 1e6)
     assert(recall > 0.3 && recall <= 1.0, s"c21 recall $recall")
     assert(connLsh > 0.0 && connLsh <= connExact * 1.5)
+  }
+
+  test("connlsh layout knob: pair count is exact and planes shrink it") {
+    import graft.operators.Clustering
+    val (p, t) = (Clustering.LshPlanes, Clustering.LshTables)
+    // the histogram-derived count (ScaleBench's O(n) verdict metric)
+    // equals the pre-dedup bucket join's actual ordered-pair cardinality
+    val pinned = Clustering.lshCandidatePairCount(spark, sfDir, p, t)
+    val direct = {
+      val pts = Tables.labeledPoints(spark, sfDir)
+      val planes = pts.orderBy(col("id")).limit(p * t)
+        .select(col("features")).collect()
+        .map(_.getSeq[Double](0).toArray).toSeq
+      val b = pts.select(col("id"), posexplode(array(
+        (0 until t).map { i =>
+          graft.core.Linalg.signBucketCol(col("features"),
+            planes.slice(i * p, (i + 1) * p))
+        }: _*)).as(Seq("tbl", "bucket")))
+      b.join(b.select(col("tbl"), col("bucket"), col("id").as("yi")),
+          Seq("tbl", "bucket"))
+        .where(col("id") =!= col("yi")).count()
+    }
+    assert(pinned === direct,
+      s"histogram count $pinned != joined count $direct")
+    // doubling planes splits every table's buckets: candidate compute
+    // must drop strictly — the knob ScaleBench's connlsh mode turns
+    val split = Clustering.lshCandidatePairCount(spark, sfDir, 2 * p, t)
+    assert(split < pinned, s"2x planes did not prune: $split vs $pinned")
+    // the production form (value only, no denominator) agrees with the
+    // oracle-checked query's conn_lsh column at the pinned layout
+    val prod = Clustering.connLshValue(spark, sfDir, p, t)
+      .head().getDouble(0)
+    val c21 = graft.operators.Clustering.c21ConnLsh(spark, sfDir)
+      .head().getDouble(0)
+    assert(prod === c21, s"connLshValue $prod != c21 conn_lsh $c21")
   }
 
   test("MOPSO runs end-to-end on the no-collect global path, seeded-stable") {
