@@ -329,10 +329,19 @@ object ScaleBench {
           s"$pairsPinned candidate pairs is the quadratic stall itself")
         -1.0
       } else timeConn(pinned)
+    // recall AT SCALE from a ~200-point deterministic sample: the exact
+    // denominator is O(s·n) for the sample where the full one is the
+    // quadratic this mode exists to avoid (step=1 equals c21's recall
+    // column, spec-pinned — the sample estimates the same quantity)
+    val n = Tables.labeledPoints(spark, work).count()
+    val step = math.max(1L, n / 200L)
+    val recallScaled =
+      Clustering.lshSampledRecall(spark, work, scaled, tables, step)
     Seq(s"connlsh_planes${pinned}_pairs" -> pairsPinned.toDouble,
       s"connlsh_planes${scaled}_pairs" -> pairsScaled.toDouble,
       s"connlsh_planes${pinned}_sec" -> secPinned,
-      s"connlsh_planes${scaled}_sec" -> secScaled)
+      s"connlsh_planes${scaled}_sec" -> secScaled,
+      s"connlsh_planes${scaled}_recall" -> recallScaled)
   }
 
   def main(args: Array[String]): Unit = {

@@ -349,7 +349,8 @@ object Clustering {
     * is Θ(n²) no matter how good the layout looked at fixture size).
     */
   private[graft] def lshRankedNeighbors(s: SparkSession, dir: String,
-      numPlanes: Int, numTables: Int): DataFrame = {
+      numPlanes: Int, numTables: Int,
+      xiFilter: Option[Column] = None): DataFrame = {
     val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
     val planes = lshPlaneRows(s, dir, numPlanes, numTables)
     // every table's bucket computed once per point and carried as an
@@ -361,9 +362,13 @@ object Clustering {
     val b = pc.withColumn("sigs", lshSigsCol(planes, numPlanes, numTables))
       .select(col("id"), col("features"), col("cluster"), col("sigs"),
         posexplode(col("sigs")).as(Seq("tbl", "bucket")))
-    val x = b.select(col("tbl"), col("bucket"), col("id").as("xi"),
+    val x0 = b.select(col("tbl"), col("bucket"), col("id").as("xi"),
       col("features").as("xv"), col("cluster").as("cx"),
       col("sigs").as("xs"))
+    // the optional xi filter (a sampled-recall probe) prunes the query
+    // side BEFORE the bucket join, so a sample costs O(n + s·occupancy)
+    // — never a full candidate pass
+    val x = xiFilter.map(x0.where).getOrElse(x0)
     val y = b.select(col("tbl"), col("bucket"), col("id").as("yi"),
       col("features").as("yv"), col("cluster").as("cy"),
       col("sigs").as("ys"))
@@ -373,6 +378,35 @@ object Clustering {
     topRankedPairs(
       x.join(y, Seq("tbl", "bucket"))
         .where(col("xi") =!= col("yi") && col("tbl") === firstMatch))
+  }
+
+  /** Neighbor recall of a layout at DATA scale, from a deterministic
+    * sample: every step-th id gets its exact top-L from a
+    * broadcast-sample × all-points ranking (O(s·n) compute — the
+    * denominator that would be Θ(n²) for all points is linear for a
+    * fixed sample), compared against the same ids' LSH-fed top-L. With
+    * step = 1 this IS c21's recall column (spec-pinned), so the sampled
+    * number is an unbiased estimate of the same quantity, measurable at
+    * decades where the full denominator is the quadratic stall itself.
+    */
+  private[graft] def lshSampledRecall(s: SparkSession, dir: String,
+      numPlanes: Int, numTables: Int, step: Long): Double = {
+    val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
+    val sx = pc.where(pmod(col("id"), lit(step)) === lit(0L))
+      .select(col("id").as("xi"), col("features").as("xv"),
+        col("cluster").as("cx"))
+    val ally = pc.select(col("id").as("yi"), col("features").as("yv"),
+      col("cluster").as("cy"))
+    val exact = topRankedPairs(
+      broadcast(sx).join(ally, col("xi") =!= col("yi")))
+      .select(col("xi"), col("yi"))
+      .localCheckpoint(eager = true) // two consumers: hit join + count
+    val approx = lshRankedNeighbors(s, dir, numPlanes, numTables,
+      xiFilter = Some(pmod(col("xi"), lit(step)) === lit(0L)))
+    val nExact = exact.count()
+    require(nExact > 0, s"empty recall denominator at step=$step")
+    val nHit = approx.join(exact, Seq("xi", "yi"), "left_semi").count()
+    nHit.toDouble / nExact
   }
 
   /** The LSH Conn value alone — the production form of [[c21ConnLsh]]

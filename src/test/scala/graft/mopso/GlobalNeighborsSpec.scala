@@ -142,9 +142,16 @@ class GlobalNeighborsSpec extends AnyFunSuite with SparkTestBase {
     // oracle-checked query's conn_lsh column at the pinned layout
     val prod = Clustering.connLshValue(spark, sfDir, p, t)
       .head().getDouble(0)
-    val c21 = graft.operators.Clustering.c21ConnLsh(spark, sfDir)
-      .head().getDouble(0)
-    assert(prod === c21, s"connLshValue $prod != c21 conn_lsh $c21")
+    val c21row = graft.operators.Clustering.c21ConnLsh(spark, sfDir).head()
+    assert(prod === c21row.getDouble(0),
+      s"connLshValue $prod != c21 conn_lsh ${c21row.getDouble(0)}")
+    // step=1 sampled recall = the full recall c21 emits (same ranking,
+    // same dedup): the sampled estimator measures the same quantity, so
+    // its at-scale readings in scale_connlsh.json are trustworthy
+    val sampled = Clustering.lshSampledRecall(spark, sfDir, p, t, step = 1L)
+    val full = c21row.getDouble(4)
+    assert(math.abs(sampled - full) < 1e-6, // c21 rounds to 6 decimals
+      s"step=1 sampled recall $sampled != c21 recall $full")
   }
 
   test("MOPSO runs end-to-end on the no-collect global path, seeded-stable") {

@@ -29,6 +29,7 @@ case class AsofOut(user_id: Long, event_id: Long, purchase_at: String,
     click_at: Option[String])
 case class DocRow(doc_id: Long, n_chars: Long)
 case class TextRow(doc_id: Long, text: String)
+case class PtRow(id: Long, features: Seq[Double])
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
@@ -460,6 +461,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       assert(got === want)
       assert(got.values.sum == docs.length)
+    } finally query.stop()
+  }
+
+  test("streaming centroid assignment converges to the batch c3 histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // online clustering serving: vectors arrive, the TRAINED centroids
+    // ride into the plan as literals (the same c1 assignStruct — a
+    // stateless codegen'd argmin, so it streams as-is with no state
+    // store), and a Complete-mode agg keeps the live c3 occupancy
+    // histogram — the clustering-family face of the e1/t7 twin pattern
+    val cs = graft.operators.Clustering.centers(spark, sfDir)
+    val pts = Tables.labeledPoints(spark, sfDir)
+      .select(col("id"), col("features"))
+      .collect().map(r => PtRow(r.getLong(0), r.getSeq[Double](1))).toSeq
+    val input = MemoryStream[PtRow]
+    val query = input.toDF()
+      .withColumn("a",
+        graft.operators.Clustering.assignStruct(col("features"), cs))
+      .groupBy(col("a.cluster").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("assign_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(pts.take(pts.length / 2))
+      query.processAllAvailable()
+      input.addData(pts.drop(pts.length / 2))
+      query.processAllAvailable()
+      val got = spark.table("assign_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      val want = graft.operators.Clustering.c3ClusterHist(spark, sfDir)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(got === want)
+      assert(got.values.sum == pts.length)
     } finally query.stop()
   }
 
