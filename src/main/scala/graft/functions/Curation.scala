@@ -44,7 +44,8 @@ object Curation {
     "p3_domain_mix" -> p3DomainMix,
     "p4_seq_packing" -> p4SeqPacking,
     "p5_decontaminate" -> p5Decontaminate,
-    "p5b_decontaminate_bloom" -> p5bDecontaminateBloom
+    "p5b_decontaminate_bloom" -> p5bDecontaminateBloom,
+    "p6_stratified_sample" -> p6StratifiedSample
   )
 
   /** Eval-set boundary (doc_id < this = held-out) and overlap gram size
@@ -233,6 +234,34 @@ object Curation {
       .select(col("source"), col("rk"), col("doc_id"))
   }
 
+  /** Per-source keep-percentage for p6, derived from the source id's
+    * numeric suffix so rates span the [20,95] band: 20 + 15·(n mod 6)
+    * ∈ {20, 35, 50, 65, 80, 95}.
+    */
+  private def stratPctOf(src: org.apache.spark.sql.Column) =
+    lit(20) + lit(15) *
+      (substring(src, 4, Int.MaxValue).cast("int") % 6)
+
+  /** p6: stratified (per-domain) RATE sampling — keep each document iff a
+    * salted hash of its id falls under its source's keep-percentage.
+    * Unlike p3's fixed per-domain QUOTA (top-k by hash), this is the
+    * fraction sampler a mixing recipe uses ("keep 35% of crawl, 95% of
+    * books"): membership is a pure per-row predicate — no window, no
+    * shuffle, no state — so at 100 TB it's a filter fused into the scan,
+    * and re-running after a partial failure reproduces the identical
+    * sample (the salt isolates it from p2's split hash, so sampling is
+    * independent of splitting). Emits the kept rows themselves; the
+    * oracle re-derives the exact membership, not just the counts.
+    */
+  def p6StratifiedSample: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("hk",
+        hash60(concat(lit("strat:"), col("doc_id").cast("string"))))
+      .where(col("hk") % 100 < stratPctOf(col("source")))
+      .select(col("doc_id"), col("source"),
+        stratPctOf(col("source")).as("pct"))
+      .orderBy(col("doc_id"))
+
   /** p4: offset-quantized contiguous sequence packing — the shard's token
     * stream (docs in doc_id order) is cut at fixed [[PackBudget]] offsets
     * and each document belongs to the sequence containing its FIRST
@@ -308,6 +337,13 @@ object Curation {
          |  FROM documents)
          |WHERE rk <= 8 + 2 * (substr(source, 4)::INT % 7)
          |ORDER BY source, rk""".stripMargin,
+    "p6_stratified_sample" ->
+      s"""SELECT doc_id, source,
+         |  20 + 15 * (substr(source, 4)::INT % 6) AS pct
+         |FROM documents
+         |WHERE ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT
+         |    % 100 < 20 + 15 * (substr(source, 4)::INT % 6)
+         |ORDER BY doc_id""".stripMargin,
     "p5_decontaminate" -> p5OracleSql,
     // p5b produces p5's exact rows (Bloom prefilter + exact verify);
     // hash-matching the same oracle proves the prefilter lost nothing

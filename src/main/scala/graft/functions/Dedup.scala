@@ -86,6 +86,26 @@ object Dedup {
         count(lit(1)).as("n_distinct"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
 
+  /** Streaming exact dedup — dedup-on-ingest, the incremental twin of
+    * [[d1ExactDedup]]'s content-hash semantics: each arriving document is
+    * admitted iff its content hash has never been seen, so the survivor
+    * set after any prefix of the stream equals batch `dropDuplicates` over
+    * that prefix (first-arrival-wins across triggers; StreamingSpec pins
+    * stream-vs-batch equality on a two-batch fixture).
+    *
+    * Scale shape: state is ONE hash per distinct content in the state
+    * store (RocksDB-backed on a real cluster), partitioned by the hash —
+    * the same key the batch groupBy shuffles on, so ingest throughput
+    * scales with executors. State never expires by design (a true
+    * corpus-wide dedup must remember everything); when only near-time
+    * duplicates matter, `dropDuplicatesWithinWatermark` bounds state by
+    * the watermark delay instead.
+    */
+  def streamingExactDedup(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("h", md5(col("text").cast("binary")))
+      .dropDuplicates("h")
+
   /** MinHash signature rows (doc_id, h, mh): for hash function h, the
     * minimum 60-bit hash of `h:token` over the doc's DISTINCT token set.
     * Computed entirely in array expressions — one scan, no shuffle, no UDF.

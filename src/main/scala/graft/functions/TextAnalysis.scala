@@ -47,7 +47,9 @@ object TextAnalysis {
     "t6_vocab" -> t6Vocab,
     "t7_quality_gate" -> t7QualityGate,
     "t8_boilerplate" -> t8Boilerplate,
-    "t10_oov_rate" -> t10OovRate
+    "t10_oov_rate" -> t10OovRate,
+    "t11_bm25" -> t11Bm25,
+    "t12_lm_score" -> t12LmScore
   )
 
   /** Vocabulary size for [[t6Vocab]] — below the fixture's distinct-token
@@ -187,6 +189,103 @@ object TextAnalysis {
         size(col("bpe")).as("n_bpe"),
         size(array_distinct(col("bpe"))).as("n_bpe_uniq"))
       .orderBy(col("doc_id"))
+
+  /** BM25 parameters (the Robertson/Sparck-Jones defaults) and the fixed
+    * query-term list — chosen from the fixture vocabulary so tf varies
+    * across documents at every SF.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("join", "merge", "window", "dup")
+
+  /** BM25 relevance scoring of every document against a fixed query — the
+    * retrieval-style relevance ranker a curation pipeline uses to surface
+    * on-topic documents (and the scoring half of a data-selection loop).
+    *
+    * Two corpus passes, NO corpus-sized shuffle: pass 1 reduces the corpus
+    * to ONE stats row (N, Σdl, df per query term — map-side partials into
+    * a single-row aggregate); pass 2 rescans with that row joined in on a
+    * constant key (BroadcastHashJoin, not a nested-loop cross join) and
+    * computes each document's score with pure codegen expressions — tf via
+    * `size(filter(...))`, idf from the broadcast df columns, summed in
+    * FIXED query-term order so the float result is reproducible across
+    * engines. At 100 TB: two scans + a 1-row broadcast; embarrassingly
+    * parallel.
+    */
+  def t11Bm25: Q = (s, dir) => bm25(Tables.documents(s, dir))
+
+  /** The BM25 transform over any (doc_id, text) frame — see [[t11Bm25]]. */
+  def bm25(input: DataFrame): DataFrame = {
+    val docs = input
+      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("dl", size(col("toks")))
+    val statsAggs =
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+        count(lit(1)).cast("double").as("n_docs") +:
+        Bm25Query.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1).otherwise(0))
+            .cast("double").as(s"df_$i")
+        }
+    val stats = docs.agg(statsAggs.head, statsAggs.tail: _*)
+      .withColumn("one", lit(1))
+    val score = Bm25Query.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      idf * (tf * lit(Bm25K1 + 1)) /
+        (tf + lit(Bm25K1) *
+          (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    docs.withColumn("one", lit(1))
+      .join(broadcast(stats), Seq("one"))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram language-model scoring: per-document average surprisal (nats
+    * per token) under an add-one-smoothed unigram model trained on the
+    * corpus itself — the CCNet/KenLM-style LM quality filter (gibberish
+    * and word-soup score high, template text scores low).
+    *
+    * Scale shape: the model is one tok-keyed shuffle producing a
+    * VOCABULARY-sized count table (map-side partials; never broadcast —
+    * a web-scale vocab can be 10⁸ rows, so application is an honest
+    * shuffle join). Application first reduces the corpus to per-document
+    * DISTINCT term counts (one doc_id+tok shuffle, the classic
+    * term-frequency contraction), joins those against the model on tok,
+    * and re-aggregates per doc_id weighted by in-doc frequency. Per-token
+    * surprisal is quantized to integer micro-nats BEFORE summation so the
+    * per-doc aggregate is an exact integer sum — bit-reproducible under
+    * any partitioning/order, on any engine (a float sum would drift with
+    * reduction order).
+    */
+  def t12LmScore: Q = (s, dir) => lmScore(Tables.documents(s, dir))
+
+  /** The unigram-LM scoring transform over any (doc_id, text) frame — see
+    * [[t12LmScore]].
+    */
+  def lmScore(input: DataFrame): DataFrame = {
+    val tk = input
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+    val termFreq = tk.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val counts = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("t_total"),
+      count(lit(1)).as("v_size")).withColumn("one", lit(1))
+    val surpU = round(-log((col("c") + lit(1.0)) /
+      (col("t_total") + col("v_size"))) * lit(1000000.0), 0).cast(LongType)
+    termFreq.join(counts, Seq("tok"))
+      .withColumn("one", lit(1))
+      .join(broadcast(tot), Seq("one"))
+      .withColumn("surp_u", surpU)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("surp_u")).as("su"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("su") / (col("n_tokens") * lit(1000000.0)), 6)
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Token counting + quality scoring: token count, distinct count, mean
     * token length, stopword ratio.
@@ -363,6 +462,43 @@ object TextAnalysis {
          |    THEN 1.0 - len(list_distinct(sh)) * 1.0 / len(sh)
          |    ELSE 0.0 END, 6) AS dup_ratio
          |FROM s ORDER BY doc_id""".stripMargin,
+    "t11_bm25" -> {
+      // generated from the SAME constants/term list as t11Bm25 so the two
+      // stay in lockstep; term contributions summed in identical order
+      val dfCols = Bm25Query.indices.map { i =>
+        s"  sum(CASE WHEN list_contains(toks, '${Bm25Query(i)}') " +
+          s"THEN 1 ELSE 0 END) * 1.0 AS df_$i"
+      }.mkString(",\n")
+      val termSum = Bm25Query.zipWithIndex.map { case (t, i) =>
+        s"""ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5))
+           |    * (len(list_filter(toks, x -> x = '$t')) * 1.0 * ${Bm25K1 + 1})
+           |    / (len(list_filter(toks, x -> x = '$t')) * 1.0
+           |      + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl / avgdl))"""
+          .stripMargin
+      }.mkString("\n  + ")
+      s"""WITH $toksSql,
+         |d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+         |st AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl,
+         |  count(*) * 1.0 AS n_docs,
+         |$dfCols
+         |FROM d)
+         |SELECT doc_id, round($termSum, 4) AS bm25
+         |FROM d, st ORDER BY doc_id""".stripMargin
+    },
+    "t12_lm_score" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS n FROM tk GROUP BY doc_id, tok),
+        |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |tot AS (SELECT sum(c) AS t_total, count(*) AS v_size FROM cnt),
+        |sc AS (SELECT doc_id, n,
+        |    round(-ln((c + 1.0) / (t_total + v_size)) * 1000000.0, 0)::BIGINT
+        |      AS surp_u
+        |  FROM tf JOIN cnt USING (tok), tot)
+        |SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+        |  round(sum(n * surp_u) / (sum(n) * 1000000.0), 6) AS avg_surprisal
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t10_oov_rate" ->
       s"""WITH tk AS (SELECT doc_id,
          |    unnest(string_split_regex(trim(text), '\\s+')) AS tok

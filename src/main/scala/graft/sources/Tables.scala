@@ -41,11 +41,24 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeEventTs(table(s, d, "events"))
   }
+
+  /** Normalizes the `ts` column to TimestampType whatever the parquet
+    * writer produced — raw nanos-as-long (TIMESTAMP(NANOS) under the
+    * legacy conf), TIMESTAMP_NTZ (µs without isAdjustedToUTC), or already
+    * TIMESTAMP. Session TZ is UTC, so the naive→instant cast is the
+    * identity on the wall-clock DuckDB sees. Shared by the batch accessor
+    * and the streaming file source (same schema, same conversion).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
 
   /** Embeddings with the float vector upcast to array<double> — the engine's

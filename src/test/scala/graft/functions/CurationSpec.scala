@@ -26,6 +26,32 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(again == byName)
   }
 
+  test("p6 stratified sample: membership equals the salted predicate exactly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independent JVM-side reimplementation of hash60('strat:'||id) % 100
+    def keeps(id: Long, source: String): Boolean = {
+      val hk = java.lang.Long.parseLong(md5hex(s"strat:$id").take(15), 16)
+      hk % 100 < 20 + 15 * (source.drop(3).toInt % 6)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = docs.filter((keeps _).tupled).map(_._1).toSet
+    val got = Curation.p6StratifiedSample(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got === expect)
+    // the sample is a strict, non-empty subset, and the salt decouples it
+    // from p2's split hash (same id hashed WITHOUT the salt would differ)
+    assert(got.nonEmpty && got.size < docs.length)
+    val unsalted = docs.filter { case (id, src) =>
+      java.lang.Long.parseLong(md5hex(id.toString).take(15), 16) %
+        100 < 20 + 15 * (src.drop(3).toInt % 6)
+    }.map(_._1).toSet
+    assert(got !== unsalted)
+  }
+
   test("p3 domain mix keeps exactly quota docs per source, ranks contiguous") {
     val kept = Curation.p3DomainMix(spark, sfDir)
     val perSource = kept.groupBy(col("source"))

@@ -82,6 +82,65 @@ class TextQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8 && recall <= 1.0)
   }
 
+  test("t11 BM25 equals an exact local reimplementation; ranks by term mass") {
+    import spark.implicits._
+    import TextAnalysis.{Bm25B, Bm25K1, Bm25Query}
+    val corpus = Seq(
+      1L -> "join join merge filler filler",
+      2L -> "join filler filler filler filler",
+      3L -> "window dup dup",
+      4L -> "nothing relevant here at all")
+    val got = TextAnalysis.bm25(corpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact local twin: same formula, same constants, same rounding
+    val toks = corpus.toMap.view.mapValues(_.split("\\s+").toSeq).toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val df = Bm25Query.map(t =>
+      t -> toks.values.count(_.contains(t)).toDouble).toMap
+    val want = toks.map { case (id, ts) =>
+      val score = Bm25Query.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        idf * (tf * (Bm25K1 + 1)) /
+          (tf + Bm25K1 * ((1 - Bm25B) + Bm25B * ts.size / avgdl))
+      }.sum
+      id -> BigDecimal(score).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(got === want)
+    // two hits of a rarer mix beat one; no query terms → exactly zero
+    assert(got(1L) > got(2L) && got(2L) > 0.0)
+    assert(got(4L) === 0.0)
+  }
+
+  test("t12 LM score equals an exact local twin; word soup outscores repeats") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "zap zap zap zap zap zap",
+      2L -> "quark vortex nimbus oriole jasper flume")
+    val got = TextAnalysis.lmScore(corpus.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact local twin with the SAME integer micro-nat quantization
+    val allToks = corpus.flatMap(_._2.split("\\s+"))
+    val counts = allToks.groupBy(identity).view.mapValues(_.size).toMap
+    val (tTotal, vSize) = (allToks.size, counts.size)
+    def surpU(c: Int): Long =
+      BigDecimal(-math.log((c + 1.0) / (tTotal + vSize)) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val want = corpus.map { case (id, text) =>
+      val ts = text.split("\\s+").toSeq
+      val su = ts.map(t => surpU(counts(t))).sum
+      (id, ts.size.toLong,
+        BigDecimal(su.toDouble / (ts.size * 1000000.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.toSet === want.toSet)
+    // the repeated-token doc is the predictable one: lower surprisal
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) < byId(2L))
+  }
+
   test("q21 pivot cells equal the equivalent group-by aggregation") {
     val pivoted = Relational.q21Pivot(spark, sfDir).collect()
     val years = pivoted.map(_.getInt(0))

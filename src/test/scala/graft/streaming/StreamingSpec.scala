@@ -100,9 +100,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.table(spark, sfDir, "events").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val query = Events.tumblingHourly(stream)
       .writeStream.format("memory").queryName("file_tumbling")
       .outputMode(OutputMode.Complete())
@@ -496,6 +495,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
       assert(got === want)
       assert(got.values.sum == pts.length)
+    } finally query.stop()
+  }
+
+  test("streaming exact dedup admits each content exactly once across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TextRow]
+    val query = graft.functions.Dedup.streamingExactDedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: three distinct contents
+      input.addData(Seq(TextRow(1, "alpha beta"), TextRow(2, "gamma"),
+        TextRow(3, "delta eps")))
+      query.processAllAvailable()
+      val afterOne = spark.table("dedup_out").collect()
+        .map(_.getString(1)).toSet
+      assert(afterOne === Set("alpha beta", "gamma", "delta eps"))
+      // batch 2: two replays of earlier contents + one new — only the
+      // new content may pass (cross-trigger state remembers the hashes)
+      input.addData(Seq(TextRow(4, "alpha beta"), TextRow(5, "gamma"),
+        TextRow(6, "zeta")))
+      query.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(rows.map(_._2).toSet === Set("alpha beta", "gamma",
+        "delta eps", "zeta"))
+      assert(rows.length === 4, "a replayed content leaked through")
+      // first-arrival-wins: the survivors are the batch-1 doc ids + 6
+      assert(rows.map(_._1).toSet === Set(1L, 2L, 3L, 6L))
     } finally query.stop()
   }
 
