@@ -237,10 +237,19 @@ object Curation {
   /** Per-source keep-percentage for p6, derived from the source id's
     * numeric suffix so rates span the [20,95] band: 20 + 15·(n mod 6)
     * ∈ {20, 35, 50, 65, 80, 95}.
+    *
+    * Contract: source ids are `srcNN` (fixture generator invariant). A
+    * malformed id would cast to null and the p6 filter would silently
+    * drop the row — so the cast is guarded with `assert_true`: a
+    * non-numeric suffix FAILS the job instead of vanishing from the
+    * sample (ADVICE r9; same latent pattern p3's quotaOf had).
     */
-  private def stratPctOf(src: org.apache.spark.sql.Column) =
-    lit(20) + lit(15) *
-      (substring(src, 4, Int.MaxValue).cast("int") % 6)
+  private def stratPctOf(src: org.apache.spark.sql.Column) = {
+    val n = substring(src, 4, Int.MaxValue).cast("int")
+    val checked = when(assert_true(n.isNotNull,
+      concat(lit("p6: source id without numeric suffix: "), src)).isNull, n)
+    lit(20) + lit(15) * (checked % 6)
+  }
 
   /** p6: stratified (per-domain) RATE sampling — keep each document iff a
     * salted hash of its id falls under its source's keep-percentage.

@@ -105,6 +105,7 @@ object Dedup {
     stream
       .withColumn("h", md5(col("text").cast("binary")))
       .dropDuplicates("h")
+      .drop("h") // survivors keep the INPUT schema — the hash is state, not output
 
   /** MinHash signature rows (doc_id, h, mh): for hash function h, the
     * minimum 60-bit hash of `h:token` over the doc's DISTINCT token set.

@@ -204,8 +204,12 @@ object TextAnalysis {
     *
     * Two corpus passes, NO corpus-sized shuffle: pass 1 reduces the corpus
     * to ONE stats row (N, Σdl, df per query term — map-side partials into
-    * a single-row aggregate); pass 2 rescans with that row joined in on a
-    * constant key (BroadcastHashJoin, not a nested-loop cross join) and
+    * a single-row aggregate); pass 2 rescans with that row applied via an
+    * explicit `crossJoin(broadcast(stats))` — a benign broadcast
+    * nested-loop join whose build side is exactly one row, so the "loop"
+    * is O(n) with no data movement beyond the 1-row broadcast (the same
+    * documented family as c13's global min/max row; exempted in
+    * PlanAuditSpec.allowCartesian) — and
     * computes each document's score with pure codegen expressions — tf via
     * `size(filter(...))`, idf from the broadcast df columns, summed in
     * FIXED query-term order so the float result is reproducible across
@@ -215,7 +219,16 @@ object TextAnalysis {
   def t11Bm25: Q = (s, dir) => bm25(Tables.documents(s, dir))
 
   /** The BM25 transform over any (doc_id, text) frame — see [[t11Bm25]]. */
-  def bm25(input: DataFrame): DataFrame = {
+  def bm25(input: DataFrame): DataFrame =
+    bm25Score(input, bm25Stats(input)).orderBy(col("doc_id"))
+
+  /** Pass 1: the corpus reduced to ONE stats row — N, avgdl, df per
+    * query term (map-side partials into a single-row aggregate). This is
+    * the frozen "model" of the scorer: batch computes it from the corpus
+    * being scored; the streaming twin computes it ONCE from the training
+    * corpus and serves arriving documents against it (StreamingSpec).
+    */
+  private[graft] def bm25Stats(input: DataFrame): DataFrame = {
     val docs = input
       .withColumn("toks", tokensCol(col("text")))
       .withColumn("dl", size(col("toks")))
@@ -226,8 +239,19 @@ object TextAnalysis {
           sum(when(array_contains(col("toks"), t), 1).otherwise(0))
             .cast("double").as(s"df_$i")
         }
-    val stats = docs.agg(statsAggs.head, statsAggs.tail: _*)
-      .withColumn("one", lit(1))
+    docs.agg(statsAggs.head, statsAggs.tail: _*)
+  }
+
+  /** Pass 2: score any (doc_id, text) frame against a frozen 1-row stats
+    * frame — a stateless per-row computation after the 1-row broadcast,
+    * so the SAME plan serves batch (t11) and a readStream of arriving
+    * documents (stream-static join; no aggregation, append-mode clean).
+    */
+  private[graft] def bm25Score(input: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val docs = input
+      .withColumn("toks", tokensCol(col("text")))
+      .withColumn("dl", size(col("toks")))
     val score = Bm25Query.zipWithIndex.map { case (t, i) =>
       val tf = size(filter(col("toks"), x => x === t)).cast("double")
       val idf = log(lit(1.0) +
@@ -236,10 +260,8 @@ object TextAnalysis {
         (tf + lit(Bm25K1) *
           (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
-    docs.withColumn("one", lit(1))
-      .join(broadcast(stats), Seq("one"))
+    docs.crossJoin(broadcast(stats))
       .select(col("doc_id"), round(score, 4).as("bm25"))
-      .orderBy(col("doc_id"))
   }
 
   /** Unigram language-model scoring: per-document average surprisal (nats
@@ -269,15 +291,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
     val termFreq = tk.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("n"))
-    val counts = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val tot = counts.agg(sum(col("c")).as("t_total"),
-      count(lit(1)).as("v_size")).withColumn("one", lit(1))
-    val surpU = round(-log((col("c") + lit(1.0)) /
-      (col("t_total") + col("v_size"))) * lit(1000000.0), 0).cast(LongType)
-    termFreq.join(counts, Seq("tok"))
-      .withColumn("one", lit(1))
-      .join(broadcast(tot), Seq("one"))
-      .withColumn("surp_u", surpU)
+    termFreq.join(lmModel(input), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tokens"),
         sum(col("n") * col("surp_u")).as("su"))
@@ -286,6 +300,47 @@ object TextAnalysis {
           .as("avg_surprisal"))
       .orderBy(col("doc_id"))
   }
+
+  /** The frozen unigram model: (tok, surp_u) — add-one-smoothed integer
+    * micro-nat surprisal per vocabulary term. Batch lmScore trains it on
+    * the corpus being scored; the streaming twin trains ONCE and serves
+    * (a vocabulary-sized static table — honestly shuffle-joined, never
+    * broadcast, because a web-scale vocab can be 10⁸ rows).
+    */
+  private[graft] def lmModel(input: DataFrame): DataFrame = {
+    val counts = input
+      .select(explode(tokensCol(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("t_total"),
+      count(lit(1)).as("v_size"))
+    val surpU = round(-log((col("c") + lit(1.0)) /
+      (col("t_total") + col("v_size"))) * lit(1000000.0), 0).cast(LongType)
+    counts.crossJoin(broadcast(tot)).select(col("tok"), surpU.as("surp_u"))
+  }
+
+  /** Score any (doc_id, text) frame against a frozen (tok, surp_u) model
+    * with ONE keyed aggregation — the streaming-servable application
+    * face. The batch face contracts to per-document DISTINCT term counts
+    * before the model join (fewer join rows); a stream cannot chain that
+    * contraction's aggregation into the final one, so this face joins at
+    * token level and aggregates once. The two are exactly equal — Σ over
+    * tokens of surp_u = Σ over distinct terms of n·surp_u, and the
+    * micro-nat integer sum is order-independent — so the streaming twin
+    * converges to the oracle-checked t12 answer (StreamingSpec pins it).
+    * Tokens absent from the model (OOV of a frozen vocabulary) are
+    * dropped by the inner join, matching add-one smoothing's in-vocab
+    * domain; batch self-training has no OOV by construction.
+    */
+  private[graft] def lmScoreApply(input: DataFrame,
+      model: DataFrame): DataFrame =
+    input
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+      .join(model, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surp_u")).as("su"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("su") / (col("n_tokens") * lit(1000000.0)), 6)
+          .as("avg_surprisal"))
 
   /** Token counting + quality scoring: token count, distinct count, mean
     * token length, stopword ratio.

@@ -36,12 +36,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     *  - s1/s5/s6: brute-force top-k and exact-recall denominators
     *  - s3: points × the K=10 centroid rows (IVF cell assignment)
     *  - d5: the ≤100-doc exact Jaccard verifier
+    *  - t11/t12: explicit `crossJoin(broadcast(statsRow))` — the corpus
+    *    reduced to EXACTLY ONE aggregate row (BM25 N/avgdl/df; LM
+    *    t_total/v_size) re-applied to every document; the planned
+    *    BroadcastNestedLoopJoin is O(n) with a 1-row build side, the
+    *    same documented family as c13.
     */
   private val allowCartesian = Set(
     "c9_knn", "c10_conn", "c13_minmax_norm", "c14_silhouette",
     "c19_conn_topk", "c21_conn_lsh",
     "s1_cosine_topk", "s3_ann_ivf", "s5_ann_recall", "s6_quant_recall",
-    "d5_jaccard_pairs")
+    "d5_jaccard_pairs", "t11_bm25", "t12_lm_score")
 
   /** Documented unpartitioned-window sites — each rides a tiny DERIVED
     * table, never a fact table: c12's crowding sorts the Pareto front

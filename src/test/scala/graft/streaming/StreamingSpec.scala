@@ -430,6 +430,73 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming BM25 scoring against frozen stats matches batch t11") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production decomposition of t11 (VERDICT r9 §next-6): corpus
+    // stats frozen ONCE in batch, arriving documents scored against the
+    // 1-row broadcast — the t4c batch-train/stream-serve pattern. The
+    // scoring face has NO aggregation, so it streams append-clean.
+    val batchDocs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val stats = graft.functions.TextAnalysis.bm25Stats(batchDocs)
+    val docs = batchDocs.collect()
+      .map(r => TextRow(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TextRow]
+    // the SAME bm25Score plan t11 runs in batch, stream-static
+    val query = graft.functions.TextAnalysis
+      .bm25Score(input.toDF(), stats)
+      .writeStream.format("memory").queryName("bm25_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val got = spark.table("bm25_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val want = graft.functions.TextAnalysis.t11Bm25(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got === want)
+      assert(got.size === docs.length)
+    } finally query.stop()
+  }
+
+  test("streaming LM scoring against the frozen model matches batch t12") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // t12's serving shape: the vocabulary-sized unigram model trained
+    // ONCE in batch (a static shuffle-joined table, deliberately never
+    // broadcast), arriving documents scored with ONE keyed aggregation
+    val batchDocs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val model = graft.functions.TextAnalysis.lmModel(batchDocs)
+    val docs = batchDocs.collect()
+      .map(r => TextRow(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TextRow]
+    val query = graft.functions.TextAnalysis
+      .lmScoreApply(input.toDF(), model)
+      .writeStream.format("memory").queryName("lm_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val got = spark.table("lm_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the oracle-checked batch face: token-level Σ surp_u equals the
+      // distinct-term Σ n·surp_u contraction exactly (integer micro-nats)
+      val want = graft.functions.TextAnalysis.t12LmScore(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === want)
+      assert(got.size === docs.length, "fixture has no zero-token docs")
+    } finally query.stop()
+  }
+
   test("streaming quality gate converges to the batch verdict histogram") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
