@@ -361,6 +361,15 @@ object Audio {
     * fills (the cos ≈ 0.8 cross-gid wide pairs that a star edge must
     * never be asked to bridge) differ ≳ 2 mean bins. AudioSpec pins
     * both properties.
+    *
+    * PROBE-GRID CONTRACT (VERDICT r9 §next-7): the 2×2 two-probe emits a
+    * pair iff the docs are within ONE bin on BOTH axes — so any drift
+    * < [[RangeBinWidth]] units is covered even when it straddles a bin
+    * edge (quantization cannot cost recall inside the radius), while a
+    * pair ≥ 2 bins apart on either axis is NEVER a candidate, no matter
+    * how high its cosine: drift beyond [[RangeBinWidth]] units is
+    * out-of-contract by design (widen the bins or add probes to cover
+    * more). AudioSpec pins both faces adversarially.
     */
   val RangeBinWidth = 16
 
@@ -401,6 +410,19 @@ object Audio {
     */
   def mm10bAudioDedup: Q = (s, dir) => {
     val st = pairStats(s, dir, withRms = true).persist()
+    val out = dedupGroupsFromStats(st,
+      Tables.documents(s, dir).select(col("doc_id")))
+    st.unpersist()
+    out
+  }
+
+  /** The mm10b pipeline over any (id, sr, ch, bits, nf, emb) stats frame
+    * — factored so AudioSpec can drive the probe grid with adversarial
+    * stat rows (bin-edge straddles, beyond-radius drift) that the
+    * jitter-bounded fixture never produces.
+    */
+  private[graft] def dedupGroupsFromStats(st: DataFrame,
+      allIds: DataFrame): DataFrame = {
     // channel-0 range/mean in 8-bit units (16-bit amplitudes are v·256,
     // so the division is exact), quantized; emb is [nf, mean0, min0,
     // max0, rms0, ...]
@@ -428,10 +450,8 @@ object Audio {
       .where(graft.core.Linalg.cosineCol(col("ea"), col("eb")) >=
         AudioNearDupCosine)
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
-    val out = Dedup.connectedComponents(
-      Tables.documents(s, dir).select(col("doc_id")), verified)
-    st.unpersist()
-    out.select(col("doc_id").as("id"), col("group_id"))
+    Dedup.connectedComponents(allIds, verified)
+      .select(col("doc_id").as("id"), col("group_id"))
       .orderBy(col("id"))
   }
 

@@ -219,4 +219,53 @@ class AudioSpec extends AnyFunSuite with SparkTestBase {
     assert(n.map(_._5).max <= 1)
     assert(w.map(_._5).min >= 5)
   }
+
+  /** Adversarial stats frame for the probe-grid contract cases: same
+    * container key throughout, 8-bit (scale 1), emb = [nf, mean0, min0,
+    * max0, rms0] so range/mean read directly off the array.
+    */
+  private def statsDf(rows: Seq[(Long, Array[Double])]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    rows.toDF("id", "emb")
+      .select(col("id"), lit(8000).as("sr"), lit(1).as("ch"),
+        lit(8).as("bits"), lit(10).as("nf"), col("emb"))
+  }
+
+  private def groupsOf(rows: Seq[(Long, Array[Double])]): Map[Long, Long] = {
+    import spark.implicits._
+    val ids = rows.map(_._1).toDF("doc_id")
+    Audio.dedupGroupsFromStats(statsDf(rows), ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  }
+
+  test("probe-grid contract: a bin-edge straddle is still covered (recall 1.0)") {
+    // ranges 15 vs 16 sit on OPPOSITE sides of the rbin 0/1 edge — the
+    // worst case quantization allows inside the covered radius. The 2x2
+    // two-probe must still emit the pair: drift < RangeBinWidth units
+    // can never be lost to bin placement.
+    val a = 1L -> Array(10.0, 120.0, 112.0, 127.0, 121.0) // range 15 → rbin 0
+    val b = 2L -> Array(10.0, 121.0, 112.0, 128.0, 122.0) // range 16 → rbin 1
+    assert(graft.core.Linalg.cosine(a._2, b._2) >= Audio.AudioNearDupCosine,
+      "fixture must verify — the case tests blocking, not the cosine gate")
+    val g = groupsOf(Seq(a, b))
+    assert(g(1L) === g(2L),
+      "bin-edge straddling near-dup pair missed by the two-probe grid")
+  }
+
+  test("probe-grid contract: drift beyond one bin is out-of-contract (documented miss)") {
+    // range 15 (rbin 0) vs range 47 (rbin 2): cosine-verifiable near-dup
+    // 2 bins apart on the range axis. Probe sets {0,1} and {2,3} are
+    // disjoint, so the pair is NEVER a candidate — the contract's
+    // covered radius is ONE bin per axis (drift < RangeBinWidth units);
+    // beyond it the miss is by design (widen RangeBinWidth or add
+    // probes to extend coverage), not a bug the verify could recover.
+    val a = 1L -> Array(10.0, 120.0, 112.0, 127.0, 121.0) // range 15 → rbin 0
+    val c = 3L -> Array(10.0, 120.0, 96.0, 143.0, 121.0) // range 47 → rbin 2
+    assert(graft.core.Linalg.cosine(a._2, c._2) >= Audio.AudioNearDupCosine,
+      "the pair must be semantically verifiable for the miss to be the grid's")
+    val g = groupsOf(Seq(a, c))
+    assert(g(1L) !== g(3L),
+      "beyond-radius pair unexpectedly candidate — contract drifted")
+  }
 }
