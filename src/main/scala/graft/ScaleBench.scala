@@ -59,6 +59,10 @@ object ScaleBench {
     "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",
     "e6_range_campaigns", "e7_session_campaign_overlap",
     "t9_heavy_hitters", "t10_oov_rate",
+    // round-9 scorers + sampler (VERDICT r9 §next-5): t12's vocab-sized
+    // shuffle join is the one with a real transition to observe; t11 and
+    // p6 are scan-shaped and should ride flat
+    "t11_bm25", "t12_lm_score", "p6_stratified_sample",
     // t4b first so t4c's row times the APPLY leg alone (the trainer
     // memoizes per (dir, m) within the JVM)
     "t4b_bpe_merges", "t4c_bpe_apply",
@@ -189,21 +193,23 @@ object ScaleBench {
     * these are two configs of the same workload, not twins; both runs
     * must still produce a non-empty archive.)
     */
-  private def m1PartitionCompare(spark: SparkSession, work: String,
-      mult: Int): Seq[(String, Double)] = {
+  private def m1TimeRun(spark: SparkSession, work: String,
+      parts: Int): Double = {
     import graft.mopso.{Config, Mopso, MopsoConfig}
     val pts = Tables.labeledPoints(spark, work)
-    def timeRun(parts: Int): Double = {
-      val cfg = MopsoConfig.avg(numPartitions = parts).copy(
-        iterMax = 10, partitioning = Config.PartByIdRange)
-      val t0 = System.nanoTime()
-      val r = Mopso.run(spark, pts, cfg, seed = 42L)
-      require(r.archive.nonEmpty, s"empty archive at parts=$parts")
-      (System.nanoTime() - t0) / 1e9
-    }
+    val cfg = MopsoConfig.avg(numPartitions = parts).copy(
+      iterMax = 10, partitioning = Config.PartByIdRange)
+    val t0 = System.nanoTime()
+    val r = Mopso.run(spark, pts, cfg, seed = 42L)
+    require(r.archive.nonEmpty, s"empty archive at parts=$parts")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def m1PartitionCompare(spark: SparkSession, work: String,
+      mult: Int): Seq[(String, Double)] = {
     val scaledParts = 8 * mult
-    Seq(s"m1_parts$scaledParts" -> timeRun(scaledParts),
-      "m1_parts8" -> timeRun(8))
+    Seq(s"m1_parts$scaledParts" -> m1TimeRun(spark, work, scaledParts),
+      "m1_parts8" -> m1TimeRun(spark, work, 8))
   }
 
   /** The vocab pipeline at corpus scale (VERDICT r7 §next-7): t6+t10
@@ -281,13 +287,80 @@ object ScaleBench {
       mult: Int): Seq[(String, Double)] = {
     import graft.functions.Bpe
     val depths = if (mult >= 100) Seq(1000) else Seq(1000, 4000)
-    depths.flatMap { m =>
+    val scaledRows = depths.flatMap { m =>
       val t0 = System.nanoTime()
       val (merges, words) = Bpe.train(spark, work, m)
       val sec = (System.nanoTime() - t0) / 1e9
       require(words.count() > 0, "trainer lost the word table")
       Seq(s"bpe_m$m" -> sec, s"bpe_m${m}_merges" -> merges.length.toDouble)
     }
+    scaledRows ++ zipfDepthRows(spark, work, mult)
+  }
+
+  /** BPE at PRODUCTION depth (VERDICT r9 §next-4): the scaled TPC-H-ish
+    * corpus exhausts its mergeable pairs at ~90–180 merges — two orders
+    * of magnitude short of a 30k-merge production run — so the per-merge
+    * cost curve was never pinned in the regime that matters. This
+    * generates a vocabulary-RICH synthetic corpus (Zipf-tailed rank
+    * distribution over syllable-composed word types: rank spelled in
+    * base-8 syllables, so frequent words are short and the type set has
+    * deep shared substructure for merges to consume) and runs the FULL
+    * trainer — pre-tokenize, word-count contraction, merge loop — to
+    * ≥1k ACTUAL merges with no early stop. Corpus tokens grow with
+    * `mult`; the word TABLE stays vocabulary-bound, which is exactly the
+    * claim the depth rows measure (per-merge cost flat across the
+    * decade). Two depths pin the curve's slope, not just one point. The
+    * driver-gate oracle is untouched (M=32 on the fixture corpus).
+    */
+  private def zipfDepthRows(spark: SparkSession, work: String,
+      mult: Int): Seq[(String, Double)] = {
+    import graft.functions.Bpe
+    val zdir = work + "_zipf"
+    writeZipfCorpus(spark, zdir, nDocs = 2000L * mult)
+    Seq(250, 1000).flatMap { m =>
+      val t0 = System.nanoTime()
+      val (merges, words) = Bpe.train(spark, zdir, m)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(words.count() > 0, "trainer lost the zipf word table")
+      require(merges.length == m,
+        s"zipf corpus exhausted at ${merges.length} < $m merges — " +
+          "not the production-depth regime this mode exists to pin")
+      Seq(s"bpezipf_m$m" -> sec,
+        s"bpezipf_m${m}_merges" -> merges.length.toDouble)
+    }
+  }
+
+  /** Zipf vocabulary constants: ~[[ZipfVocab]] word types, log-uniform
+    * rank sampling (density ∝ 1/rank — Zipf s≈1), [[ZipfWordsPerDoc]]
+    * tokens per document.
+    */
+  private val ZipfVocab = 20000.0
+  private val ZipfWordsPerDoc = 100
+
+  /** The corpus generator: fully distributed (spark.range + per-position
+    * hash sampling, no driver loop, no RNG — xxhash64 keyed by (doc,
+    * position) is the deterministic seed), written as a documents table
+    * so [[graft.functions.Bpe.train]] runs its production path on it.
+    */
+  private def writeZipfCorpus(spark: SparkSession, dir: String,
+      nDocs: Long): Unit = {
+    val syls = array(Seq("ba", "ce", "di", "fo", "gu", "he", "ki", "lo")
+      .map(lit): _*)
+    // rank → base-8 digits → syllables: rank 1 = "ce", rank 9 = "cece" …
+    def wordOf(rank: org.apache.spark.sql.Column) =
+      concat_ws("", transform(
+        regexp_extract_all(conv(rank.cast("string"), 10, 8),
+          lit("."), lit(0)),
+        d => element_at(syls, ascii(d) - 47)))
+    // u log-uniform in [0,1) → rank = floor(V^u) ∈ [1, V): P(r) ∝ 1/r
+    def rankAt(i: org.apache.spark.sql.Column) = floor(pow(lit(ZipfVocab),
+      pmod(xxhash64(col("id"), i, lit("zipfbpe")), lit(1000000L))
+        / lit(1000000.0))).cast("long")
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(ZipfWordsPerDoc)),
+          i => wordOf(rankAt(i)))).as("text"))
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
   }
 
   /** LSH-fed Conn at corpus scale (the c21 claim, measured): a FIXED
@@ -309,8 +382,12 @@ object ScaleBench {
     import graft.operators.Clustering
     val tables = Clustering.LshTables
     val pinned = Clustering.LshPlanes
-    val scaled = pinned + (64 - java.lang.Long.numberOfLeadingZeros(
-      math.max(1, mult - 1).toLong)).toInt // + ceil(log2(mult))
+    // the scaled layout is now the ENGINE's rule (Clustering.lshPlanesFor,
+    // promoted from this mode's r9 ad-hoc log2(mult) — VERDICT r9
+    // §next-3): derived from the actual point count, so this mode
+    // exercises exactly what production connLshAuto would run
+    val n = Tables.labeledPoints(spark, work).count()
+    val scaled = Clustering.lshPlanesFor(n)
     def pairsOf(p: Int): Long =
       Clustering.lshCandidatePairCount(spark, work, p, tables)
     def timeConn(p: Int): Double = {
@@ -333,7 +410,6 @@ object ScaleBench {
     // denominator is O(s·n) for the sample where the full one is the
     // quadratic this mode exists to avoid (step=1 equals c21's recall
     // column, spec-pinned — the sample estimates the same quantity)
-    val n = Tables.labeledPoints(spark, work).count()
     val step = math.max(1L, n / 200L)
     val recallScaled =
       Clustering.lshSampledRecall(spark, work, scaled, tables, step)
@@ -341,7 +417,9 @@ object ScaleBench {
       s"connlsh_planes${scaled}_pairs" -> pairsScaled.toDouble,
       s"connlsh_planes${pinned}_sec" -> secPinned,
       s"connlsh_planes${scaled}_sec" -> secScaled,
-      s"connlsh_planes${scaled}_recall" -> recallScaled)
+      s"connlsh_planes${scaled}_recall" -> recallScaled,
+      "connlsh_auto_planes" -> scaled.toDouble,
+      "connlsh_n_points" -> n.toDouble)
   }
 
   def main(args: Array[String]): Unit = {
@@ -422,7 +500,17 @@ object ScaleBench {
     }
 
     timeOne(set.head) // warmup: JIT + codegen + page cache
-    val results = set.map(n => n -> timeOne(n))
+    val timedSet = set.map(n => n -> timeOne(n))
+    // VERDICT r9 §next-8: the m1 partition-scaling mitigation (8·mult
+    // partitions holds per-partition size constant — O(n·nᵤ) instead of
+    // the reference-pinned 8-partition O(Σnᵤ²)) re-measured in EVERY
+    // decade refresh, so scale_out/scale_x100 always carry the mitigated
+    // row next to the reference-pinned m1_mopso_archive
+    val results =
+      if (set.contains("m1_mopso_archive"))
+        timedSet :+ ("m1_mopso_archive_scaledparts" ->
+          m1TimeRun(spark, work, 8 * mult))
+      else timedSet
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -300,6 +300,45 @@ object Clustering {
   val LshPlanes = 4
   val LshTables = 8
 
+  /** The point count the [[LshPlanes]]×[[LshTables]] layout was tuned
+    * at (the sf0.01 fixture) — the fixed point of [[lshPlanesFor]].
+    */
+  val LshBasePoints = 500L
+
+  /** The measured scaled-planes rule promoted into the engine API
+    * (VERDICT r9 §next-3): planes = [[LshPlanes]] + ⌈log₂(n/n₀)⌉ with
+    * n₀ = [[LshBasePoints]]. A FIXED sign-LSH layout has a fixed
+    * bucket-mass distribution, so its candidate compute is Θ(n²) no
+    * matter how good it looked at fixture size — ScaleBench's `connlsh`
+    * mode measured the pinned 4×8 layout at 22.0B candidate pairs at
+    * x100 while planes grown with log₂ held near-linear cost at recall
+    * 0.93–1.00. Each extra plane splits every table's buckets ~2×, so
+    * growing planes logarithmically with n holds per-bucket occupancy
+    * (and hence candidate pairs per point) roughly constant. At
+    * n ≤ n₀ this returns exactly [[LshPlanes]], so the c21 oracle
+    * layout is byte-unchanged at the fixture.
+    */
+  def lshPlanesFor(n: Long): Int = {
+    require(n > 0, s"lshPlanesFor needs a positive count, got $n")
+    val ratioCeil = (n + LshBasePoints - 1) / LshBasePoints
+    val extra = if (ratioCeil <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(ratioCeil - 1)
+    LshPlanes + extra
+  }
+
+  /** The production LSH Conn with the layout DERIVED from the data
+    * ([[lshPlanesFor]] over a cheap count) — what a pipeline should call
+    * at an arbitrary corpus size instead of inheriting the fixture
+    * layout. The count is one O(n) metadata-cheap pass; the layout it
+    * buys avoids the Θ(n²) candidate blow-up measured in
+    * `scale_connlsh.json`. At the sf0.01 fixture this equals
+    * [[connLshValue]] at the pinned 4×8 (spec-pinned).
+    */
+  private[graft] def connLshAuto(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.labeledPoints(s, dir).count()
+    connLshValue(s, dir, lshPlanesFor(n), LshTables)
+  }
+
   /** Data-derived hyperplanes: the first planes·tables point vectors
     * (the s2 convention), deterministic and oracle-replayable.
     */

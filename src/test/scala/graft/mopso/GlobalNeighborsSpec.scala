@@ -154,6 +154,36 @@ class GlobalNeighborsSpec extends AnyFunSuite with SparkTestBase {
       s"step=1 sampled recall $sampled != c21 recall $full")
   }
 
+  test("auto LSH layout: lshPlanesFor derivation + fixture fixed point") {
+    import graft.operators.Clustering
+    val P = Clustering.LshPlanes
+    val n0 = Clustering.LshBasePoints
+    // the rule is planes = LshPlanes + ceil(log2(n / n0)) exactly:
+    // boundary values either side of each power-of-two ratio
+    assert(Clustering.lshPlanesFor(1L) === P)
+    assert(Clustering.lshPlanesFor(n0) === P) // fixed point at the fixture
+    assert(Clustering.lshPlanesFor(n0 + 1) === P + 1)
+    assert(Clustering.lshPlanesFor(2 * n0) === P + 1)
+    assert(Clustering.lshPlanesFor(2 * n0 + 1) === P + 2)
+    assert(Clustering.lshPlanesFor(10 * n0) === P + 4) // ScaleBench x10
+    assert(Clustering.lshPlanesFor(100 * n0) === P + 7) // ScaleBench x100
+    assert(Clustering.lshPlanesFor(1024 * n0) === P + 10)
+    // monotone non-decreasing across three decades
+    val seq = (1L to 60L).map(k => Clustering.lshPlanesFor(k * 100))
+    assert(seq === seq.sorted)
+    // at fixture scale the derived layout IS the pinned layout, so the
+    // production auto form equals the oracle-pinned connLshValue —
+    // c21's oracle is byte-unchanged by the promotion
+    val n = Tables.labeledPoints(spark, sfDir).count()
+    assert(Clustering.lshPlanesFor(n) === P,
+      s"fixture count $n must derive the pinned layout")
+    val auto = Clustering.connLshAuto(spark, sfDir).head().getDouble(0)
+    val pinnedV = Clustering.connLshValue(spark, sfDir, P,
+      Clustering.LshTables).head().getDouble(0)
+    assert(auto === pinnedV,
+      s"connLshAuto $auto != pinned connLshValue $pinnedV")
+  }
+
   test("MOPSO runs end-to-end on the no-collect global path, seeded-stable") {
     val cfg = MopsoConfig.particle.copy(
       iterMax = 5, numPartitions = 8, globalExactDistributed = true)
