@@ -54,6 +54,10 @@ object ScaleBench {
     "p1_corpus_curation", "p2_hash_split", "p5_decontaminate",
     "s1_cosine_topk", "s2_lsh_buckets", "s3_ann_ivf",
     "s4_embedding_neardup", "s5_ann_recall",
+    // round-10: the auto-nlist IVF (cells derived from the count, √n
+    // build) — the scale form whose pinned-K twin s3 would probe a
+    // fixed FRACTION of the corpus per query
+    "s7_ann_ivf_auto",
     "t1_token_stats", "t3_fingerprint", "t5_repetition",
     "t7_quality_gate", "t8_boilerplate",
     "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",

@@ -32,7 +32,8 @@ object Similarity {
     "s3_ann_ivf" -> s3AnnIvf,
     "s4_embedding_neardup" -> s4EmbeddingNeardup,
     "s5_ann_recall" -> s5AnnRecall,
-    "s6_quant_recall" -> s6QuantRecall
+    "s6_quant_recall" -> s6QuantRecall,
+    "s7_ann_ivf_auto" -> s7AnnIvfAuto
   )
 
   /** Plane count for the near-dup bucketing — coarser than [[NumPlanes]]
@@ -171,6 +172,71 @@ object Similarity {
     * recall/cost curve that s5 measures at nprobe ∈ {1, 5, 10}.
     */
   def s3AnnIvf: Q = (s, dir) => annIvf(s, dir, nprobe = 1)
+
+  /** IVF cell-count rule — the ANN twin of
+    * [[graft.operators.Clustering.lshPlanesFor]], closing the same
+    * fixed-layout-at-scale trap: a PINNED nlist means per-probe
+    * candidate mass is n/nlist, i.e. every probe scans a FIXED FRACTION
+    * of the corpus — linear per query no matter how good K=10 looked at
+    * fixture size. The standard balance is nlist ≈ √n: per-probe
+    * candidates (n/nlist) and the per-query cell ranking (nlist) grow
+    * together as √n. Rule: nlist = max(K, ⌊√(n/5)⌋), whose fixed point
+    * is the sf0.01 fixture (n = 500 → √100 = exactly [[Clustering.K]]
+    * = 10), so [[s7AnnIvfAuto]] equals s3's index there and the s3
+    * oracle family is unchanged (spec-pinned).
+    */
+  def ivfCellsFor(n: Long): Int = {
+    require(n > 0, s"ivfCellsFor needs a positive count, got $n")
+    math.max(Clustering.K, math.sqrt(n / 5.0).toInt)
+  }
+
+  /** s7: the SCALE form of s3 — IVF with the cell count DERIVED from the
+    * data ([[ivfCellsFor]] over a cheap count) and the coarse centroids
+    * as a broadcast TABLE (the first nlist vectors, the same s2/s3
+    * convention) instead of codegen literals, which cap out at tens of
+    * centroids. Assignment and probing are both one
+    * `crossJoin(broadcast(centroids))` + a min-struct aggregate (dist,
+    * cell) — argmin with ties toward the lower cell id, exactly s3's
+    * rule — so the whole index replays in SQL and the oracle computes
+    * nlist from the same count. At the sf0.01 fixture the derived nlist
+    * IS K = 10 and s7's output equals s3's row-for-row (the fixed-point
+    * contract, spec-pinned); at 100× the index has √-scaled cells where
+    * s3's pinned 10 would make every probe scan 10% of the corpus.
+    * Build cost n·nlist = n^1.5 distance evals is the standard IVF
+    * build — one embarrassingly parallel pass, amortized over every
+    * query the index serves.
+    */
+  def s7AnnIvfAuto: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val nlist = ivfCellsFor(e.count())
+    val cents = e.where(col("vec_id") < nlist)
+      .select((col("vec_id") + 1).cast("int").as("cell"),
+        col("features").as("cv"))
+    // nearest cell per vector: min over struct(dist, cell, payload) —
+    // (dist, cell) is a total order (cell ids are distinct), so the
+    // payload field never participates in the comparison
+    def nearestCell(in: DataFrame, idAs: String, vecAs: String) = in
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(Linalg.euclidCol(col("features"), col("cv")).as("dist"),
+          col("cell"), col("features").as("v")).as("dcv"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dcv")).as("m"))
+      .select(col("vec_id").as(idAs), col("m.cell").as("cell"),
+        col("m.v").as(vecAs))
+    val assigned = nearestCell(e, "nid", "nv")
+    val probes = nearestCell(e.where(col("vec_id") < 5), "qid", "qv")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("nid"))
+    probes.join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"))
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** The nprobe settings s5 reports, {1, 5, K=10} — the recall/cost curve
     * of the index, up to nprobe = K where the probe degenerates to exact
@@ -342,6 +408,24 @@ object Similarity {
       s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT vec_id + 1 AS cid, embedding::DOUBLE[] AS cv
          |  FROM embeddings WHERE vec_id < ${Clustering.K}),
+         |a AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT p.vec_id, p.v, c.cid,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY list_distance(p.v, c.cv), c.cid) AS rn
+         |  FROM p CROSS JOIN c) WHERE rn = 1)
+         |SELECT qid, rank, nid FROM (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_distance(q.v, n.v), n.vec_id) AS rank
+         |  FROM a q JOIN a n ON q.cell = n.cell AND q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s7_ann_ivf_auto" ->
+      s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |nl AS (SELECT GREATEST(${Clustering.K},
+         |    CAST(FLOOR(sqrt(count(*) / 5.0)) AS INT)) AS nlist FROM p),
+         |c AS (SELECT vec_id + 1 AS cid, v AS cv FROM p
+         |  WHERE vec_id < (SELECT nlist FROM nl)),
          |a AS (SELECT vec_id, v, cid AS cell FROM (
          |  SELECT p.vec_id, p.v, c.cid,
          |    row_number() OVER (PARTITION BY p.vec_id

@@ -218,4 +218,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(recalls.sliding(2).forall(p => p.head._2 <= p.last._2),
       s"recall not monotone: $recalls")
   }
+
+  test("auto IVF: ivfCellsFor derivation + fixture fixed point equals s3") {
+    val K = graft.operators.Clustering.K
+    // the rule is nlist = max(K, floor(sqrt(n/5))): fixture fixed point
+    // and the boundary values either side of it
+    assert(Similarity.ivfCellsFor(1L) === K)
+    assert(Similarity.ivfCellsFor(500L) === K) // sf0.01: sqrt(100) = 10 = K
+    assert(Similarity.ivfCellsFor(5 * 241L) === 15) // sqrt(241) = 15.52…
+    assert(Similarity.ivfCellsFor(2000L) === 20) // sf0.1: sqrt(400)
+    assert(Similarity.ivfCellsFor(20000L) === 63) // x10: sqrt(4000)
+    assert(Similarity.ivfCellsFor(200000L) === 200) // x100: sqrt(40000)
+    // monotone non-decreasing across the decades
+    val seq = (1L to 60L).map(k => Similarity.ivfCellsFor(k * 5000))
+    assert(seq === seq.sorted)
+    // at the fixture the derived nlist IS K and the centroid convention
+    // (first nlist vectors) IS s3's, so the broadcast-table index must
+    // reproduce s3's literal-codegen index row-for-row — the fixed-point
+    // contract that keeps the s3 oracle family unchanged
+    val s3 = Similarity.s3AnnIvf(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val s7 = Similarity.s7AnnIvfAuto(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(s7 === s3, "auto IVF diverged from s3 at the fixed point")
+  }
 }

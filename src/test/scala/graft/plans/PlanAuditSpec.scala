@@ -35,6 +35,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     *  - c13: front rows × the 1-row global min/max aggregate
     *  - s1/s5/s6: brute-force top-k and exact-recall denominators
     *  - s3: points × the K=10 centroid rows (IVF cell assignment)
+    *  - s7: points × the broadcast nlist-row coarse-centroid table
+    *    (nlist = ⌊√(n/2)⌋ — the IVF build's n·√n distance evals, the
+    *    standard index-construction cost, amortized over every query)
     *  - d5: the ≤100-doc exact Jaccard verifier
     *  - t11/t12: explicit `crossJoin(broadcast(statsRow))` — the corpus
     *    reduced to EXACTLY ONE aggregate row (BM25 N/avgdl/df; LM
@@ -46,6 +49,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "c9_knn", "c10_conn", "c13_minmax_norm", "c14_silhouette",
     "c19_conn_topk", "c21_conn_lsh",
     "s1_cosine_topk", "s3_ann_ivf", "s5_ann_recall", "s6_quant_recall",
+    "s7_ann_ivf_auto",
     "d5_jaccard_pairs", "t11_bm25", "t12_lm_score")
 
   /** Documented unpartitioned-window sites — each rides a tiny DERIVED
