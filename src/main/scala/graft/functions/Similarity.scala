@@ -212,18 +212,26 @@ object Similarity {
     val cents = e.where(col("vec_id") < nlist)
       .select((col("vec_id") + 1).cast("int").as("cell"),
         col("features").as("cv"))
-    // nearest cell per vector: min over struct(dist, cell, payload) —
-    // (dist, cell) is a total order (cell ids are distinct), so the
-    // payload field never participates in the comparison
-    def nearestCell(in: DataFrame, idAs: String, vecAs: String) = in
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        struct(Linalg.euclidCol(col("features"), col("cv")).as("dist"),
-          col("cell"), col("features").as("v")).as("dcv"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("dcv")).as("m"))
-      .select(col("vec_id").as(idAs), col("m.cell").as("cell"),
-        col("m.v").as(vecAs))
+    // nearest cell per vector: min over struct(dist, cell) — a total
+    // order (cell ids are distinct), ties toward the lower cell id,
+    // exactly s3's rule. The aggregate rows stay NARROW (double + int):
+    // carrying the feature array through the n·nlist candidate rows
+    // instead measured 41x decade growth at x100 (allocation-bound, a
+    // copied 64-double array per candidate row); the vector rides back
+    // in via a vec_id join over just n rows
+    def nearestCell(in: DataFrame, idAs: String, vecAs: String) = {
+      val am = in
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(Linalg.euclidCol(col("features"), col("cv")).as("dist"),
+            col("cell")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+      in.select(col("vec_id"), col("features")).join(am, Seq("vec_id"))
+        .select(col("vec_id").as(idAs), col("cell"),
+          col("features").as(vecAs))
+    }
     val assigned = nearestCell(e, "nid", "nv")
     val probes = nearestCell(e.where(col("vec_id") < 5), "qid", "qv")
     val w = Window.partitionBy(col("qid"))
