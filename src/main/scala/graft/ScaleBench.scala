@@ -367,6 +367,44 @@ object ScaleBench {
       .write.mode("overwrite").parquet(dir + "/documents.parquet")
   }
 
+  /** The auto-IVF recall/cost curve at corpus scale (the s7 twin of the
+    * `connlsh` mode): growing nlist with √n keeps per-probe work
+    * √-scaled, but at FIXED nprobe = 1 the probed corpus fraction
+    * shrinks as 1/√n — whether recall survives is a measurement, not an
+    * assumption. This mode records, at the decade's derived nlist, the
+    * sampled top-5 recall and the end-to-end sampled-query cost for
+    * nprobe = 1 (the cheap point) and nprobe = nlist/K (the
+    * constant-fraction companion rule, [[graft.functions.Similarity
+    * .ivfProbesFor]]), from a ~100-query deterministic sample whose
+    * exact denominator is O(s·n) — the lshSampledRecall pattern.
+    */
+  private def ivfAutoCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.functions.Similarity
+    val n = Tables.embeddings(spark, work).count()
+    val nlist = Similarity.ivfCellsFor(n)
+    val step = math.max(1L, n / 100L)
+    def timeRanked(np: Int): Double = {
+      val t0 = System.nanoTime()
+      Similarity.annIvfAutoRanked(spark, work, np,
+          pmod(col("vec_id"), lit(step)) === lit(0L))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val npFrac = Similarity.ivfProbesFor(nlist)
+    timeRanked(1) // untimed warmup: JIT/codegen + page cache, fair to both settings
+    val base = Seq(
+      "ivf_n_vectors" -> n.toDouble,
+      "ivf_nlist" -> nlist.toDouble,
+      "ivf_np1_sec" -> timeRanked(1),
+      "ivf_np1_recall" -> Similarity.ivfSampledRecall(spark, work, 1, step))
+    if (npFrac == 1) base
+    else base ++ Seq(
+      s"ivf_np${npFrac}_sec" -> timeRanked(npFrac),
+      s"ivf_np${npFrac}_recall" ->
+        Similarity.ivfSampledRecall(spark, work, npFrac, step))
+  }
+
   /** LSH-fed Conn at corpus scale (the c21 claim, measured): a FIXED
     * sign-LSH layout has a fixed bucket-mass distribution, so its
     * candidate compute is Θ(n²) — the 4×8 layout that reads as "2.5×
@@ -457,7 +495,7 @@ object ScaleBench {
     materialize(spark, src, mult, work)
 
     if (mode == "q3bucket" || mode == "m1part" || mode == "vocab" ||
-        mode == "bpe" || mode == "connlsh") {
+        mode == "bpe" || mode == "connlsh" || mode == "ivfauto") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -472,6 +510,9 @@ object ScaleBench {
         else if (mode == "connlsh")
           ("connlsh_layout", connLshCompare(spark, work, mult),
             "scale_connlsh.json")
+        else if (mode == "ivfauto")
+          ("ivfauto_curve", ivfAutoCompare(spark, work),
+            "scale_ivfauto.json")
         else
           ("m1_partition_compare", m1PartitionCompare(spark, work, mult),
             "scale_m1part.json")

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -206,34 +206,67 @@ object Similarity {
     * build — one embarrassingly parallel pass, amortized over every
     * query the index serves.
     */
-  def s7AnnIvfAuto: Q = (s, dir) => {
+  def s7AnnIvfAuto: Q = (s, dir) =>
+    annIvfAutoRanked(s, dir, nprobe = 1, qFilter = col("vec_id") < 5)
+      .orderBy(col("qid"), col("rank"))
+
+  /** The nprobe COMPANION rule to [[ivfCellsFor]]: probing
+    * nlist / K cells holds the probed corpus FRACTION at the fixture's
+    * 1/K (the recall-relevant quantity), against the default nprobe = 1
+    * whose fraction shrinks as 1/√n — cheaper per query but with recall
+    * that must be MEASURED, not assumed (ScaleBench's `ivfauto` mode
+    * records both points of the curve at each decade). Fixed point:
+    * nlist = K → nprobe = 1, s3's fixture behavior.
+    */
+  def ivfProbesFor(nlist: Int): Int = math.max(1, nlist / Clustering.K)
+
+  /** The parameterized auto-IVF ranking behind [[s7AnnIvfAuto]] (which
+    * pins nprobe = 1 and the vec_id < 5 oracle queries), ScaleBench's
+    * `ivfauto` mode, and [[ivfSampledRecall]]. Emits (qid, rank, nid) —
+    * top-5 per query over the union of the query's `nprobe` nearest
+    * cells' members. Assignment and probing stay NARROW through the
+    * n·nlist candidate rows (see the inline note); the per-query cell
+    * ranking rides one sort_array over the nlist-sized collect_list —
+    * bounded by √(n/5) elements per query row.
+    */
+  private[graft] def annIvfAutoRanked(s: SparkSession, dir: String,
+      nprobe: Int, qFilter: Column): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val nlist = ivfCellsFor(e.count())
     val cents = e.where(col("vec_id") < nlist)
       .select((col("vec_id") + 1).cast("int").as("cell"),
         col("features").as("cv"))
-    // nearest cell per vector: min over struct(dist, cell) — a total
-    // order (cell ids are distinct), ties toward the lower cell id,
-    // exactly s3's rule. The aggregate rows stay NARROW (double + int):
-    // carrying the feature array through the n·nlist candidate rows
-    // instead measured 41x decade growth at x100 (allocation-bound, a
-    // copied 64-double array per candidate row); the vector rides back
-    // in via a vec_id join over just n rows
-    def nearestCell(in: DataFrame, idAs: String, vecAs: String) = {
-      val am = in
+    // nearest cells per vector: min (assignment) / sorted prefix
+    // (probing) over struct(dist, cell) — a total order (cell ids are
+    // distinct), ties toward the lower cell id, exactly s3's rule. The
+    // aggregate rows stay NARROW (double + int): carrying the feature
+    // array through the n·nlist candidate rows instead measured 41x
+    // decade growth at x100 (allocation-bound, a copied 64-double array
+    // per candidate row); the vector rides back in via a vec_id join
+    // over just n rows
+    def cellRanked(in: DataFrame, np: Int, idAs: String, vecAs: String) = {
+      val dc = in
         .crossJoin(broadcast(cents))
         .select(col("vec_id"),
           struct(Linalg.euclidCol(col("features"), col("cv")).as("dist"),
             col("cell")).as("dc"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("dc")).as("m"))
-        .select(col("vec_id"), col("m.cell").as("cell"))
+      val am =
+        if (np == 1)
+          dc.groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
+            .select(col("vec_id"), col("m.cell").as("cell"))
+        else
+          dc.groupBy(col("vec_id"))
+            .agg(slice(sort_array(collect_list(col("dc"))), 1, np)
+              .as("cells"))
+            .select(col("vec_id"),
+              explode(transform(col("cells"), c => c.getField("cell")))
+                .as("cell"))
       in.select(col("vec_id"), col("features")).join(am, Seq("vec_id"))
         .select(col("vec_id").as(idAs), col("cell"),
           col("features").as(vecAs))
     }
-    val assigned = nearestCell(e, "nid", "nv")
-    val probes = nearestCell(e.where(col("vec_id") < 5), "qid", "qv")
+    val assigned = cellRanked(e, 1, "nid", "nv")
+    val probes = cellRanked(e.where(qFilter), nprobe, "qid", "qv")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dist"), col("nid"))
     probes.join(assigned, Seq("cell"))
@@ -243,7 +276,39 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"))
-      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Top-5 recall of the auto index at DATA scale from a deterministic
+    * sample (every step-th vec_id): the exact denominator is a
+    * broadcast-sample × all-points ranking — O(s·n), linear for a fixed
+    * sample where the all-queries denominator would be the quadratic
+    * itself (the [[graft.operators.Clustering.lshSampledRecall]]
+    * pattern). At step = 1 over the fixture queries this measures the
+    * same quantity s5 reports for the pinned index.
+    */
+  private[graft] def ivfSampledRecall(s: SparkSession, dir: String,
+      nprobe: Int, step: Long): Double = {
+    val e = Tables.embeddings(s, dir)
+    val qf = pmod(col("vec_id"), lit(step)) === lit(0L)
+    val sx = e.where(qf)
+      .select(col("vec_id").as("qid"), col("features").as("qv"))
+    val ally = e
+      .select(col("vec_id").as("nid"), col("features").as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("nid"))
+    val exact = broadcast(sx).join(ally, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("nid"))
+      .localCheckpoint(eager = true) // two consumers: hit join + count
+    val approx = annIvfAutoRanked(s, dir, nprobe, qf)
+      .select(col("qid"), col("nid"))
+    val nExact = exact.count()
+    require(nExact > 0, s"empty recall denominator at step=$step")
+    val nHit = approx.join(exact, Seq("qid", "nid"), "left_semi").count()
+    nHit.toDouble / nExact
   }
 
   /** The nprobe settings s5 reports, {1, 5, K=10} — the recall/cost curve
