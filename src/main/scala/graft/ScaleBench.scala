@@ -396,6 +396,11 @@ object ScaleBench {
     val base = Seq(
       "ivf_n_vectors" -> n.toDouble,
       "ivf_nlist" -> nlist.toDouble,
+      // the embeddings-family fixed layout worth WATCHING per decade:
+      // s4/d7's 8-plane near-dup buckets (layout fixed by the cosine
+      // threshold's recall needs, not free to grow like c21's)
+      "s4_bucket_pairs" ->
+        Similarity.nearDupCandidatePairs(spark, work).toDouble,
       "ivf_np1_sec" -> timeRanked(1),
       "ivf_np1_recall" -> Similarity.ivfSampledRecall(spark, work, 1, step))
     if (npFrac == 1) base

@@ -69,7 +69,7 @@ object Similarity {
     * hyperplanes. Vectors sharing a bucket are near-duplicate candidates —
     * the embedding-cosine leg of the dedup pipeline.
     */
-  private def bucketExpr(s: SparkSession, dir: String, numPlanes: Int) = {
+  private[graft] def bucketExpr(s: SparkSession, dir: String, numPlanes: Int) = {
     // vec_id order == bit order (vec_ids 0..numPlanes-1 are all present),
     // so the shared sign fold assigns the same bit per plane
     val planes: Seq[Array[Double]] = Tables.embeddings(s, dir)
@@ -277,6 +277,27 @@ object Similarity {
       .where(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"))
   }
+
+  /** Candidate-generation COMPUTE of s4's fixed [[NearDupPlanes]]-plane
+    * sign-bucketing, from the bucket histogram alone (Σ c·(c−1) in one
+    * O(n) pass, no pair materialization — the
+    * [[graft.operators.Clustering.lshCandidatePairCount]] pattern).
+    * s4/d7's layout is FIXED by semantics (the cos ≥ [[NearDupCosine]]
+    * near-dup threshold sets how coarse buckets must be to keep
+    * recall), so unlike c21's top-L ranking the plane count cannot
+    * simply grow with n — this number is the one to WATCH per decade:
+    * if the corpus densifies faster than true-dup mass, the capped
+    * emission path (`Dedup.pairsFromBuckets`, the d3/mm10b discipline)
+    * is the documented mitigation for the GROUPS form d7, while s4's
+    * exact pair list is inherently output-bound.
+    */
+  private[graft] def nearDupCandidatePairs(s: SparkSession,
+      dir: String): Long =
+    Tables.embeddings(s, dir)
+      .select(bucketExpr(s, dir, NearDupPlanes).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)))
+      .head().getLong(0)
 
   /** Top-5 recall of the auto index at DATA scale from a deterministic
     * sample (every step-th vec_id): the exact denominator is a

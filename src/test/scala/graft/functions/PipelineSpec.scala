@@ -266,4 +266,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"recall not monotone in nprobe: $r1 / $r5 / $rAll")
     assert(rAll === 1.0, s"full probe must be exact, got $rAll")
   }
+
+  test("s4 bucket-pair histogram count equals the joined cardinality") {
+    // the O(n) diagnostic ScaleBench's ivfauto mode records per decade
+    // must equal the ordered-pair cardinality the bucket self-join
+    // would actually emit (the GlobalNeighborsSpec discipline)
+    import org.apache.spark.sql.functions.col
+    val hist = Similarity.nearDupCandidatePairs(spark, sfDir)
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val b = e.select(col("vec_id"),
+      Similarity.bucketExpr(spark, sfDir, Similarity.NearDupPlanes)
+        .as("bucket"))
+    val joined = b.join(
+        b.select(col("bucket"), col("vec_id").as("y")), Seq("bucket"))
+      .where(col("vec_id") =!= col("y")).count()
+    assert(hist === joined, s"histogram $hist != joined $joined")
+    assert(hist > 0)
+  }
 }
