@@ -116,10 +116,13 @@ object ScaleBench {
   private val factTables =
     Seq("lineitem", "orders", "events", "documents", "embeddings")
 
-  /** Builds the scaled dataset dir (idempotent: skips when present). */
+  /** Builds the scaled dataset dir (idempotent: skips when present).
+    * `only` restricts to a table subset — the cheap-metrics `layout`
+    * mode needs just the embeddings fact, not a full x1000 star schema.
+    */
   def materialize(spark: SparkSession, src: String, mult: Int,
-      work: String): Unit = {
-    Tables.names.foreach { name =>
+      work: String, only: Option[Set[String]] = None): Unit = {
+    Tables.names.filter(n => only.forall(_.contains(n))).foreach { name =>
       val dest = s"$work/$name.parquet"
       if (!new java.io.File(dest, "_SUCCESS").exists()) {
         val df =
@@ -321,7 +324,11 @@ object ScaleBench {
     import graft.functions.Bpe
     val zdir = work + "_zipf"
     writeZipfCorpus(spark, zdir, nDocs = 2000L * mult)
-    Seq(250, 1000).flatMap { m =>
+    // 4000 added r11 (VERDICT r10 §next-5): the ~20k-type vocabulary
+    // sustains it (each multi-syllable type ultimately collapses to one
+    // symbol, so available merges ≈ the type count), pinning the
+    // per-merge curve 4× deeper — 30k is then one extrapolation step
+    Seq(250, 1000, 4000).flatMap { m =>
       val t0 = System.nanoTime()
       val (merges, words) = Bpe.train(spark, zdir, m)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -380,7 +387,7 @@ object ScaleBench {
     */
   private def ivfAutoCompare(spark: SparkSession,
       work: String): Seq[(String, Double)] = {
-    import graft.functions.Similarity
+    import graft.functions.{Dedup, Similarity}
     val n = Tables.embeddings(spark, work).count()
     val nlist = Similarity.ivfCellsFor(n)
     val step = math.max(1L, n / 100L)
@@ -391,23 +398,83 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val npFrac = Similarity.ivfProbesFor(nlist)
-    timeRanked(1) // untimed warmup: JIT/codegen + page cache, fair to both settings
-    val base = Seq(
+    // the nprobe grid (VERDICT r10 §next-1): the cheap point, the
+    // engine's recall-targeted rule, √nlist, and the r10 constant-
+    // corpus-fraction companion — the curve the rule is derived FROM
+    val grid = Seq(1, Similarity.ivfProbesFor(nlist),
+      math.ceil(math.sqrt(nlist.toDouble)).toInt,
+      math.max(1, nlist / graft.operators.Clustering.K)).distinct.sorted
+    timeRanked(1) // untimed warmup: JIT/codegen + page cache, fair to all settings
+    // easy (corpus-sampled) vs HARD (displaced out-of-corpus) queries:
+    // each curve computes its exact denominator ONCE (ivfRecallCurve)
+    val easy = Similarity.ivfRecallCurve(spark, work,
+      Tables.embeddings(spark, work)
+        .where(pmod(col("vec_id"), lit(step)) === lit(0L))
+        .select(col("vec_id"), col("features")), grid)
+    val hard = Similarity.ivfRecallCurve(spark, work,
+      Similarity.hardQueries(spark, work, step), grid)
+    def d7Timed(): Double = {
+      val t0 = System.nanoTime()
+      val groups = Dedup.queries("d7_semantic_groups")(spark, work)
+      groups.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
       "ivf_n_vectors" -> n.toDouble,
       "ivf_nlist" -> nlist.toDouble,
       // the embeddings-family fixed layout worth WATCHING per decade:
       // s4/d7's 8-plane near-dup buckets (layout fixed by the cosine
-      // threshold's recall needs, not free to grow like c21's)
+      // threshold's recall needs, not free to grow like c21's) — the
+      // uncapped candidate mass next to the capped emission d7 now rides
       "s4_bucket_pairs" ->
         Similarity.nearDupCandidatePairs(spark, work).toDouble,
-      "ivf_np1_sec" -> timeRanked(1),
-      "ivf_np1_recall" -> Similarity.ivfSampledRecall(spark, work, 1, step))
-    if (npFrac == 1) base
-    else base ++ Seq(
-      s"ivf_np${npFrac}_sec" -> timeRanked(npFrac),
-      s"ivf_np${npFrac}_recall" ->
-        Similarity.ivfSampledRecall(spark, work, npFrac, step))
+      "s4_bucket_pairs_capped" ->
+        Similarity.nearDupCandidatePairsCapped(spark, work).toDouble,
+      // the capped groups form end-to-end at the decade (the measured
+      // mitigation, VERDICT r10 §next-2)
+      "d7_groups_sec" -> d7Timed()) ++
+      grid.flatMap { np =>
+        Seq(s"ivf_np${np}_sec" -> timeRanked(np),
+          s"ivf_np${np}_recall" ->
+            easy.find(_._1 == np).get._2,
+          s"ivf_np${np}_hardrecall" ->
+            hard.find(_._1 == np).get._2)
+      }
+  }
+
+  /** Cheap-metrics-only layout probe for multipliers where end-to-end
+    * timing is beside the point (VERDICT r10 §next-3: the log₂/√ layout
+    * rules were two-point extrapolations — one x1000 row turns them into
+    * data). Materializes ONLY the embeddings fact (both rules' inputs
+    * derive from it) and records the O(n) histogram counts: candidate
+    * pairs at the pinned vs auto LSH layout, the derived nlist, and the
+    * s4 watch metrics. No recall, no wall-clock rows — the counts are
+    * exact arithmetic and they alone decide whether a layout survives
+    * the decade.
+    */
+  private def layoutProbe(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.functions.Similarity
+    import graft.operators.Clustering
+    val n = Tables.labeledPoints(spark, work).count()
+    val scaled = Clustering.lshPlanesFor(n)
+    val nlist = Similarity.ivfCellsFor(n)
+    Seq(
+      "connlsh_n_points" -> n.toDouble,
+      "connlsh_auto_planes" -> scaled.toDouble,
+      s"connlsh_planes${Clustering.LshPlanes}_pairs" ->
+        Clustering.lshCandidatePairCount(spark, work,
+          Clustering.LshPlanes, Clustering.LshTables).toDouble,
+      s"connlsh_planes${scaled}_pairs" ->
+        Clustering.lshCandidatePairCount(spark, work,
+          scaled, Clustering.LshTables).toDouble,
+      "ivf_n_vectors" -> n.toDouble,
+      "ivf_nlist" -> nlist.toDouble,
+      "s4_bucket_pairs" ->
+        Similarity.nearDupCandidatePairs(spark, work).toDouble,
+      "s4_bucket_pairs_capped" ->
+        Similarity.nearDupCandidatePairsCapped(spark, work).toDouble,
+      "cheap_metrics_only" -> 1.0)
   }
 
   /** LSH-fed Conn at corpus scale (the c21 claim, measured): a FIXED
@@ -497,10 +564,12 @@ object ScaleBench {
       } else scaleSet
     val spark = graft.core.GraftSession.local("graft-scale", 32)
 
-    materialize(spark, src, mult, work)
+    materialize(spark, src, mult, work,
+      only = if (mode == "layout") Some(Set("embeddings")) else None)
 
     if (mode == "q3bucket" || mode == "m1part" || mode == "vocab" ||
-        mode == "bpe" || mode == "connlsh" || mode == "ivfauto") {
+        mode == "bpe" || mode == "connlsh" || mode == "ivfauto" ||
+        mode == "layout") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -518,6 +587,9 @@ object ScaleBench {
         else if (mode == "ivfauto")
           ("ivfauto_curve", ivfAutoCompare(spark, work),
             "scale_ivfauto.json")
+        else if (mode == "layout")
+          ("layout_probe", layoutProbe(spark, work),
+            "scale_layout.json")
         else
           ("m1_partition_compare", m1PartitionCompare(spark, work, mult),
             "scale_m1part.json")

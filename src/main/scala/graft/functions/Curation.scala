@@ -246,8 +246,10 @@ object Curation {
     */
   private def stratPctOf(src: org.apache.spark.sql.Column) = {
     val n = substring(src, 4, Int.MaxValue).cast("int")
-    val checked = when(assert_true(n.isNotNull,
-      concat(lit("p6: source id without numeric suffix: "), src)).isNull, n)
+    val checked = when(n.isNull,
+      raise_error(concat(lit("p6: source id without numeric suffix: "), src))
+        .cast("int"))
+      .otherwise(n)
     lit(20) + lit(15) * (checked % 6)
   }
 

@@ -374,14 +374,22 @@ object Dedup {
     * sign-LSH-bucketed, cosine-verified edges) instead of lexical LSH
     * collisions. Exact dedup (d1), lexical groups (d6), and semantic
     * groups (d7) are the three rungs of a production dedup ladder; the
-    * component resolver is one shared implementation. The DuckDB oracle
-    * recomputes reachability over the same cosine pairs with a recursive
-    * CTE.
+    * component resolver is one shared implementation.
+    *
+    * Since r11 the candidate edges ride the CAPPED emission
+    * ([[Similarity.nearDupPairsCapped]] — the same [[pairsFromBuckets]]
+    * cap d3 uses): the s4/d7 bucket layout is fixed by the cosine
+    * threshold, so uncapped candidates were measured quadratic across
+    * the decade (223.0M at x100); the cap bounds them at O(cap² + n)
+    * while every bucket that fits the cap — the fixture case — emits
+    * the identical pair set, so the oracle (reachability over the same
+    * capped-then-verified pairs, recursive CTE) and the fixture output
+    * are unchanged (spec-pinned against the uncapped form).
     */
   def d7SemanticGroups: Q = (s, dir) =>
     connectedComponents(
       Tables.embeddings(s, dir).select(col("vec_id").as("doc_id")),
-      Similarity.nearDupPairs(s, dir)
+      Similarity.nearDupPairsCapped(s, dir)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("group_id"))
       .orderBy(col("vec_id"))
@@ -625,10 +633,10 @@ object Dedup {
          |$edgesReachSql,
          |${grpSqlFrom("documents")}
          |SELECT doc_id, group_id FROM grp ORDER BY doc_id""".stripMargin,
-    // reachability over the embedding-cosine pairs (the SQL pair fragment
-    // lives beside its Spark twin in Similarity)
+    // reachability over the CAPPED embedding-cosine pairs (the SQL pair
+    // fragment lives beside its Spark twin in Similarity)
     "d7_semantic_groups" ->
-      s"""WITH RECURSIVE ${Similarity.nearDupPairSql},
+      s"""WITH RECURSIVE ${Similarity.cappedNearDupPairSql},
          |$edgesReachSql,
          |${grpSqlFrom("embeddings", "vec_id")}
          |SELECT doc_id AS vec_id, group_id FROM grp ORDER BY vec_id""".stripMargin,

@@ -115,6 +115,42 @@ object Similarity {
       .where(col("cos") >= NearDupCosine)
   }
 
+  /** CAPPED-emission near-dup candidate pairs — the d3/mm10b discipline
+    * wired into the embedding leg (VERDICT r10 §next-2): the s4/d7
+    * bucket layout is FIXED by the cosine threshold's recall needs, so
+    * its uncapped candidate mass is quadratic in bucket occupancy
+    * (measured 223.0M ordered pairs at x100, 102× for 10× data). Buckets
+    * of ≤ [[graft.functions.Dedup.MaxBucket]] ids emit the exact clique;
+    * larger buckets emit the clique over their cap smallest vec_ids plus
+    * one star edge (bucket min → overflow doc) — O(cap² + n) candidates
+    * via the ONE shared [[graft.functions.Dedup.pairsFromBuckets]]
+    * implementation, then the cosine verify runs on the capped set with
+    * the vectors joined back by id (candidates stay narrow through the
+    * shuffle; the uncapped form carries both feature arrays through
+    * every bucket-join row). Where every bucket fits the cap the
+    * candidate set — and hence the verified pair set — EQUALS the
+    * uncapped [[nearDupPairs]] exactly (the fixture case, spec-pinned);
+    * an overflowing bucket keeps its docs reachable through the
+    * representative star, trading exhaustive in-bucket edges for bounded
+    * emission (a star edge still faces the same cosine verify).
+    */
+  private[functions] def nearDupPairsCapped(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val buckets = e
+      .select(col("vec_id"), bucketExpr(s, dir, NearDupPlanes).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val cand = Dedup.pairsFromBuckets(buckets)
+    val va = e.select(col("vec_id").as("doc_a"), col("features").as("fa"))
+    val vb = e.select(col("vec_id").as("doc_b"), col("features").as("fb"))
+    cand.join(va, Seq("doc_a")).join(vb, Seq("doc_b"))
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        Linalg.cosineCol(col("fa"), col("fb")).as("cos"))
+      .where(col("cos") >= NearDupCosine)
+  }
+
   /** IVF-style ANN: vectors are partitioned into K coarse cells (the fixed
     * centroid assignment, Clustering J4); each query probes its `nprobe`
     * NEAREST cells' candidates — (qid, rank, nid) by euclidean distance.
@@ -222,15 +258,29 @@ object Similarity {
 
   /** The parameterized auto-IVF ranking behind [[s7AnnIvfAuto]] (which
     * pins nprobe = 1 and the vec_id < 5 oracle queries), ScaleBench's
-    * `ivfauto` mode, and [[ivfSampledRecall]]. Emits (qid, rank, nid) —
-    * top-5 per query over the union of the query's `nprobe` nearest
-    * cells' members. Assignment and probing stay NARROW through the
-    * n·nlist candidate rows (see the inline note); the per-query cell
-    * ranking rides one sort_array over the nlist-sized collect_list —
-    * bounded by √(n/5) elements per query row.
+    * `ivfauto` mode, and [[ivfSampledRecall]] — the corpus-query face of
+    * [[annIvfAutoRankedQueries]], which also serves OUT-OF-CORPUS query
+    * frames (hard-query recall measurement, streaming serving).
     */
   private[graft] def annIvfAutoRanked(s: SparkSession, dir: String,
-      nprobe: Int, qFilter: Column): DataFrame = {
+      nprobe: Int, qFilter: Column): DataFrame =
+    annIvfAutoRankedQueries(s, dir, nprobe,
+      Tables.embeddings(s, dir).where(qFilter)
+        .select(col("vec_id"), col("features")))
+
+  /** The auto-IVF top-5 ranking for an ARBITRARY query frame
+    * (vec_id, features) — queries need not live in the corpus. Emits
+    * (qid, rank, nid) — top-5 per query over the union of the query's
+    * `nprobe` nearest cells' members. Assignment and probing stay NARROW
+    * through the n·nlist candidate rows (see the inline note); the
+    * per-query cell ranking rides one sort_array over the nlist-sized
+    * collect_list — bounded by √(n/5) elements per query row. A corpus
+    * query is excluded from its own result (qid ≠ nid); out-of-corpus
+    * queries use a disjoint id range ([[HardQueryIdOffset]]) so the
+    * exclusion never fires for them.
+    */
+  private[graft] def annIvfAutoRankedQueries(s: SparkSession, dir: String,
+      nprobe: Int, queries: DataFrame): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val nlist = ivfCellsFor(e.count())
     val cents = e.where(col("vec_id") < nlist)
@@ -266,7 +316,7 @@ object Similarity {
           col("features").as(vecAs))
     }
     val assigned = cellRanked(e, 1, "nid", "nv")
-    val probes = cellRanked(e.where(qFilter), nprobe, "qid", "qv")
+    val probes = cellRanked(queries, nprobe, "qid", "qv")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dist"), col("nid"))
     probes.join(assigned, Seq("cell"))
@@ -287,8 +337,8 @@ object Similarity {
     * recall), so unlike c21's top-L ranking the plane count cannot
     * simply grow with n — this number is the one to WATCH per decade:
     * if the corpus densifies faster than true-dup mass, the capped
-    * emission path (`Dedup.pairsFromBuckets`, the d3/mm10b discipline)
-    * is the documented mitigation for the GROUPS form d7, while s4's
+    * emission path ([[nearDupPairsCapped]], the d3/mm10b discipline —
+    * WIRED into the groups form d7 since r11) bounds it, while s4's
     * exact pair list is inherently output-bound.
     */
   private[graft] def nearDupCandidatePairs(s: SparkSession,
@@ -299,38 +349,115 @@ object Similarity {
       .agg(coalesce(sum(col("c") * (col("c") - lit(1L))), lit(0L)))
       .head().getLong(0)
 
-  /** Top-5 recall of the auto index at DATA scale from a deterministic
-    * sample (every step-th vec_id): the exact denominator is a
-    * broadcast-sample × all-points ranking — O(s·n), linear for a fixed
-    * sample where the all-queries denominator would be the quadratic
-    * itself (the [[graft.operators.Clustering.lshSampledRecall]]
-    * pattern). At step = 1 over the fixture queries this measures the
-    * same quantity s5 reports for the pinned index.
+  /** The CAPPED twin of [[nearDupCandidatePairs]], from the same O(n)
+    * bucket histogram: per bucket of size c with m = min(c, cap), the
+    * capped emission generates m·(m−1) ordered clique rows plus
+    * 2·(c − m) ordered star rows — same ordered-pair units as the
+    * uncapped count, so the two columns read side by side per decade.
+    * O(cap²·buckets + n) by construction: this is the number that stays
+    * bounded when a densifying corpus sends the uncapped count quadratic.
     */
-  private[graft] def ivfSampledRecall(s: SparkSession, dir: String,
-      nprobe: Int, step: Long): Double = {
+  private[graft] def nearDupCandidatePairsCapped(s: SparkSession,
+      dir: String): Long = {
+    val cap = lit(Dedup.MaxBucket.toLong)
+    val m = least(col("c"), cap)
+    Tables.embeddings(s, dir)
+      .select(bucketExpr(s, dir, NearDupPlanes).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(m * (m - lit(1L)) +
+        lit(2L) * (col("c") - m)), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** Id offset for out-of-corpus query frames: keeps hard-query ids
+    * disjoint from corpus vec_ids (even decade-remapped ones), so the
+    * ranking's qid ≠ nid self-exclusion never fires for them.
+    */
+  val HardQueryIdOffset: Long = 1L << 40
+
+  /** Per-dimension displacement of [[hardQueries]], as a fraction of the
+    * dimension's global (max − min) range.
+    */
+  val HardNoiseFrac = 0.25
+
+  /** HARD (out-of-corpus) query vectors: every step-th corpus vector,
+    * displaced per-dimension by a deterministic hash-derived uniform in
+    * ±[[HardNoiseFrac]]·range(dim). Corpus-sampled queries sit at cell
+    * members' own positions — the easiest possible case for an IVF probe
+    * (the r10 decade curve read recall 1.000 there while random fixture
+    * queries read 0.27 at nprobe = 1) — whereas displaced queries land
+    * BETWEEN cells, which is what a serving workload looks like. No RNG:
+    * xxhash64(vec_id, dim, salt) is the generator (the Zipf-corpus
+    * discipline), so every engine replays the same query set.
+    */
+  private[graft] def hardQueries(s: SparkSession, dir: String,
+      step: Long): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val qf = pmod(col("vec_id"), lit(step)) === lit(0L)
-    val sx = e.where(qf)
+    val stats = e
+      .select(posexplode(col("features")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg((max(col("x")) - min(col("x"))).as("range"))
+      .orderBy(col("dim"))
+      .collect().map(_.getDouble(1))
+    val rangeL = typedlit(stats)
+    e.where(pmod(col("vec_id"), lit(step)) === lit(0L))
+      .select((col("vec_id") + lit(HardQueryIdOffset)).as("vec_id"),
+        transform(col("features"), (x, i) =>
+          x + element_at(rangeL, i + 1) * lit(2.0 * HardNoiseFrac) *
+            (pmod(xxhash64(col("vec_id"), i, lit("hardq")), lit(1000000L))
+              / lit(1000000.0) - lit(0.5))).as("features"))
+  }
+
+  /** Recall of the auto index over an arbitrary query frame at each
+    * nprobe setting, with the exact top-5 denominator computed ONCE for
+    * the whole curve (it is nprobe-independent — ADVICE r10): a
+    * broadcast-queries × all-points ranking, O(s·n) for a fixed sample
+    * where the all-queries denominator would be the quadratic itself
+    * (the [[graft.operators.Clustering.lshSampledRecall]] pattern).
+    * Returns (nprobe, recall) per setting.
+    */
+  private[graft] def ivfRecallCurve(s: SparkSession, dir: String,
+      queries: DataFrame, nprobes: Seq[Int]): Seq[(Int, Double)] = {
+    val e = Tables.embeddings(s, dir)
+    // two consumers per setting + the exact leg: pin the (small) query
+    // frame so its lineage (possibly a stats pass) runs once
+    val q = queries
       .select(col("vec_id").as("qid"), col("features").as("qv"))
+      .localCheckpoint(eager = true)
     val ally = e
       .select(col("vec_id").as("nid"), col("features").as("nv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dist"), col("nid"))
-    val exact = broadcast(sx).join(ally, col("qid") =!= col("nid"))
+    val exact = broadcast(q).join(ally, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("qid"), col("nid"))
-      .localCheckpoint(eager = true) // two consumers: hit join + count
-    val approx = annIvfAutoRanked(s, dir, nprobe, qf)
-      .select(col("qid"), col("nid"))
+      .localCheckpoint(eager = true) // consumers: per-setting hit join + count
     val nExact = exact.count()
-    require(nExact > 0, s"empty recall denominator at step=$step")
-    val nHit = approx.join(exact, Seq("qid", "nid"), "left_semi").count()
-    nHit.toDouble / nExact
+    require(nExact > 0, "empty recall denominator")
+    nprobes.map { np =>
+      val approx = annIvfAutoRankedQueries(s, dir, np,
+          q.select(col("qid").as("vec_id"), col("qv").as("features")))
+        .select(col("qid"), col("nid"))
+      val nHit = approx.join(exact, Seq("qid", "nid"), "left_semi").count()
+      np -> nHit.toDouble / nExact
+    }
   }
+
+  /** Top-5 recall of the auto index at DATA scale from a deterministic
+    * corpus sample (every step-th vec_id) — the single-setting face of
+    * [[ivfRecallCurve]]. At step = 1 over the fixture queries this
+    * measures the same quantity s5 reports for the pinned index.
+    */
+  private[graft] def ivfSampledRecall(s: SparkSession, dir: String,
+      nprobe: Int, step: Long): Double =
+    ivfRecallCurve(s, dir,
+      Tables.embeddings(s, dir)
+        .where(pmod(col("vec_id"), lit(step)) === lit(0L))
+        .select(col("vec_id"), col("features")),
+      Seq(nprobe)).head._2
 
   /** The nprobe settings s5 reports, {1, 5, K=10} — the recall/cost curve
     * of the index, up to nprobe = K where the probe degenerates to exact
@@ -453,6 +580,34 @@ object Similarity {
         round(col("n_hit") / col("n_exact"), 6).as("recall"))
   }
 
+  /** Streaming ANN SERVING twin of s7 (VERDICT r10 §next-7): arriving
+    * query vectors are scored per micro-batch against the FROZEN
+    * auto-IVF index by the exact batch ranking — `foreachBatch` is the
+    * serving shape here, not a stream-static join, for a structural
+    * reason: a pruned IVF probe needs TWO dependent aggregations per
+    * query (argmin over the centroid table to pick cells, then top-k
+    * over the probed candidates), which a single incremental streaming
+    * plan cannot chain; collapsing them into one aggregate would have
+    * to scan every cell's members per query — brute force, the thing
+    * the index exists to avoid. Micro-batch reuse keeps ONE code path
+    * (the measured index IS the served index, the t4c/t11 discipline)
+    * and the 100 TB shape per trigger: a narrow query batch broadcast-
+    * assigned to cells, candidates equi-joined on the cell key.
+    *
+    * @param queries streaming (vec_id, features) frame
+    * @param sink    receives each micro-batch's (qid, rank, nid) rows
+    */
+  def serveAnnStream(queries: DataFrame, dir: String, nprobe: Int)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        sink(annIvfAutoRankedQueries(batch.sparkSession, dir, nprobe,
+          batch.toDF()))
+      }
+      .start()
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   /** CTE list producing the near-dup candidate `pairs(doc_a, doc_b, cos)`
@@ -476,6 +631,40 @@ object Similarity {
        |      ON bx.bucket = by2.bucket AND bx.vec_id < by2.vec_id
        |    JOIN p x ON x.vec_id = bx.vec_id
        |    JOIN p y ON y.vec_id = by2.vec_id)
+       |  WHERE cos >= $NearDupCosine)""".stripMargin
+
+  /** CTE list producing the CAPPED near-dup candidate `pairs(doc_a,
+    * doc_b, cos)` — the SQL twin of [[nearDupPairsCapped]] (clique over
+    * the cap smallest vec_ids per bucket + a star edge from the bucket
+    * minimum per overflow doc, then the cosine verify), mirroring the
+    * d3 oracle's `bandPairSql` capping. Feeds the d7 oracle's
+    * reachability closure.
+    */
+  private[functions] val cappedNearDupPairSql: String =
+    s"""pl AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
+       |  FROM embeddings WHERE vec_id < $NearDupPlanes),
+       |b AS (SELECT e.vec_id,
+       |  sum(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.pv) > 0
+       |    THEN (1::BIGINT << pid::INT) ELSE 0 END)::BIGINT AS bucket
+       |  FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
+       |rb AS (SELECT vec_id, bucket,
+       |  row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn,
+       |  min(vec_id) OVER (PARTITION BY bucket) AS rep FROM b),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+       |  FROM rb a JOIN rb b2
+       |    ON a.bucket = b2.bucket AND a.rn < b2.rn
+       |    AND b2.rn <= ${Dedup.MaxBucket}
+       |  UNION ALL
+       |  SELECT rep AS doc_a, vec_id AS doc_b FROM rb
+       |  WHERE rn > ${Dedup.MaxBucket})),
+       |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, cos FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      list_cosine_similarity(x.v, y.v) AS cos
+       |    FROM cand c JOIN p x ON x.vec_id = c.doc_a
+       |    JOIN p y ON y.vec_id = c.doc_b)
        |  WHERE cos >= $NearDupCosine)""".stripMargin
 
   def oracles: Map[String, String] = Map(

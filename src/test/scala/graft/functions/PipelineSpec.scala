@@ -283,4 +283,76 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(hist === joined, s"histogram $hist != joined $joined")
     assert(hist > 0)
   }
+
+  test("d7 capped emission equals the uncapped pair set on the fixture") {
+    import org.apache.spark.sql.functions._
+    // the cap-must-not-change-groups contract (VERDICT r10 §next-2): no
+    // fixture bucket overflows MaxBucket, so the capped candidate set —
+    // and hence the verified edge set d7 propagates over — is IDENTICAL
+    // to the uncapped form's; the d7 oracle stays byte-unchanged here
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairSet(Similarity.nearDupPairsCapped(spark, sfDir))
+    val uncapped = pairSet(Similarity.nearDupPairs(spark, sfDir))
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+    // ...explained by the bucket occupancy, asserted explicitly
+    val maxBucket = graft.sources.Tables.embeddings(spark, sfDir)
+      .groupBy(Similarity.bucketExpr(spark, sfDir, Similarity.NearDupPlanes)
+        .as("bucket"))
+      .agg(count(lit(1)).as("c")).agg(max(col("c"))).head().getLong(0)
+    assert(maxBucket <= Dedup.MaxBucket,
+      s"fixture bucket of $maxBucket overflows the cap — the equality " +
+        "above would no longer be structural")
+  }
+
+  test("capped candidate histogram matches the emitted candidates (overflow)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // synthetic 70-id bucket exercises the overflow arithmetic the
+    // fixture can't reach: clique over the 64 smallest = C(64,2) = 2016
+    // unordered pairs + 6 star edges = 2022; the O(n) histogram formula
+    // counts ordered pairs, m·(m−1) + 2·(c−m) = 4032 + 12 = 4044
+    val buckets = Seq((0L until 70L).toArray)
+      .toDF("ids").select(array_sort(col("ids")).as("ids"))
+    val emitted = Dedup.pairsFromBuckets(buckets).count()
+    assert(emitted === 2022L)
+    val m = math.min(70L, Dedup.MaxBucket.toLong)
+    assert(m * (m - 1) + 2 * (70L - m) === 2 * emitted)
+  }
+
+  test("hard queries: deterministic, id-disjoint, genuinely displaced") {
+    val h1 = Similarity.hardQueries(spark, sfDir, 5L).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    val h2 = Similarity.hardQueries(spark, sfDir, 5L).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1)
+    assert(h1.toSeq === h2.toSeq, "hash-derived displacement must replay")
+    assert(h1.nonEmpty)
+    // ids live in the out-of-corpus range: the ranking's qid ≠ nid
+    // self-exclusion never fires for a displaced query
+    assert(h1.forall(_._1 >= Similarity.HardQueryIdOffset))
+    // every query is genuinely displaced from its origin vector
+    val origin = graft.sources.Tables.embeddings(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Double](r.fieldIndex("features")).toSeq)).toMap
+    assert(h1.forall { case (qid, v) =>
+      v != origin(qid - Similarity.HardQueryIdOffset)
+    })
+  }
+
+  test("recall curve on hard queries: exact-once denominator, monotone") {
+    val nlist = Similarity.ivfCellsFor(
+      graft.sources.Tables.embeddings(spark, sfDir).count())
+    val grid = Seq(1, math.ceil(math.sqrt(nlist.toDouble)).toInt, nlist)
+      .distinct.sorted
+    val curve = Similarity.ivfRecallCurve(spark, sfDir,
+      Similarity.hardQueries(spark, sfDir, 5L), grid)
+    assert(curve.map(_._1) === grid)
+    // recall is monotone in nprobe, and the full probe (every cell) is
+    // exact by construction even for out-of-corpus queries
+    assert(curve.sliding(2).forall(p => p.head._2 <= p.last._2),
+      s"recall not monotone: $curve")
+    assert(curve.last._2 === 1.0, s"full probe must be exact: $curve")
+  }
 }

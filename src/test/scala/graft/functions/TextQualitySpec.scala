@@ -37,6 +37,33 @@ class TextQualitySpec extends AnyFunSuite with SparkTestBase {
       3L -> "no_stopwords", 4L -> "keep"))
   }
 
+  test("lmScoreApply drops OOV tokens from both the sum and n_tokens") {
+    import spark.implicits._
+    // frozen model trained on a 2-word corpus; the scored doc mixes
+    // in-vocab tokens with tokens the model never saw (ADVICE r10: the
+    // documented inner-join drop semantics were untested — a join-type
+    // regression would silently score OOV as zero-surprisal tokens)
+    val trainDocs = Seq(1L -> "alpha beta alpha").toDF("doc_id", "text")
+    val model = TextAnalysis.lmModel(trainDocs)
+    val scored = TextAnalysis.lmScoreApply(
+      Seq(10L -> "alpha zzz beta qqq alpha").toDF("doc_id", "text"), model)
+      .collect()
+    assert(scored.length === 1)
+    val r = scored.head
+    // n_tokens counts IN-VOCAB tokens only: 3 of the 5 survive the join
+    assert(r.getLong(1) === 3L)
+    // and the surprisal average is over those 3 — exactly what the same
+    // model yields on the OOV-free projection of the doc
+    val clean = TextAnalysis.lmScoreApply(
+      Seq(10L -> "alpha beta alpha").toDF("doc_id", "text"), model)
+      .collect().head
+    assert(r.getDouble(2) === clean.getDouble(2))
+    // a fully-OOV document vanishes (no rows), not a zero-score row
+    val allOov = TextAnalysis.lmScoreApply(
+      Seq(11L -> "zzz qqq").toDF("doc_id", "text"), model).count()
+    assert(allOov === 0L)
+  }
+
   test("t8 counts DOCUMENT frequency: within-doc repeats count once") {
     val rows = TextAnalysis.t8Boilerplate(spark, sfDir).collect()
     assert(rows.nonEmpty)

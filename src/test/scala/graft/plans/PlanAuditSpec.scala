@@ -36,8 +36,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     *  - s1/s5/s6: brute-force top-k and exact-recall denominators
     *  - s3: points × the K=10 centroid rows (IVF cell assignment)
     *  - s7: points × the broadcast nlist-row coarse-centroid table
-    *    (nlist = ⌊√(n/2)⌋ — the IVF build's n·√n distance evals, the
-    *    standard index-construction cost, amortized over every query)
+    *    (nlist = max(K, ⌊√(n/5)⌋), Similarity.ivfCellsFor — the IVF
+    *    build's n·√n distance evals, the standard index-construction
+    *    cost, amortized over every query)
     *  - d5: the ≤100-doc exact Jaccard verifier
     *  - t11/t12: explicit `crossJoin(broadcast(statsRow))` — the corpus
     *    reduced to EXACTLY ONE aggregate row (BM25 N/avgdl/df; LM

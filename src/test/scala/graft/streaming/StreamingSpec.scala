@@ -30,6 +30,7 @@ case class AsofOut(user_id: Long, event_id: Long, purchase_at: String,
 case class DocRow(doc_id: Long, n_chars: Long)
 case class TextRow(doc_id: Long, text: String)
 case class PtRow(id: Long, features: Seq[Double])
+case class VecRow(vec_id: Long, features: Seq[Double])
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
@@ -494,6 +495,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .toSet
       assert(got === want)
       assert(got.size === docs.length, "fixture has no zero-token docs")
+    } finally query.stop()
+  }
+
+  test("streaming ANN serving against the frozen index matches batch s7") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the ANN SERVING shape (VERDICT r10 §next-7): arriving query
+    // vectors scored per micro-batch against the frozen auto-IVF index
+    // by the EXACT batch ranking (foreachBatch reuse — see the
+    // serveAnnStream scaladoc for why a stream-static join cannot
+    // express a pruned probe). Queries are independent rows, so the
+    // union over micro-batches must equal the one-shot batch answer.
+    val qs = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 5)
+      .select(col("vec_id"), col("features"))
+      .collect()
+      .map(r => VecRow(r.getLong(0), r.getSeq[Double](1))).toSeq
+    val input = MemoryStream[VecRow]
+    val got = scala.collection.mutable.Set[(Long, Int, Long)]()
+    val query = graft.functions.Similarity
+      .serveAnnStream(input.toDF(), sfDir, nprobe = 1) { scored =>
+        got.synchronized {
+          got ++= scored.collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        }
+      }
+    try {
+      input.addData(qs.take(2))
+      query.processAllAvailable()
+      input.addData(qs.drop(2))
+      query.processAllAvailable()
+      val want = graft.functions.Similarity.s7AnnIvfAuto(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got.toSet === want)
+      assert(got.size === qs.length * 5)
     } finally query.stop()
   }
 
