@@ -378,12 +378,17 @@ object ScaleBench {
     * `connlsh` mode): growing nlist with √n keeps per-probe work
     * √-scaled, but at FIXED nprobe = 1 the probed corpus fraction
     * shrinks as 1/√n — whether recall survives is a measurement, not an
-    * assumption. This mode records, at the decade's derived nlist, the
-    * sampled top-5 recall and the end-to-end sampled-query cost for
-    * nprobe = 1 (the cheap point) and nprobe = nlist/K (the
-    * constant-fraction companion rule, [[graft.functions.Similarity
-    * .ivfProbesFor]]), from a ~100-query deterministic sample whose
-    * exact denominator is O(s·n) — the lshSampledRecall pattern.
+    * assumption. This mode records, at the decade's derived nlist and
+    * from a ~100-query hash-sampled set (exact denominators O(s·n),
+    * computed ONCE per curve — the lshSampledRecall pattern), the
+    * recall over an nprobe grid for THREE query/index combinations:
+    * easy (corpus-sampled) queries on the oracle-convention index, HARD
+    * (cell-radius-displaced, [[graft.functions.Similarity.hardQueries]])
+    * queries on the same index, and the hard queries on the TRAINED
+    * (seeded k-means) quantizer — the curve the engine's recall-targeted
+    * [[graft.functions.Similarity.ivfProbesFor]] rule is derived from.
+    * Also rides the s4/d7 watch metrics (uncapped vs capped candidate
+    * mass) and the capped d7 groups end-to-end time.
     */
   private def ivfAutoCompare(spark: SparkSession,
       work: String): Seq[(String, Double)] = {
@@ -394,25 +399,32 @@ object ScaleBench {
     def timeRanked(np: Int): Double = {
       val t0 = System.nanoTime()
       Similarity.annIvfAutoRanked(spark, work, np,
-          pmod(col("vec_id"), lit(step)) === lit(0L))
+          Similarity.querySampleFilter(step))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     // the nprobe grid (VERDICT r10 §next-1): the cheap point, the
-    // engine's recall-targeted rule, √nlist, and the r10 constant-
-    // corpus-fraction companion — the curve the rule is derived FROM
-    val grid = Seq(1, Similarity.ivfProbesFor(nlist),
-      math.ceil(math.sqrt(nlist.toDouble)).toInt,
-      math.max(1, nlist / graft.operators.Clustering.K)).distinct.sorted
+    // engine's recall-targeted rule, √nlist and 2√nlist, the r10
+    // constant-corpus-fraction rule, and nlist/2 — enough of the curve
+    // to SEE the recall-target crossing, not just straddle it
+    val sq = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val grid = Seq(1, Similarity.ivfProbesFor(nlist), sq, 2 * sq,
+      math.max(1, nlist / graft.operators.Clustering.K),
+      math.max(1, nlist / 2)).distinct.sorted
     timeRanked(1) // untimed warmup: JIT/codegen + page cache, fair to all settings
     // easy (corpus-sampled) vs HARD (displaced out-of-corpus) queries:
     // each curve computes its exact denominator ONCE (ivfRecallCurve)
     val easy = Similarity.ivfRecallCurve(spark, work,
       Tables.embeddings(spark, work)
-        .where(pmod(col("vec_id"), lit(step)) === lit(0L))
+        .where(Similarity.querySampleFilter(step))
         .select(col("vec_id"), col("features")), grid)
-    val hard = Similarity.ivfRecallCurve(spark, work,
-      Similarity.hardQueries(spark, work, step), grid)
+    val hardQs = Similarity.hardQueries(spark, work, step)
+    val hard = Similarity.ivfRecallCurve(spark, work, hardQs, grid)
+    // the same hard queries against the TRAINED (seeded k-means)
+    // quantizer — the production IVF build; its curve is the one the
+    // engine's nprobe rule is derived from
+    val hardKq = Similarity.ivfRecallCurve(spark, work, hardQs, grid,
+      trained = true)
     def d7Timed(): Double = {
       val t0 = System.nanoTime()
       val groups = Dedup.queries("d7_semantic_groups")(spark, work)
@@ -432,13 +444,21 @@ object ScaleBench {
         Similarity.nearDupCandidatePairsCapped(spark, work).toDouble,
       // the capped groups form end-to-end at the decade (the measured
       // mitigation, VERDICT r10 §next-2)
-      "d7_groups_sec" -> d7Timed()) ++
+      "d7_groups_sec" -> d7Timed(),
+      // quantizer geometry: mean cell radius of each quantizer (the
+      // hard-query displacement anchor is the TRAINED one's)
+      "ivf_rbar_first" ->
+        Similarity.meanCellRadius(spark, work, step, trained = false),
+      "ivf_rbar_kq" ->
+        Similarity.meanCellRadius(spark, work, step, trained = true)) ++
       grid.flatMap { np =>
         Seq(s"ivf_np${np}_sec" -> timeRanked(np),
           s"ivf_np${np}_recall" ->
             easy.find(_._1 == np).get._2,
           s"ivf_np${np}_hardrecall" ->
-            hard.find(_._1 == np).get._2)
+            hard.find(_._1 == np).get._2,
+          s"ivf_np${np}_hardrecall_kq" ->
+            hardKq.find(_._1 == np).get._2)
       }
   }
 

@@ -246,15 +246,29 @@ object Similarity {
     annIvfAutoRanked(s, dir, nprobe = 1, qFilter = col("vec_id") < 5)
       .orderBy(col("qid"), col("rank"))
 
-  /** The nprobe COMPANION rule to [[ivfCellsFor]]: probing
-    * nlist / K cells holds the probed corpus FRACTION at the fixture's
-    * 1/K (the recall-relevant quantity), against the default nprobe = 1
-    * whose fraction shrinks as 1/√n — cheaper per query but with recall
-    * that must be MEASURED, not assumed (ScaleBench's `ivfauto` mode
-    * records both points of the curve at each decade). Fixed point:
-    * nlist = K → nprobe = 1, s3's fixture behavior.
+  /** The nprobe COMPANION rule to [[ivfCellsFor]], derived from a
+    * RECALL TARGET on measured hard-query curves (r11, replacing the
+    * r10 constant-corpus-fraction `nlist / K`, which was linear
+    * per-query in candidate mass AND still read under the target —
+    * 0.865 at x10 — on boundary-displaced queries):
+    *
+    *   nprobe = ⌈√nlist⌉
+    *
+    * The smallest grid rule meeting hard-query recall ≥ 0.9 at every
+    * measured decade on the TRAINED quantizer
+    * ([[coarseCentroids]] `trained = true`, the production build):
+    * scale_ivfauto.json reads 0.942 at x10 (np 8 of nlist 63) and the
+    * x100 row at np 15 of nlist 200, where nlist/K reads 0.865/…
+    * and a fixed nprobe = 1 reads 0.44 or less. Scale shape: probed
+    * corpus fraction = 1/√nlist ∝ n^(−1/4); per-query candidate mass
+    * = n/√nlist ∝ n^(3/4) — SUBLINEAR, where the old rule's n/K was
+    * linear. The cheap nprobe = 1 point stays the right call for
+    * corpus-distributed (easy) queries, which read ≥ 0.99 everywhere;
+    * this rule is what a serving workload with boundary queries
+    * should inherit.
     */
-  def ivfProbesFor(nlist: Int): Int = math.max(1, nlist / Clustering.K)
+  def ivfProbesFor(nlist: Int): Int =
+    math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
 
   /** The parameterized auto-IVF ranking behind [[s7AnnIvfAuto]] (which
     * pins nprobe = 1 and the vec_id < 5 oracle queries), ScaleBench's
@@ -279,13 +293,57 @@ object Similarity {
     * queries use a disjoint id range ([[HardQueryIdOffset]]) so the
     * exclusion never fires for them.
     */
+  /** Coarse-quantizer centroid table (cell, cv) at the derived nlist.
+    *
+    * `trained = false` (the s3/s7 oracle convention): the first nlist
+    * corpus vectors — fully SQL-replayable, but on a clustered corpus a
+    * random data point is ≈ as far from its "centroid" as from any
+    * other point (measured mean cell radius ≈ the inter-point distance),
+    * so centroid ranking barely predicts member proximity for displaced
+    * queries — boundary-query recall needs Ω(nlist) probes (measured in
+    * scale_ivfauto.json).
+    *
+    * `trained = true` (the PRODUCTION quantizer): seeded k-means
+    * ([[graft.mopso.Init.kmeansCenters]], centers sorted by first
+    * coordinate — deterministic under a fixed seed), the standard IVF
+    * coarse quantizer. Cells become actual density regions, so the
+    * nprobe that meets a recall target is measured √-shaped instead of
+    * Ω(nlist). Stochastic-but-seeded like m1: pinned by specs, not a
+    * DuckDB oracle — which is exactly why the oracle-checked s3/s7
+    * family keeps the first-vectors convention. Centers are memoized
+    * per (dir, nlist) in the JVM (the Bpe.trained discipline): an index
+    * build is amortized over every query it serves, and the recall
+    * curve must measure ONE index, not one per setting.
+    */
+  private[graft] def coarseCentroids(s: SparkSession, dir: String,
+      nlist: Int, trained: Boolean): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    if (!trained)
+      e.where(col("vec_id") < nlist)
+        .select((col("vec_id") + 1).cast("int").as("cell"),
+          col("features").as("cv"))
+    else {
+      val arr = trainedCenters.synchronized {
+        trainedCenters.getOrElseUpdate((dir, nlist),
+          graft.mopso.Init.kmeansCenters(
+            e.select(col("features")), nlist, maxIter = 20, seed = 42L))
+      }
+      arr.zipWithIndex
+        .map { case (c, i) => (i + 1, c.toSeq) }.toSeq
+        .toDF("cell", "cv")
+    }
+  }
+
+  private val trainedCenters =
+    scala.collection.mutable.Map[(String, Int), Array[Array[Double]]]()
+
   private[graft] def annIvfAutoRankedQueries(s: SparkSession, dir: String,
-      nprobe: Int, queries: DataFrame): DataFrame = {
+      nprobe: Int, queries: DataFrame,
+      trained: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val nlist = ivfCellsFor(e.count())
-    val cents = e.where(col("vec_id") < nlist)
-      .select((col("vec_id") + 1).cast("int").as("cell"),
-        col("features").as("cv"))
+    val cents = coarseCentroids(s, dir, nlist, trained)
     // nearest cells per vector: min (assignment) / sorted prefix
     // (probing) over struct(dist, cell) — a total order (cell ids are
     // distinct), ties toward the lower cell id, exactly s3's rule. The
@@ -375,35 +433,73 @@ object Similarity {
     */
   val HardQueryIdOffset: Long = 1L << 40
 
-  /** Per-dimension displacement of [[hardQueries]], as a fraction of the
-    * dimension's global (max − min) range.
+  /** Displacement magnitude of [[hardQueries]] in units of the MEASURED
+    * mean cell radius (mean distance of a sampled corpus point to its
+    * nearest coarse centroid): 1.0 puts the query a full typical radius
+    * off a corpus point — the cell-boundary regime, where single-probe
+    * recall genuinely degrades. Anchoring to the index's own geometry
+    * (not a data-range fraction) keeps the definition scale-free across
+    * corpora and decades: cells shrink as nlist grows with √n, and the
+    * hard queries shrink with them.
     */
-  val HardNoiseFrac = 0.25
+  val HardDisplacementCellRadii = 1.0
 
-  /** HARD (out-of-corpus) query vectors: every step-th corpus vector,
-    * displaced per-dimension by a deterministic hash-derived uniform in
-    * ±[[HardNoiseFrac]]·range(dim). Corpus-sampled queries sit at cell
-    * members' own positions — the easiest possible case for an IVF probe
-    * (the r10 decade curve read recall 1.000 there while random fixture
-    * queries read 0.27 at nprobe = 1) — whereas displaced queries land
-    * BETWEEN cells, which is what a serving workload looks like. No RNG:
-    * xxhash64(vec_id, dim, salt) is the generator (the Zipf-corpus
-    * discipline), so every engine replays the same query set.
+  /** Deterministic HASH-based query sampling: selects ≈ n/step ids with
+    * no correlation to id STRUCTURE. The modulo form (vec_id % step)
+    * looked identical on the fixture but broke at the decades — the
+    * scaled fixtures remap copy ids by +copy·10⁸, and 10⁸ ≡ 0 mod the
+    * x100 step, so every "sampled query" was a copy of the SAME original
+    * vector and recall read a meaningless 1.000. At step = 1 this is
+    * still all-ids (x % 1 = 0), preserving the sampled-equals-full
+    * spec contracts.
     */
+  private[graft] def querySampleFilter(step: Long): Column =
+    pmod(xxhash64(col("vec_id"), lit("qsample")), lit(step)) === lit(0L)
+
+  /** HARD (out-of-corpus) query vectors: a hash-sampled corpus subset,
+    * each vector displaced by a deterministic hash-derived per-dimension
+    * uniform whose total magnitude ≈ [[HardDisplacementCellRadii]] ×
+    * the measured mean cell radius. Corpus-sampled queries sit at cell
+    * members' own positions — the easiest possible case for an IVF
+    * probe — whereas boundary-displaced queries are what a serving
+    * workload looks like. No RNG: xxhash64(vec_id, dim, salt) is the
+    * generator (the Zipf-corpus discipline), so every engine replays
+    * the same query set.
+    */
+  /** Mean cell radius of a quantizer over the hash-sampled subset:
+    * O(s·nlist), one broadcast join. The TRAINED quantizer's radius is
+    * the corpus's actual density-region scale; the first-vectors
+    * quantizer's is ≈ the inter-point distance (see
+    * [[coarseCentroids]]) — both are recorded per decade.
+    */
+  private[graft] def meanCellRadius(s: SparkSession, dir: String,
+      step: Long, trained: Boolean): Double = {
+    val e = Tables.embeddings(s, dir)
+    val nlist = ivfCellsFor(e.count())
+    val cents = coarseCentroids(s, dir, nlist, trained).select(col("cv"))
+    e.where(querySampleFilter(step))
+      .select(col("vec_id"), col("features"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(min(Linalg.euclidCol(col("features"), col("cv"))).as("r"))
+      .agg(avg(col("r"))).head().getDouble(0)
+  }
+
   private[graft] def hardQueries(s: SparkSession, dir: String,
       step: Long): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val stats = e
-      .select(posexplode(col("features")).as(Seq("dim", "x")))
-      .groupBy(col("dim"))
-      .agg((max(col("x")) - min(col("x"))).as("range"))
-      .orderBy(col("dim"))
-      .collect().map(_.getDouble(1))
-    val rangeL = typedlit(stats)
-    e.where(pmod(col("vec_id"), lit(step)) === lit(0L))
+    // anchor on the TRAINED quantizer's radius — the corpus's real
+    // density-region scale (the first-vectors radius is the inter-point
+    // distance, which would make "one radius off" a near-random query);
+    // the SAME query set then measures every quantizer
+    val rbar = meanCellRadius(s, dir, step, trained = true)
+    require(rbar > 0.0, "degenerate corpus: every sampled point is a centroid")
+    // per-dim amplitude a s.t. E‖uniform(±a)^Dim‖ ≈ target radius
+    val a = rbar * HardDisplacementCellRadii / math.sqrt(Dim / 3.0)
+    e.where(querySampleFilter(step))
       .select((col("vec_id") + lit(HardQueryIdOffset)).as("vec_id"),
         transform(col("features"), (x, i) =>
-          x + element_at(rangeL, i + 1) * lit(2.0 * HardNoiseFrac) *
+          x + lit(2.0 * a) *
             (pmod(xxhash64(col("vec_id"), i, lit("hardq")), lit(1000000L))
               / lit(1000000.0) - lit(0.5))).as("features"))
   }
@@ -417,7 +513,8 @@ object Similarity {
     * Returns (nprobe, recall) per setting.
     */
   private[graft] def ivfRecallCurve(s: SparkSession, dir: String,
-      queries: DataFrame, nprobes: Seq[Int]): Seq[(Int, Double)] = {
+      queries: DataFrame, nprobes: Seq[Int],
+      trained: Boolean = false): Seq[(Int, Double)] = {
     val e = Tables.embeddings(s, dir)
     // two consumers per setting + the exact leg: pin the (small) query
     // frame so its lineage (possibly a stats pass) runs once
@@ -439,7 +536,8 @@ object Similarity {
     require(nExact > 0, "empty recall denominator")
     nprobes.map { np =>
       val approx = annIvfAutoRankedQueries(s, dir, np,
-          q.select(col("qid").as("vec_id"), col("qv").as("features")))
+          q.select(col("qid").as("vec_id"), col("qv").as("features")),
+          trained)
         .select(col("qid"), col("nid"))
       val nHit = approx.join(exact, Seq("qid", "nid"), "left_semi").count()
       np -> nHit.toDouble / nExact
@@ -447,15 +545,16 @@ object Similarity {
   }
 
   /** Top-5 recall of the auto index at DATA scale from a deterministic
-    * corpus sample (every step-th vec_id) — the single-setting face of
-    * [[ivfRecallCurve]]. At step = 1 over the fixture queries this
-    * measures the same quantity s5 reports for the pinned index.
+    * hash-sampled corpus subset ([[querySampleFilter]]) — the
+    * single-setting face of [[ivfRecallCurve]]. At step = 1 over the
+    * fixture queries this measures the same quantity s5 reports for the
+    * pinned index.
     */
   private[graft] def ivfSampledRecall(s: SparkSession, dir: String,
       nprobe: Int, step: Long): Double =
     ivfRecallCurve(s, dir,
       Tables.embeddings(s, dir)
-        .where(pmod(col("vec_id"), lit(step)) === lit(0L))
+        .where(querySampleFilter(step))
         .select(col("vec_id"), col("features")),
       Seq(nprobe)).head._2
 

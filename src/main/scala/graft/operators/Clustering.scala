@@ -430,8 +430,15 @@ object Clustering {
     */
   private[graft] def lshSampledRecall(s: SparkSession, dir: String,
       numPlanes: Int, numTables: Int, step: Long): Double = {
+    // HASH-based sampling, not id-modulo: the decade fixtures remap copy
+    // ids by +copy·10⁸ ≡ 0 mod the large-n steps, so a modulo sample
+    // collapses onto copies of a handful of original points (see
+    // Similarity.querySampleFilter — the same fix, same salt-independent
+    // contract: step = 1 still selects every id)
+    def sampled(id: Column) =
+      pmod(xxhash64(id, lit("qsample")), lit(step)) === lit(0L)
     val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
-    val sx = pc.where(pmod(col("id"), lit(step)) === lit(0L))
+    val sx = pc.where(sampled(col("id")))
       .select(col("id").as("xi"), col("features").as("xv"),
         col("cluster").as("cx"))
     val ally = pc.select(col("id").as("yi"), col("features").as("yv"),
@@ -441,7 +448,7 @@ object Clustering {
       .select(col("xi"), col("yi"))
       .localCheckpoint(eager = true) // two consumers: hit join + count
     val approx = lshRankedNeighbors(s, dir, numPlanes, numTables,
-      xiFilter = Some(pmod(col("xi"), lit(step)) === lit(0L)))
+      xiFilter = Some(sampled(col("xi"))))
     val nExact = exact.count()
     require(nExact > 0, s"empty recall denominator at step=$step")
     val nHit = approx.join(exact, Seq("xi", "yi"), "left_semi").count()

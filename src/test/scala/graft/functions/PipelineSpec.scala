@@ -245,12 +245,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   test("auto IVF probing: nprobe rule fixed point, recall rises with nprobe") {
     val K = graft.operators.Clustering.K
-    // companion rule nprobe = max(1, nlist/K): the fixture's nlist = K
-    // maps to s3's single probe; x10/x100 derived nlists map to the
-    // constant-corpus-fraction settings ScaleBench's ivfauto mode times
-    assert(Similarity.ivfProbesFor(K) === 1)
-    assert(Similarity.ivfProbesFor(63) === 6) // x10
-    assert(Similarity.ivfProbesFor(200) === 20) // x100
+    // recall-targeted rule nprobe = ⌈√nlist⌉ (r11 — derived from the
+    // measured hard-query curves, see the ivfProbesFor scaladoc); the
+    // oracle-checked s7 query itself still pins nprobe = 1, so the
+    // s7 ≡ s3 fixture fixed point is untouched by this rule
+    assert(Similarity.ivfProbesFor(K) === 4) // ⌈√10⌉
+    assert(Similarity.ivfProbesFor(63) === 8) // x10
+    assert(Similarity.ivfProbesFor(200) === 15) // x100
+    assert(Similarity.ivfProbesFor(1) === 1)
     // on the fixture: multi-probe recall (sampled over every 5th vector,
     // 100 queries) is monotone from nprobe 1 → nlist/K·K = full probe;
     // nprobe = nlist degenerates to exact brute force (recall 1.0)
@@ -339,6 +341,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(h1.forall { case (qid, v) =>
       v != origin(qid - Similarity.HardQueryIdOffset)
     })
+  }
+
+  test("trained quantizer: deterministic, tighter cells, exact at full probe") {
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    val nlist = Similarity.ivfCellsFor(n)
+    // memoized seeded k-means: two calls return the identical table
+    def cents() = Similarity.coarseCentroids(spark, sfDir, nlist,
+        trained = true)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    assert(cents() === cents())
+    assert(cents().length === nlist)
+    // trained cells are tighter than first-vectors cells on the
+    // clustered fixture — the geometric fact that makes the trained
+    // quantizer the production recommendation
+    val rFirst = Similarity.meanCellRadius(spark, sfDir, 5L, trained = false)
+    val rKq = Similarity.meanCellRadius(spark, sfDir, 5L, trained = true)
+    assert(rKq > 0.0 && rKq < rFirst, s"kq radius $rKq vs first $rFirst")
+    // hard-query recall against the trained index: monotone in nprobe,
+    // exact at full probe (every cell probed = brute force)
+    val curve = Similarity.ivfRecallCurve(spark, sfDir,
+      Similarity.hardQueries(spark, sfDir, 5L),
+      Seq(1, math.ceil(math.sqrt(nlist.toDouble)).toInt, nlist)
+        .distinct.sorted,
+      trained = true)
+    assert(curve.sliding(2).forall(p => p.head._2 <= p.last._2),
+      s"kq recall not monotone: $curve")
+    assert(curve.last._2 === 1.0, s"full probe must be exact: $curve")
   }
 
   test("recall curve on hard queries: exact-once denominator, monotone") {
