@@ -282,17 +282,6 @@ object Similarity {
       Tables.embeddings(s, dir).where(qFilter)
         .select(col("vec_id"), col("features")))
 
-  /** The auto-IVF top-5 ranking for an ARBITRARY query frame
-    * (vec_id, features) — queries need not live in the corpus. Emits
-    * (qid, rank, nid) — top-5 per query over the union of the query's
-    * `nprobe` nearest cells' members. Assignment and probing stay NARROW
-    * through the n·nlist candidate rows (see the inline note); the
-    * per-query cell ranking rides one sort_array over the nlist-sized
-    * collect_list — bounded by √(n/5) elements per query row. A corpus
-    * query is excluded from its own result (qid ≠ nid); out-of-corpus
-    * queries use a disjoint id range ([[HardQueryIdOffset]]) so the
-    * exclusion never fires for them.
-    */
   /** Coarse-quantizer centroid table (cell, cv) at the derived nlist.
     *
     * `trained = false` (the s3/s7 oracle convention): the first nlist
@@ -338,6 +327,18 @@ object Similarity {
   private val trainedCenters =
     scala.collection.mutable.Map[(String, Int), Array[Array[Double]]]()
 
+  /** The auto-IVF top-5 ranking for an ARBITRARY query frame
+    * (vec_id, features) — queries need not live in the corpus. Emits
+    * (qid, rank, nid) — top-5 per query over the union of the query's
+    * `nprobe` nearest cells' members against the chosen quantizer
+    * ([[coarseCentroids]]). Assignment and probing stay NARROW through
+    * the n·nlist candidate rows (see the inline note); the per-query
+    * cell ranking rides one sort_array over the nlist-sized
+    * collect_list — bounded by √(n/5) elements per query row. A corpus
+    * query is excluded from its own result (qid ≠ nid); out-of-corpus
+    * queries use a disjoint id range ([[HardQueryIdOffset]]) so the
+    * exclusion never fires for them.
+    */
   private[graft] def annIvfAutoRankedQueries(s: SparkSession, dir: String,
       nprobe: Int, queries: DataFrame,
       trained: Boolean = false): DataFrame = {
