@@ -58,6 +58,9 @@ object ScaleBench {
     // build) — the scale form whose pinned-K twin s3 would probe a
     // fixed FRACTION of the corpus per query
     "s7_ann_ivf_auto",
+    // round-11: the PQ code scan (memory-bound ANN companion) and the
+    // substring-span dedup (linear window-hash shuffles)
+    "s8_ann_pq", "d9_substring_spans",
     "t1_token_stats", "t3_fingerprint", "t5_repetition",
     "t7_quality_gate", "t8_boilerplate",
     "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",

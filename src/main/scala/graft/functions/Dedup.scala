@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -56,6 +57,7 @@ object Dedup {
     "d8_simhash_pairs" -> d8SimhashPairs,
     "d6_dedup_groups" -> d6DedupGroups,
     "d7_semantic_groups" -> d7SemanticGroups,
+    "d9_substring_spans" -> d9SubstringSpans,
     "p1_corpus_curation" -> p1CorpusCuration
   )
 
@@ -106,6 +108,82 @@ object Dedup {
       .withColumn("h", md5(col("text").cast("binary")))
       .dropDuplicates("h")
       .drop("h") // survivors keep the INPUT schema — the hash is state, not output
+
+  /** Window width (in tokens) for [[d9SubstringSpans]] — long enough that
+    * a shared window means genuinely copied text, short enough that the
+    * fixture's near-duplicates surface (sf0.01: 1015 duplicated 8-token
+    * window hashes over 2101 positions).
+    */
+  val SpanWindow = 8
+
+  /** Hashes of every [[SpanWindow]]-token window of `toks`, in position
+    * order; empty when the doc is shorter than one window.
+    */
+  private def windowHashes(toks: Column): Column =
+    when(size(toks) >= SpanWindow,
+      transform(sequence(lit(1), size(toks) - (SpanWindow - 1)),
+        i => hash60(concat_ws(" ", slice(toks, i, lit(SpanWindow))))))
+      .otherwise(array().cast("array<long>"))
+
+  /** Exact substring-span duplicate profile — the token-window
+    * approximation of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): d1
+    * removes whole-document clones and d3/d5 near-duplicate documents,
+    * but the dominant duplication mode in web corpora is a SPAN (a
+    * boilerplate paragraph, a quoted passage) embedded in otherwise
+    * distinct documents, which document-granular dedup cannot see.
+    * Every [[SpanWindow]]-token window is hashed; a window duplicated
+    * ANYWHERE in the corpus (≥ 2 occurrences, cross- or within-doc)
+    * marks its positions, and runs of consecutive duplicated positions
+    * merge into maximal spans (a run of r windows covers r +
+    * [[SpanWindow]] − 1 tokens — what a span-removal pass would cut).
+    *
+    * Output per document: window count, duplicated-window count, span
+    * count, longest span in tokens, duplicated-window ratio.
+    *
+    * Scale shape: the exploded (doc_id, p, wh) frame is one narrow row
+    * per corpus token — linear, never pairwise; the duplicated-hash
+    * filter is one hash-groupBy with map-side partials (the d1 shape);
+    * the join-back is a shuffle join on the window hash whose probe side
+    * shrinks to the duplicated positions only; the islands pass windows
+    * by doc_id. Four linear shuffles, no candidate blowup — at 100 TB
+    * the window hash is the partition key throughout, and the O(n·W)
+    * hashing work is a fixed ×[[SpanWindow]] constant over the scan.
+    */
+  def d9SubstringSpans: Q = (s, dir) =>
+    substringSpanProfile(Tables.documents(s, dir))
+
+  /** [[d9SubstringSpans]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def substringSpanProfile(in: DataFrame): DataFrame = {
+    val docs = in.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val pos = docs.select(col("doc_id"),
+      posexplode(windowHashes(col("toks"))).as(Seq("p", "wh")))
+    val dup = pos.groupBy(col("wh")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("wh"))
+    val dpos = pos.join(dup, Seq("wh"), "left_semi")
+    // gaps-and-islands: consecutive duplicated positions share p − rank
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val runs = dpos
+      .withColumn("isl", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("dw"), count(lit(1)).as("ds"),
+        (max(col("len")) + lit(SpanWindow - 1)).as("mst"))
+    docs
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - (SpanWindow - 1), lit(0))
+          .cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dw"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("ds"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("mst"), lit(0L)).as("max_span_tokens"),
+        when(col("n_windows") > 0,
+          round(coalesce(col("dw"), lit(0L)) / col("n_windows"), 6))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
 
   /** MinHash signature rows (doc_id, h, mh): for hash function h, the
     * minimum 60-bit hash of `h:token` over the doc's DISTINCT token set.
@@ -640,6 +718,36 @@ object Dedup {
          |$edgesReachSql,
          |${grpSqlFrom("embeddings", "vec_id")}
          |SELECT doc_id AS vec_id, group_id FROM grp ORDER BY vec_id""".stripMargin,
+    // independent replay of the window-hash → global-count → islands
+    // chain; positions are 1-based here vs posexplode's 0-based, which
+    // cancels in the p − row_number() island key
+    "d9_substring_spans" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |w AS (SELECT doc_id, i AS p,
+         |    ('0x' || substr(md5(array_to_string(
+         |      toks[i:i+${SpanWindow - 1}], ' ')), 1, 15))::BIGINT AS wh
+         |  FROM t, unnest(generate_series(1, len(toks) - ${SpanWindow - 1}))
+         |    AS u(i)),
+         |dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+         |dpos AS (SELECT doc_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+         |  FROM w WHERE wh IN (SELECT wh FROM dup)),
+         |runs AS (SELECT doc_id, isl, count(*) AS len FROM dpos
+         |  GROUP BY doc_id, isl),
+         |pd AS (SELECT doc_id, sum(len)::BIGINT AS dw, count(*) AS ds,
+         |    (max(len) + ${SpanWindow - 1})::BIGINT AS mst
+         |  FROM runs GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  greatest(len(toks) - ${SpanWindow - 1}, 0)::BIGINT AS n_windows,
+         |  coalesce(dw, 0)::BIGINT AS n_dup_windows,
+         |  coalesce(ds, 0)::BIGINT AS n_dup_spans,
+         |  coalesce(mst, 0)::BIGINT AS max_span_tokens,
+         |  CASE WHEN len(toks) - ${SpanWindow - 1} > 0
+         |    THEN round(coalesce(dw, 0) * 1.0 /
+         |      (len(toks) - ${SpanWindow - 1}), 6)
+         |    ELSE 0.0 END AS dup_ratio
+         |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_distinct(string_split_regex(trim(text), '\s+')),

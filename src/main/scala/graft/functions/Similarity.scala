@@ -33,7 +33,8 @@ object Similarity {
     "s4_embedding_neardup" -> s4EmbeddingNeardup,
     "s5_ann_recall" -> s5AnnRecall,
     "s6_quant_recall" -> s6QuantRecall,
-    "s7_ann_ivf_auto" -> s7AnnIvfAuto
+    "s7_ann_ivf_auto" -> s7AnnIvfAuto,
+    "s8_ann_pq" -> s8AnnPq
   )
 
   /** Plane count for the near-dup bucketing — coarser than [[NumPlanes]]
@@ -515,10 +516,26 @@ object Similarity {
     */
   private[graft] def ivfRecallCurve(s: SparkSession, dir: String,
       queries: DataFrame, nprobes: Seq[Int],
-      trained: Boolean = false): Seq[(Int, Double)] = {
+      trained: Boolean = false): Seq[(Int, Double)] =
+    recallCurve(s, dir, queries,
+      nprobes.map(np => np.toString ->
+        ((qf: DataFrame) => annIvfAutoRankedQueries(s, dir, np, qf,
+          trained))))
+      .map { case (name, r) => name.toInt -> r }
+
+  /** Recall of EVERY approximate-index variant against ONE exact top-5
+    * leg (its cost — the broadcast-queries × all-points ranking — is
+    * variant-independent, so the curve shares it; ADVICE r10): each
+    * variant maps the pinned query frame to its (qid, nid) ranking.
+    * Shared by the IVF nprobe curves and the PQ codebook/rerank curves.
+    */
+  private[graft] def recallCurve(s: SparkSession, dir: String,
+      queries: DataFrame,
+      variants: Seq[(String, DataFrame => DataFrame)])
+      : Seq[(String, Double)] = {
     val e = Tables.embeddings(s, dir)
-    // two consumers per setting + the exact leg: pin the (small) query
-    // frame so its lineage (possibly a stats pass) runs once
+    // N+1 consumers (the exact leg + every variant): pin the (small)
+    // query frame so its lineage (possibly a stats pass) runs once
     val q = queries
       .select(col("vec_id").as("qid"), col("features").as("qv"))
       .localCheckpoint(eager = true)
@@ -532,18 +549,27 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("qid"), col("nid"))
-      .localCheckpoint(eager = true) // consumers: per-setting hit join + count
+      .localCheckpoint(eager = true) // consumers: per-variant hit join + count
     val nExact = exact.count()
     require(nExact > 0, "empty recall denominator")
-    nprobes.map { np =>
-      val approx = annIvfAutoRankedQueries(s, dir, np,
-          q.select(col("qid").as("vec_id"), col("qv").as("features")),
-          trained)
-        .select(col("qid"), col("nid"))
+    val qf = q.select(col("qid").as("vec_id"), col("qv").as("features"))
+    variants.map { case (name, fn) =>
+      val approx = fn(qf).select(col("qid"), col("nid"))
       val nHit = approx.join(exact, Seq("qid", "nid"), "left_semi").count()
-      np -> nHit.toDouble / nExact
+      name -> nHit.toDouble / nExact
     }
   }
+
+  /** PQ recall per (trained, rerank) setting over an arbitrary query
+    * frame — the [[ivfRecallCurve]] twin for the s8 family.
+    */
+  private[graft] def pqRecallCurve(s: SparkSession, dir: String,
+      queries: DataFrame, settings: Seq[(Boolean, Int)])
+      : Seq[((Boolean, Int), Double)] =
+    recallCurve(s, dir, queries,
+      settings.map { case (tr, rr) => s"$tr/$rr" ->
+        ((qf: DataFrame) => pqRankedQueries(s, dir, qf, tr, rr)) })
+      .zip(settings).map { case ((_, r), st) => st -> r }
 
   /** Top-5 recall of the auto index at DATA scale from a deterministic
     * hash-sampled corpus subset ([[querySampleFilter]]) — the
@@ -680,6 +706,200 @@ object Similarity {
         round(col("n_hit") / col("n_exact"), 6).as("recall"))
   }
 
+  /** PQ layout for [[s8AnnPq]]: [[PqSubspaces]] subspaces of
+    * [[PqSubDim]] dims each (M·d = [[Dim]]), [[PqCodewords]] codewords
+    * per subspace taken from the first [[PqCodewords]] corpus vectors'
+    * subvectors — the s2/s3/s7 first-vectors convention, so the whole
+    * index replays in SQL; a production build swaps in per-subspace
+    * k-means exactly the way [[coarseCentroids]] `trained = true` does
+    * for the IVF coarse quantizer.
+    */
+  val PqSubspaces = 8
+  val PqSubDim: Int = Dim / PqSubspaces
+  val PqCodewords = 16
+
+  /** Squared euclidean over two [[PqSubDim]]-dim arrays as an EXPLICIT
+    * left-associated 8-term sum — both engines evaluate the identical
+    * float expression tree, so ADC sums (and hence ranks) are
+    * bit-reproducible against the oracle (the t12 micro-nat discipline,
+    * by operation order instead of integer quantization).
+    */
+  private def sqSub(a: Column, b: Column): Column =
+    (1 to PqSubDim).map { i =>
+      val d = element_at(a, i) - element_at(b, i)
+      d * d
+    }.reduce(_ + _)
+
+  /** Subvector rows (id, m, sv): vector split into [[PqSubspaces]]
+    * contiguous [[PqSubDim]]-dim slices, m ∈ 1..M.
+    */
+  private def subvectorRows(in: DataFrame, idAs: String): DataFrame =
+    in.select(col("vec_id").as(idAs),
+      posexplode(transform(sequence(lit(1), lit(PqSubspaces)),
+        m => slice(col("features"), (m - 1) * PqSubDim + 1, lit(PqSubDim))))
+        .as(Seq("m0", "sv")))
+      .select(col(idAs), (col("m0") + 1).as("m"), col("sv"))
+
+  /** The PQ codebook as a broadcastable table (m, j, cv): codeword j of
+    * subspace m is the m-th subvector of corpus vector j−1.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    subvectorRows(
+      Tables.embeddings(s, dir).where(col("vec_id") < PqCodewords), "cwid")
+      .select(col("m"), (col("cwid") + 1).cast("int").as("j"),
+        col("sv").as("cv"))
+
+  /** TRAINED PQ codebook — the production build: per-subspace seeded
+    * k-means over the corpus subvectors (the [[coarseCentroids]]
+    * `trained = true` discipline, memoized per dir so the measured
+    * index is the served index). Stochastic-but-seeded → spec-pinned;
+    * the oracle-checked s8 keeps the first-vectors convention. The
+    * quality gap is the same one the IVF curves measured: first-vector
+    * codewords are arbitrary corpus points, trained codewords are the
+    * subspace's actual density regions.
+    */
+  private def pqCodebookTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = pqTrainedCache.synchronized {
+      pqTrainedCache.getOrElseUpdate(dir, {
+        val e = Tables.embeddings(s, dir)
+        (1 to PqSubspaces).flatMap { m =>
+          val sub = e.select(
+            slice(col("features"), (m - 1) * PqSubDim + 1, PqSubDim)
+              .as("features"))
+          graft.mopso.Init.kmeansCenters(sub, PqCodewords, maxIter = 20,
+            seed = 42L + m)
+            .zipWithIndex.map { case (c, j) => (m, j + 1, c.toSeq) }
+        }
+      })
+    }
+    rows.toDF("m", "j", "cv")
+  }
+
+  private val pqTrainedCache =
+    scala.collection.mutable.Map[String, Seq[(Int, Int, Seq[Double])]]()
+
+  /** PQ codes per vector (vec_id, codes: array of M codeword ids):
+    * argmin over the broadcast codebook per subspace, ties toward the
+    * lower codeword id. ONE shuffle: the n·M subvector rows meet the
+    * M·Ksub codebook in a broadcast join, and the per-subspace argmins
+    * ride M `min(struct(dist, j))` aggregates with map-side partials
+    * (the minhashSigs column pattern) — the shuffle carries M small
+    * structs per vector, never the candidate rows.
+    */
+  private[graft] def pqCodes(s: SparkSession, dir: String,
+      cb: DataFrame): DataFrame = {
+    val enc = subvectorRows(Tables.embeddings(s, dir), "vec_id")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        struct(sqSub(col("sv"), col("cv")).as("dist"), col("j")).as("dj"))
+    val mins = (1 to PqSubspaces).map(m =>
+      min(when(col("m") === m, col("dj"))).as(s"c$m"))
+    enc.groupBy(col("vec_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("vec_id"),
+        array((1 to PqSubspaces).map(m => col(s"c$m").getField("j")): _*)
+          .as("codes"))
+  }
+
+  /** Per-query ADC lookup tables (qid, lut): lut[(m−1)·Ksub + j] is the
+    * squared distance from the query's m-th subvector to codeword (m, j)
+    * — M·Ksub doubles per query, assembled in (m, j) order by one
+    * sort_array over the collected struct rows.
+    */
+  private def pqLuts(queries: DataFrame, cb: DataFrame): DataFrame =
+    subvectorRows(queries, "qid")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("qid"),
+        struct(col("m"), col("j"),
+          sqSub(col("sv"), col("cv")).as("pd")).as("e"))
+      .groupBy(col("qid"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("qid"),
+        transform(col("es"), e => e.getField("pd")).as("lut"))
+
+  /** The parameterized PQ ranking behind [[s8AnnPq]] (first-vectors
+    * codebook, no rerank — the SQL-replayable face) and the measured
+    * production variants: `trained` swaps in the k-means codebook;
+    * `rerank > 0` turns the ADC scan into a SHORTLIST of that many
+    * candidates per query, exactly reranked against the full vectors —
+    * the standard ADC+rerank serving shape (the shortlist is the only
+    * part that ever touches a raw vector: |q|·rerank rows broadcast
+    * against the corpus, so the 32×-compressed code scan does the
+    * heavy lifting and the rerank cost is per-query-bounded).
+    * Returns (qid, rank, nid, score) — score is the rounded ADC (or
+    * exact rerank distance when reranking).
+    */
+  /** Codebook dispatch shared by [[pqRankedQueries]] and the specs. */
+  private[graft] def pqCodebookOf(s: SparkSession, dir: String,
+      trained: Boolean): DataFrame =
+    if (trained) pqCodebookTrained(s, dir) else pqCodebook(s, dir)
+
+  private[graft] def pqRankedQueries(s: SparkSession, dir: String,
+      queries: DataFrame, trained: Boolean = false,
+      rerank: Int = 0): DataFrame = {
+    val cb = pqCodebookOf(s, dir, trained)
+    val luts = pqLuts(queries, cb)
+    val adc = (1 to PqSubspaces).map(m =>
+      element_at(col("lut"),
+        lit((m - 1) * PqCodewords) + element_at(col("codes"), m)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    val ranked = pqCodes(s, dir, cb)
+      .select(col("vec_id").as("nid"), col("codes"))
+      .crossJoin(broadcast(luts))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      ranked.where(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("adc"), 4).as("score"))
+    else {
+      val shortlist = ranked.where(col("rank") <= rerank)
+        .select(col("qid"), col("nid"))
+      val qv = queries.select(col("vec_id").as("qid"),
+        col("features").as("qv"))
+      val nv = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("nid"), col("features").as("nv"))
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col("nid"))
+      broadcast(shortlist).join(nv, Seq("nid"))
+        .join(broadcast(qv), Seq("qid"))
+        .select(col("qid"), col("nid"),
+          Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("dist"), 4).as("score"))
+    }
+  }
+
+  /** s8: product-quantization ANN (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the memory-bound
+    * companion to the IVF family: each vector is stored as M = 8
+    * codeword ids instead of [[Dim]] floats (32× compression at M=8,
+    * Ksub=16), and a query scans CODES, never vectors, via its
+    * asymmetric-distance lookup table: adc(q, v) = Σₘ ‖qₘ −
+    * c[m, codeₘ(v)]‖². Output (qid, rank, nid, adc): top-5 per query
+    * vec_id < 5 by (adc, nid) — the s1/s3 family shape with the ADC
+    * approximation in place of exact distance.
+    *
+    * Scale shape: encoding is the one-pass broadcast-join build
+    * ([[pqCodes]]); scoring joins the n-row code table against the
+    * 5-row broadcast LUT frame — per (query, vector) work is M array
+    * lookups + 7 adds on a 40-byte row, the reason PQ scans beat raw
+    * scans at 100 TB. At corpus scale the code table is the thing that
+    * fits in memory where the vectors do not; composing it under the s7
+    * cell-probe (IVFADC) is the standard next step and changes only the
+    * candidate feed, not this scorer.
+    */
+  def s8AnnPq: Q = (s, dir) =>
+    pqRankedQueries(s, dir,
+      Tables.embeddings(s, dir).where(col("vec_id") < 5))
+      .select(col("qid"), col("rank"), col("nid"), col("score").as("adc"))
+      .orderBy(col("qid"), col("rank"))
+
   /** Streaming ANN SERVING twin of s7 (VERDICT r10 §next-7): arriving
     * query vectors are scored per micro-batch against the FROZEN
     * auto-IVF index by the exact batch ranking — `foreachBatch` is the
@@ -767,7 +987,45 @@ object Similarity {
        |    JOIN p y ON y.vec_id = c.doc_b)
        |  WHERE cos >= $NearDupCosine)""".stripMargin
 
+  /** The explicit [[PqSubDim]]-term squared-distance sum as SQL — the
+    * same left-associated expression tree [[sqSub]] builds, so encoding
+    * distances and ADC sums agree bitwise across engines.
+    */
+  private def sqSubSql(a: String, b: String): String =
+    (1 to PqSubDim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])")
+      .mkString(" + ")
+
+  private def adcTermsSql: String =
+    (1 to PqSubspaces).map(m =>
+      s"l.lut[${(m - 1) * PqCodewords} + c.codes[$m]]").mkString(" + ")
+
   def oracles: Map[String, String] = Map(
+    // full SQL replay of the PQ index: subvector split → first-vectors
+    // codebook → per-subspace argmin codes → per-query LUT → explicit
+    // 8-term ADC sum (identical association order to the Spark side)
+    "s8_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS f
+         |    FROM embeddings),
+         |sv AS (SELECT vec_id, m,
+         |    f[(m-1)*$PqSubDim+1:m*$PqSubDim] AS sv
+         |  FROM e, unnest(generate_series(1, $PqSubspaces)) AS g(m)),
+         |cb AS (SELECT m, (vec_id+1)::INT AS j, sv AS cv FROM sv
+         |  WHERE vec_id < $PqCodewords),
+         |enc AS (SELECT s.vec_id, s.m, c.j,
+         |    ${sqSubSql("s.sv", "c.cv")} AS dist
+         |  FROM sv s JOIN cb c ON s.m = c.m),
+         |codes AS (SELECT vec_id, list(j ORDER BY m) AS codes FROM (
+         |    SELECT vec_id, m, j, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM enc)
+         |  WHERE rn = 1 GROUP BY vec_id),
+         |lut AS (SELECT vec_id AS qid, list(dist ORDER BY m, j) AS lut
+         |  FROM enc WHERE vec_id < 5 GROUP BY vec_id),
+         |sc AS (SELECT l.qid, c.vec_id AS nid, $adcTermsSql AS adc
+         |  FROM codes c, lut l WHERE l.qid <> c.vec_id)
+         |SELECT qid, rank, nid, round(adc, 4) AS adc FROM (
+         |  SELECT qid, nid, adc, row_number() OVER (
+         |    PARTITION BY qid ORDER BY adc, nid) AS rank FROM sc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "s1_cosine_topk" ->
       """WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT qid, rank, nid, round(cos, 4) AS cos FROM (

@@ -45,12 +45,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     *    t_total/v_size) re-applied to every document; the planned
     *    BroadcastNestedLoopJoin is O(n) with a 1-row build side, the
     *    same documented family as c13.
+    *  - s8: `crossJoin(broadcast(luts))` — the n-row PQ code table
+    *    against the 5-row per-query ADC lookup-table frame (the PQ scan
+    *    itself: every vector's codes meet every query's LUT; O(n·|q|)
+    *    40-byte rows with a bounded build side, the s1 family with
+    *    codes in place of vectors).
     */
   private val allowCartesian = Set(
     "c9_knn", "c10_conn", "c13_minmax_norm", "c14_silhouette",
     "c19_conn_topk", "c21_conn_lsh",
     "s1_cosine_topk", "s3_ann_ivf", "s5_ann_recall", "s6_quant_recall",
-    "s7_ann_ivf_auto",
+    "s7_ann_ivf_auto", "s8_ann_pq",
     "d5_jaccard_pairs", "t11_bm25", "t12_lm_score")
 
   /** Documented unpartitioned-window sites — each rides a tiny DERIVED
