@@ -58,9 +58,10 @@ object ScaleBench {
     // build) — the scale form whose pinned-K twin s3 would probe a
     // fixed FRACTION of the corpus per query
     "s7_ann_ivf_auto",
-    // round-11: the PQ code scan (memory-bound ANN companion) and the
-    // substring-span dedup (linear window-hash shuffles)
-    "s8_ann_pq", "d9_substring_spans",
+    // round-11: the PQ code scan (memory-bound ANN companion), the
+    // IVFADC serving composition, and the substring-span dedup
+    // (linear window-hash shuffles)
+    "s8_ann_pq", "s9_ann_ivfadc", "d9_substring_spans",
     "t1_token_stats", "t3_fingerprint", "t5_repetition",
     "t7_quality_gate", "t8_boilerplate",
     "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",
@@ -559,6 +560,45 @@ object ScaleBench {
       "connlsh_n_points" -> n.toDouble)
   }
 
+  /** The PQ/IVFADC recall-and-cost rows per decade (round 11): the s8
+    * family's production variants measured the way `ivfauto` measures
+    * s7 — hash-sampled corpus queries (easy) AND boundary-displaced
+    * hard queries, flat PQ vs the IVFADC residual composition, raw ADC
+    * vs reranked. The flat-ADC row is the honest baseline (quantization
+    * noise vs the corpus's flat neighbor gaps); the IVFADC + rerank row
+    * is what a serving workload inherits.
+    */
+  private def pqCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.functions.Similarity
+    val e = Tables.embeddings(spark, work)
+    val n = e.count()
+    val nlist = Similarity.ivfCellsFor(n)
+    val np = Similarity.ivfProbesFor(nlist)
+    val step = math.max(1L, n / 200L)
+    val q = e.where(Similarity.querySampleFilter(step))
+      .select(col("vec_id"), col("features"))
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val (tFlat, flat) = timed(Similarity.pqRecallCurve(spark, work, q,
+      Seq((false, 0), (false, 100))).map(_._2))
+    val (tAdc, adc) = timed(Similarity.ivfAdcRecallCurve(spark, work, q,
+      Seq((np, 0), (np, 50))).map(_._2))
+    val hq = Similarity.hardQueries(spark, work, step)
+    val (tHard, hard) = timed(Similarity.ivfAdcRecallCurve(spark, work,
+      hq, Seq((np, 50))).map(_._2))
+    Seq("pq_n" -> n.toDouble, "pq_nlist" -> nlist.toDouble,
+      "pq_np" -> np.toDouble,
+      "pq_flat_recall" -> flat(0), "pq_flat_rr100_recall" -> flat(1),
+      "pq_ivfadc_recall" -> adc(0), "pq_ivfadc_rr50_recall" -> adc(1),
+      "pq_ivfadc_hard_rr50_recall" -> hard(0),
+      "pq_flat_sec" -> tFlat, "pq_ivfadc_sec" -> tAdc,
+      "pq_hard_sec" -> tHard)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 10
@@ -592,7 +632,7 @@ object ScaleBench {
 
     if (mode == "q3bucket" || mode == "m1part" || mode == "vocab" ||
         mode == "bpe" || mode == "connlsh" || mode == "ivfauto" ||
-        mode == "layout") {
+        mode == "layout" || mode == "pq") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -613,6 +653,9 @@ object ScaleBench {
         else if (mode == "layout")
           ("layout_probe", layoutProbe(spark, work),
             "scale_layout.json")
+        else if (mode == "pq")
+          ("pq_curve", pqCompare(spark, work),
+            "scale_pq.json")
         else
           ("m1_partition_compare", m1PartitionCompare(spark, work, mult),
             "scale_m1part.json")

@@ -34,8 +34,22 @@ object Similarity {
     "s5_ann_recall" -> s5AnnRecall,
     "s6_quant_recall" -> s6QuantRecall,
     "s7_ann_ivf_auto" -> s7AnnIvfAuto,
-    "s8_ann_pq" -> s8AnnPq
+    "s8_ann_pq" -> s8AnnPq,
+    "s9_ann_ivfadc" -> s9AnnIvfAdc
   )
+
+  /** s9: the IVFADC serving composition at its recall-derived settings
+    * (nprobe = [[ivfProbesFor]], rerank 50) over the fixture queries —
+    * trained coarse + residual codebooks, so no SQL oracle (the m1
+    * stochastic-but-seeded convention: rows-only driver check, recall
+    * and determinism pinned by PqSpec, decades by `ScaleBench pq`).
+    */
+  def s9AnnIvfAdc: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val np = ivfProbesFor(ivfCellsFor(e.count()))
+    pqIvfAdcRanked(s, dir, e.where(col("vec_id") < 5), np, rerank = 50)
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** Plane count for the near-dup bucketing — coarser than [[NumPlanes]]
     * so genuinely-similar vectors still collide.
@@ -340,43 +354,48 @@ object Similarity {
     * queries use a disjoint id range ([[HardQueryIdOffset]]) so the
     * exclusion never fires for them.
     */
+  /** Nearest cells of `cents` per vector of `in` — (idAs, cell, vecAs)
+    * rows, one per (vector, probed cell): min (assignment, np = 1) /
+    * sorted prefix (probing) over struct(dist, cell) — a total order
+    * (cell ids are distinct), ties toward the lower cell id, exactly
+    * s3's rule. The aggregate rows stay NARROW (double + int): carrying
+    * the feature array through the n·nlist candidate rows instead
+    * measured 41x decade growth at x100 (allocation-bound, a copied
+    * 64-double array per candidate row); the vector rides back in via a
+    * vec_id join over just n rows. Shared by the auto-IVF ranking and
+    * the IVFADC residual path.
+    */
+  private def cellRanked(cents: DataFrame, in: DataFrame, np: Int,
+      idAs: String, vecAs: String): DataFrame = {
+    val dc = in
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(Linalg.euclidCol(col("features"), col("cv")).as("dist"),
+          col("cell")).as("dc"))
+    val am =
+      if (np == 1)
+        dc.groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
+          .select(col("vec_id"), col("m.cell").as("cell"))
+      else
+        dc.groupBy(col("vec_id"))
+          .agg(slice(sort_array(collect_list(col("dc"))), 1, np)
+            .as("cells"))
+          .select(col("vec_id"),
+            explode(transform(col("cells"), c => c.getField("cell")))
+              .as("cell"))
+    in.select(col("vec_id"), col("features")).join(am, Seq("vec_id"))
+      .select(col("vec_id").as(idAs), col("cell"),
+        col("features").as(vecAs))
+  }
+
   private[graft] def annIvfAutoRankedQueries(s: SparkSession, dir: String,
       nprobe: Int, queries: DataFrame,
       trained: Boolean = false): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val nlist = ivfCellsFor(e.count())
     val cents = coarseCentroids(s, dir, nlist, trained)
-    // nearest cells per vector: min (assignment) / sorted prefix
-    // (probing) over struct(dist, cell) — a total order (cell ids are
-    // distinct), ties toward the lower cell id, exactly s3's rule. The
-    // aggregate rows stay NARROW (double + int): carrying the feature
-    // array through the n·nlist candidate rows instead measured 41x
-    // decade growth at x100 (allocation-bound, a copied 64-double array
-    // per candidate row); the vector rides back in via a vec_id join
-    // over just n rows
-    def cellRanked(in: DataFrame, np: Int, idAs: String, vecAs: String) = {
-      val dc = in
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          struct(Linalg.euclidCol(col("features"), col("cv")).as("dist"),
-            col("cell")).as("dc"))
-      val am =
-        if (np == 1)
-          dc.groupBy(col("vec_id")).agg(min(col("dc")).as("m"))
-            .select(col("vec_id"), col("m.cell").as("cell"))
-        else
-          dc.groupBy(col("vec_id"))
-            .agg(slice(sort_array(collect_list(col("dc"))), 1, np)
-              .as("cells"))
-            .select(col("vec_id"),
-              explode(transform(col("cells"), c => c.getField("cell")))
-                .as("cell"))
-      in.select(col("vec_id"), col("features")).join(am, Seq("vec_id"))
-        .select(col("vec_id").as(idAs), col("cell"),
-          col("features").as(vecAs))
-    }
-    val assigned = cellRanked(e, 1, "nid", "nv")
-    val probes = cellRanked(queries, nprobe, "qid", "qv")
+    val assigned = cellRanked(cents, e, 1, "nid", "nv")
+    val probes = cellRanked(cents, queries, nprobe, "qid", "qv")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dist"), col("nid"))
     probes.join(assigned, Seq("cell"))
@@ -559,6 +578,155 @@ object Similarity {
       name -> nHit.toDouble / nExact
     }
   }
+
+  /** Coarse cell assignment + RESIDUALS of the corpus against the
+    * trained auto-IVF quantizer: (vec_id, cell, features = v − c_cell).
+    * The narrow-assignment discipline of [[cellRanked]]; the residual
+    * subtraction is one zip_with against the broadcast centroid table.
+    */
+  private def residualFrame(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    cellRanked(cents, e, 1, "vec_id", "v")
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("features"))
+  }
+
+  /** Residual PQ codebook — per-subspace seeded k-means over the
+    * RESIDUALS (memoized per dir): after the coarse quantizer removes
+    * the cell centroid, the codewords quantize WITHIN-cell structure,
+    * which is exactly what flat-PQ codewords waste resolution on
+    * re-encoding (every codeword must span the whole data range).
+    */
+  private def pqResidualCodebook(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
+    import s.implicits._
+    val rows = pqResidualCache.synchronized {
+      pqResidualCache.getOrElseUpdate(dir, {
+        val res = residualFrame(s, dir, cents).select(col("features"))
+          .localCheckpoint(eager = true) // M k-means consumers, one build
+        (1 to PqSubspaces).flatMap { m =>
+          val sub = res.select(
+            slice(col("features"), (m - 1) * PqSubDim + 1, PqSubDim)
+              .as("features"))
+          graft.mopso.Init.kmeansCenters(sub, PqCodewords, maxIter = 20,
+            seed = 542L + m)
+            .zipWithIndex.map { case (c, j) => (m, j + 1, c.toSeq) }
+        }
+      })
+    }
+    rows.toDF("m", "j", "cv")
+  }
+
+  private val pqResidualCache =
+    scala.collection.mutable.Map[String, Seq[(Int, Int, Seq[Double])]]()
+
+  /** IVFADC (Jégou et al. 2011 §IV): the s7 coarse quantizer COMPOSED
+    * with residual PQ — the standard production ANN shape at corpus
+    * scale. Vectors are stored as (cell, M codes of the residual
+    * v − c_cell); a query ranks cells once ([[cellRanked]], nprobe
+    * prefix), builds one ADC lookup table PER PROBED CELL from its own
+    * residual against that cell (q − c_cell), and scores ONLY the
+    * cells' members — the candidate join rides the cell id, so the
+    * IVF pruning and the 32× code compression compose: per query,
+    * (nprobe/nlist)·n candidates at M lookups + 7 adds each, never a
+    * raw vector until the optional exact rerank of the shortlist.
+    *
+    * What residual encoding buys DEPENDS on the corpus's cluster
+    * structure, and the engine measures rather than assumes it: on the
+    * near-uniform fixture, cells are weak (within-cell spread ≈ the
+    * data range), residual codewords rank no better than flat ones,
+    * and recall composes as pruning-ceiling × shortlist-quality
+    * (PqSpec pins the structural law: reranked IVFADC never exceeds
+    * exact ranking over the probed cells). On clustered corpora —
+    * the scaled decade fixtures — residual codewords only span
+    * within-cell spread and the composition pays (scale_pq.json).
+    *
+    * Trained everywhere (coarse + residual codebooks, seeded + memoized)
+    * — the stochastic-but-seeded family: spec-pinned, decade-measured,
+    * no DuckDB oracle (the oracle-checked faces are s7 and s8).
+    */
+  private[graft] def pqIvfAdcRanked(s: SparkSession, dir: String,
+      queries: DataFrame, nprobe: Int, rerank: Int = 0): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val nlist = ivfCellsFor(e.count())
+    val cents = coarseCentroids(s, dir, nlist, trained = true)
+    val cbR = pqResidualCodebook(s, dir, cents)
+    // index: (nid, cell) + codes of the residual
+    val assigned = residualFrame(s, dir, cents)
+    val codes = pqCodesOf(assigned, cbR)
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id").as("nid"), col("cell"), col("codes"))
+    // query side: nprobe-ranked cells, one residual + LUT per (q, cell)
+    val qres = cellRanked(cents, queries, nprobe, "qid", "qv")
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("qid"), col("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("features"))
+    val qsv = qres.select(col("qid"), col("cell"),
+      posexplode(transform(sequence(lit(1), lit(PqSubspaces)),
+        m => slice(col("features"), (m - 1) * PqSubDim + 1,
+          lit(PqSubDim)))).as(Seq("m0", "sv")))
+      .select(col("qid"), col("cell"), (col("m0") + 1).as("m"), col("sv"))
+    val luts = qsv.join(broadcast(cbR), Seq("m"))
+      .select(col("qid"), col("cell"),
+        struct(col("m"), col("j"),
+          sqSub(col("sv"), col("cv")).as("pd")).as("e"))
+      .groupBy(col("qid"), col("cell"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("qid"), col("cell"),
+        transform(col("es"), x => x.getField("pd")).as("lut"))
+    val adc = (1 to PqSubspaces).map(m =>
+      element_at(col("lut"),
+        lit((m - 1) * PqCodewords) + element_at(col("codes"), m)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    val ranked = codes.join(luts, Seq("cell")) // equi-join = the pruning
+      .where(col("qid") =!= col("nid"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      ranked.where(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"),
+          round(col("adc"), 4).as("score"))
+    else exactRerank(s, dir, queries, ranked, rerank)
+  }
+
+  /** Exact rerank of an ADC shortlist — the ONLY leg that ever touches
+    * a raw vector: the |q|·rerank narrow (qid, nid) shortlist rides
+    * broadcast against the corpus, exact euclidean, top-5 by
+    * (dist, nid). Shared by the flat-PQ and IVFADC rankings.
+    */
+  private def exactRerank(s: SparkSession, dir: String,
+      queries: DataFrame, ranked: DataFrame, rerank: Int): DataFrame = {
+    val shortlist = ranked.where(col("rank") <= rerank)
+      .select(col("qid"), col("nid"))
+    val qv = queries.select(col("vec_id").as("qid"),
+      col("features").as("qv"))
+    val nv = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("nid"), col("features").as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("nid"))
+    broadcast(shortlist).join(nv, Seq("nid"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("dist"), 4).as("score"))
+  }
+
+  /** IVFADC recall per (nprobe, rerank) setting — the [[pqRecallCurve]]
+    * face of the composed index.
+    */
+  private[graft] def ivfAdcRecallCurve(s: SparkSession, dir: String,
+      queries: DataFrame, settings: Seq[(Int, Int)])
+      : Seq[((Int, Int), Double)] =
+    recallCurve(s, dir, queries,
+      settings.map { case (np, rr) => s"$np/$rr" ->
+        ((qf: DataFrame) => pqIvfAdcRanked(s, dir, qf, np, rr)) })
+      .zip(settings).map { case ((_, r), st) => st -> r }
 
   /** PQ recall per (trained, rerank) setting over an arbitrary query
     * frame — the [[ivfRecallCurve]] twin for the s8 family.
@@ -788,8 +956,11 @@ object Similarity {
     * structs per vector, never the candidate rows.
     */
   private[graft] def pqCodes(s: SparkSession, dir: String,
-      cb: DataFrame): DataFrame = {
-    val enc = subvectorRows(Tables.embeddings(s, dir), "vec_id")
+      cb: DataFrame): DataFrame =
+    pqCodesOf(Tables.embeddings(s, dir), cb)
+
+  private def pqCodesOf(frame: DataFrame, cb: DataFrame): DataFrame = {
+    val enc = subvectorRows(frame, "vec_id")
       .join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"),
         struct(sqSub(col("sv"), col("cv")).as("dist"), col("j")).as("dj"))
@@ -855,24 +1026,7 @@ object Similarity {
       ranked.where(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("nid"),
           round(col("adc"), 4).as("score"))
-    else {
-      val shortlist = ranked.where(col("rank") <= rerank)
-        .select(col("qid"), col("nid"))
-      val qv = queries.select(col("vec_id").as("qid"),
-        col("features").as("qv"))
-      val nv = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("nid"), col("features").as("nv"))
-      val w2 = Window.partitionBy(col("qid"))
-        .orderBy(col("dist"), col("nid"))
-      broadcast(shortlist).join(nv, Seq("nid"))
-        .join(broadcast(qv), Seq("qid"))
-        .select(col("qid"), col("nid"),
-          Linalg.euclidCol(col("qv"), col("nv")).as("dist"))
-        .withColumn("rank", row_number().over(w2))
-        .where(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("nid"),
-          round(col("dist"), 4).as("score"))
-    }
+    else exactRerank(s, dir, queries, ranked, rerank)
   }
 
   /** s8: product-quantization ANN (Jégou et al. 2011, "Product

@@ -95,6 +95,39 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       "the trained codebook path must stay within noise of first-vectors")
   }
 
+  test("ivfadc: recall composes as pruning ceiling × shortlist quality") {
+    // The fixture is a HARD case for the whole IVF family: its
+    // near-uniform geometry scatters even a corpus member's true
+    // neighbors across cells (exact-distance recall inside the probed
+    // cells — the pruning CEILING — is 0.8 at np = 4 of 10), and weak
+    // cells mean residuals span nearly the data range, so residual
+    // codewords rank no better than flat ones here (the clustered
+    // decade fixtures are where residual coding pays — measured in
+    // scale_pq.json). What holds STRUCTURALLY, and is pinned here:
+    // any shortlist method's hits nest inside exact-over-probed-members
+    // (a global-top-5 item among the candidates always survives an
+    // exact rerank), so reranked IVFADC can approach but never exceed
+    // the ceiling; rerank never loses to raw ADC; and the measured
+    // serving floors hold.
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") < 5)
+    val nlist = Similarity.ivfCellsFor(e.count())
+    val np = Similarity.ivfProbesFor(nlist)
+    val ceiling = Similarity.ivfRecallCurve(spark, sfDir, q, Seq(np),
+      trained = true).head._2
+    val curve = Similarity.ivfAdcRecallCurve(spark, sfDir, q,
+      Seq((np, 0), (np, 50), (nlist, 100))).toMap
+    info(s"ivfadc np=$np adc=${curve((np, 0))} rr50=${curve((np, 50))} " +
+      s"ceiling=$ceiling full-probe rr100=${curve((nlist, 100))}")
+    assert(curve((np, 50)) >= curve((np, 0)),
+      "rerank of the pruned shortlist must not lose to raw ADC")
+    assert(curve((np, 50)) <= ceiling + 1e-9,
+      "a shortlist method cannot beat exact ranking over the same cells")
+    assert(curve((np, 50)) >= 0.5, "measured serving floor (0.6)")
+    assert(curve((nlist, 100)) >= 0.75,
+      "full-probe + rerank-100 floor (measured 0.84)")
+  }
+
   test("trained path is deterministic (memoized seeded k-means)") {
     val q = Tables.embeddings(spark, sfDir).where(col("vec_id") < 3)
     val a = Similarity.pqRankedQueries(spark, sfDir, q, trained = true)

@@ -25,7 +25,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   private val iterative = Set(
     "m1_mopso_archive", "t4b_bpe_merges", "t4c_bpe_apply",
     "d6_dedup_groups", "d7_semantic_groups", "p1_corpus_curation",
-    "mm10b_audio_dedup")
+    "mm10b_audio_dedup",
+    // s9's trained coarse + residual codebooks run seeded k-means
+    // (driver-side MLlib jobs) during CONSTRUCTION — the m1 family;
+    // its plan shape is s8's scan + s7's cell join, both audited
+    "s9_ann_ivfadc")
 
   /** Documented cartesian-shaped sites (VERDICT r8 anti-pattern audit —
     * every one is an exact parity face, a recall/ground-truth
