@@ -62,6 +62,7 @@ object ScaleBench {
     // IVFADC serving composition, and the substring-span dedup
     // (linear window-hash shuffles)
     "s8_ann_pq", "s9_ann_ivfadc", "d9_substring_spans",
+    "d9b_span_removal", "p7_quality_score",
     "t1_token_stats", "t3_fingerprint", "t5_repetition",
     "t7_quality_gate", "t8_boilerplate",
     "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.{Audio, Bpe, Curation, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.functions.{Audio, Bpe, Curation, Dedup, Multimodal, QualityModel, Similarity, Sketches, TextAnalysis}
 import graft.mopso.{Config, Mopso, MopsoConfig}
 import graft.operators.{Clustering, RangeJoin, Relational}
 import graft.sources.Tables
@@ -40,7 +40,7 @@ object SparkEntry {
     Relational.queries ++ Clustering.queries ++
       TextAnalysis.queries ++ Bpe.queries ++ Dedup.queries ++ Curation.queries ++
       Similarity.queries ++ Multimodal.queries ++ Audio.queries ++ Events.queries ++
-      RangeJoin.queries ++ Sketches.queries ++ Map(
+      RangeJoin.queries ++ Sketches.queries ++ QualityModel.queries ++ Map(
         // full MOPSO loop — stochastic-but-seeded, no SQL equivalent →
         // rows-only check (archive is non-empty and ≤ repository)
         "m1_mopso_archive" -> ((s, dir) => mopsoArchive(s, dir))
@@ -53,5 +53,5 @@ object SparkEntry {
     Relational.oracles ++ Clustering.oracles ++
       TextAnalysis.oracles ++ Bpe.oracles ++ Dedup.oracles ++ Curation.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Audio.oracles ++ Events.oracles ++
-      RangeJoin.oracles ++ Sketches.oracles
+      RangeJoin.oracles ++ Sketches.oracles ++ QualityModel.oracles
 }

@@ -58,6 +58,7 @@ object Dedup {
     "d6_dedup_groups" -> d6DedupGroups,
     "d7_semantic_groups" -> d7SemanticGroups,
     "d9_substring_spans" -> d9SubstringSpans,
+    "d9b_span_removal" -> d9bSpanRemoval,
     "p1_corpus_curation" -> p1CorpusCuration
   )
 
@@ -153,11 +154,18 @@ object Dedup {
   def d9SubstringSpans: Q = (s, dir) =>
     substringSpanProfile(Tables.documents(s, dir))
 
+  /** Window-hash position rows (doc_id, p, wh), p 1-based — the shared
+    * intermediate of the span profile (d9) and span removal (d9b).
+    */
+  private def windowPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(windowHashes(col("toks"))).as(Seq("p0", "wh")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("wh"))
+
   /** [[d9SubstringSpans]] over an arbitrary (doc_id, text) frame. */
   private[graft] def substringSpanProfile(in: DataFrame): DataFrame = {
     val docs = in.select(col("doc_id"), tokensCol(col("text")).as("toks"))
-    val pos = docs.select(col("doc_id"),
-      posexplode(windowHashes(col("toks"))).as(Seq("p", "wh")))
+    val pos = windowPositions(docs)
     val dup = pos.groupBy(col("wh")).agg(count(lit(1)).as("c"))
       .where(col("c") >= 2).select(col("wh"))
     val dpos = pos.join(dup, Seq("wh"), "left_semi")
@@ -182,6 +190,54 @@ object Dedup {
         when(col("n_windows") > 0,
           round(coalesce(col("dw"), lit(0L)) / col("n_windows"), 6))
           .otherwise(lit(0.0)).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  def d9bSpanRemoval: Q = (s, dir) =>
+    spanRemoval(Tables.documents(s, dir))
+
+  /** Span REMOVAL — the d9 profile's acting twin (Lee et al. 2022 keep
+    * exactly one occurrence of each duplicated span): for every
+    * duplicated window hash, the corpus-global FIRST occurrence (min
+    * (doc_id, p) — deterministic) is the keeper; every other
+    * occurrence's [[SpanWindow]]-token extent is cut, and a document's
+    * surviving tokens are re-joined as `clean_text`. Removal is
+    * positional and conservative: a token is cut when ANY non-keeper
+    * duplicated window covers it, even if a kept occurrence also
+    * overlaps it — overlapping cut spans merge into their union.
+    * (Token-joined output normalizes whitespace; the oracle tokenizes
+    * identically, so the comparison is exact.)
+    *
+    * Scale shape: d9's linear window-hash shuffles plus one explode of
+    * the cut positions into covered token indices — bounded by W × the
+    * duplicated-occurrence mass, never the corpus; the final filter is
+    * a per-row array expression against the doc's own sorted cut-index
+    * set (no join wider than (doc_id, idx)).
+    */
+  private[graft] def spanRemoval(in: DataFrame): DataFrame = {
+    val docs = in.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val pos = windowPositions(docs)
+    val dupKeep = pos.groupBy(col("wh"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("p"))).as("keep"))
+      .where(col("c") >= 2)
+      .select(col("wh"), col("keep.doc_id").as("kd"), col("keep.p").as("kp"))
+    val rm = pos.join(dupKeep, Seq("wh"))
+      .where(col("doc_id") =!= col("kd") || col("p") =!= col("kp"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (SpanWindow - 1))).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("i"))).as("rmidx"))
+    docs.join(rm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("rmidx"), array().cast("array<int>")).as("rmidx"))
+      .select(col("doc_id"), size(col("toks")).as("nt"),
+        filter(col("toks"), (_, i0) =>
+          !array_contains(col("rmidx"), i0 + 1)).as("kept"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("nt") - size(col("kept"))).cast("long").as("n_removed"))
       .orderBy(col("doc_id"))
   }
 
@@ -748,6 +804,36 @@ object Dedup {
          |      (len(toks) - ${SpanWindow - 1}), 6)
          |    ELSE 0.0 END AS dup_ratio
          |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // keeper = first occurrence in (doc_id, p) order (rn = 1 ↔ the
+    // Spark side's min(struct(doc_id, p))); cut extents exploded to
+    // token indices, then one indexed list_filter per doc. The
+    // coalesce on array_to_string: DuckDB returns NULL for an empty
+    // list where concat_ws returns ''.
+    "d9b_span_removal" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |w AS (SELECT doc_id, i AS p,
+         |    ('0x' || substr(md5(array_to_string(
+         |      toks[i:i+${SpanWindow - 1}], ' ')), 1, 15))::BIGINT AS wh
+         |  FROM t, unnest(generate_series(1, len(toks) - ${SpanWindow - 1}))
+         |    AS u(i)),
+         |occ AS (SELECT doc_id, p,
+         |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rn,
+         |    count(*) OVER (PARTITION BY wh) AS c FROM w),
+         |rm AS (SELECT DISTINCT doc_id, j FROM occ,
+         |    unnest(generate_series(p, p + ${SpanWindow - 1})) AS g(j)
+         |  WHERE c >= 2 AND rn > 1),
+         |ri AS (SELECT doc_id, list(j ORDER BY j) AS rmidx FROM rm
+         |  GROUP BY doc_id)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+         |  len(kept)::BIGINT AS n_kept,
+         |  (n_toks - len(kept))::BIGINT AS n_removed
+         |FROM (SELECT t.doc_id, len(toks) AS n_toks,
+         |    list_filter(toks, (x, i) -> NOT list_contains(
+         |      coalesce(rmidx, CAST([] AS BIGINT[])), i)) AS kept
+         |  FROM t LEFT JOIN ri USING (doc_id))
+         |ORDER BY doc_id""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_distinct(string_split_regex(trim(text), '\s+')),

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis.tokensCol
+import graft.sources.Tables
+
+/** Learned document-quality scoring (p7) — the trained companion to the
+  * t7 heuristic gate cascade, closing the standard training-data-pipeline
+  * pattern (CCNet/Gopher lineage): a cheap teacher labels the corpus, a
+  * hashed-feature linear model learns the boundary, and SERVING is the
+  * model reduced to a TABLE — the t12 model-as-a-table discipline —
+  * scored by pure codegen expressions, never a UDF and never MLlib on
+  * the hot path.
+  *
+  * Train (driver-initiated, memoized per dir): weak labels from the t7
+  * verdict (`keep` = 1), unigram counts over [[NumFeatures]] hash
+  * buckets, L2-regularized logistic regression. The bucket index is
+  * computed by the SAME SQL expression serving uses —
+  * `pmod(hash(tok), N)` — so train/serve featurization skew is
+  * impossible BY CONSTRUCTION (the first cut trained on MLlib
+  * HashingTF and served on functions.hash; the two Murmur3 variants
+  * disagree, and only the parity spec caught it — hence this design).
+  * Deterministic: LBFGS from zero initial coefficients on a fixed
+  * dataset — the m1/coarseCentroids family (spec-pinned, no SQL
+  * oracle).
+  *
+  * Serve: tokens explode → bucket → broadcast join against the
+  * non-zero weight rows → per-doc sum + sigmoid (Σ_token w(bucket) =
+  * the count-vector dot product). One scan, one narrow shuffle on
+  * doc_id; at 100 TB the model rides as a few-thousand-row broadcast
+  * and scoring is embarrassingly parallel. The same plan scores an
+  * arriving stream against the frozen weights (StreamingSpec).
+  */
+object QualityModel {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hash-bucket count: 2^15 buckets for a ~23k-type fixture vocabulary
+    * keeps collisions rare while the weight table stays broadcast-sized
+    * at any corpus scale (the model size is the CAP, not the corpus).
+    */
+  val NumFeatures: Int = 1 << 15
+
+  def queries: Map[String, Q] = Map(
+    "p7_quality_score" -> p7QualityScore)
+
+  /** Trained but not SQL-replayable (the m1 convention) — no oracle;
+    * rows-only driver check, parity + floors pinned by QualitySpec.
+    */
+  def oracles: Map[String, String] = Map.empty
+
+  /** p7: every document scored by the trained model — (doc_id, quality),
+    * quality = P(keep | tokens) rounded to 6 places.
+    */
+  def p7QualityScore: Q = (s, dir) => {
+    val (w, b) = weights(s, dir)
+    scoreDocs(Tables.documents(s, dir), w, b)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Labeled training frame: the t7 verdict as the weak teacher. */
+  private[graft] def labeled(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQualityVerdict(
+      Tables.documents(s, dir).withColumn("toks", tokensCol(col("text"))))
+      .select(col("doc_id"), col("toks"),
+        when(col("verdict") === "keep", 1.0).otherwise(0.0).as("label"))
+
+  /** SQL-bucketed sparse training features (doc_id, label, features):
+    * bucket indices and counts come from the serving expression and a
+    * plain count aggregate; only the final sparse-vector assembly is a
+    * typed map (training-path-only — the hot scoring path stays pure
+    * codegen expressions).
+    */
+  private[graft] def featurized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    labeled(s, dir)
+      .select(col("doc_id"), col("label"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("label"),
+        pmod(hash(col("tok")), lit(NumFeatures)).as("idx"))
+      .groupBy(col("doc_id"), col("label"), col("idx"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("c"))))
+        .as("pairs"))
+      .as[(Long, Double, Seq[(Int, Double)])]
+      .map { case (doc, y, ps) =>
+        (doc, y, Vectors.sparse(NumFeatures,
+          ps.map(_._1).toArray, ps.map(_._2).toArray))
+      }
+      .toDF("doc_id", "label", "features")
+  }
+
+  /** The fitted model of record (memoized per dir). Exposed to the spec
+    * so the serving-parity check scores THIS exact model two ways.
+    */
+  private[graft] def fitModel(s: SparkSession, dir: String)
+      : org.apache.spark.ml.classification.LogisticRegressionModel =
+    modelCache.synchronized {
+      modelCache.getOrElseUpdate(dir, {
+        new LogisticRegression()
+          .setMaxIter(500).setRegParam(1e-6).setTol(1e-9)
+          .fit(featurized(s, dir))
+      })
+    }
+
+  private val modelCache = scala.collection.mutable.Map[String,
+    org.apache.spark.ml.classification.LogisticRegressionModel]()
+
+  /** The served form: non-zero coefficient rows (idx, w) + intercept. */
+  private[graft] def weights(s: SparkSession,
+      dir: String): (DataFrame, Double) = {
+    import s.implicits._
+    val m = fitModel(s, dir)
+    val rows = m.coefficients.toArray.zipWithIndex
+      .filter(_._1 != 0.0)
+      .map { case (wv, i) => (i, wv) }.toSeq
+    (rows.toDF("idx", "w"), m.intercept)
+  }
+
+  /** Scores (doc_id, text) rows against a frozen weight table — the ONE
+    * plan batch p7, the spec's parity check, and the streaming twin all
+    * run. explode_outer keeps empty documents (they score sigmoid(b)).
+    */
+  private[graft] def scoreDocs(docs: DataFrame, w: DataFrame,
+      b: Double): DataFrame =
+    docs
+      .select(col("doc_id"), explode_outer(tokensCol(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(hash(col("tok")), lit(NumFeatures)).as("idx"))
+      .join(broadcast(w), Seq("idx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w"), lit(0.0))).as("z"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(b)))), 6)
+          .as("quality"))
+}

@@ -72,6 +72,63 @@ class SubstringSpanSpec extends AnyFunSuite with SparkTestBase {
     assert(m(1L).getDouble(5) === 0.0)
   }
 
+  private def removal(rows: (Long, String)*): Map[Long, (String, Long, Long)] = {
+    import spark.implicits._
+    Dedup.spanRemoval(rows.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("removal keeps the corpus-global first occurrence only") {
+    val span = words("shared", W)
+    val a = words("alpha", 10) + " " + span + " " + words("omega", 10)
+    val b = words("beta", 6) + " " + span + " " + words("gamma", 14)
+    val m = removal(1L -> a, 2L -> b)
+    // doc 1 is the (doc_id, p)-min occurrence: untouched
+    assert(m(1L)._1 === a && m(1L)._3 === 0)
+    // doc 2 loses exactly the span's W tokens, context survives
+    assert(m(2L)._3 === W)
+    assert(m(2L)._1 === words("beta", 6) + " " + words("gamma", 14))
+  }
+
+  test("within-document repeat: first kept, second cut") {
+    val span = words("loop", W)
+    val a = span + " " + words("mid", W) + " " + span
+    val m = removal(1L -> a)
+    assert(m(1L)._3 === W)
+    assert(m(1L)._1 === span + " " + words("mid", W))
+  }
+
+  test("a long duplicated span is cut as the union of its windows") {
+    val span = words("quoted", 2 * W)
+    val a = words("pre", 5) + " " + span + " " + words("post", 5)
+    val b = words("intro", 9) + " " + span + " " + words("outro", 1)
+    val m = removal(1L -> a, 2L -> b)
+    assert(m(1L)._3 === 0, "first occurrence untouched")
+    assert(m(2L)._3 === 2 * W,
+      "W+1 overlapping cut windows merge to the 2W-token span")
+    assert(m(2L)._1 === words("intro", 9) + " " + words("outro", 1))
+  }
+
+  test("removal fixture invariants: token conservation, profile accord") {
+    val prof = Dedup.queries("d9_substring_spans")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc -> n_dup_windows
+    val rows = Dedup.queries("d9b_span_removal")(spark, sfDir).collect()
+    assert(rows.length === prof.size)
+    rows.foreach { r =>
+      val (doc, kept, removed) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(kept >= 0 && removed >= 0)
+      // a doc with nothing removed must have clean_text covering all toks
+      if (removed == 0)
+        assert(r.getString(1).isEmpty === (kept == 0))
+      // removal only happens where the profile saw duplicated windows
+      if (removed > 0) assert(prof(doc) > 0,
+        s"doc $doc lost tokens without a duplicated window")
+    }
+    assert(rows.map(_.getLong(3)).sum > 0, "fixture must exercise removal")
+  }
+
   test("fixture invariants: counts nest, ratio bounded, spans cover") {
     val rows = Dedup.queries("d9_substring_spans")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -26,10 +26,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "m1_mopso_archive", "t4b_bpe_merges", "t4c_bpe_apply",
     "d6_dedup_groups", "d7_semantic_groups", "p1_corpus_curation",
     "mm10b_audio_dedup",
-    // s9's trained coarse + residual codebooks run seeded k-means
-    // (driver-side MLlib jobs) during CONSTRUCTION — the m1 family;
-    // its plan shape is s8's scan + s7's cell join, both audited
-    "s9_ann_ivfadc")
+    // s9's trained coarse + residual codebooks and p7's logistic
+    // regression run seeded MLlib fits (driver-side jobs) during
+    // CONSTRUCTION — the m1 family; their plan shapes (s8's scan +
+    // s7's cell join; t10's broadcast-vocab join) are audited
+    "s9_ann_ivfadc", "p7_quality_score")
 
   /** Documented cartesian-shaped sites (VERDICT r8 anti-pattern audit —
     * every one is an exact parity face, a recall/ground-truth

@@ -498,6 +498,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming quality scoring against frozen weights matches batch p7") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // p7's serving shape: the logistic model trained ONCE in batch and
+    // frozen as a broadcast weights table; arriving documents scored by
+    // the exact batch plan (hash-bucket explode + weight join + one
+    // keyed aggregation) — the t11/t12 stream-static discipline
+    val (w, b) = graft.functions.QualityModel.weights(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => TextRow(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TextRow]
+    val query = graft.functions.QualityModel
+      .scoreDocs(input.toDF(), w, b)
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val got = spark.table("quality_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val want = graft.functions.QualityModel
+        .queries("p7_quality_score")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got === want)
+      assert(got.size === docs.length)
+    } finally query.stop()
+  }
+
   test("streaming ANN serving against the frozen index matches batch s7") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
