@@ -63,6 +63,10 @@ object ScaleBench {
     // (linear window-hash shuffles)
     "s8_ann_pq", "s9_ann_ivfadc", "d9_substring_spans",
     "d9b_span_removal", "p7_quality_score",
+    // round-11b: the auto-banded moderate-threshold LSH and the
+    // distributed token-budget cut (three narrow passes, no global
+    // window — the per-partition offsets ARE the scale claim)
+    "d10_lsh_auto", "p8_token_budget",
     "t1_token_stats", "t3_fingerprint", "t5_repetition",
     "t7_quality_gate", "t8_boilerplate",
     "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",
@@ -586,16 +590,25 @@ object ScaleBench {
     }
     val (tFlat, flat) = timed(Similarity.pqRecallCurve(spark, work, q,
       Seq((false, 0), (false, 100))).map(_._2))
+    // the r11 x100 lesson: rr50 (fine at x10, candidates/query ≈ 2.5k)
+    // reads 0.905 easy / 0.578 hard at x100 (candidates/query ≈ 15k) —
+    // the shortlist must grow with per-query candidate mass, so the
+    // curve measures the rerank AXIS, including the [[Similarity
+    // .pqRerankFor]] rule's point, not one pinned depth
+    val rrAuto = Similarity.pqRerankFor(n, nlist, np)
     val (tAdc, adc) = timed(Similarity.ivfAdcRecallCurve(spark, work, q,
-      Seq((np, 0), (np, 50))).map(_._2))
+      Seq((np, 0), (np, 50), (np, rrAuto))).map(_._2))
     val hq = Similarity.hardQueries(spark, work, step)
     val (tHard, hard) = timed(Similarity.ivfAdcRecallCurve(spark, work,
-      hq, Seq((np, 50))).map(_._2))
+      hq, Seq((np, 50), (np, rrAuto), (np, 2 * rrAuto))).map(_._2))
     Seq("pq_n" -> n.toDouble, "pq_nlist" -> nlist.toDouble,
-      "pq_np" -> np.toDouble,
+      "pq_np" -> np.toDouble, "pq_rr_auto" -> rrAuto.toDouble,
       "pq_flat_recall" -> flat(0), "pq_flat_rr100_recall" -> flat(1),
       "pq_ivfadc_recall" -> adc(0), "pq_ivfadc_rr50_recall" -> adc(1),
+      "pq_ivfadc_rrauto_recall" -> adc(2),
       "pq_ivfadc_hard_rr50_recall" -> hard(0),
+      "pq_ivfadc_hard_rrauto_recall" -> hard(1),
+      "pq_ivfadc_hard_rr2auto_recall" -> hard(2),
       "pq_flat_sec" -> tFlat, "pq_ivfadc_sec" -> tAdc,
       "pq_hard_sec" -> tHard)
   }

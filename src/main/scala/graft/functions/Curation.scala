@@ -45,7 +45,8 @@ object Curation {
     "p4_seq_packing" -> p4SeqPacking,
     "p5_decontaminate" -> p5Decontaminate,
     "p5b_decontaminate_bloom" -> p5bDecontaminateBloom,
-    "p6_stratified_sample" -> p6StratifiedSample
+    "p6_stratified_sample" -> p6StratifiedSample,
+    "p8_token_budget" -> p8TokenBudget
   )
 
   /** Eval-set boundary (doc_id < this = held-out) and overlap gram size
@@ -273,6 +274,88 @@ object Curation {
         stratPctOf(col("source")).as("pct"))
       .orderBy(col("doc_id"))
 
+  /** p8's global token budget and its default range-partition count.
+    * The budget keeps roughly the top third of the sf0.01 fixture; the
+    * partition count is a PARALLELISM knob, not a semantic one — the
+    * kept set is invariant to it (spec'd at 1/3/8), which is what lets
+    * a cluster pick partitions ≈ executors.
+    */
+  val SelectBudget = 8000L
+  val SelectParts = 8
+
+  /** p8: quality-ranked selection under a GLOBAL token budget — the cut
+    * every pretraining run makes ("the best N tokens of this corpus"):
+    * rank documents by (score desc, doc_id), keep a document iff the
+    * tokens of all strictly-higher-ranked documents still fit the
+    * budget (the boundary-crossing document is kept and overruns, the
+    * p4 offset discipline — no sequential reset state). The score here
+    * is the integer lexical-diversity ratio ⌊1000·distinct/total⌋ —
+    * deterministic, integer-exact in both engines; a production recipe
+    * swaps in any deterministic score (p7's trained scorer serves the
+    * same shape from a broadcast weights table).
+    *
+    * The SCALE story is the point: "cumulative sum over a global order"
+    * is the textbook single-partition-window trap (one executor sorts
+    * 100 TB). [[tokenBudgetSelect]] is the distributed form — a
+    * range-repartition by the rank key, per-partition token totals
+    * (one row per partition) cumulated on the driver into partition
+    * OFFSETS, then an embarrassingly parallel per-partition window on
+    * top of the broadcast offsets. Three narrow passes, no global
+    * window anywhere; at 1000 executors the driver sees 1000 longs.
+    */
+  def p8TokenBudget: Q = (s, dir) =>
+    tokenBudgetSelect(Tables.documents(s, dir), SelectParts)
+      .orderBy(col("doc_id"))
+
+  /** The distributed budget-selection transform over any (doc_id, text)
+    * frame. Result is invariant to `numParts` (the range boundaries
+    * move, but offset + within-partition prefix is the same global
+    * prefix sum — spec'd); empty documents are excluded before scoring
+    * (a 0-token doc has no diversity ratio).
+    */
+  def tokenBudgetSelect(docs: DataFrame, numParts: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val scored = docs
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("n_distinct * 1000 div n_tokens").as("score"))
+    // range boundaries come from a sample pass; BOTH consumers (the
+    // per-partition totals and the final window) must see the same
+    // boundaries, so the partitioned frame is pinned first (the
+    // recallCurve localCheckpoint discipline)
+    val parts = scored
+      .repartitionByRange(numParts, col("score").desc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    // one row PER PARTITION reaches the driver — bounded by the
+    // parallelism knob, never the data (the justified-collect rule)
+    val totals = parts.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = offsets.toSeq.toDF("pid", "off")
+    // per-partition window: partitioned by pid, so every partition
+    // cumulates in parallel — the global order was already baked into
+    // the range partitioning (partition 0 holds the highest scores)
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.join(broadcast(offDf), Seq("pid"))
+      .withColumn("tokens_before",
+        col("off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .where(col("tokens_before") < SelectBudget)
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        col("tokens_before"))
+  }
+
   /** p4: offset-quantized contiguous sequence packing — the shard's token
     * stream (docs in doc_id order) is cut at fixed [[PackBudget]] offsets
     * and each document belongs to the sequence containing its FIRST
@@ -359,6 +442,22 @@ object Curation {
     // p5b produces p5's exact rows (Bloom prefilter + exact verify);
     // hash-matching the same oracle proves the prefilter lost nothing
     "p5b_decontaminate_bloom" -> p5OracleSql,
+    // the oracle USES the global window the Spark side refuses to — the
+    // hash match proves the distributed prefix sum equals the global one
+    "p8_token_budget" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    ((len(list_distinct(toks)) * 1000) // len(toks))::BIGINT
+         |      AS score
+         |  FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, score, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS tokens_before
+         |  FROM s)
+         |SELECT doc_id, score, n_tokens, tokens_before FROM c
+         |WHERE tokens_before < $SelectBudget ORDER BY doc_id""".stripMargin,
     "p4_seq_packing" ->
       s"""WITH t AS (SELECT doc_id, doc_id // $PackShard AS shard,
          |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens

@@ -59,6 +59,7 @@ object Dedup {
     "d7_semantic_groups" -> d7SemanticGroups,
     "d9_substring_spans" -> d9SubstringSpans,
     "d9b_span_removal" -> d9bSpanRemoval,
+    "d10_lsh_auto" -> d10LshAuto,
     "p1_corpus_curation" -> p1CorpusCuration
   )
 
@@ -297,14 +298,63 @@ object Dedup {
   private def bandRows(s: SparkSession, dir: String): DataFrame =
     bandRowsOf(minhashSigs(s, dir))
 
-  private def bandRowsOf(sigs: DataFrame): DataFrame =
+  private def bandRowsOf(sigs: DataFrame,
+      bandSize: Int = BandSize): DataFrame =
     sigs
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
+        posexplode(transform(sequence(lit(0), lit(NumHashes / bandSize - 1)),
           b => concat_ws(",",
-            transform(slice(col("sig"), b * BandSize + 1, lit(BandSize)),
+            transform(slice(col("sig"), b * bandSize + 1, lit(bandSize)),
               x => x.cast("string")))))
           .as(Seq("band", "key")))
+
+  /** MinHash banding layout DERIVED from a target Jaccard threshold —
+    * the [[graft.functions.AutoLayout]] rule for the lexical dedup
+    * family. A (b bands × r rows) layout's candidate probability for a
+    * pair of Jaccard similarity s is the S-curve 1 − (1 − s^r)^b, whose
+    * 50%-collision threshold sits at ≈ (1/b)^(1/r) — the ONE knob that
+    * decides which similarity regime the bucketing recalls. d3 pins
+    * (2 × 4) because its near-dup contract targets s ≈ 0.84; a pipeline
+    * hunting looser rewrites (s ≈ 0.5) under the same pinned layout
+    * would silently miss most of them (the S-curve reads ~12% there),
+    * which is the same pinned-layout trap the plane/cell rules close —
+    * by SEMANTIC target here rather than by corpus size, since banding
+    * sets which pairs collide, not how many. The rule: over the divisor
+    * pairs b·r = numHashes, take the (b, r) whose threshold lands
+    * nearest the target (deterministic; ties break toward smaller r =
+    * the more permissive layout). Fixed point: at d3's implied target
+    * the rule returns exactly (2, 4), so the d3/d6 oracle family is
+    * byte-unchanged (spec-pinned).
+    */
+  def minhashBandsFor(numHashes: Int, targetJaccard: Double): (Int, Int) = {
+    require(numHashes > 0 && targetJaccard > 0.0 && targetJaccard <= 1.0,
+      s"bad banding request: n=$numHashes t=$targetJaccard")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+      .minBy { case (b, r) =>
+        math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard)
+      }
+  }
+
+  /** d10's semantic target: candidate generation for MODERATE-overlap
+    * pairs (rewrites, heavy edits) — s ≈ 0.5, where d3's pinned 2×4
+    * layout recalls ~12%. [[minhashBandsFor]] derives 4 bands × 2 rows
+    * (threshold (1/4)^(1/2) = 0.5 exactly).
+    */
+  val D10TargetJaccard = 0.5
+
+  /** d10: banded LSH candidate pairs at the AUTO-derived layout for
+    * [[D10TargetJaccard]] — same signatures, same capped emission as d3
+    * ([[bucketedPairs]]); only the banding differs (more, shorter bands
+    * ⇒ a more permissive S-curve). The oracle replays the derived
+    * layout end-to-end, so the rule's output — not just its arithmetic —
+    * is cross-engine-checked.
+    */
+  def d10LshAuto: Q = (s, dir) => {
+    val (_, r) = minhashBandsFor(NumHashes, D10TargetJaccard)
+    bucketedPairs(bandRowsOf(minhashSigs(s, dir), r))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Candidate pairs from banded rows (doc_id, band, key), generated INSIDE
     * each bucket (groupBy + in-array combinations) instead of a bucket
@@ -698,14 +748,16 @@ object Dedup {
 
   private val sigSql = sigSqlFrom("documents")
 
-  /** Shared d3/d6 oracle fragment: banded buckets → capped candidate
-    * pairs (the SQL twin of [[bucketedPairs]]).
+  /** Shared d3/d6/d10 oracle fragment: banded buckets → capped candidate
+    * pairs (the SQL twin of [[bucketedPairs]]), parameterized by the
+    * band width so the d10 auto-derived layout replays through the SAME
+    * fragment as d3's pinned one.
     */
-  private val bandPairSql =
+  private def bandPairSqlFor(bandSize: Int) =
     s"""bands AS (
-       |  SELECT doc_id, (h // $BandSize)::INT AS band,
+       |  SELECT doc_id, (h // $bandSize)::INT AS band,
        |    string_agg(mh, ',' ORDER BY h) AS key
-       |  FROM sig GROUP BY doc_id, (h // $BandSize)),
+       |  FROM sig GROUP BY doc_id, (h // $bandSize)),
        |ranked AS (
        |  SELECT band, key, doc_id,
        |    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn,
@@ -719,6 +771,8 @@ object Dedup {
        |  UNION ALL
        |  SELECT rep AS doc_a, doc_id AS doc_b FROM ranked
        |  WHERE rn > $MaxBucket))""".stripMargin
+
+  private val bandPairSql = bandPairSqlFor(BandSize)
 
   /** Symmetric edge list + recursive reachability over the `pairs` CTE —
     * shared by the d6/p1 oracles and Audio's mm10b (one source of truth
@@ -758,6 +812,12 @@ object Dedup {
     "d3_lsh_pairs" ->
       s"""WITH $sigSql,
          |$bandPairSql
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // the auto-derived banding replayed end-to-end at its computed band
+    // width — the layout constant below comes from minhashBandsFor
+    "d10_lsh_auto" ->
+      s"""WITH $sigSql,
+         |${bandPairSqlFor(minhashBandsFor(NumHashes, D10TargetJaccard)._2)}
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
     // independent algorithm cross-check of the propagation loop: exact
     // reachability via a recursive CTE, group = min reachable doc_id

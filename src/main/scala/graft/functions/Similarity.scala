@@ -39,15 +39,19 @@ object Similarity {
   )
 
   /** s9: the IVFADC serving composition at its recall-derived settings
-    * (nprobe = [[ivfProbesFor]], rerank 50) over the fixture queries —
+    * (nprobe = [[ivfProbesFor]], rerank = [[pqRerankFor]] — the 50
+    * floor at fixture scale, spec-pinned) over the fixture queries —
     * trained coarse + residual codebooks, so no SQL oracle (the m1
     * stochastic-but-seeded convention: rows-only driver check, recall
     * and determinism pinned by PqSpec, decades by `ScaleBench pq`).
     */
   def s9AnnIvfAdc: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-    val np = ivfProbesFor(ivfCellsFor(e.count()))
-    pqIvfAdcRanked(s, dir, e.where(col("vec_id") < 5), np, rerank = 50)
+    val n = e.count()
+    val nlist = ivfCellsFor(n)
+    val np = ivfProbesFor(nlist)
+    pqIvfAdcRanked(s, dir, e.where(col("vec_id") < 5), np,
+      rerank = pqRerankFor(n, nlist, np))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -284,6 +288,29 @@ object Similarity {
     */
   def ivfProbesFor(nlist: Int): Int =
     math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+
+  /** Rerank-depth COMPANION rule for the IVFADC composition (r11, from
+    * the measured decade curve in scale_pq.json): a PINNED shortlist
+    * depth has the same scale trap as every pinned layout — rr50 reads
+    * 1.000/0.903 (easy/hard) at x10 where a query scores ≈2.5k ADC
+    * candidates, then 0.905/0.578 at x100 where it scores ≈15k: with
+    * the codebook resolution fixed (M·log₂Ksub = 32 bits), ADC
+    * collisions grow with candidate mass and true neighbors sink below
+    * any fixed depth. The rule keeps the shortlist a fixed 1/50 of the
+    * per-query candidate mass n·nprobe/nlist (floored at 50):
+    *
+    *   rerank = max(50, ⌈n·nprobe/(nlist·50)⌉)
+    *
+    * — ∝ n^(3/4) under the √-scaled nlist/nprobe rules, sublinear like
+    * the candidate mass itself, and the exact-rerank leg stays
+    * per-query-bounded. Fixed point: the sf0.01 fixture (500·4/(10·50)
+    * = 4 → the 50 floor) — s9's oracle-checked serving settings are
+    * byte-unchanged (spec-pinned). The measured axis (rr50 / auto /
+    * 2·auto per decade) lives in scale_pq.json.
+    */
+  def pqRerankFor(n: Long, nlist: Int, nprobe: Int): Int =
+    math.max(50, math.ceil(
+      n.toDouble * nprobe / (nlist.toDouble * 50.0)).toInt)
 
   /** The parameterized auto-IVF ranking behind [[s7AnnIvfAuto]] (which
     * pins nprobe = 1 and the vec_id < 5 oracle queries), ScaleBench's
@@ -1079,6 +1106,27 @@ object Similarity {
           org.apache.spark.sql.Row], _: Long) =>
         sink(annIvfAutoRankedQueries(batch.sparkSession, dir, nprobe,
           batch.toDF()))
+      }
+      .start()
+
+  /** Streaming serving twin of the COMPOSED index (s9 IVFADC): arriving
+    * query vectors scored per micro-batch by the exact batch ranking
+    * ([[pqIvfAdcRanked]] — coarse probe + per-cell ADC + exact rerank),
+    * for the same structural reason as [[serveAnnStream]]: the probe's
+    * chained per-query aggregations cannot live in one incremental
+    * plan. The trained coarse/residual codebooks are memoized per dir,
+    * so every micro-batch serves the SAME frozen index the batch query
+    * measures — build once, serve forever, which is the production
+    * contract for a 100 TB index.
+    */
+  def serveIvfAdcStream(queries: DataFrame, dir: String, nprobe: Int,
+      rerank: Int)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        sink(pqIvfAdcRanked(batch.sparkSession, dir, batch.toDF(),
+          nprobe, rerank))
       }
       .start()
 

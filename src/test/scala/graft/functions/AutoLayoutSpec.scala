@@ -22,6 +22,44 @@ class AutoLayoutSpec extends AnyFunSuite {
     }
     assert(AutoLayout.nearDupPlanes === Similarity.NearDupPlanes)
     assert(AutoLayout.nearDupPairCap === Dedup.MaxBucket)
+    Seq(0.125, 0.5, 0.84, 1.0).foreach { t =>
+      assert(AutoLayout.minhashBands(Dedup.NumHashes, t) ===
+        Dedup.minhashBandsFor(Dedup.NumHashes, t))
+    }
+    Seq(500L, 20000L, 200000L).foreach { n =>
+      val nl = Similarity.ivfCellsFor(n)
+      val np = Similarity.ivfProbesFor(nl)
+      assert(AutoLayout.pqRerank(n, nl, np) ===
+        Similarity.pqRerankFor(n, nl, np))
+    }
+  }
+
+  test("pq rerank rule: fixture floor and decade points") {
+    // fixture fixed point: 500·4/(10·50) = 4 → the 50 floor; s9's
+    // oracle-checked serving settings are unchanged by the rule
+    assert(Similarity.pqRerankFor(500L, 10, 4) === 50)
+    // the measured decades: ≈ candidate-mass/50
+    assert(Similarity.pqRerankFor(20000L, 63, 8) === 51)
+    assert(Similarity.pqRerankFor(200000L, 200, 15) === 300)
+  }
+
+  test("minhash banding rule: S-curve thresholds and the d3 fixed point") {
+    // at d3's implied target the rule returns EXACTLY the pinned 2×4
+    // layout — the d3/d6 oracle family is byte-unchanged by the rule
+    assert(Dedup.minhashBandsFor(Dedup.NumHashes, 0.84) ===
+      (Dedup.NumHashes / Dedup.BandSize, Dedup.BandSize))
+    // d10's target: (1/4)^(1/2) = 0.5 exactly
+    assert(Dedup.minhashBandsFor(Dedup.NumHashes, Dedup.D10TargetJaccard)
+      === (4, 2))
+    // extremes pick the extreme layouts
+    assert(Dedup.minhashBandsFor(8, 0.13) === (8, 1))
+    assert(Dedup.minhashBandsFor(8, 1.0) === (1, 8))
+    // a 128-hash production signature: the rule lands on the divisor
+    // pair whose threshold brackets the target most tightly
+    val (b, r) = Dedup.minhashBandsFor(128, 0.8)
+    assert((b, r) === (8, 16)) // threshold (1/8)^(1/16) ≈ 0.878, the
+    // nearest reachable point of the divisor grid (r=8's 0.707 is
+    // farther); a finer target needs a longer signature, not a knob
   }
 
   test("fixture fixed points: every rule reproduces the oracle layout") {

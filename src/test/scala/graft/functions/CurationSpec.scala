@@ -91,6 +91,40 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p8 budget selection equals the global prefix sum at any partition count") {
+    val docs = Tables.documents(spark, sfDir)
+    // driver-side reference: the GLOBAL ordered cumulative sum the
+    // distributed prefix-sum form refuses to run as a one-partition window
+    val scored = docs
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        expr("cast(size(array_distinct(toks)) as bigint) * 1000 div size(toks)")
+          .as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ordered = scored.sortBy { case (id, _, sc) => (-sc, id) }
+    val expect = ordered.zip(
+      ordered.map(_._2).scanLeft(0L)(_ + _).init)
+      .collect { case ((id, n, sc), before)
+          if before < Curation.SelectBudget => (id, sc, n, before) }
+      .toSet
+    // the distributed form, at three partition counts including the
+    // degenerate 1 (= the global window) — identical kept sets with
+    // identical tokens_before: the offsets + per-partition windows ARE
+    // the global prefix sum, just factored
+    Seq(1, 3, 8).foreach { parts =>
+      val got = Curation.tokenBudgetSelect(docs, parts).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === expect, s"parts=$parts")
+    }
+    assert(expect.nonEmpty && expect.size < scored.length)
+    // the boundary document is KEPT and overruns (offset discipline):
+    // total kept tokens ≥ budget exactly when the corpus has enough
+    val keptTokens = expect.toSeq.map(_._3).sum
+    assert(keptTokens >= Curation.SelectBudget)
+  }
+
   test("p4 packing matches a driver-side offset-quantized re-implementation") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),

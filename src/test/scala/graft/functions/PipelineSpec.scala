@@ -89,6 +89,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     find
   }
 
+  test("d10 auto banding: coarser threshold yields coarser components") {
+    // the derived layout for the moderate-overlap target
+    assert(Dedup.minhashBandsFor(Dedup.NumHashes, Dedup.D10TargetJaccard)
+      === (4, 2))
+    // structural containment: band boundaries align (2-row bands are
+    // halves of 4-row bands), so docs sharing a d3 bucket share both
+    // covering d10 buckets — every d3-connected pair must be
+    // d10-connected, i.e. lowering the threshold can only MERGE
+    // duplicate groups, never split them (capped emission preserves
+    // within-bucket connectivity by the star construction)
+    val d3 = Dedup.d3LshPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d10 = Dedup.d10LshAuto(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val root10 = unionFind(d10)
+    val split = d3.filterNot { case (a, b) => root10(a) == root10(b) }
+    assert(split.isEmpty, s"pairs split by the looser layout: ${split.take(5)}")
+    // and the looser S-curve admits more candidates on the fixture
+    assert(d10.size > d3.size)
+  }
+
   test("d3 bucket cap: synthetic 1000-dup bucket emits O(cap²+n) not O(n²)") {
     import spark.implicits._
     val n = 1000

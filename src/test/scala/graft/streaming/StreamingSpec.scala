@@ -565,6 +565,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming IVFADC serving against the frozen index matches batch s9") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the COMPOSED index's serving twin: same foreachBatch shape as the
+    // s7 twin, but through the full coarse-probe + ADC + rerank ranking;
+    // the trained codebooks are memoized per dir, so micro-batches and
+    // the batch query score against the SAME frozen index
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val nlist = graft.functions.Similarity.ivfCellsFor(n)
+    val np = graft.functions.Similarity.ivfProbesFor(nlist)
+    val rr = graft.functions.Similarity.pqRerankFor(n, nlist, np)
+    val qs = e.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("features"))
+      .collect()
+      .map(r => VecRow(r.getLong(0), r.getSeq[Double](1))).toSeq
+    val input = MemoryStream[VecRow]
+    val got = scala.collection.mutable.Set[(Long, Int, Long)]()
+    val query = graft.functions.Similarity
+      .serveIvfAdcStream(input.toDF(), sfDir, np, rerank = rr) { scored =>
+        got.synchronized {
+          got ++= scored.collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        }
+      }
+    try {
+      input.addData(qs.take(2))
+      query.processAllAvailable()
+      input.addData(qs.drop(2))
+      query.processAllAvailable()
+      val want = graft.functions.Similarity.s9AnnIvfAdc(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got.toSet === want)
+      assert(got.size === qs.length * 5)
+    } finally query.stop()
+  }
+
   test("streaming quality gate converges to the batch verdict histogram") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
