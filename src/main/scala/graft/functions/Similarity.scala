@@ -674,8 +674,17 @@ object Similarity {
     * — the stochastic-but-seeded family: spec-pinned, decade-measured,
     * no DuckDB oracle (the oracle-checked faces are s7 and s8).
     */
-  private[graft] def pqIvfAdcRanked(s: SparkSession, dir: String,
-      queries: DataFrame, nprobe: Int, rerank: Int = 0): DataFrame = {
+  /** The composed index REDUCED TO THREE TABLES — (centroids(cell, cv),
+    * codebook(m, j, cv), codes(nid, cell, codes)) — the persistable
+    * whole of IVFADC state: everything the serving plan needs except
+    * the raw corpus (which only the optional exact-rerank leg reads).
+    * Shared by the in-memory ranking, [[writeIvfAdcIndex]], and the
+    * index-build story at 100 TB: the big table is `codes` at ~40
+    * bytes/vector (32× under the raw vectors), the other two are
+    * broadcast-sized.
+    */
+  private[graft] def ivfAdcIndexFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, dir)
     val nlist = ivfCellsFor(e.count())
     val cents = coarseCentroids(s, dir, nlist, trained = true)
@@ -685,6 +694,58 @@ object Similarity {
     val codes = pqCodesOf(assigned, cbR)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .select(col("vec_id").as("nid"), col("cell"), col("codes"))
+    (cents, cbR, codes)
+  }
+
+  /** Persist the composed index as parquet tables (build once on the
+    * cluster, serve from disk — the production contract the in-JVM
+    * memoization only approximates): `centroids/`, `codebook/`,
+    * `codes/` under `path`. Doubles round-trip parquet bit-exactly, so
+    * [[serveIvfAdcFromIndex]] is row-identical to the in-memory
+    * ranking (spec-pinned); `codes/` is the only corpus-sized table
+    * and is written partitioned by nothing here — at scale, bucket it
+    * by `cell` so a probe's candidate scan is partition-pruned.
+    */
+  def writeIvfAdcIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val (cents, cbR, codes) = ivfAdcIndexFrames(s, dir)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    cbR.write.mode("overwrite").parquet(s"$path/codebook")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Serve queries from a [[writeIvfAdcIndex]]-persisted index: no
+    * training, no residual pass — three parquet reads into the same
+    * ranking plan. `dir` is still needed for the exact-rerank leg's raw
+    * vectors (IVFADC stores codes, not vectors; the rerank lookup is a
+    * separate table by design).
+    */
+  def serveIvfAdcFromIndex(s: SparkSession, dir: String, path: String,
+      queries: DataFrame, nprobe: Int, rerank: Int = 0): DataFrame =
+    ivfAdcRankOver(
+      s.read.parquet(s"$path/centroids"),
+      s.read.parquet(s"$path/codebook"),
+      s.read.parquet(s"$path/codes"),
+      corpusFrame(s, dir), queries, nprobe, rerank)
+
+  private def corpusFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").as("nid"), col("features").as("nv"))
+
+  private[graft] def pqIvfAdcRanked(s: SparkSession, dir: String,
+      queries: DataFrame, nprobe: Int, rerank: Int = 0): DataFrame = {
+    val (cents, cbR, codes) = ivfAdcIndexFrames(s, dir)
+    ivfAdcRankOver(cents, cbR, codes, corpusFrame(s, dir), queries,
+      nprobe, rerank)
+  }
+
+  /** The serving plan over EXPLICIT index frames — one definition
+    * behind the in-memory ranking and the persisted-index serving, so
+    * "the measured index is the served index" survives a round trip
+    * through parquet.
+    */
+  private def ivfAdcRankOver(cents: DataFrame, cbR: DataFrame,
+      codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      nprobe: Int, rerank: Int): DataFrame = {
     // query side: nprobe-ranked cells, one residual + LUT per (q, cell)
     val qres = cellRanked(cents, queries, nprobe, "qid", "qv")
       .join(broadcast(cents), Seq("cell"))
@@ -716,22 +777,21 @@ object Similarity {
       ranked.where(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("nid"),
           round(col("adc"), 4).as("score"))
-    else exactRerank(s, dir, queries, ranked, rerank)
+    else exactRerank(corpus, queries, ranked, rerank)
   }
 
   /** Exact rerank of an ADC shortlist — the ONLY leg that ever touches
     * a raw vector: the |q|·rerank narrow (qid, nid) shortlist rides
-    * broadcast against the corpus, exact euclidean, top-5 by
-    * (dist, nid). Shared by the flat-PQ and IVFADC rankings.
+    * broadcast against the corpus (a (nid, nv) frame), exact euclidean,
+    * top-5 by (dist, nid). Shared by the flat-PQ and IVFADC rankings.
     */
-  private def exactRerank(s: SparkSession, dir: String,
+  private def exactRerank(corpus: DataFrame,
       queries: DataFrame, ranked: DataFrame, rerank: Int): DataFrame = {
     val shortlist = ranked.where(col("rank") <= rerank)
       .select(col("qid"), col("nid"))
     val qv = queries.select(col("vec_id").as("qid"),
       col("features").as("qv"))
-    val nv = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("nid"), col("features").as("nv"))
+    val nv = corpus
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dist"), col("nid"))
     broadcast(shortlist).join(nv, Seq("nid"))
@@ -1053,7 +1113,7 @@ object Similarity {
       ranked.where(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("nid"),
           round(col("adc"), 4).as("score"))
-    else exactRerank(s, dir, queries, ranked, rerank)
+    else exactRerank(corpusFrame(s, dir), queries, ranked, rerank)
   }
 
   /** s8: product-quantization ANN (Jégou et al. 2011, "Product

@@ -128,6 +128,36 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       "full-probe + rerank-100 floor (measured 0.84)")
   }
 
+  test("persisted index serves row-identically to the in-memory ranking") {
+    // build → write three parquet tables → serve from disk: the
+    // production contract (index built once on the cluster, served
+    // from storage). Doubles round-trip parquet bit-exactly, so the
+    // served rows must equal s9's — same ranking plan, frames swapped.
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfadc_idx").toString
+    Similarity.writeIvfAdcIndex(spark, sfDir, path)
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val nlist = Similarity.ivfCellsFor(n)
+    val np = Similarity.ivfProbesFor(nlist)
+    val rr = Similarity.pqRerankFor(n, nlist, np)
+    val served = Similarity.serveIvfAdcFromIndex(spark, sfDir, path,
+      e.where(col("vec_id") < 5).select(col("vec_id"), col("features")),
+      np, rr)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val inMem = Similarity.s9AnnIvfAdc(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(served === inMem)
+    assert(served.size === 25)
+    // the persisted shape: codes is the only corpus-sized table
+    assert(spark.read.parquet(s"$path/codes").count() === n)
+    assert(spark.read.parquet(s"$path/centroids").count() === nlist.toLong)
+    assert(spark.read.parquet(s"$path/codebook").count() ===
+      Similarity.PqSubspaces.toLong * Similarity.PqCodewords)
+  }
+
   test("trained path is deterministic (memoized seeded k-means)") {
     val q = Tables.embeddings(spark, sfDir).where(col("vec_id") < 3)
     val a = Similarity.pqRankedQueries(spark, sfDir, q, trained = true)
