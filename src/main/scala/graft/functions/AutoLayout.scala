@@ -17,7 +17,7 @@ import graft.operators.Clustering
   * | [[lshPlanes]] | LshPlanes + ⌈log₂(n/500)⌉ | 4 planes at n ≤ 500 (c21 oracle) | scale_connlsh.json x10/x100 (+x1000 counts): pinned 4-plane layout 22.0B candidate pairs at x100 vs 183M scaled, recall 0.92–1.00 |
   * | [[ivfCells]] | max(K, ⌊√(n/5)⌋) | nlist = K = 10 at n = 500 → s7 ≡ s3 row-for-row | scale_ivfauto.json x10/x100 (+x1000 nlist): √-scaled cells; the pinned K would probe 10% of the corpus per query at x100 |
   * | [[ivfProbes]] | recall-targeted (see its scaladoc) | nprobe = 1 at nlist = K | scale_ivfauto.json: easy AND hard (displaced out-of-corpus) query recall per decade across the nprobe grid |
-  * | [[pqRerank]] | max(50, ⌈n·np/(nlist·50)⌉) — shortlist as a fixed 1/50 of per-query ADC candidate mass | the 50 floor at n = 500 ⇒ s9's serving settings unchanged | scale_pq.json: rr50 vs auto vs 2·auto recall per decade (the pinned-depth trap measured: rr50 hard recall 0.903 → 0.578 across the decade) |
+  * | [[pqRerank]] | max(50, ⌈n·np/(nlist·50)⌉) — shortlist as a fixed 1/50 of per-query ADC candidate mass | the 50 floor at n = 500 ⇒ s9's serving settings unchanged | scale_pq.json: rr50 vs auto vs 2·auto recall per decade — the pinned depth decays 0.903 → 0.578 (hard, x10 → x100) where the rule holds 0.975/1.000 (hard/easy at x100), and doubling it buys only +0.005 (the nprobe pruning ceiling) |
   * | [[nearDupPlanes]]/[[nearDupPairCap]] | FIXED 8 planes + cap 64 | the one layout that cannot grow (the cos ≥ 0.3 threshold fixes bucket coarseness) | scale_ivfauto.json: uncapped candidate mass is the per-decade WATCH metric (223.0M at x100); the capped emission d7 rides is the measured mitigation |
   * | [[minhashBands]] | argmin over b·r = N of \|(1/b)^(1/r) − t\| | (2, 4) at d3's implied target ⇒ d3/d6 oracles byte-unchanged | d10_lsh_auto replays the derived layout end-to-end in DuckDB; derived from the SEMANTIC threshold (which pairs collide), not corpus size |
   *

@@ -305,8 +305,12 @@ object Similarity {
     * the candidate mass itself, and the exact-rerank leg stays
     * per-query-bounded. Fixed point: the sf0.01 fixture (500·4/(10·50)
     * = 4 → the 50 floor) — s9's oracle-checked serving settings are
-    * byte-unchanged (spec-pinned). The measured axis (rr50 / auto /
-    * 2·auto per decade) lives in scale_pq.json.
+    * byte-unchanged (spec-pinned). Measured (scale_pq.json, the rr50 /
+    * auto / 2·auto axis per decade): at x100 the rule restores easy
+    * recall to 1.000 and hard to 0.975, and DOUBLING it buys +0.005 —
+    * the residue is the nprobe pruning ceiling, exactly as the x10 row
+    * shows (all three depths read 0.903 there: the shortlist was never
+    * the binding knob at small candidate mass).
     */
   def pqRerankFor(n: Long, nlist: Int, nprobe: Int): Int =
     math.max(50, math.ceil(
