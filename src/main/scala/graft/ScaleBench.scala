@@ -613,6 +613,50 @@ object ScaleBench {
       "pq_hard_sec" -> tHard)
   }
 
+  /** d9b's pipeline-ORDER mitigation, measured (round 11): the scaled
+    * fixture's ε-copies make every window a corpus-global duplicate, so
+    * acting on spans over the RAW corpus explodes the cut-index to its
+    * W × positions bound (125.6s and a 32 GiB heap at x100). The
+    * engine's stated production order runs document dedup FIRST; this
+    * mode times span removal over the d6 near-dup group REPRESENTATIVES
+    * (exact dedup alone cannot catch the suffix-perturbed copies — the
+    * honest leg is the group closure) against the raw-corpus leg, plus
+    * the structural quantity the explode rides: the summed
+    * duplicated-window position mass before/after. What remains after
+    * dedup is within-corpus repeated PASSAGES — d9b's actual job.
+    */
+  private def d9bOrderCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.functions.Dedup
+    val docs = Tables.documents(spark, work)
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    def timeIt(in: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      Dedup.spanRemoval(in).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def dupWinMass(in: org.apache.spark.sql.DataFrame): Long =
+      Dedup.substringSpanProfile(in)
+        .agg(coalesce(sum(col("n_dup_windows")), lit(0L)))
+        .head().getLong(0)
+    // dedup-first leg: d6's transitive near-dup groups, one
+    // representative (the group minimum) per component
+    val reps = Dedup.d6DedupGroups(spark, work)
+      .where(col("doc_id") === col("group_id"))
+      .select(col("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .localCheckpoint(eager = true) // consumed by profile + removal
+    val nReps = reps.count()
+    Seq(
+      "d9b_n_docs" -> n.toDouble,
+      "d9b_n_reps" -> nReps.toDouble,
+      "d9b_dupwin_raw" -> dupWinMass(docs).toDouble,
+      "d9b_dupwin_reps" -> dupWinMass(reps).toDouble,
+      "d9b_sec_raw" -> timeIt(docs),
+      "d9b_sec_reps" -> timeIt(reps))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 10
@@ -646,7 +690,7 @@ object ScaleBench {
 
     if (mode == "q3bucket" || mode == "m1part" || mode == "vocab" ||
         mode == "bpe" || mode == "connlsh" || mode == "ivfauto" ||
-        mode == "layout" || mode == "pq") {
+        mode == "layout" || mode == "pq" || mode == "d9border") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -670,6 +714,9 @@ object ScaleBench {
         else if (mode == "pq")
           ("pq_curve", pqCompare(spark, work),
             "scale_pq.json")
+        else if (mode == "d9border")
+          ("d9b_order", d9bOrderCompare(spark, work),
+            "scale_d9b.json")
         else
           ("m1_partition_compare", m1PartitionCompare(spark, work, mult),
             "scale_m1part.json")
