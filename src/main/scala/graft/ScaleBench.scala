@@ -63,10 +63,11 @@ object ScaleBench {
     // (linear window-hash shuffles)
     "s8_ann_pq", "s9_ann_ivfadc", "d9_substring_spans",
     "d9b_span_removal", "p7_quality_score",
-    // round-11b: the auto-banded moderate-threshold LSH and the
+    // round-11b: the auto-banded moderate-threshold LSH, the
     // distributed token-budget cut (three narrow passes, no global
-    // window — the per-partition offsets ARE the scale claim)
-    "d10_lsh_auto", "p8_token_budget",
+    // window — the per-partition offsets ARE the scale claim), and the
+    // bigram-LM scorer (model shuffle one key wider than t12's)
+    "d10_lsh_auto", "p8_token_budget", "t13_bigram_lm",
     "t1_token_stats", "t3_fingerprint", "t5_repetition",
     "t7_quality_gate", "t8_boilerplate",
     "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",

@@ -49,7 +49,8 @@ object TextAnalysis {
     "t8_boilerplate" -> t8Boilerplate,
     "t10_oov_rate" -> t10OovRate,
     "t11_bm25" -> t11Bm25,
-    "t12_lm_score" -> t12LmScore
+    "t12_lm_score" -> t12LmScore,
+    "t13_bigram_lm" -> t13BigramLm
   )
 
   /** Vocabulary size for [[t6Vocab]] — below the fixture's distinct-token
@@ -342,6 +343,96 @@ object TextAnalysis {
         round(col("su") / (col("n_tokens") * lit(1000000.0)), 6)
           .as("avg_surprisal"))
 
+  /** t13: bigram-LM scoring — the order-sensitive rung above t12's
+    * unigram filter (word-soup with a plausible vocabulary scores LOW
+    * under a unigram model but HIGH here, because its bigram
+    * transitions are unseen): per-document average surprisal in nats
+    * per bigram under an add-one-smoothed bigram model
+    * P(w|prev) = (c(prev,w)+1)/(c(prev)+V) trained on the corpus.
+    * Same engineering discipline as t12 throughout: the model is a
+    * BIGRAM-vocabulary-sized (prev, tok, surp2) table built from one
+    * (prev, tok) shuffle (map-side partials) and applied via honest
+    * 2-key shuffle join (never broadcast — a web-scale bigram table is
+    * bigger than its unigram one); per-bigram surprisal is quantized
+    * to integer micro-nats before summation, so the per-doc aggregate
+    * is an exact integer sum, bit-reproducible under any partitioning
+    * and against the DuckDB oracle. Documents with < 2 tokens have no
+    * bigrams and drop from the output (oracle-mirrored).
+    */
+  def t13BigramLm: Q = (s, dir) =>
+    lmScore2(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** Bigram rows (doc_id, prev, tok) — a PER-ROW array zip (no window,
+    * no pre-join shuffle): positions i and i+1 of the token array,
+    * paired by slicing the array against itself. The lead-window
+    * formulation would shuffle on doc_id before the model join; this
+    * one reaches the join shuffle-free.
+    */
+  private[graft] def bigramRows(input: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    input
+      .where(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1).as("prev"),
+          slice(toks, lit(2), size(toks) - 1).as("tok"))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"),
+        col("bg.tok").as("tok"))
+  }
+
+  /** The frozen bigram model (prev, tok, surp2): add-one-smoothed
+    * integer micro-nat surprisal per observed bigram. Left-context
+    * totals derive from the bigram counts themselves (c(prev) =
+    * Σ_w c(prev, w) — one extra small shuffle over the model table,
+    * never the corpus); V is the corpus unigram vocabulary size, a
+    * 1-row aggregate riding the same benign broadcast-BNLJ family as
+    * t11/t12's stats rows (PlanAuditSpec exemption).
+    */
+  private[graft] def lm2Model(input: DataFrame): DataFrame = {
+    val cb = bigramRows(input)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c"))
+    val cl = cb.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
+    val v = input
+      .select(explode(tokensCol(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("vs"))
+    val surp2 = round(-log((col("c") + lit(1.0)) /
+      (col("cp") + col("vs"))) * lit(1000000.0), 0).cast(LongType)
+    cb.join(cl, Seq("prev")).crossJoin(broadcast(v))
+      .select(col("prev"), col("tok"), surp2.as("surp2"))
+  }
+
+  /** Batch face: contracts to per-document distinct-BIGRAM counts
+    * before the model join (the t12 term-frequency contraction, one
+    * key wider), then re-weights — fewer join rows than token-level.
+    */
+  def lmScore2(input: DataFrame): DataFrame = {
+    val tf2 = bigramRows(input)
+      .groupBy(col("doc_id"), col("prev"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    tf2.join(lm2Model(input), Seq("prev", "tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("surp2")).as("su"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("su") / (col("n_bigrams") * lit(1000000.0)), 6)
+          .as("avg_surprisal2"))
+  }
+
+  /** Streaming-servable application face against a frozen bigram model
+    * — bigram-level join + ONE aggregation (the lmScoreApply shape);
+    * exactly equal to [[lmScore2]] by the same integer-sum argument.
+    * Unseen bigrams (OOV of the frozen model) drop via the inner join.
+    */
+  private[graft] def lmScore2Apply(input: DataFrame,
+      model: DataFrame): DataFrame =
+    bigramRows(input)
+      .join(model, Seq("prev", "tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surp2")).as("su"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("su") / (col("n_bigrams") * lit(1000000.0)), 6)
+          .as("avg_surprisal2"))
+
   /** Token counting + quality scoring: token count, distinct count, mean
     * token length, stopword ratio.
     */
@@ -554,6 +645,28 @@ object TextAnalysis {
         |SELECT doc_id, sum(n)::BIGINT AS n_tokens,
         |  round(sum(n * surp_u) / (sum(n) * 1000000.0), 6) AS avg_surprisal
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // independent replay of the bigram chain: positions i, i+1 paired
+    // by generate_series (empty below 2 tokens — the dropped-doc rule),
+    // identical float expression (c + 1.0)/(cp + vs) and micro-nat
+    // rounding before the integer sum
+    "t13_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |tf2 AS (SELECT doc_id, prev, tok, count(*) AS n FROM bg
+        |  GROUP BY doc_id, prev, tok),
+        |cb AS (SELECT prev, tok, count(*) AS c FROM bg GROUP BY prev, tok),
+        |cl AS (SELECT prev, sum(c)::BIGINT AS cp FROM cb GROUP BY prev),
+        |v AS (SELECT count(DISTINCT tok) AS vs FROM
+        |  (SELECT unnest(toks) AS tok FROM t)),
+        |m AS (SELECT prev, tok,
+        |    round(-ln((c + 1.0) / (cp + vs)) * 1000000.0, 0)::BIGINT AS surp2
+        |  FROM cb JOIN cl USING (prev), v)
+        |SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+        |  round(sum(n * surp2) / (sum(n) * 1000000.0), 6) AS avg_surprisal2
+        |FROM tf2 JOIN m USING (prev, tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t10_oov_rate" ->
       s"""WITH tk AS (SELECT doc_id,
          |    unnest(string_split_regex(trim(text), '\\s+')) AS tok

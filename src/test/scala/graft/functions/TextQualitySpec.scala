@@ -37,6 +37,40 @@ class TextQualitySpec extends AnyFunSuite with SparkTestBase {
       3L -> "no_stopwords", 4L -> "keep"))
   }
 
+  test("t13 bigram LM matches hand-computed surprisal; short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "a b a b",
+      1L -> "a b",
+      2L -> "x",       // one token: no bigrams → absent from output
+      3L -> "b a x y"
+    ).toDF("doc_id", "text")
+    // V = 4 (a,b,x,y); cb: (a,b)=3 (b,a)=2 (a,x)=1 (x,y)=1;
+    // cl: a=4 b=2 x=1 → surp(a,b) = −ln(4/8), surp(b,a) = −ln(3/6),
+    // surp(a,x) = −ln(2/8), surp(x,y) = −ln(2/5), micro-nat-rounded
+    val got = TextAnalysis.lmScore2(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet === Set(0L, 1L, 3L))
+    assert(got(0L) === ((3L, 0.693147)))
+    assert(got(1L) === ((1L, 0.693147)))
+    // (693147 + 1386294 + 916291) / 3e6
+    assert(got(3L) === ((3L, 0.998577)))
+    // the apply face against the self-trained model is exactly equal
+    val applied = TextAnalysis
+      .lmScore2Apply(docs, TextAnalysis.lm2Model(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(applied === got)
+    // frozen-model OOV: an unseen bigram drops from count and sum —
+    // "a b" scored against the model, "b z" entirely unseen vanishes
+    val oov = TextAnalysis.lmScore2Apply(
+      Seq(7L -> "a b z").toDF("doc_id", "text"),
+      TextAnalysis.lm2Model(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(oov.toSeq === Seq((7L, 1L, 0.693147)))
+  }
+
   test("lmScoreApply drops OOV tokens from both the sum and n_tokens") {
     import spark.implicits._
     // frozen model trained on a 2-word corpus; the scored doc mixes

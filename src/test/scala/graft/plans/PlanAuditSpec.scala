@@ -45,9 +45,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     *    build's n·√n distance evals, the standard index-construction
     *    cost, amortized over every query)
     *  - d5: the ≤100-doc exact Jaccard verifier
-    *  - t11/t12: explicit `crossJoin(broadcast(statsRow))` — the corpus
-    *    reduced to EXACTLY ONE aggregate row (BM25 N/avgdl/df; LM
-    *    t_total/v_size) re-applied to every document; the planned
+    *  - t11/t12/t13: explicit `crossJoin(broadcast(statsRow))` — the
+    *    corpus reduced to EXACTLY ONE aggregate row (BM25 N/avgdl/df;
+    *    LM t_total/v_size; bigram-LM V) re-applied to every document
+    *    (t13: to every model row); the planned
     *    BroadcastNestedLoopJoin is O(n) with a 1-row build side, the
     *    same documented family as c13.
     *  - s8: `crossJoin(broadcast(luts))` — the n-row PQ code table
@@ -61,7 +62,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "c19_conn_topk", "c21_conn_lsh",
     "s1_cosine_topk", "s3_ann_ivf", "s5_ann_recall", "s6_quant_recall",
     "s7_ann_ivf_auto", "s8_ann_pq",
-    "d5_jaccard_pairs", "t11_bm25", "t12_lm_score")
+    "d5_jaccard_pairs", "t11_bm25", "t12_lm_score", "t13_bigram_lm")
 
   /** Documented unpartitioned-window sites — each rides a tiny DERIVED
     * table, never a fact table: c12's crowding sorts the Pareto front

@@ -565,6 +565,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming bigram-LM scoring against the frozen model matches batch t13") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // t13's serving shape mirrors t12's: the bigram model trained once
+    // in batch (shuffle-joined, never broadcast), arriving documents
+    // scored by the bigram-level apply face with one keyed aggregation;
+    // bigrams are a per-row array zip, so a document's bigrams never
+    // span micro-batches and the union equals the batch answer
+    val batchDocs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val model = graft.functions.TextAnalysis.lm2Model(batchDocs)
+    val docs = batchDocs.collect()
+      .map(r => TextRow(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TextRow]
+    val query = graft.functions.TextAnalysis
+      .lmScore2Apply(input.toDF(), model)
+      .writeStream.format("memory").queryName("lm2_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val got = spark.table("lm2_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.functions.TextAnalysis.t13BigramLm(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("streaming IVFADC serving against the frozen index matches batch s9") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
