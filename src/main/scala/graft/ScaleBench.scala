@@ -658,6 +658,59 @@ object ScaleBench {
       "d9b_sec_reps" -> timeIt(reps))
   }
 
+  /** Persisted-index serving at decade scale (round 11): write the
+    * IVFADC index tables, serve a hash-sampled query batch FROM DISK,
+    * and verify row parity against the in-memory ranking — the PqSpec
+    * round-trip contract, exercised at the decades — plus the on-disk
+    * compression that makes the 100 TB story concrete (parquet bytes
+    * of the codes table vs the raw embedding vectors).
+    */
+  private def pqDiskCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.functions.Similarity
+    val e = Tables.embeddings(spark, work)
+    val n = e.count()
+    val nlist = Similarity.ivfCellsFor(n)
+    val np = Similarity.ivfProbesFor(nlist)
+    val rr = Similarity.pqRerankFor(n, nlist, np)
+    val idx = work + "_ivfadc_idx"
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val (tBuild, _) = timed(Similarity.writeIvfAdcIndex(spark, work, idx))
+    val q = e.where(Similarity.querySampleFilter(math.max(1L, n / 200L)))
+      .select(col("vec_id"), col("features"))
+      .localCheckpoint(eager = true)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val (tDisk, served) = timed(rows(
+      Similarity.serveIvfAdcFromIndex(spark, work, idx, q, np, rr)))
+    val (tMem, inMem) = timed(rows(
+      Similarity.pqIvfAdcRanked(spark, work, q, np, rr)))
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    Seq(
+      "pqdisk_n" -> n.toDouble,
+      "pqdisk_queries" -> q.count().toDouble,
+      "pqdisk_build_sec" -> tBuild,
+      "pqdisk_serve_sec" -> tDisk,
+      "pqdisk_mem_sec" -> tMem,
+      "pqdisk_parity" -> (if (served == inMem) 1.0 else 0.0),
+      "pqdisk_codes_bytes" -> dirBytes(s"$idx/codes").toDouble,
+      "pqdisk_raw_vector_bytes" ->
+        (n.toDouble * Similarity.Dim * 8))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mult = if (args.length > 1) args(1).toInt else 10
@@ -691,7 +744,8 @@ object ScaleBench {
 
     if (mode == "q3bucket" || mode == "m1part" || mode == "vocab" ||
         mode == "bpe" || mode == "connlsh" || mode == "ivfauto" ||
-        mode == "layout" || mode == "pq" || mode == "d9border") {
+        mode == "layout" || mode == "pq" || mode == "d9border" ||
+        mode == "pqdisk") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -718,6 +772,9 @@ object ScaleBench {
         else if (mode == "d9border")
           ("d9b_order", d9bOrderCompare(spark, work),
             "scale_d9b.json")
+        else if (mode == "pqdisk")
+          ("pqdisk", pqDiskCompare(spark, work),
+            "scale_pqdisk.json")
         else
           ("m1_partition_compare", m1PartitionCompare(spark, work, mult),
             "scale_m1part.json")
