@@ -68,6 +68,7 @@ object ScaleBench {
     // window — the per-partition offsets ARE the scale claim), and the
     // bigram-LM scorer (model shuffle one key wider than t12's)
     "d10_lsh_auto", "p8_token_budget", "t13_bigram_lm",
+    "p10_pipeline_e2e",
     "t1_token_stats", "t3_fingerprint", "t5_repetition",
     "t7_quality_gate", "t8_boilerplate",
     "e1_tumbling_hourly", "e3_sessions", "e5_asof_attribution",

@@ -60,7 +60,8 @@ object Dedup {
     "d9_substring_spans" -> d9SubstringSpans,
     "d9b_span_removal" -> d9bSpanRemoval,
     "d10_lsh_auto" -> d10LshAuto,
-    "p1_corpus_curation" -> p1CorpusCuration
+    "p1_corpus_curation" -> p1CorpusCuration,
+    "p10_pipeline_e2e" -> p10PipelineE2e
   )
 
   /** Curation gates for [[p1CorpusCuration]] — chosen against the fixture
@@ -589,7 +590,11 @@ object Dedup {
     * duplicate survives. One plan composes the t1/t2/d2/d3/d6 operator
     * families end to end.
     */
-  def p1CorpusCuration: Q = (s, dir) => {
+  /** The p1 quality + language gate producing the curated (doc_id,
+    * text, n_tokens, stop_ratio) frame — shared by p1 and the p10
+    * pipeline composition (one definition, one oracle fragment).
+    */
+  private def curatedDocs(s: SparkSession, dir: String): DataFrame = {
     val quality = Tables.documents(s, dir)
       .withColumn("toks", TextAnalysis.tokensCol(col("text")))
       .withColumn("n_tokens", size(col("toks")))
@@ -597,16 +602,18 @@ object Dedup {
         round(size(filter(col("toks"), t =>
           t.isin(TextAnalysis.stopwords: _*))).cast("double") /
           size(col("toks")), 6))
-    // persisted: consumed by three separate actions (the propagation
-    // seed, the signature build, the final output join) — without the
-    // cache the per-row gate scan the design runs once would run 3×
-    val curated = TextAnalysis.withLangGuess(quality)
+    TextAnalysis.withLangGuess(quality)
       .where(col("n_tokens") >= MinCurationTokens &&
         col("stop_ratio") >= MinStopRatio &&
         col("guess") === "en")
       .select(col("doc_id"), col("text"), col("n_tokens"),
         col("stop_ratio"))
-      .persist()
+  }
+
+  /** Transitive near-dup groups of a curated (doc_id, text) frame —
+    * the p1 bucket build + rep-seeded propagation, factored for p10.
+    */
+  private def dedupGroupsOf(curated: DataFrame): DataFrame = {
     val buckets = bucketArrays(bandRowsOf(minhashSigsOf(
       curated.select(col("doc_id"), col("text"))))).persist()
     val groups = connectedComponents(
@@ -614,6 +621,15 @@ object Dedup {
       pairsFromBuckets(buckets),
       init = Some(repInitFromBuckets(buckets)))
     buckets.unpersist()
+    groups
+  }
+
+  def p1CorpusCuration: Q = (s, dir) => {
+    // persisted: consumed by three separate actions (the propagation
+    // seed, the signature build, the final output join) — without the
+    // cache the per-row gate scan the design runs once would run 3×
+    val curated = curatedDocs(s, dir).persist()
+    val groups = dedupGroupsOf(curated)
     // group_id values ARE the representative doc_ids (min of each
     // component), so the inner join on doc_id === group_id both selects
     // the representatives and attaches their duplicate counts
@@ -627,6 +643,36 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
         col("n_dups"))
       .localCheckpoint(eager = true)
+    curated.unpersist()
+    out.orderBy(col("doc_id"))
+  }
+
+  /** p10: the engine's stated PRODUCTION ORDER as one oracle-checked
+    * query — gates first (cheap per-row rules discard most rows before
+    * anything shuffles), transitive near-dup groups next (document-level
+    * duplicate mass dies here — the d9border measurement is exactly why
+    * this precedes span work), span removal over the REPRESENTATIVES
+    * (what survives is repeated passages, d9b's actual job), and the
+    * token-budget cut last over the CLEANED text (budget spent on
+    * post-dedup, post-despan tokens, not on duplicate mass). Emits the
+    * p8 row shape (doc_id, score, n_tokens, tokens_before) over clean
+    * text. The DuckDB oracle replays the entire chain — gate CASE
+    * cascade, signature/banding/closure recursion, keeper-rule span
+    * cuts, global budget window — in one statement, so the composition
+    * itself (not just each stage) is cross-engine-checked.
+    */
+  def p10PipelineE2e: Q = (s, dir) => {
+    val curated = curatedDocs(s, dir).persist()
+    val groups = dedupGroupsOf(curated)
+    val reps = curated
+      .join(groups.where(col("doc_id") === col("group_id"))
+        .select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val cleaned = spanRemoval(reps)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // tokenBudgetSelect eagerly pins its range-partitioned input, so
+    // the whole upstream has materialized by the time we unpersist
+    val out = Curation.tokenBudgetSelect(cleaned, Curation.SelectParts)
     curated.unpersist()
     out.orderBy(col("doc_id"))
   }
@@ -774,6 +820,34 @@ object Dedup {
 
   private val bandPairSql = bandPairSqlFor(BandSize)
 
+  /** Span-removal CTE chain over `src(doc_id, text)` ending in
+    * `cleaned(doc_id, n_toks, kept)` — the SQL twin of [[spanRemoval]],
+    * shared by the d9b oracle (src = documents) and the p10 pipeline
+    * oracle (src = the post-dedup representatives). CTE names are
+    * prefixed (srt/sw/...) so the chain composes with the p1 gate +
+    * closure chain without collisions.
+    */
+  private def spanRemovalSqlFrom(src: String) =
+    s"""srt AS (SELECT doc_id,
+       |  string_split_regex(trim(text), '\\s+') AS toks FROM $src),
+       |sw AS (SELECT doc_id, i AS p,
+       |    ('0x' || substr(md5(array_to_string(
+       |      toks[i:i+${SpanWindow - 1}], ' ')), 1, 15))::BIGINT AS wh
+       |  FROM srt, unnest(generate_series(1, len(toks) - ${SpanWindow - 1}))
+       |    AS u(i)),
+       |socc AS (SELECT doc_id, p,
+       |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rn,
+       |    count(*) OVER (PARTITION BY wh) AS c FROM sw),
+       |srm AS (SELECT DISTINCT doc_id, j FROM socc,
+       |    unnest(generate_series(p, p + ${SpanWindow - 1})) AS g(j)
+       |  WHERE c >= 2 AND rn > 1),
+       |sri AS (SELECT doc_id, list(j ORDER BY j) AS rmidx FROM srm
+       |  GROUP BY doc_id),
+       |cleaned AS (SELECT srt.doc_id, len(toks) AS n_toks,
+       |    list_filter(toks, (x, i) -> NOT list_contains(
+       |      coalesce(rmidx, CAST([] AS BIGINT[])), i)) AS kept
+       |  FROM srt LEFT JOIN sri USING (doc_id))""".stripMargin
+
   /** Symmetric edge list + recursive reachability over the `pairs` CTE —
     * shared by the d6/p1 oracles and Audio's mm10b (one source of truth
     * for the closure formulation).
@@ -870,30 +944,12 @@ object Dedup {
     // coalesce on array_to_string: DuckDB returns NULL for an empty
     // list where concat_ws returns ''.
     "d9b_span_removal" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-         |w AS (SELECT doc_id, i AS p,
-         |    ('0x' || substr(md5(array_to_string(
-         |      toks[i:i+${SpanWindow - 1}], ' ')), 1, 15))::BIGINT AS wh
-         |  FROM t, unnest(generate_series(1, len(toks) - ${SpanWindow - 1}))
-         |    AS u(i)),
-         |occ AS (SELECT doc_id, p,
-         |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rn,
-         |    count(*) OVER (PARTITION BY wh) AS c FROM w),
-         |rm AS (SELECT DISTINCT doc_id, j FROM occ,
-         |    unnest(generate_series(p, p + ${SpanWindow - 1})) AS g(j)
-         |  WHERE c >= 2 AND rn > 1),
-         |ri AS (SELECT doc_id, list(j ORDER BY j) AS rmidx FROM rm
-         |  GROUP BY doc_id)
+      s"""WITH ${spanRemovalSqlFrom("documents")}
          |SELECT doc_id,
          |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
          |  len(kept)::BIGINT AS n_kept,
          |  (n_toks - len(kept))::BIGINT AS n_removed
-         |FROM (SELECT t.doc_id, len(toks) AS n_toks,
-         |    list_filter(toks, (x, i) -> NOT list_contains(
-         |      coalesce(rmidx, CAST([] AS BIGINT[])), i)) AS kept
-         |  FROM t LEFT JOIN ri USING (doc_id))
-         |ORDER BY doc_id""".stripMargin,
+         |FROM cleaned ORDER BY doc_id""".stripMargin,
     "d4_simhash" ->
       """WITH t AS (SELECT doc_id,
         |  list_transform(list_distinct(string_split_regex(trim(text), '\s+')),
@@ -961,6 +1017,48 @@ object Dedup {
          |JOIN cur c ON c.doc_id = g.doc_id
          |JOIN sz ON sz.group_id = g.doc_id
          |WHERE g.group_id = g.doc_id
-         |ORDER BY g.doc_id""".stripMargin
+         |ORDER BY g.doc_id""".stripMargin,
+    // the full production order in ONE statement: p1's gate + closure
+    // chain → representatives → the shared span-removal chain → the p8
+    // budget window over the cleaned text
+    "p10_pipeline_e2e" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, text,
+         |  string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |q AS (SELECT doc_id, text, len(toks) AS n_tokens,
+         |    round(len(list_filter(toks,
+         |      x -> x IN ${TextAnalysis.inListSql(TextAnalysis.stopwords)}))
+         |      * 1.0 / len(toks), 6) AS stop_ratio,
+         |    ${TextAnalysis.langGuessCaseSql} AS guess
+         |  FROM (SELECT doc_id, text, toks,
+         |${TextAnalysis.langScoreColsSql}
+         |    FROM t)),
+         |cur AS (SELECT doc_id, text, n_tokens, stop_ratio FROM q
+         |  WHERE n_tokens >= $MinCurationTokens
+         |    AND stop_ratio >= $MinStopRatio AND guess = 'en'),
+         |${sigSqlFrom("cur")},
+         |$bandPairSql,
+         |$edgesReachSql,
+         |${grpSqlFrom("cur")},
+         |reps AS (SELECT c.doc_id, c.text FROM grp g
+         |  JOIN cur c ON c.doc_id = g.doc_id
+         |  WHERE g.group_id = g.doc_id),
+         |${spanRemovalSqlFrom("reps")},
+         |ct AS (SELECT doc_id,
+         |    coalesce(array_to_string(kept, ' '), '') AS text
+         |  FROM cleaned),
+         |st AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks2 FROM ct),
+         |ss AS (SELECT doc_id, len(toks2)::BIGINT AS n_tokens,
+         |    ((len(list_distinct(toks2)) * 1000) // len(toks2))::BIGINT
+         |      AS score
+         |  FROM st WHERE len(toks2) > 0),
+         |cc AS (SELECT doc_id, score, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS tokens_before
+         |  FROM ss)
+         |SELECT doc_id, score, n_tokens, tokens_before FROM cc
+         |WHERE tokens_before < ${Curation.SelectBudget}
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.functions.{col, length}
+import org.apache.spark.sql.functions.{col, length, size}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
+import graft.sources.Tables
 
 /** Pipeline-operator behavior that the DuckDB oracle can't see:
   * the multimodal decode batch shape and the dedup pipeline's end-to-end
@@ -87,6 +88,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
     edges.foreach { case (a, b) => parent(find(a)) = find(b) }
     find
+  }
+
+  test("p10 composes the production order: reps of p1, budget semantics hold") {
+    val p1Reps = Dedup.p1CorpusCuration(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val rows = Dedup.p10PipelineE2e(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every selected doc is a p1 representative (gates + closure are
+    // THE same stages, so the universes must agree)
+    assert(rows.map(_._1).toSet.subsetOf(p1Reps))
+    // budget rule: every kept row's prefix fits; rows are doc-ordered
+    assert(rows.forall(_._4 < Curation.SelectBudget))
+    // span removal ran BEFORE scoring: no kept row counts more tokens
+    // than its raw representative had
+    val rawTokens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall { case (id, _, n, _) => n <= rawTokens(id) })
   }
 
   test("d10 auto banding: coarser threshold yields coarser components") {
