@@ -684,8 +684,13 @@ object ScaleBench {
     val q = e.where(Similarity.querySampleFilter(math.max(1L, n / 200L)))
       .select(col("vec_id"), col("features"))
       .localCheckpoint(eager = true)
-    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
-      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // parity tuples carry the rounded score too — the documented claim
+    // is row-identical serving, not rank-identical (ADVICE r11)
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Int, Long, Double)] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
     val (tDisk, served) = timed(rows(
       Similarity.serveIvfAdcFromIndex(spark, work, idx, q, np, rr)))
     val (tMem, inMem) = timed(rows(

@@ -308,17 +308,24 @@ object Curation {
       .orderBy(col("doc_id"))
 
   /** The distributed budget-selection transform over any (doc_id, text)
-    * frame. Result is invariant to `numParts` (the range boundaries
-    * move, but offset + within-partition prefix is the same global
-    * prefix sum — spec'd); empty documents are excluded before scoring
-    * (a 0-token doc has no diversity ratio).
+    * frame, under an explicit `budget` (callers state theirs; the
+    * fixture-scale [[SelectBudget]] is only the default). Result is
+    * invariant to `numParts` (the range boundaries move, but offset +
+    * within-partition prefix is the same global prefix sum — spec'd);
+    * empty documents are excluded before scoring — the gate is on the
+    * TRIMMED TEXT, not the token array, because `split(trim(''),
+    * '\s+')` is `[""]` (size 1) in both Spark and DuckDB: a size guard
+    * never fires, and a fully-span-removed p10 representative would
+    * otherwise enter as a 1-phantom-token doc with the maximum
+    * diversity score (spec'd, r12).
     */
-  def tokenBudgetSelect(docs: DataFrame, numParts: Int): DataFrame = {
+  def tokenBudgetSelect(docs: DataFrame, numParts: Int,
+      budget: Long = SelectBudget): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val scored = docs
+      .where(trim(col("text")) =!= "")
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
-      .where(size(col("toks")) > 0)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
@@ -351,7 +358,7 @@ object Curation {
     parts.join(broadcast(offDf), Seq("pid"))
       .withColumn("tokens_before",
         col("off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .where(col("tokens_before") < SelectBudget)
+      .where(col("tokens_before") < budget)
       .select(col("doc_id"), col("score"), col("n_tokens"),
         col("tokens_before"))
   }
@@ -446,11 +453,12 @@ object Curation {
     // hash match proves the distributed prefix sum equals the global one
     "p8_token_budget" ->
       s"""WITH t AS (SELECT doc_id,
-         |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE trim(text) <> ''),
          |s AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
          |    ((len(list_distinct(toks)) * 1000) // len(toks))::BIGINT
          |      AS score
-         |  FROM t WHERE len(toks) > 0),
+         |  FROM t),
          |c AS (SELECT doc_id, score, n_tokens,
          |    coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT

@@ -1047,11 +1047,12 @@ object Dedup {
          |    coalesce(array_to_string(kept, ' '), '') AS text
          |  FROM cleaned),
          |st AS (SELECT doc_id,
-         |    string_split_regex(trim(text), '\\s+') AS toks2 FROM ct),
+         |    string_split_regex(trim(text), '\\s+') AS toks2
+         |  FROM ct WHERE trim(text) <> ''),
          |ss AS (SELECT doc_id, len(toks2)::BIGINT AS n_tokens,
          |    ((len(list_distinct(toks2)) * 1000) // len(toks2))::BIGINT
          |      AS score
-         |  FROM st WHERE len(toks2) > 0),
+         |  FROM st),
          |cc AS (SELECT doc_id, score, n_tokens,
          |    coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT

@@ -125,6 +125,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(keptTokens >= Curation.SelectBudget)
   }
 
+  test("budget selection drops empty/whitespace docs and honors the budget param") {
+    import spark.implicits._
+    // split(trim(''), '\s+') is [""] — size 1, max diversity score 1000
+    // — so a size-only guard would rank the empty doc FIRST and emit an
+    // empty-text selected row (the r11 ADVICE failure, exactly what a
+    // fully-span-removed p10 representative produces). The trimmed-text
+    // gate must exclude rows 3 and 4 entirely.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha alpha alpha alpha alpha"),
+      (3L, ""),
+      (4L, "   ")).toDF("doc_id", "text")
+    val all = Curation.tokenBudgetSelect(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(all.keySet === Set(1L, 2L))
+    assert(all(1L) === 1000L) // 4 distinct / 4 — the real max-diversity doc
+    // explicit budget: doc 1 (score 1000, 4 tokens) fills a 4-token
+    // budget; doc 2's tokens_before = 4 ≥ budget → cut
+    val cut = Curation.tokenBudgetSelect(docs, 2, budget = 4L).collect()
+      .map(_.getLong(0)).toSet
+    assert(cut === Set(1L))
+  }
+
   test("p4 packing matches a driver-side offset-quantized re-implementation") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),

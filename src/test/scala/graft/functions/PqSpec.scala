@@ -141,13 +141,18 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     val nlist = Similarity.ivfCellsFor(n)
     val np = Similarity.ivfProbesFor(nlist)
     val rr = Similarity.pqRerankFor(n, nlist, np)
+    // the full output tuple INCLUDING the rounded score — the claim is
+    // row-identical serving, so score drift through the parquet round
+    // trip (or a tie-break change) must fail this assert (ADVICE r11)
     val served = Similarity.serveIvfAdcFromIndex(spark, sfDir, path,
       e.where(col("vec_id") < 5).select(col("vec_id"), col("features")),
       np, rr)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
       .toSet
     val inMem = Similarity.s9AnnIvfAdc(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(served === inMem)
     assert(served.size === 25)
