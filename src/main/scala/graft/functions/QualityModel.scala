@@ -48,17 +48,47 @@ object QualityModel {
   def queries: Map[String, Q] = Map(
     "p7_quality_score" -> p7QualityScore)
 
-  /** Trained but not SQL-replayable (the m1 convention) — no oracle;
-    * rows-only driver check, parity + floors pinned by QualitySpec.
+  /** Training is not SQL-replayable (the m1 convention), but SERVING
+    * is: p7 persists the fitted model as a token-keyed, micro-nat
+    * integer weights table + intercept (see [[servedModel]]) and
+    * scores from THAT parquet — so the oracle reads the same artifact
+    * and replays tokenize → join → integer sum → sigmoid. Integer
+    * weight sums are order-independent (the t12/t13 micro-nat
+    * discipline), which is what makes the cross-engine hash
+    * deterministic rather than fp-order-lucky. The driver's gate runs
+    * at sf0.01; [[p7QualityScore]] writes the artifact before serving.
     */
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    "p7_quality_score" ->
+      s"""WITH w AS (SELECT tok, w_micro
+         |    FROM read_parquet('$P7WeightsPath/weights/*.parquet')),
+         |m AS (SELECT b_micro
+         |  FROM read_parquet('$P7WeightsPath/meta/*.parquet')),
+         |t AS (SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |z AS (SELECT doc_id, sum(coalesce(w_micro, 0))::BIGINT AS zm
+         |  FROM t LEFT JOIN w USING (tok) GROUP BY doc_id)
+         |SELECT doc_id,
+         |  round(1.0 / (1.0 + exp(-((zm + b_micro) / 1000000.0))), 6)
+         |    AS quality
+         |FROM z CROSS JOIN m ORDER BY doc_id""".stripMargin)
+
+  private val P7WeightsPath = "/root/repo/artifacts/sf0.01/p7_model"
 
   /** p7: every document scored by the trained model — (doc_id, quality),
-    * quality = P(keep | tokens) rounded to 6 places.
+    * quality = P(keep | tokens) rounded to 6 places — served from the
+    * PERSISTED model artifact: [[writeServedModel]] then
+    * [[scoreDocsServed]] over the re-read parquet (the s9 discipline —
+    * the checked artifact is the served artifact).
     */
   def p7QualityScore: Q = (s, dir) => {
-    val (w, b) = weights(s, dir)
-    scoreDocs(Tables.documents(s, dir), w, b)
+    val path = s"${Similarity.artifactRoot(dir)}/p7_model"
+    writeServedModel(s, dir, path)
+    val w = s.read.parquet(s"$path/weights")
+    val bMicro = s.read.parquet(s"$path/meta")
+      .collect()(0).getLong(0)
+    scoreDocsServed(Tables.documents(s, dir), w, bMicro)
       .orderBy(col("doc_id"))
   }
 
@@ -121,9 +151,67 @@ object QualityModel {
     (rows.toDF("idx", "w"), m.intercept)
   }
 
-  /** Scores (doc_id, text) rows against a frozen weight table — the ONE
-    * plan batch p7, the spec's parity check, and the streaming twin all
-    * run. explode_outer keeps empty documents (they score sigmoid(b)).
+  /** The SERVED form of record: one row per distinct corpus TOKEN with
+    * its bucket weight quantized to micro-nats (w_micro = round(w·1e6)
+    * as a long). Token-keyed because the oracle engine cannot compute
+    * Spark's Murmur3 — the `pmod(hash(tok), N)` featurization runs HERE
+    * (once, at model-export time, the same expression training used,
+    * so the HashingTF-style skew the parity spec once caught is still
+    * impossible) and the serving join needs only string equality.
+    * Integer micro-nat weights make the per-document sum exact and
+    * order-independent in any engine (t12/t13 discipline). Zero-weight
+    * tokens are dropped; both engines coalesce missing joins to 0.
+    * Broadcast-sized by construction: ≤ vocabulary, and the model
+    * (not the corpus) caps the number of distinct weights.
+    */
+  private[graft] def servedModel(s: SparkSession,
+      dir: String): (DataFrame, Long) = {
+    val (w, b) = weights(s, dir)
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokensCol(col("text"))).as("tok"))
+      .distinct()
+    val wTok = toks
+      .select(col("tok"), pmod(hash(col("tok")), lit(NumFeatures)).as("idx"))
+      .join(broadcast(w), Seq("idx"), "left")
+      .select(col("tok"),
+        round(coalesce(col("w"), lit(0.0)) * 1e6, 0).cast("long")
+          .as("w_micro"))
+      .where(col("w_micro") =!= 0L)
+    (wTok, math.round(b * 1e6))
+  }
+
+  /** Persist the served model: `weights/` (tok, w_micro) and `meta/`
+    * (b_micro) — the p7 oracle reads these exact tables.
+    */
+  def writeServedModel(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    val (wTok, bMicro) = servedModel(s, dir)
+    wTok.write.mode("overwrite").parquet(s"$path/weights")
+    Seq(bMicro).toDF("b_micro").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Scores (doc_id, text) rows against a frozen token-keyed micro-nat
+    * weight table — the ONE plan batch p7, the oracle replay, and the
+    * streaming twin all run. explode_outer keeps empty documents (they
+    * score sigmoid(b)); the integer sum is exact, so the plan is
+    * partitioning- and engine-independent.
+    */
+  private[graft] def scoreDocsServed(docs: DataFrame, wTok: DataFrame,
+      bMicro: Long): DataFrame =
+    docs
+      .select(col("doc_id"), explode_outer(tokensCol(col("text"))).as("tok"))
+      .join(broadcast(wTok), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w_micro"), lit(0L))).as("zm"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-((col("zm") + lit(bMicro)) / lit(1e6)))), 6)
+          .as("quality"))
+
+  /** Bucket-keyed full-precision serving — the TRAINING-face twin kept
+    * for the parity spec (weights-table plan vs `model.transform`) and
+    * as the reference the micro-nat served form is bounded against.
     */
   private[graft] def scoreDocs(docs: DataFrame, w: DataFrame,
       b: Double): DataFrame =

@@ -38,20 +38,39 @@ object Similarity {
     "s9_ann_ivfadc" -> s9AnnIvfAdc
   )
 
+  /** Root for persisted serving artifacts, keyed by the fixture dir's
+    * basename so the per-round verify (sf0.01), the bench (sf0.1), and
+    * local runs never clobber each other's index. Inside the repo (the
+    * only writable root) and gitignored — the artifacts are BUILT BY
+    * the query, the way a production index build precedes serving.
+    */
+  private[graft] def artifactRoot(dir: String): String =
+    s"/root/repo/artifacts/${new java.io.File(dir).getName}"
+
   /** s9: the IVFADC serving composition at its recall-derived settings
     * (nprobe = [[ivfProbesFor]], rerank = [[pqRerankFor]] — the 50
-    * floor at fixture scale, spec-pinned) over the fixture queries —
-    * trained coarse + residual codebooks, so no SQL oracle (the m1
-    * stochastic-but-seeded convention: rows-only driver check, recall
-    * and determinism pinned by PqSpec, decades by `ScaleBench pq`).
+    * floor at fixture scale, spec-pinned), SERVED FROM THE PERSISTED
+    * INDEX: the query builds the three-table parquet index
+    * ([[writeIvfAdcIndex]] — trained coarse + residual codebooks, the
+    * stochastic part) and then runs the pure serving plan over it.
+    * Training is not SQL-replayable, but serving is — the DuckDB
+    * oracle reads the SAME parquet tables and replays probe → residual
+    * LUT → ADC → exact rerank with every float expression in the
+    * identical association order (the s8 discipline), deriving nlist /
+    * nprobe / rerank from the index itself. The r11 `no_oracle` row is
+    * thus closed: the trained artifact is pinned by PqSpec, the whole
+    * serving path by the cross-engine hash.
     */
   def s9AnnIvfAdc: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     val n = e.count()
     val nlist = ivfCellsFor(n)
     val np = ivfProbesFor(nlist)
-    pqIvfAdcRanked(s, dir, e.where(col("vec_id") < 5), np,
-      rerank = pqRerankFor(n, nlist, np))
+    val idx = s"${artifactRoot(dir)}/ivfadc"
+    writeIvfAdcIndex(s, dir, idx)
+    serveIvfAdcFromIndex(s, dir, idx,
+      e.where(col("vec_id") < 5).select(col("vec_id"), col("features")),
+      np, rerank = pqRerankFor(n, nlist, np))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -1265,7 +1284,64 @@ object Similarity {
     (1 to PqSubspaces).map(m =>
       s"l.lut[${(m - 1) * PqCodewords} + c.codes[$m]]").mkString(" + ")
 
+  /** The persisted-index location the s9 oracle reads — the driver's
+    * correctness gate always runs at sf0.01 ([[artifactRoot]] keys the
+    * path by fixture basename), and [[s9AnnIvfAdc]] writes the index
+    * before serving, so the oracle's read_parquet sees exactly the
+    * tables the Spark plan served from.
+    */
+  private val S9IndexPath = "/root/repo/artifacts/sf0.01/ivfadc"
+
   def oracles: Map[String, String] = Map(
+    // full SQL replay of IVFADC SERVING from the persisted index:
+    // nlist/nprobe/rerank derived from the index tables themselves,
+    // probe → residual → per-(q,cell) LUT → explicit 8-term ADC →
+    // shortlist → exact rerank — every float expression in the same
+    // association order as the Spark plan (training stays spec-pinned;
+    // serving is cross-engine hash-checked)
+    "s9_ann_ivfadc" ->
+      s"""WITH cents AS (SELECT cell, cv
+         |    FROM read_parquet('$S9IndexPath/centroids/*.parquet')),
+         |cb AS (SELECT m, j, cv AS cbv
+         |  FROM read_parquet('$S9IndexPath/codebook/*.parquet')),
+         |codes AS (SELECT nid, cell, codes
+         |  FROM read_parquet('$S9IndexPath/codes/*.parquet')),
+         |p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM p WHERE vec_id < 5),
+         |par AS (SELECT
+         |  CAST(CEIL(sqrt((SELECT count(*) FROM cents))) AS INT) AS np,
+         |  GREATEST(50, CAST(CEIL((SELECT count(*) FROM codes) *
+         |    CEIL(sqrt((SELECT count(*) FROM cents))) /
+         |    ((SELECT count(*) FROM cents) * 50.0)) AS INT)) AS rr),
+         |qc AS (SELECT qid, cell, qv FROM (
+         |  SELECT q.qid, c.cell, q.qv,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_distance(q.qv, c.cv), c.cell) AS crn
+         |  FROM q CROSS JOIN cents c) WHERE crn <= (SELECT np FROM par)),
+         |r AS (SELECT qid, qc.cell,
+         |    list_transform(generate_series(1, $Dim), i -> qv[i] - cv[i])
+         |      AS rv
+         |  FROM qc JOIN cents ON qc.cell = cents.cell),
+         |sv AS (SELECT qid, cell, g.m,
+         |    rv[(g.m-1)*$PqSubDim+1:g.m*$PqSubDim] AS sv
+         |  FROM r, unnest(generate_series(1, $PqSubspaces)) AS g(m)),
+         |pd AS (SELECT s.qid, s.cell, s.m, c.j,
+         |    ${sqSubSql("s.sv", "c.cbv")} AS pd
+         |  FROM sv s JOIN cb c ON s.m = c.m),
+         |lut AS (SELECT qid, cell, list(pd ORDER BY m, j) AS lut
+         |  FROM pd GROUP BY qid, cell),
+         |sc AS (SELECT l.qid, c.nid, $adcTermsSql AS adc
+         |  FROM codes c JOIN lut l ON c.cell = l.cell AND l.qid <> c.nid),
+         |sl AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc, nid) AS arn FROM sc)
+         |  WHERE arn <= (SELECT rr FROM par)),
+         |re AS (SELECT sl.qid, sl.nid, list_distance(q.qv, n.v) AS dist
+         |  FROM sl JOIN q USING (qid) JOIN p n ON n.vec_id = sl.nid)
+         |SELECT qid, rank, nid, round(dist, 4) AS score FROM (
+         |  SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid
+         |    ORDER BY dist, nid) AS rank FROM re)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // full SQL replay of the PQ index: subvector split → first-vectors
     // codebook → per-subspace argmin codes → per-query LUT → explicit
     // 8-term ADC sum (identical association order to the Spark side)

@@ -37,6 +37,30 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("micro-nat served face is bounded against the full-precision plan") {
+    // p7 serves the PERSISTED token-keyed micro-nat table (the oracle's
+    // face); quantization error per token ≤ 0.5e-6 nats, so a doc of T
+    // tokens drifts ≤ (T+1)·0.5e-6 in z and ≤ a quarter of that in
+    // probability. The bound proves the served artifact is the SAME
+    // model, not a retrain — any featurization/bucket skew would show
+    // up as O(0.1) jumps, exactly what the scoreDocs parity test pins.
+    val (w, b) = QualityModel.weights(spark, sfDir)
+    val full = QualityModel.scoreDocs(
+        Tables.documents(spark, sfDir), w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val micro = QualityModel.queries("p7_quality_score")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val maxToks = Tables.documents(spark, sfDir)
+      .select(max(size(graft.functions.TextAnalysis.tokensCol(col("text")))))
+      .collect()(0).getInt(0)
+    val bound = (maxToks + 1) * 0.5e-6 * 0.25 + 1e-6 // + the round(6) grid
+    assert(micro.keySet === full.keySet)
+    micro.foreach { case (doc, q) =>
+      assert(math.abs(q - full(doc)) <= bound,
+        s"doc $doc micro $q vs full ${full(doc)} (bound $bound)")
+    }
+  }
+
   test("the model learns its teacher beyond the base rate") {
     val labels = QualityModel.labeled(spark, sfDir)
       .select(col("doc_id"), col("label"))

@@ -502,16 +502,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // p7's serving shape: the logistic model trained ONCE in batch and
-    // frozen as a broadcast weights table; arriving documents scored by
-    // the exact batch plan (hash-bucket explode + weight join + one
-    // keyed aggregation) — the t11/t12 stream-static discipline
-    val (w, b) = graft.functions.QualityModel.weights(spark, sfDir)
+    // frozen as a broadcast token-keyed micro-nat weights table (the
+    // persisted served form); arriving documents scored by the exact
+    // batch plan (token explode + weight join + one keyed integer
+    // aggregation) — the t11/t12 stream-static discipline
+    val (w, b) = graft.functions.QualityModel.servedModel(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .collect().map(r => TextRow(r.getLong(0), r.getString(1))).toSeq
     val input = MemoryStream[TextRow]
     val query = graft.functions.QualityModel
-      .scoreDocs(input.toDF(), w, b)
+      .scoreDocsServed(input.toDF(), w, b)
       .writeStream.format("memory").queryName("quality_out")
       .outputMode(OutputMode.Complete())
       .start()
