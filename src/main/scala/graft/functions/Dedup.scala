@@ -61,7 +61,8 @@ object Dedup {
     "d9b_span_removal" -> d9bSpanRemoval,
     "d10_lsh_auto" -> d10LshAuto,
     "p1_corpus_curation" -> p1CorpusCuration,
-    "p10_pipeline_e2e" -> p10PipelineE2e
+    "p10_pipeline_e2e" -> p10PipelineE2e,
+    "p11_pipeline_learned" -> p11PipelineLearned
   )
 
   /** Curation gates for [[p1CorpusCuration]] — chosen against the fixture
@@ -674,6 +675,71 @@ object Dedup {
     // the whole upstream has materialized by the time we unpersist
     val out = Curation.tokenBudgetSelect(cleaned, Curation.SelectParts)
     curated.unpersist()
+    out.orderBy(col("doc_id"))
+  }
+
+  /** Learned-gate thresholds for [[p11PipelineLearned]], chosen against
+    * the sf0.01 distributions so each gate discards a real tail: the p7
+    * classifier keeps quality ≥ 0.5 (415/500 docs — the model's own
+    * decision boundary), and the bigram-LM filter keeps average
+    * surprisal ≤ 3.43 micro-nat-rounded nats (≈ the p90 of the gated
+    * set — the CCNet move: drop the least-language-model-like tail).
+    * Both comparisons run on the ROUNDED values both engines compute
+    * identically (micro-nat integer sums), so the gates are
+    * deterministic cross-engine.
+    */
+  val LearnedQualityGate = 0.5
+  val LearnedSurpGate = 3.43
+
+  /** p11: the LEARNED production pipeline — p10's composition with the
+    * heuristic t7-style gate replaced by trained components (the CCNet
+    * ordering): p7's persisted classifier scores every document (keep
+    * quality ≥ [[LearnedQualityGate]]), a bigram LM trained on the
+    * kept set drops the high-surprisal tail (≤ [[LearnedSurpGate]];
+    * documents with < 2 tokens have no LM evidence and drop, the t13
+    * rule), then the p10 tail runs unchanged: transitive near-dup
+    * closure → span removal over representatives → token-budget cut
+    * over the cleaned text. Emits the p8 row shape. Because the
+    * classifier serves from the SAME persisted micro-nat weights table
+    * p7 writes, the ENTIRE chain — learned gate included — replays in
+    * one DuckDB statement: the first end-to-end hash-checked learned
+    * pipeline (r11 VERDICT next-4).
+    *
+    * Scale: both gates are one broadcast-join scan each (the weights
+    * table is model-capped, the bigram model is vocabulary-capped and
+    * shuffle-joined like t13); everything downstream runs on the
+    * post-gate survivor set, preserving the p10 dedup-first ordering
+    * argument (gates are CHEAPER than dedup, so they go first).
+    */
+  def p11PipelineLearned: Q = (s, dir) => {
+    val path = s"${Similarity.artifactRoot(dir)}/p7_model"
+    QualityModel.writeServedModel(s, dir, path)
+    val w = s.read.parquet(s"$path/weights")
+    val bMicro = s.read.parquet(s"$path/meta").collect()(0).getLong(0)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val qKeep = QualityModel.scoreDocsServed(docs, w, bMicro)
+      .where(col("quality") >= LearnedQualityGate)
+      .select(col("doc_id"))
+    // persisted: the gated set feeds BOTH the LM training pass and the
+    // survivor join (and, after the second gate, the closure chain) —
+    // the p1/p10 persist discipline
+    val qg = docs.join(qKeep, Seq("doc_id")).persist()
+    val lmKeep = TextAnalysis.lmScore2(qg)
+      .where(col("avg_surprisal2") <= LearnedSurpGate)
+      .select(col("doc_id"))
+    val lg = qg.join(lmKeep, Seq("doc_id")).persist()
+    val groups = dedupGroupsOf(lg)
+    val reps = lg
+      .join(groups.where(col("doc_id") === col("group_id"))
+        .select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val cleaned = spanRemoval(reps)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // tokenBudgetSelect eagerly pins its range-partitioned input, so
+    // the whole upstream has materialized before the unpersists
+    val out = Curation.tokenBudgetSelect(cleaned, Curation.SelectParts)
+    qg.unpersist()
+    lg.unpersist()
     out.orderBy(col("doc_id"))
   }
 

@@ -74,7 +74,11 @@ object QualityModel {
          |    AS quality
          |FROM z CROSS JOIN m ORDER BY doc_id""".stripMargin)
 
-  private val P7WeightsPath = "/root/repo/artifacts/sf0.01/p7_model"
+  /** Shared with the p11 oracle (Dedup) — both replay the same served
+    * artifact at the driver's gate SF.
+    */
+  private[functions] val P7WeightsPath =
+    "/root/repo/artifacts/sf0.01/p7_model"
 
   /** p7: every document scored by the trained model — (doc_id, quality),
     * quality = P(keep | tokens) rounded to 6 places — served from the
