@@ -38,12 +38,29 @@ object Bench {
     names.foreach(n => runOne(n, SparkEntry.queries(n)))
     val passes = (1 to 3).map(_ =>
       names.map(n => n -> runOne(n, SparkEntry.queries(n))).toMap)
-    val results = names.map { n =>
+    val timed = names.map { n =>
       val ok = passes.map(_(n)).filter(_ >= 0).sorted
       // median of the successful passes (upper-median when a pass failed:
       // conservative); -1 marks a query that never succeeded
       n -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
     }
+    // the p7 BUILD face as its own row (VERDICT r12 next-6): the
+    // p7_quality_score rows above serve from the artifact the warmup
+    // pass wrote (writeServedModel memoizes per dir — the production
+    // build-once/serve-many split); this row forces a rebuild so the
+    // train+export cost is still carried honestly in every record
+    val results = timed :+ ("p7_model_build" -> {
+      val t0 = System.nanoTime()
+      try {
+        graft.functions.QualityModel.writeServedModel(spark, sfDir,
+          s"${graft.functions.Similarity.artifactRoot(sfDir)}/p7_model",
+          force = true)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] p7_model_build failed: ${e.getMessage}")
+        -1.0
+      }
+    })
 
     // Locale.ROOT: the f-interpolator is locale-sensitive and would emit
     // comma decimals (invalid JSON) under e.g. de_DE defaults

@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // oracle read_parquet paths (p7 weights, s9 index) derive from the
+    // dir THIS run verifies — set before queries run AND before the
+    // oracle dump, so artifact writer and oracle reader agree at any SF
+    System.setProperty("graft.oracle.dir", sfDir)
     // optional 3rd arg: comma-separated query-name filter for fast local
     // iteration on one operator (the driver always passes two args)
     val only = args.drop(2).headOption.map(_.split(",").toSet)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -283,6 +283,27 @@ object Curation {
   val SelectBudget = 8000L
   val SelectParts = 8
 
+  /** The `\s` whitespace class, spelled out — the budget gate must trim
+    * exactly what the tokenizer splits on, or a tabs/newlines-only
+    * document passes an ASCII-space `trim` and tokenizes to phantom
+    * empty tokens that enter selection with the maximum diversity score
+    * (ADVICE r12 — the r11 phantom-token class, fully closed).
+    */
+  private val WhitespaceClass = " \t\n\u000B\f\r"
+
+  /** Non-blank gate, Spark side: text survives iff trimming the FULL
+    * whitespace class leaves something.
+    */
+  private[graft] def nonBlankCol(c: Column): Column =
+    trim(c, WhitespaceClass) =!= ""
+
+  /** The same gate in DuckDB SQL (chr() spells the control characters
+    * so the oracle string carries no literal tabs/newlines).
+    */
+  private[graft] def nonBlankSql(col: String): String =
+    s"trim($col, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || " +
+      s"chr(13)) <> ''"
+
   /** p8: quality-ranked selection under a GLOBAL token budget — the cut
     * every pretraining run makes ("the best N tokens of this corpus"):
     * rank documents by (score desc, doc_id), keep a document iff the
@@ -313,18 +334,19 @@ object Curation {
     * invariant to `numParts` (the range boundaries move, but offset +
     * within-partition prefix is the same global prefix sum — spec'd);
     * empty documents are excluded before scoring — the gate is on the
-    * TRIMMED TEXT, not the token array, because `split(trim(''),
-    * '\s+')` is `[""]` (size 1) in both Spark and DuckDB: a size guard
-    * never fires, and a fully-span-removed p10 representative would
-    * otherwise enter as a 1-phantom-token doc with the maximum
-    * diversity score (spec'd, r12).
+    * text trimmed of the FULL `\s` class ([[nonBlankCol]]), not the
+    * token array, because `split(trim(''), '\s+')` is `[""]` (size 1)
+    * in both Spark and DuckDB: a size guard never fires, and a
+    * fully-span-removed p10 representative (or a tabs/newlines-only
+    * document — ADVICE r12) would otherwise enter as a
+    * phantom-token doc with the maximum diversity score (spec'd).
     */
   def tokenBudgetSelect(docs: DataFrame, numParts: Int,
       budget: Long = SelectBudget): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val scored = docs
-      .where(trim(col("text")) =!= "")
+      .where(nonBlankCol(col("text")))
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -454,7 +476,7 @@ object Curation {
     "p8_token_budget" ->
       s"""WITH t AS (SELECT doc_id,
          |    string_split_regex(trim(text), '\\s+') AS toks
-         |  FROM documents WHERE trim(text) <> ''),
+         |  FROM documents WHERE ${nonBlankSql("text")}),
          |s AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
          |    ((len(list_distinct(toks)) * 1000) // len(toks))::BIGINT
          |      AS score

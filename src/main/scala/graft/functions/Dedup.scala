@@ -701,9 +701,11 @@ object Dedup {
     * closure → span removal over representatives → token-budget cut
     * over the cleaned text. Emits the p8 row shape. Because the
     * classifier serves from the SAME persisted micro-nat weights table
-    * p7 writes, the ENTIRE chain — learned gate included — replays in
-    * one DuckDB statement: the first end-to-end hash-checked learned
-    * pipeline (r11 VERDICT next-4).
+    * p7 writes, the ENTIRE chain — learned gates included — replays in
+    * one DuckDB statement (`oracles("p11_pipeline_learned")`, r13:
+    * the p7 weights replay + the qg-trained lm2 chain + the p10 tail),
+    * making this the end-to-end hash-checked learned pipeline; the
+    * gate/subset laws are additionally pinned by PipelineSpec.
     *
     * Scale: both gates are one broadcast-join scan each (the weights
     * table is model-capped, the bigram model is vocabulary-capped and
@@ -1114,7 +1116,46 @@ object Dedup {
          |  FROM cleaned),
          |st AS (SELECT doc_id,
          |    string_split_regex(trim(text), '\\s+') AS toks2
-         |  FROM ct WHERE trim(text) <> ''),
+         |  FROM ct WHERE ${Curation.nonBlankSql("text")}),
+         |ss AS (SELECT doc_id, len(toks2)::BIGINT AS n_tokens,
+         |    ((len(list_distinct(toks2)) * 1000) // len(toks2))::BIGINT
+         |      AS score
+         |  FROM st),
+         |cc AS (SELECT doc_id, score, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS tokens_before
+         |  FROM ss)
+         |SELECT doc_id, score, n_tokens, tokens_before FROM cc
+         |WHERE tokens_before < ${Curation.SelectBudget}
+         |ORDER BY doc_id""".stripMargin,
+    // the LEARNED pipeline in ONE statement (r12 VERDICT next-1): the
+    // p7 served-weights replay gates on quality, the bigram-LM chain —
+    // trained on the gated set, exactly like the Spark plan — gates on
+    // surprisal, then the p10 tail (closure → representatives → span
+    // removal → budget window) runs over the survivors
+    "p11_pipeline_learned" ->
+      s"""WITH RECURSIVE dt AS (SELECT doc_id, text FROM documents),
+         |${QualityModel.qualityScoreSqlFrom("dt")},
+         |qg AS (SELECT d.doc_id, d.text FROM dt d JOIN qs USING (doc_id)
+         |  WHERE quality >= $LearnedQualityGate),
+         |${TextAnalysis.lm2SqlFrom("qg")},
+         |lg AS (SELECT g.doc_id, g.text FROM qg g JOIN lmsc USING (doc_id)
+         |  WHERE avg_surprisal2 <= $LearnedSurpGate),
+         |${sigSqlFrom("lg")},
+         |$bandPairSql,
+         |$edgesReachSql,
+         |${grpSqlFrom("lg")},
+         |reps AS (SELECT c.doc_id, c.text FROM grp g
+         |  JOIN lg c ON c.doc_id = g.doc_id
+         |  WHERE g.group_id = g.doc_id),
+         |${spanRemovalSqlFrom("reps")},
+         |ct AS (SELECT doc_id,
+         |    coalesce(array_to_string(kept, ' '), '') AS text
+         |  FROM cleaned),
+         |st AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks2
+         |  FROM ct WHERE ${Curation.nonBlankSql("text")}),
          |ss AS (SELECT doc_id, len(toks2)::BIGINT AS n_tokens,
          |    ((len(list_distinct(toks2)) * 1000) // len(toks2))::BIGINT
          |      AS score

@@ -876,6 +876,7 @@ object Multimodal {
     "mm4_resize_bmp" -> mm4ResizeBmp,
     "mm5_pixel_embedding" -> mm5PixelEmbedding,
     "mm6_pixel_neardup" -> mm6PixelNeardup,
+    "mm6b_pixel_dedup" -> mm6bPixelDedup,
     "mm7_gif_census" -> mm7GifCensus
   )
 
@@ -999,6 +1000,43 @@ object Multimodal {
       .where(col("cos") >= PixelNearDupCosine)
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** mm6b: mm6's SCALE twin (VERDICT r12 next-8 — the mm10→mm10b
+    * composition for images): same content-derived blocking key, but
+    * candidate emission CAPPED per bucket ([[Dedup.pairsFromBuckets]]:
+    * clique over the [[Dedup.MaxBucket]] smallest ids + star edges to
+    * the overflow) and the verified pairs resolved to transitive
+    * near-dup GROUPS. A fixed (w, h, domC, domB) key space means bucket
+    * occupancy grows linearly with the corpus and mm6's in-bucket
+    * all-pairs verify goes quadratic — the cap bounds it at O(cap²+n)
+    * pairs per bucket, which is what the decade rows measure. The
+    * DuckDB oracle replays the capped emission EXACTLY (the d3
+    * ranked/rn formulation), so the hash covers cap semantics too.
+    */
+  def mm6bPixelDedup: Q = (s, dir) => {
+    val st = gradientStats(s, dir).toDF()
+      .select(col("id"), col("width"), col("height"),
+        col("domC"), col("domB"), col("emb"))
+      .persist()
+    val buckets = st
+      .groupBy(col("width"), col("height"), col("domC"), col("domB"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val cand = Dedup.pairsFromBuckets(buckets)
+      .withColumnRenamed("doc_a", "a").withColumnRenamed("doc_b", "b")
+    val verified = cand
+      .join(st.select(col("id").as("a"), col("emb").as("ea")), "a")
+      .join(st.select(col("id").as("b"), col("emb").as("eb")), "b")
+      .where(graft.core.Linalg.cosineCol(col("ea"), col("eb")) >=
+        PixelNearDupCosine)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val out = Dedup.connectedComponents(
+      Tables.documents(s, dir).select(col("doc_id")), verified)
+      .select(col("doc_id").as("id"), col("group_id"))
+      .orderBy(col("id"))
+    st.unpersist()
+    out
   }
 
   /** The Y4M fixture behind mm2: one REAL YUV4MPEG2 stream per document —
@@ -1282,6 +1320,42 @@ object Multimodal {
          |  FROM e a JOIN e b
          |    ON a.w = b.w AND a.h = b.h AND a.dom_c = b.dom_c
          |    AND a.dom_b = b.dom_b AND a.doc_id < b.doc_id)
-         |WHERE cos >= $PixelNearDupCosine ORDER BY doc_a, doc_b""".stripMargin
+         |WHERE cos >= $PixelNearDupCosine ORDER BY doc_a, doc_b""".stripMargin,
+    // mm6's stats + the EXACT capped-emission replay (ranked/rn, star
+    // edges past the cap) + cosine verify + recursive closure — the
+    // mm10b oracle shape over the pixel-stats embedding
+    "mm6b_pixel_dedup" ->
+      s"""WITH RECURSIVE $pixelStatsSql,
+         |e AS (SELECT doc_id, w, h,
+         |    CASE WHEN sum_r >= sum_g AND sum_r >= sum_b THEN 0
+         |      WHEN sum_g >= sum_b THEN 1 ELSE 2 END AS dom_c,
+         |    CASE greatest(h0, h1, h2, h3, h4)
+         |      WHEN h0 THEN 0 WHEN h1 THEN 1 WHEN h2 THEN 2
+         |      WHEN h3 THEN 3 ELSE 4 END AS dom_b,
+         |    [sum_r / (255.0 * n), sum_g / (255.0 * n), sum_b / (255.0 * n),
+         |     h0 / (1.0 * n), h1 / (1.0 * n), h2 / (1.0 * n),
+         |     h3 / (1.0 * n), h4 / (1.0 * n)] AS emb
+         |  FROM st),
+         |ranked AS (SELECT doc_id, w, h, dom_c, dom_b,
+         |    row_number() OVER (PARTITION BY w, h, dom_c, dom_b
+         |      ORDER BY doc_id) AS rn,
+         |    min(doc_id) OVER (PARTITION BY w, h, dom_c, dom_b) AS rep
+         |  FROM e),
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ranked a JOIN ranked b
+         |    ON a.w = b.w AND a.h = b.h AND a.dom_c = b.dom_c
+         |    AND a.dom_b = b.dom_b
+         |    AND a.rn < b.rn AND b.rn <= ${Dedup.MaxBucket}
+         |  UNION ALL
+         |  SELECT rep AS doc_a, doc_id AS doc_b FROM ranked
+         |  WHERE rn > ${Dedup.MaxBucket})),
+         |pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+         |  JOIN e a ON a.doc_id = c.doc_a
+         |  JOIN e b ON b.doc_id = c.doc_b
+         |  WHERE list_cosine_similarity(a.emb, b.emb) >= $PixelNearDupCosine),
+         |${Dedup.edgesReachSql},
+         |${Dedup.grpSqlFrom("documents")}
+         |SELECT doc_id AS id, group_id FROM grp ORDER BY id""".stripMargin
   )
 }

@@ -60,25 +60,40 @@ object QualityModel {
     */
   def oracles: Map[String, String] = Map(
     "p7_quality_score" ->
-      s"""WITH w AS (SELECT tok, w_micro
-         |    FROM read_parquet('$P7WeightsPath/weights/*.parquet')),
-         |m AS (SELECT b_micro
-         |  FROM read_parquet('$P7WeightsPath/meta/*.parquet')),
-         |t AS (SELECT doc_id,
-         |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
-         |  FROM documents),
-         |z AS (SELECT doc_id, sum(coalesce(w_micro, 0))::BIGINT AS zm
-         |  FROM t LEFT JOIN w USING (tok) GROUP BY doc_id)
-         |SELECT doc_id,
-         |  round(1.0 / (1.0 + exp(-((zm + b_micro) / 1000000.0))), 6)
-         |    AS quality
-         |FROM z CROSS JOIN m ORDER BY doc_id""".stripMargin)
+      s"""WITH ${qualityScoreSqlFrom("documents")}
+         |SELECT doc_id, quality FROM qs ORDER BY doc_id""".stripMargin)
 
-  /** Shared with the p11 oracle (Dedup) — both replay the same served
-    * artifact at the driver's gate SF.
+  /** The served-model replay as a reusable CTE chain over
+    * `src(doc_id, text)`, ending in `qs(doc_id, quality)` — tokenize →
+    * left-join the persisted micro-nat weights → integer sum → sigmoid,
+    * rounded to 6 places exactly like [[scoreDocsServed]]. ONE source
+    * of truth for the p7 oracle and Dedup's p11 pipeline oracle (both
+    * gate on the rounded value, so the fragments must be literally the
+    * same SQL). CTE names are p-prefixed so the chain composes without
+    * collisions.
     */
-  private[functions] val P7WeightsPath =
-    "/root/repo/artifacts/sf0.01/p7_model"
+  private[graft] def qualityScoreSqlFrom(src: String): String =
+    s"""pw AS (SELECT tok, w_micro
+       |    FROM read_parquet('$p7WeightsPath/weights/*.parquet')),
+       |pm AS (SELECT b_micro
+       |  FROM read_parquet('$p7WeightsPath/meta/*.parquet')),
+       |ptk AS (SELECT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM $src),
+       |pz AS (SELECT doc_id, sum(coalesce(w_micro, 0))::BIGINT AS zm
+       |  FROM ptk LEFT JOIN pw USING (tok) GROUP BY doc_id),
+       |qs AS (SELECT doc_id,
+       |    round(1.0 / (1.0 + exp(-((zm + b_micro) / 1000000.0))), 6)
+       |      AS quality
+       |  FROM pz CROSS JOIN pm)""".stripMargin
+
+  /** Shared with the p11 oracle (Dedup) — both replay the served
+    * artifact the verify run's own queries write, derived from the
+    * verify dir via the same [[Similarity.artifactRoot]] keying the
+    * Spark side uses (ADVICE r12: no more hardcoded sf0.01 path).
+    */
+  private[functions] def p7WeightsPath =
+    s"${Similarity.artifactRoot(Similarity.oracleDir)}/p7_model"
 
   /** p7: every document scored by the trained model — (doc_id, quality),
     * quality = P(keep | tokens) rounded to 6 places — served from the
@@ -186,14 +201,31 @@ object QualityModel {
 
   /** Persist the served model: `weights/` (tok, w_micro) and `meta/`
     * (b_micro) — the p7 oracle reads these exact tables.
+    *
+    * Memoized per (dir, path) within the JVM (`force` rebuilds): the
+    * first call in any process trains and writes a FRESH artifact (so
+    * the correctness gate always hashes the model this code version
+    * produces — never a stale on-disk one), and every later call
+    * serves from it. That is the production build-once/serve-many
+    * split: the bench's repeated p7 passes time the serving face,
+    * while [[graft.Bench]] carries the build cost in its own
+    * `p7_model_build` row (VERDICT r12 next-6 — the in-query rebuild
+    * was 60% of p7's bench time).
     */
-  def writeServedModel(s: SparkSession, dir: String, path: String): Unit = {
+  def writeServedModel(s: SparkSession, dir: String, path: String,
+      force: Boolean = false): Unit = {
+    val key = s"$dir->$path"
+    if (!force && writtenModels.contains(key)) return
     import s.implicits._
     val (wTok, bMicro) = servedModel(s, dir)
     wTok.write.mode("overwrite").parquet(s"$path/weights")
     Seq(bMicro).toDF("b_micro").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
+    writtenModels.add(key)
   }
+
+  private val writtenModels =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Scores (doc_id, text) rows against a frozen token-keyed micro-nat
     * weight table — the ONE plan batch p7, the oracle replay, and the

@@ -39,13 +39,36 @@ object Similarity {
   )
 
   /** Root for persisted serving artifacts, keyed by the fixture dir's
-    * basename so the per-round verify (sf0.01), the bench (sf0.1), and
-    * local runs never clobber each other's index. Inside the repo (the
-    * only writable root) and gitignored — the artifacts are BUILT BY
-    * the query, the way a production index build precedes serving.
+    * basename PLUS a short hash of its canonical path so two distinct
+    * dirs sharing a basename can't collide (ADVICE r12). The root
+    * itself is overridable — `graft.artifacts.root` system property
+    * first (per-JVM: the test harness points it at a temp dir so sbt
+    * suites can never clobber a concurrently-running driver gate),
+    * then `SPARK_GRAFT_ARTIFACTS`, else the gitignored in-repo default
+    * (the only writable root the driver guarantees). The artifacts are
+    * BUILT BY the query, the way a production index build precedes
+    * serving.
     */
-  private[graft] def artifactRoot(dir: String): String =
-    s"/root/repo/artifacts/${new java.io.File(dir).getName}"
+  private[graft] def artifactRoot(dir: String): String = {
+    val root = sys.props.get("graft.artifacts.root")
+      .orElse(sys.env.get("SPARK_GRAFT_ARTIFACTS"))
+      .getOrElse("/root/repo/artifacts")
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"$root/${new java.io.File(dir).getName}-$h"
+  }
+
+  /** The fixture dir the dumped oracle SQL should replay against —
+    * [[graft.Verify]] sets `graft.oracle.dir` to its sfDir argument
+    * before dumping, so oracle `read_parquet` paths always point at the
+    * artifact THE SAME RUN's queries just wrote (ADVICE r12: a verify
+    * run at any SF now reads its own artifacts, never a stale sf0.01
+    * one). Default = the driver gate's SF.
+    */
+  private[graft] def oracleDir: String =
+    sys.props.getOrElse("graft.oracle.dir", "/root/testdata/sf0.01")
 
   /** s9: the IVFADC serving composition at its recall-derived settings
     * (nprobe = [[ivfProbesFor]], rerank = [[pqRerankFor]] — the 50
@@ -371,22 +394,31 @@ object Similarity {
     */
   private[graft] def coarseCentroids(s: SparkSession, dir: String,
       nlist: Int, trained: Boolean): DataFrame = {
-    import s.implicits._
     val e = Tables.embeddings(s, dir)
     if (!trained)
       e.where(col("vec_id") < nlist)
         .select((col("vec_id") + 1).cast("int").as("cell"),
           col("features").as("cv"))
-    else {
-      val arr = trainedCenters.synchronized {
-        trainedCenters.getOrElseUpdate((dir, nlist),
-          graft.mopso.Init.kmeansCenters(
-            e.select(col("features")), nlist, maxIter = 20, seed = 42L))
-      }
-      arr.zipWithIndex
-        .map { case (c, i) => (i + 1, c.toSeq) }.toSeq
-        .toDF("cell", "cv")
+    else coarseCentroidsOf(s, e, nlist, dir)
+  }
+
+  /** The trained coarse quantizer over an EXPLICIT corpus frame —
+    * the [[coarseCentroids]] face the incremental-maintenance path
+    * needs (an index trained on the BASE corpus only, before arrivals
+    * exist). `key` scopes the per-JVM memo: pass the fixture dir for
+    * the corpus-of-record, a build-path-unique key for subset builds.
+    */
+  private[graft] def coarseCentroidsOf(s: SparkSession, corpus: DataFrame,
+      nlist: Int, key: String): DataFrame = {
+    import s.implicits._
+    val arr = trainedCenters.synchronized {
+      trainedCenters.getOrElseUpdate((key, nlist),
+        graft.mopso.Init.kmeansCenters(
+          corpus.select(col("features")), nlist, maxIter = 20, seed = 42L))
     }
+    arr.zipWithIndex
+      .map { case (c, i) => (i + 1, c.toSeq) }.toSeq
+      .toDF("cell", "cv")
   }
 
   private val trainedCenters =
@@ -635,13 +667,20 @@ object Similarity {
     * subtraction is one zip_with against the broadcast centroid table.
     */
   private def residualFrame(s: SparkSession, dir: String,
-      cents: DataFrame): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    cellRanked(cents, e, 1, "vec_id", "v")
+      cents: DataFrame): DataFrame =
+    residualFrameOf(Tables.embeddings(s, dir), cents)
+
+  /** Cell assignment + residuals of an explicit (vec_id, features)
+    * frame against a given centroid table — shared by the
+    * corpus-of-record build and the incremental append path (arrivals
+    * encode against FROZEN centroids read back from the index).
+    */
+  private def residualFrameOf(vecs: DataFrame,
+      cents: DataFrame): DataFrame =
+    cellRanked(cents, vecs, 1, "vec_id", "v")
       .join(broadcast(cents), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("features"))
-  }
 
   /** Residual PQ codebook — per-subspace seeded k-means over the
     * RESIDUALS (memoized per dir): after the coarse quantizer removes
@@ -650,11 +689,18 @@ object Similarity {
     * re-encoding (every codeword must span the whole data range).
     */
   private def pqResidualCodebook(s: SparkSession, dir: String,
-      cents: DataFrame): DataFrame = {
+      cents: DataFrame): DataFrame =
+    pqResidualCodebookOf(s, Tables.embeddings(s, dir), cents, dir)
+
+  /** Residual codebook over an explicit corpus frame (see
+    * [[coarseCentroidsOf]] for the `key` contract).
+    */
+  private def pqResidualCodebookOf(s: SparkSession, corpus: DataFrame,
+      cents: DataFrame, key: String): DataFrame = {
     import s.implicits._
     val rows = pqResidualCache.synchronized {
-      pqResidualCache.getOrElseUpdate(dir, {
-        val res = residualFrame(s, dir, cents).select(col("features"))
+      pqResidualCache.getOrElseUpdate(key, {
+        val res = residualFrameOf(corpus, cents).select(col("features"))
           .localCheckpoint(eager = true) // M k-means consumers, one build
         (1 to PqSubspaces).flatMap { m =>
           val sub = res.select(
@@ -709,11 +755,21 @@ object Similarity {
   private[graft] def ivfAdcIndexFrames(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, dir)
-    val nlist = ivfCellsFor(e.count())
-    val cents = coarseCentroids(s, dir, nlist, trained = true)
-    val cbR = pqResidualCodebook(s, dir, cents)
+    ivfAdcIndexFramesOf(s, e, ivfCellsFor(e.count()), dir)
+  }
+
+  /** The three index tables built from an EXPLICIT corpus frame — the
+    * base-only build of the incremental-maintenance story trains its
+    * quantizers here on the pre-arrival corpus (see
+    * [[coarseCentroidsOf]] for `key`).
+    */
+  private[graft] def ivfAdcIndexFramesOf(s: SparkSession,
+      corpus: DataFrame, nlist: Int, key: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cents = coarseCentroidsOf(s, corpus, nlist, key)
+    val cbR = pqResidualCodebookOf(s, corpus, cents, key)
     // index: (nid, cell) + codes of the residual
-    val assigned = residualFrame(s, dir, cents)
+    val assigned = residualFrameOf(corpus, cents)
     val codes = pqCodesOf(assigned, cbR)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .select(col("vec_id").as("nid"), col("cell"), col("codes"))
@@ -731,9 +787,62 @@ object Similarity {
     */
   def writeIvfAdcIndex(s: SparkSession, dir: String, path: String): Unit = {
     val (cents, cbR, codes) = ivfAdcIndexFrames(s, dir)
+    writeIndexTables(cents, cbR, codes, path)
+  }
+
+  /** Persist an index built from an explicit corpus frame — the
+    * BASE-ONLY build the incremental-maintenance measurement starts
+    * from (quantizers trained before the arrivals exist).
+    */
+  def writeIvfAdcIndexOf(s: SparkSession, corpus: DataFrame, nlist: Int,
+      path: String, key: String): Unit = {
+    val (cents, cbR, codes) = ivfAdcIndexFramesOf(s, corpus, nlist, key)
+    writeIndexTables(cents, cbR, codes, path)
+  }
+
+  private def writeIndexTables(cents: DataFrame, cbR: DataFrame,
+      codes: DataFrame, path: String): Unit = {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     cbR.write.mode("overwrite").parquet(s"$path/codebook")
     codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Incremental index maintenance (VERDICT r12 next-4): encode
+    * ARRIVING vectors against the persisted index's FROZEN coarse
+    * centroids and residual codebook and APPEND their codes — the
+    * production path for a growing corpus (retraining the quantizers
+    * per batch would invalidate every stored code; appending to frozen
+    * cells costs one narrow encode pass over just the arrivals, and
+    * [[serveIvfAdcFromIndex]] picks up base + delta with no plan
+    * change, because `codes/` is one parquet table either way).
+    *
+    * The price is STALENESS, not correctness: arrival codes are exact
+    * under the frozen quantizers (spec-pinned append-vs-rebuild parity
+    * in PqSpec), but as the un-retrained fraction grows the centroids
+    * drift off the true density regions and recall decays — measured
+    * per insert fraction in `scale_pqdisk.json` (the staleness curve
+    * that tells an operator WHEN to pay for the rebuild).
+    */
+  def appendToIvfAdcIndex(s: SparkSession, path: String,
+      arrivals: DataFrame): Unit =
+    encodeAgainstIndex(s, path, arrivals)
+      .write.mode("append").parquet(s"$path/codes")
+
+  /** (nid, cell, codes) rows for arbitrary vectors under an index's
+    * FROZEN quantizers (read back from parquet) — the encode half of
+    * [[appendToIvfAdcIndex]], exposed so the spec can pin
+    * append-vs-rebuild parity: encoding the full corpus through here
+    * must equal base-build codes ∪ appended codes exactly.
+    */
+  private[graft] def encodeAgainstIndex(s: SparkSession, path: String,
+      vecs: DataFrame): DataFrame = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val cbR = s.read.parquet(s"$path/codebook")
+    val assigned = residualFrameOf(
+      vecs.select(col("vec_id"), col("features")), cents)
+    pqCodesOf(assigned, cbR)
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id").as("nid"), col("cell"), col("codes"))
   }
 
   /** Serve queries from a [[writeIvfAdcIndex]]-persisted index: no
@@ -1284,13 +1393,13 @@ object Similarity {
     (1 to PqSubspaces).map(m =>
       s"l.lut[${(m - 1) * PqCodewords} + c.codes[$m]]").mkString(" + ")
 
-  /** The persisted-index location the s9 oracle reads — the driver's
-    * correctness gate always runs at sf0.01 ([[artifactRoot]] keys the
-    * path by fixture basename), and [[s9AnnIvfAdc]] writes the index
-    * before serving, so the oracle's read_parquet sees exactly the
-    * tables the Spark plan served from.
+  /** The persisted-index location the s9 oracle reads — derived from
+    * [[oracleDir]] through the SAME [[artifactRoot]] keying the Spark
+    * query uses, and [[s9AnnIvfAdc]] writes the index before serving,
+    * so the oracle's read_parquet sees exactly the tables the Spark
+    * plan served from, at whatever SF the verify run targets.
     */
-  private val S9IndexPath = "/root/repo/artifacts/sf0.01/ivfadc"
+  private def S9IndexPath = s"${artifactRoot(oracleDir)}/ivfadc"
 
   def oracles: Map[String, String] = Map(
     // full SQL replay of IVFADC SERVING from the persisted index:

@@ -418,6 +418,36 @@ object TextAnalysis {
           .as("avg_surprisal2"))
   }
 
+  /** The bigram-LM train+score replay as a reusable CTE chain over
+    * `src(doc_id, text)`, ending in
+    * `lmsc(doc_id, n_bigrams, avg_surprisal2)` — the SQL twin of
+    * [[lmScore2]] trained on the SAME src it scores. ONE source of
+    * truth for the t13 oracle (src = documents) and Dedup's p11
+    * pipeline oracle (src = the quality-gated survivor set). CTE names
+    * are l-prefixed so the chain composes without collisions.
+    */
+  private[graft] def lm2SqlFrom(src: String): String =
+    s"""lt AS (SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS toks FROM $src),
+       |lbg AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS tok
+       |  FROM lt, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+       |ltf AS (SELECT doc_id, prev, tok, count(*) AS n FROM lbg
+       |  GROUP BY doc_id, prev, tok),
+       |lcb AS (SELECT prev, tok, count(*) AS c FROM lbg
+       |  GROUP BY prev, tok),
+       |lcl AS (SELECT prev, sum(c)::BIGINT AS cp FROM lcb GROUP BY prev),
+       |lv AS (SELECT count(DISTINCT tok) AS vs FROM
+       |  (SELECT unnest(toks) AS tok FROM lt)),
+       |lmm AS (SELECT prev, tok,
+       |    round(-ln((c + 1.0) / (cp + vs)) * 1000000.0, 0)::BIGINT
+       |      AS surp2
+       |  FROM lcb JOIN lcl USING (prev), lv),
+       |lmsc AS (SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+       |    round(sum(n * surp2) / (sum(n) * 1000000.0), 6)
+       |      AS avg_surprisal2
+       |  FROM ltf JOIN lmm USING (prev, tok)
+       |  GROUP BY doc_id)""".stripMargin
+
   /** Streaming-servable application face against a frozen bigram model
     * — bigram-level join + ONE aggregation (the lmScoreApply shape);
     * exactly equal to [[lmScore2]] by the same integer-sum argument.
@@ -650,23 +680,9 @@ object TextAnalysis {
     // identical float expression (c + 1.0)/(cp + vs) and micro-nat
     // rounding before the integer sum
     "t13_bigram_lm" ->
-      """WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
-        |bg AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS tok
-        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
-        |tf2 AS (SELECT doc_id, prev, tok, count(*) AS n FROM bg
-        |  GROUP BY doc_id, prev, tok),
-        |cb AS (SELECT prev, tok, count(*) AS c FROM bg GROUP BY prev, tok),
-        |cl AS (SELECT prev, sum(c)::BIGINT AS cp FROM cb GROUP BY prev),
-        |v AS (SELECT count(DISTINCT tok) AS vs FROM
-        |  (SELECT unnest(toks) AS tok FROM t)),
-        |m AS (SELECT prev, tok,
-        |    round(-ln((c + 1.0) / (cp + vs)) * 1000000.0, 0)::BIGINT AS surp2
-        |  FROM cb JOIN cl USING (prev), v)
-        |SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
-        |  round(sum(n * surp2) / (sum(n) * 1000000.0), 6) AS avg_surprisal2
-        |FROM tf2 JOIN m USING (prev, tok)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH ${lm2SqlFrom("documents")}
+         |SELECT doc_id, n_bigrams, avg_surprisal2 FROM lmsc
+         |ORDER BY doc_id""".stripMargin,
     "t10_oov_rate" ->
       s"""WITH tk AS (SELECT doc_id,
          |    unnest(string_split_regex(trim(text), '\\s+')) AS tok

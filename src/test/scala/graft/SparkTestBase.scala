@@ -15,5 +15,13 @@ trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
 
 object SparkTestBase {
   /** One session per JVM — ScalaTest suites share it; sbt forks one JVM. */
-  lazy val session: SparkSession = graft.core.GraftSession.local("graft-test", 8)
+  lazy val session: SparkSession = {
+    // test runs build serving artifacts (p7 model, s9 index) under a
+    // per-JVM temp root, so `sbt test` can never clobber the artifact a
+    // concurrently-running driver gate is reading (ADVICE r12)
+    System.setProperty("graft.artifacts.root",
+      java.nio.file.Files.createTempDirectory("graft_test_artifacts")
+        .toString)
+    graft.core.GraftSession.local("graft-test", 8)
+  }
 }

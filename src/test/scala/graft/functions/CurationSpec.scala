@@ -136,7 +136,12 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       (1L, "alpha beta gamma delta"),
       (2L, "alpha alpha alpha alpha alpha alpha"),
       (3L, ""),
-      (4L, "   ")).toDF("doc_id", "text")
+      (4L, "   "),
+      // ADVICE r12: tabs/newlines-only text passes an ASCII-space trim
+      // and tokenizes to phantom empty tokens (["",""], score 500) —
+      // the gate must trim the FULL \s class
+      (5L, "\t\n"),
+      (6L, " \t \r\n ")).toDF("doc_id", "text")
     val all = Curation.tokenBudgetSelect(docs, 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(all.keySet === Set(1L, 2L))

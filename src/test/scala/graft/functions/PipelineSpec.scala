@@ -111,6 +111,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall { case (id, _, n, _) => n <= rawTokens(id) })
   }
 
+  test("p11 learned pipeline: gates discard real tails, survivors nest") {
+    // the learned gates, recomputed from the same served faces p11 uses
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val qKept = QualityModel.p7QualityScore(spark, sfDir)
+      .where(col("quality") >= Dedup.LearnedQualityGate)
+      .collect().map(_.getLong(0)).toSet
+    // both gates must DISCARD something — a threshold that keeps
+    // everything is not a gate (the CCNet move is dropping tails)
+    assert(qKept.nonEmpty && qKept.size < nDocs,
+      s"quality gate kept ${qKept.size}/$nDocs")
+    val qg = docs.where(col("doc_id").isin(qKept.toSeq: _*))
+    val lmKept = TextAnalysis.lmScore2(qg)
+      .where(col("avg_surprisal2") <= Dedup.LearnedSurpGate)
+      .collect().map(_.getLong(0)).toSet
+    assert(lmKept.nonEmpty && lmKept.size < qKept.size,
+      s"LM gate kept ${lmKept.size}/${qKept.size}")
+    val rows = Dedup.p11PipelineLearned(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every selected doc survived BOTH learned gates (subset law)
+    assert(rows.map(_._1).toSet.subsetOf(lmKept))
+    // and the p10 budget semantics hold unchanged on the learned chain
+    assert(rows.forall(_._4 < Curation.SelectBudget))
+    val rawTokens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall { case (id, _, n, _) => n <= rawTokens(id) })
+  }
+
   test("d10 auto banding: coarser threshold yields coarser components") {
     // the derived layout for the moderate-overlap target
     assert(Dedup.minhashBandsFor(Dedup.NumHashes, Dedup.D10TargetJaccard)

@@ -163,6 +163,50 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       Similarity.PqSubspaces.toLong * Similarity.PqCodewords)
   }
 
+  test("incremental append: frozen-quantizer codes equal a rebuild") {
+    val e = Tables.embeddings(spark, sfDir)
+    // deterministic hash split: ~20% of the corpus arrives AFTER the
+    // index is built (quantizers never see it)
+    val arrF = pmod(xxhash64(col("vec_id"), lit("stale")), lit(5)) === 0L
+    val base = e.where(!arrF)
+    val arrivals = e.where(arrF).select(col("vec_id"), col("features"))
+    val (nb, na) = (base.count(), arrivals.count())
+    assert(nb > 0 && na > 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfadc_inc").toString
+    Similarity.writeIvfAdcIndexOf(spark, base,
+      Similarity.ivfCellsFor(nb), path, key = path)
+    assert(spark.read.parquet(s"$path/codes").count() === nb)
+    Similarity.appendToIvfAdcIndex(spark, path, arrivals)
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+      .toSet
+    val appended = codeRows(spark.read.parquet(s"$path/codes"))
+    assert(appended.size.toLong === nb + na)
+    // the parity law: base-build codes ∪ appended arrival codes must
+    // equal encoding the FULL corpus under the same frozen quantizers
+    // — appending loses nothing and re-encodes nothing differently
+    val rebuilt = codeRows(Similarity.encodeAgainstIndex(spark, path,
+      e.select(col("vec_id"), col("features"))))
+    assert(appended === rebuilt)
+    // and serving from the appended index is whole: corpus queries get
+    // full top-5 lists over base + delta with no plan change
+    val n = e.count()
+    val nlist = Similarity.ivfCellsFor(n)
+    val np = Similarity.ivfProbesFor(nlist)
+    val served = Similarity.serveIvfAdcFromIndex(spark, sfDir, path,
+      e.where(col("vec_id") < 5).select(col("vec_id"), col("features")),
+      np, Similarity.pqRerankFor(n, nlist, np))
+      .collect()
+    assert(served.length === 25)
+    // arrivals are REACHABLE: at least one served neighbor is a vector
+    // the base build never saw (deterministic fixture — no flake)
+    val arrIds = arrivals.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(served.exists(r => arrIds.contains(r.getLong(2))),
+      "no appended vector ever served — the delta is invisible")
+  }
+
   test("trained path is deterministic (memoized seeded k-means)") {
     val q = Tables.embeddings(spark, sfDir).where(col("vec_id") < 3)
     val a = Similarity.pqRankedQueries(spark, sfDir, q, trained = true)
