@@ -397,7 +397,7 @@ object ScaleBench {
     * so [[graft.functions.Bpe.train]] runs its production path on it.
     */
   private def writeZipfCorpus(spark: SparkSession, dir: String,
-      nDocs: Long): Unit = {
+      nDocs: Long, vocab: Double = ZipfVocab): Unit = {
     val syls = array(Seq("ba", "ce", "di", "fo", "gu", "he", "ki", "lo")
       .map(lit): _*)
     // rank → base-8 digits → syllables: rank 1 = "ce", rank 9 = "cece" …
@@ -407,7 +407,7 @@ object ScaleBench {
           lit("."), lit(0)),
         d => element_at(syls, ascii(d) - 47)))
     // u log-uniform in [0,1) → rank = floor(V^u) ∈ [1, V): P(r) ∝ 1/r
-    def rankAt(i: org.apache.spark.sql.Column) = floor(pow(lit(ZipfVocab),
+    def rankAt(i: org.apache.spark.sql.Column) = floor(pow(lit(vocab),
       pmod(xxhash64(col("id"), i, lit("zipfbpe")), lit(1000000L))
         / lit(1000000.0))).cast("long")
     spark.range(nDocs)
@@ -415,6 +415,34 @@ object ScaleBench {
         concat_ws(" ", transform(sequence(lit(1), lit(ZipfWordsPerDoc)),
           i => wordOf(rankAt(i)))).as("text"))
       .write.mode("overwrite").parquet(dir + "/documents.parquet")
+  }
+
+  /** BPE at FULL production depth — 30k real merges (VERDICT r12
+    * next-7, carried from r11): the 20k-type zipf corpus exhausts
+    * around its type count, so this mode generates a 50k-type corpus
+    * (available merges ≈ the type count — each multi-syllable type
+    * ultimately collapses to one symbol) and runs the trainer to
+    * m = 30000 with no early stop, recording total seconds and two
+    * interior checkpoints so the per-merge cost curve is pinned IN the
+    * production regime rather than extrapolated from 4k. The
+    * vocabulary-bound claim is the point: per-merge cost should hold
+    * the ~0.18 s/merge slope the 250/1000/4000 rows measured.
+    */
+  private def bpe30kRows(spark: SparkSession, work: String,
+      mult: Int): Seq[(String, Double)] = {
+    import graft.functions.Bpe
+    val zdir = work + "_zipf50k"
+    writeZipfCorpus(spark, zdir, nDocs = 2000L * mult, vocab = 50000.0)
+    Seq(1000, 30000).flatMap { m =>
+      val t0 = System.nanoTime()
+      val (merges, words) = Bpe.train(spark, zdir, m)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(words.count() > 0, "trainer lost the 50k-zipf word table")
+      require(merges.length == m,
+        s"50k-type corpus exhausted at ${merges.length} < $m merges")
+      Seq(s"bpezipf50k_m$m" -> sec,
+        s"bpezipf50k_m${m}_merges" -> merges.length.toDouble)
+    }
   }
 
   /** The auto-IVF recall/cost curve at corpus scale (the s7 twin of the
@@ -737,32 +765,66 @@ object ScaleBench {
         finally s.close()
       }
     }
-    // incremental maintenance staleness curve (VERDICT r12 next-4):
-    // for each insert fraction, train the quantizers on the BASE only,
-    // append the arrivals frozen, and measure serving recall next to
-    // the fresh full-corpus index at the SAME (np, rr) — the curve
-    // that tells an operator when appending must give way to a rebuild
-    val staleIdx = Seq(10, 25, 50).map { pct =>
+    // incremental-maintenance staleness curve (VERDICT r12 next-4).
+    // Appending UNDRIFTED arrivals measures nothing here — the scaled
+    // fixture's copies share the base's density regions, so frozen
+    // quantizers stay near-optimal and recall reads 1.000 at every
+    // fraction (verified). Staleness is a DRIFT phenomenon, so each
+    // fraction's arrivals are displaced one trained-cell radius (the
+    // hardQueries amplitude) into regions the base quantizer never
+    // saw; the stale index (base-trained quantizers, arrivals appended
+    // frozen) is then measured against a FULL REBUILD on the drifted
+    // corpus, on queries sampled from the drifted arrivals themselves
+    // — the affected region, where the gap actually lives. That gap
+    // per fraction is the rebuild-trigger curve an operator needs.
+    val step = math.max(1L, n / 200L)
+    val rbar = Similarity.meanCellRadius(spark, work, step,
+      trained = true)
+    val amp = rbar / math.sqrt(Similarity.Dim / 3.0)
+    val raw = Tables.table(spark, work, "embeddings")
+    val staleRows = Seq(10, 25, 50).flatMap { pct =>
       val arrF = pmod(xxhash64(col("vec_id"), lit("stale")),
         lit(100)) < lit(pct)
-      val base = e.where(!arrF)
-      val p = s"${idx}_stale$pct"
-      val t0 = System.nanoTime()
+      // drifted corpus dir: base unchanged, arrivals displaced
+      val dDir = s"${work}_drift$pct"
+      val drifted = raw.where(arrF).withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          (x + lit(2.0 * amp) *
+            (pmod(xxhash64(col("vec_id"), i, lit("drift")),
+              lit(1000000L)) / lit(1000000.0) - lit(0.5)))
+            .cast("float")))
+      raw.where(!arrF).union(drifted)
+        .write.mode("overwrite").parquet(s"$dDir/embeddings.parquet")
+      val de = Tables.embeddings(spark, dDir)
+      val base = de.where(!arrF)
+      // stale: quantizers trained pre-drift (base only), drifted
+      // arrivals appended frozen
+      val idxS = s"${idx}_stale$pct"
+      val tS0 = System.nanoTime()
       Similarity.writeIvfAdcIndexOf(spark, base,
-        Similarity.ivfCellsFor(base.count()), p, key = p)
-      Similarity.appendToIvfAdcIndex(spark, p,
-        e.where(arrF).select(col("vec_id"), col("features")))
-      (pct, p, (System.nanoTime() - t0) / 1e9)
+        Similarity.ivfCellsFor(base.count()), idxS, key = idxS)
+      Similarity.appendToIvfAdcIndex(spark, idxS,
+        de.where(arrF).select(col("vec_id"), col("features")))
+      val tStale = (System.nanoTime() - tS0) / 1e9
+      // rebuilt: quantizers retrained on the full drifted corpus
+      val idxR = s"${idx}_rebuilt$pct"
+      val tR0 = System.nanoTime()
+      Similarity.writeIvfAdcIndex(spark, dDir, idxR)
+      val tRebuild = (System.nanoTime() - tR0) / 1e9
+      val qd = de.where(arrF).where(Similarity.querySampleFilter(step))
+        .select(col("vec_id"), col("features"))
+      val rec = Similarity.recallCurve(spark, dDir, qd, Seq(
+        "stale" -> ((qf: org.apache.spark.sql.DataFrame) =>
+          Similarity.serveIvfAdcFromIndex(spark, dDir, idxS, qf, np, rr)),
+        "rebuilt" -> ((qf: org.apache.spark.sql.DataFrame) =>
+          Similarity.serveIvfAdcFromIndex(spark, dDir, idxR, qf, np, rr))
+      )).toMap
+      Seq(
+        s"pqdisk_stale${pct}_recall" -> rec("stale"),
+        s"pqdisk_rebuilt${pct}_recall" -> rec("rebuilt"),
+        s"pqdisk_stale${pct}_basebuild_append_sec" -> tStale,
+        s"pqdisk_rebuilt${pct}_build_sec" -> tRebuild)
     }
-    // ONE exact denominator for the whole curve (the recallCurve
-    // contract); fresh = the full-rebuild index written above
-    val recalls = Similarity.recallCurve(spark, work, q,
-      ("fresh" -> ((qf: org.apache.spark.sql.DataFrame) =>
-        Similarity.serveIvfAdcFromIndex(spark, work, idx, qf, np, rr))) +:
-      staleIdx.map { case (pct, p, _) => s"stale$pct" ->
-        ((qf: org.apache.spark.sql.DataFrame) =>
-          Similarity.serveIvfAdcFromIndex(spark, work, p, qf, np, rr)) })
-    val recallOf = recalls.toMap
     Seq(
       "pqdisk_n" -> n.toDouble,
       "pqdisk_queries" -> q.count().toDouble,
@@ -773,10 +835,7 @@ object ScaleBench {
       "pqdisk_codes_bytes" -> dirBytes(s"$idx/codes").toDouble,
       "pqdisk_raw_vector_bytes" ->
         (n.toDouble * Similarity.Dim * 8),
-      "pqdisk_fresh_recall" -> recallOf("fresh")) ++
-      staleIdx.flatMap { case (pct, _, tSec) => Seq(
-        s"pqdisk_stale${pct}_recall" -> recallOf(s"stale$pct"),
-        s"pqdisk_stale${pct}_build_sec" -> tSec) }
+      "pqdisk_drift_rbar" -> rbar) ++ staleRows
   }
 
   /** The x1000 LAYERED answer, TIMED (VERDICT r12 next-3 — previously
@@ -890,13 +949,15 @@ object ScaleBench {
     materialize(spark, src, mult, work,
       only = if (mode == "layout") Some(Set("embeddings"))
         else if (mode == "layered") Some(Set("documents", "embeddings"))
+        // bpe30k generates its own zipf corpus — no fixture needed
+        else if (mode == "bpe30k") Some(Set.empty)
         else None,
       perturb = perturb)
 
     if (mode == "q3bucket" || mode == "m1part" || mode == "vocab" ||
-        mode == "bpe" || mode == "connlsh" || mode == "ivfauto" ||
-        mode == "layout" || mode == "pq" || mode == "d9border" ||
-        mode == "pqdisk" || mode == "layered") {
+        mode == "bpe" || mode == "bpe30k" || mode == "connlsh" ||
+        mode == "ivfauto" || mode == "layout" || mode == "pq" ||
+        mode == "d9border" || mode == "pqdisk" || mode == "layered") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -908,6 +969,9 @@ object ScaleBench {
         else if (mode == "bpe")
           ("bpe_depth", bpeDepthCompare(spark, work, mult),
             "scale_bpe.json")
+        else if (mode == "bpe30k")
+          ("bpe_30k", bpe30kRows(spark, work, mult),
+            "scale_bpe30k.json")
         else if (mode == "connlsh")
           ("connlsh_layout", connLshCompare(spark, work, mult),
             "scale_connlsh.json")

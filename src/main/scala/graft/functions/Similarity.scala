@@ -1322,6 +1322,26 @@ object Similarity {
       }
       .start()
 
+  /** [[serveIvfAdcStream]] over a PERSISTED index path instead of the
+    * in-JVM memoized frames — the base+delta serving face of the
+    * incremental story (VERDICT r12 next-4): each micro-batch re-reads
+    * `path`'s three tables through the one shared ranking plan, so
+    * codes appended by [[appendToIvfAdcIndex]] between micro-batches
+    * are visible to the NEXT batch with no restart (parquet re-lists
+    * its files per read). StreamingSpec pins stream ≡ batch over an
+    * appended base+delta index.
+    */
+  def serveIvfAdcStreamFromIndex(queries: DataFrame, dir: String,
+      path: String, nprobe: Int, rerank: Int)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        sink(serveIvfAdcFromIndex(batch.sparkSession, dir, path,
+          batch.toDF(), nprobe, rerank))
+      }
+      .start()
+
   // ---- DuckDB oracles ------------------------------------------------------
 
   /** CTE list producing the near-dup candidate `pairs(doc_a, doc_b, cos)`

@@ -636,6 +636,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming serving from a persisted base+delta index matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val S = graft.functions.Similarity
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    // base-only build; the 20% arrivals land between micro-batches
+    val arrF = pmod(xxhash64(col("vec_id"), lit("stale")), lit(5)) === 0L
+    val base = e.where(!arrF)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_idx_stream").toString
+    S.writeIvfAdcIndexOf(spark, base, S.ivfCellsFor(base.count()),
+      path, key = path)
+    val n = e.count()
+    val nlist = S.ivfCellsFor(n)
+    val np = S.ivfProbesFor(nlist)
+    val rr = S.pqRerankFor(n, nlist, np)
+    val qs = e.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("features"))
+      .collect()
+      .map(r => VecRow(r.getLong(0), r.getSeq[Double](1))).toSeq
+    def batchServe(ids: Seq[Long]) = S.serveIvfAdcFromIndex(spark, sfDir,
+      path, e.where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), col("features")), np, rr)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val input = MemoryStream[VecRow]
+    val got = scala.collection.mutable.Set[(Long, Int, Long)]()
+    val query = S.serveIvfAdcStreamFromIndex(input.toDF(), sfDir, path,
+      np, rr) { scored =>
+      got.synchronized {
+        got ++= scored.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      }
+    }
+    try {
+      input.addData(qs.take(2))
+      query.processAllAvailable()
+      assert(got.toSet === batchServe(Seq(0L, 1L)), "base-only batch")
+      // append BETWEEN micro-batches: the next batch must see the
+      // delta with no restart (parquet re-lists files per read)
+      S.appendToIvfAdcIndex(spark, path,
+        e.where(arrF).select(col("vec_id"), col("features")))
+      got.clear()
+      input.addData(qs.drop(2))
+      query.processAllAvailable()
+      assert(got.toSet === batchServe(Seq(2L, 3L, 4L)),
+        "base+delta batch")
+      assert(got.size === 15)
+    } finally query.stop()
+  }
+
   test("streaming quality gate converges to the batch verdict histogram") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
