@@ -618,13 +618,29 @@ object ScaleBench {
     val step = math.max(1L, n / 200L)
     val recallScaled =
       Clustering.lshSampledRecall(spark, work, scaled, tables, step)
+    // the OR-amplification axis (round 13): on independently-perturbed
+    // copies (the `indep` fixture) neighbors are genuinely spread and
+    // plane growth trades recall away — growing TABLES at the scaled
+    // plane count buys recall back linearly in candidate mass (each
+    // table is an independent OR chance), where shrinking planes would
+    // buy it back exponentially in mass. Recorded at 2x/4x tables so
+    // the recall-per-candidate trade is a measured curve, not a knob
+    // description.
+    val tableAxis = Seq(2 * tables, 4 * tables).flatMap { tt =>
+      Seq(
+        s"connlsh_planes${scaled}_t${tt}_pairs" ->
+          Clustering.lshCandidatePairCount(spark, work, scaled, tt)
+            .toDouble,
+        s"connlsh_planes${scaled}_t${tt}_recall" ->
+          Clustering.lshSampledRecall(spark, work, scaled, tt, step))
+    }
     Seq(s"connlsh_planes${pinned}_pairs" -> pairsPinned.toDouble,
       s"connlsh_planes${scaled}_pairs" -> pairsScaled.toDouble,
       s"connlsh_planes${pinned}_sec" -> secPinned,
       s"connlsh_planes${scaled}_sec" -> secScaled,
       s"connlsh_planes${scaled}_recall" -> recallScaled,
       "connlsh_auto_planes" -> scaled.toDouble,
-      "connlsh_n_points" -> n.toDouble)
+      "connlsh_n_points" -> n.toDouble) ++ tableAxis
   }
 
   /** The PQ/IVFADC recall-and-cost rows per decade (round 11): the s8

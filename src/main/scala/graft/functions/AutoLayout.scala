@@ -45,9 +45,28 @@ object AutoLayout {
   def ivfCells(n: Long): Int = Similarity.ivfCellsFor(n)
 
   /** Probe count for a target-recall ANN query against an [[ivfCells]]
-    * index — delegates to [[Similarity.ivfProbesFor]].
+    * index — delegates to [[Similarity.ivfProbesFor]]. This is the
+    * CLOSED-FORM default (√nlist), whose recall target is a property
+    * of the corpus family it was measured on: the round-13 `indep`
+    * fixture (copies displaced half an inter-point distance, not ε)
+    * reads 0.80/0.82 easy/hard at the default where the ε decades
+    * read ≥ 0.9. When the corpus's neighbor geometry is unknown,
+    * calibrate instead of trusting the constant —
+    * [[ivfProbesCalibrated]].
     */
   def ivfProbes(nlist: Int): Int = Similarity.ivfProbesFor(nlist)
+
+  /** Probe count calibrated at index-build time on THIS corpus's
+    * measured hard-query recall: doubling grid walk from the √nlist
+    * floor, first setting meeting the target (default 0.9), one exact
+    * denominator for the walk — delegates to
+    * [[Similarity.ivfProbesCalibrated]]. O(sample·n) once per corpus
+    * version, amortized over every query served.
+    */
+  def ivfProbesCalibrated(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      target: Double = Similarity.ProbeRecallTarget): Int =
+    Similarity.ivfProbesCalibrated(s, dir, target)
 
   /** The semantically-FIXED near-dup layout (s4/d7): plane count set by
     * the cosine threshold's recall needs, emission bounded by

@@ -331,6 +331,41 @@ object Similarity {
   def ivfProbesFor(nlist: Int): Int =
     math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
 
+  /** The recall floor [[ivfProbesCalibrated]] targets — the same 0.9
+    * the √nlist rule was derived against on the ε-copy decades.
+    */
+  val ProbeRecallTarget = 0.9
+
+  /** Probe count CALIBRATED on this corpus's own measured hard-query
+    * recall (round 13): the `indep` fixture — copies displaced half an
+    * inter-point distance instead of ε — showed the √nlist default is
+    * a property of the corpus it was derived on, not of the index
+    * (`scale_ivfauto_indep.json`: np8 = √63 reads 0.80/0.82 easy/hard
+    * at x10 where the ε decades read ≥ 0.9; 2·√nlist restores
+    * 0.91–0.92). No closed-form constant survives every neighbor
+    * geometry, so the production rule is MEASUREMENT: at index-build
+    * time, walk a doubling nprobe grid from the √nlist floor and take
+    * the first setting whose sampled hard-query recall (the
+    * [[hardQueries]] boundary regime, one exact denominator for the
+    * whole walk) meets `target`. Cost is O(sample·n) once per corpus
+    * version — index-build arithmetic, amortized over every query the
+    * index ever serves. Falls back to nlist (probe everything) if the
+    * target is unreachable.
+    */
+  private[graft] def ivfProbesCalibrated(s: SparkSession, dir: String,
+      target: Double = ProbeRecallTarget,
+      step: Long = 0L): Int = {
+    val n = Tables.embeddings(s, dir).count()
+    val nlist = ivfCellsFor(n)
+    val st = if (step > 0) step else math.max(1L, n / 200L)
+    val floor = ivfProbesFor(nlist)
+    val grid = Iterator.iterate(floor)(_ * 2)
+      .takeWhile(_ < nlist).toSeq :+ nlist
+    val curve = ivfRecallCurve(s, dir, hardQueries(s, dir, st), grid,
+      trained = true)
+    curve.find(_._2 >= target).map(_._1).getOrElse(nlist)
+  }
+
   /** Rerank-depth COMPANION rule for the IVFADC composition (r11, from
     * the measured decade curve in scale_pq.json): a PINNED shortlist
     * depth has the same scale trap as every pinned layout — rr50 reads

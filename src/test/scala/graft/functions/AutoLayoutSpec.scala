@@ -34,6 +34,28 @@ class AutoLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrated probes meet the recall target on the fixture") {
+    val spark = graft.SparkTestBase.session
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val nlist = Similarity.ivfCellsFor(n)
+    val floor = Similarity.ivfProbesFor(nlist)
+    val np = Similarity.ivfProbesCalibrated(spark, dir, step = 1L)
+    // the walk starts at the closed-form floor and lands on the grid
+    val grid = Iterator.iterate(floor)(_ * 2)
+      .takeWhile(_ < nlist).toSeq :+ nlist
+    assert(np >= floor && grid.contains(np))
+    // the chosen setting actually meets the target it was picked for
+    val rec = Similarity.ivfRecallCurve(spark, dir,
+      Similarity.hardQueries(spark, dir, step = 1L), Seq(np),
+      trained = true).head._2
+    assert(rec >= Similarity.ProbeRecallTarget,
+      s"calibrated np=$np recall=$rec")
+    // AutoLayout delegation
+    assert(AutoLayout.ivfProbesCalibrated(spark, dir) ===
+      Similarity.ivfProbesCalibrated(spark, dir))
+  }
+
   test("pq rerank rule: fixture floor and decade points") {
     // fixture fixed point: 500·4/(10·50) = 4 → the 50 floor; s9's
     // oracle-checked serving settings are unchanged by the rule
