@@ -39,6 +39,18 @@ object AutoLayout {
     */
   def lshPlanes(n: Long): Int = Clustering.lshPlanesFor(n)
 
+  /** Table count calibrated at build time on THIS corpus's sampled
+    * neighbor recall — the OR-amplification companion to [[lshPlanes]]
+    * (planes hold candidate mass; tables buy recall back at linear
+    * cost on corpora whose neighbors are genuinely spread — see the
+    * round-13 indep-fixture findings). Delegates to
+    * [[graft.operators.Clustering.lshTablesCalibrated]].
+    */
+  def lshTablesCalibrated(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      target: Double = Clustering.LshRecallTarget): Int =
+    Clustering.lshTablesCalibrated(s, dir, target)
+
   /** IVF coarse-cell count for the auto ANN index — delegates to
     * [[Similarity.ivfCellsFor]].
     */

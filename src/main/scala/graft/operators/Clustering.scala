@@ -326,6 +326,46 @@ object Clustering {
     LshPlanes + extra
   }
 
+  /** The neighbor-recall floor [[lshTablesCalibrated]] targets, and the
+    * walk's cap. 0.65 is the fixture layout's own measured knee
+    * (4×8 → 0.661 at sf0.01) — the recall the engine's Conn was tuned
+    * to live with; the cap bounds candidate mass at 8× the base
+    * layout's (tables cost linearly).
+    */
+  val LshRecallTarget = 0.65
+  val LshMaxTables = 64
+
+  /** Table count CALIBRATED on this corpus's own sampled neighbor
+    * recall (round 13). [[lshPlanesFor]] holds candidate MASS
+    * near-linear on any corpus, but the recall that growth preserves
+    * is a property of the neighbor geometry it was measured on: the
+    * `indep` fixture (copies displaced half an inter-point distance,
+    * not ε) reads 0.344/0.238 at x10/x100 under the auto planes where
+    * the ε decades read 0.93–1.00. The structural fix is the OR axis —
+    * each extra table is an independent collision chance, buying
+    * recall at LINEAR mass cost where fewer planes would buy it at
+    * exponential cost (measured: t8→16→32 walks 0.344→0.550→0.765 at
+    * x10, `scale_connlsh_indep.json`). This rule walks a doubling
+    * table grid from [[LshTables]] and returns the first count whose
+    * sampled recall ([[lshSampledRecall]], O(s·n) per point) meets
+    * `target` — index-build-time measurement replacing a constant
+    * that cannot transfer across geometries (the
+    * [[graft.functions.Similarity.ivfProbesCalibrated]] discipline).
+    * Returns the cap if the target is unreachable within it — the
+    * honest signal that this corpus needs a different candidate
+    * generator (more planes OFF, exact partition-scoped, or ANN-fed).
+    */
+  private[graft] def lshTablesCalibrated(s: SparkSession, dir: String,
+      target: Double = LshRecallTarget, step: Long = 0L): Int = {
+    val n = Tables.labeledPoints(s, dir).count()
+    val planes = lshPlanesFor(n)
+    val st = if (step > 0) step else math.max(1L, n / 200L)
+    val grid = Iterator.iterate(LshTables)(_ * 2)
+      .takeWhile(_ < LshMaxTables).toSeq :+ LshMaxTables
+    grid.find(t => lshSampledRecall(s, dir, planes, t, st) >= target)
+      .getOrElse(LshMaxTables)
+  }
+
   /** The production LSH Conn with the layout DERIVED from the data
     * ([[lshPlanesFor]] over a cheap count) — what a pipeline should call
     * at an arbitrary corpus size instead of inheriting the fixture

@@ -56,6 +56,27 @@ class AutoLayoutSpec extends AnyFunSuite {
       Similarity.ivfProbesCalibrated(spark, dir))
   }
 
+  test("calibrated LSH tables meet the neighbor-recall target") {
+    val spark = graft.SparkTestBase.session
+    val dir = "/root/testdata/sf0.001"
+    val t = Clustering.lshTablesCalibrated(spark, dir, step = 1L)
+    // grid membership: doubling walk from the tuned base count
+    val grid = Iterator.iterate(Clustering.LshTables)(_ * 2)
+      .takeWhile(_ < Clustering.LshMaxTables).toSeq :+
+      Clustering.LshMaxTables
+    assert(grid.contains(t))
+    // the chosen count actually meets the target it was picked for
+    // (or is the cap — the documented unreachable-target signal)
+    if (t < Clustering.LshMaxTables) {
+      val n = graft.sources.Tables.labeledPoints(spark, dir).count()
+      val rec = Clustering.lshSampledRecall(spark, dir,
+        Clustering.lshPlanesFor(n), t, step = 1L)
+      assert(rec >= Clustering.LshRecallTarget, s"t=$t recall=$rec")
+    }
+    assert(AutoLayout.lshTablesCalibrated(spark, dir) ===
+      Clustering.lshTablesCalibrated(spark, dir))
+  }
+
   test("pq rerank rule: fixture floor and decade points") {
     // fixture fixed point: 500·4/(10·50) = 4 → the 50 floor; s9's
     // oracle-checked serving settings are unchanged by the rule
