@@ -379,6 +379,20 @@ object Clustering {
     connLshValue(s, dir, lshPlanesFor(n), LshTables)
   }
 
+  /** The fully-calibrated production face: planes from the mass rule
+    * ([[lshPlanesFor]]), tables from the corpus's measured recall
+    * ([[lshTablesCalibrated]]) — what a pipeline on an unknown
+    * neighbor geometry should run. Fixture fixed point: sf0.01's
+    * measured 0.661 recall at 4×8 meets the 0.65 target at the first
+    * grid step, so this is exactly [[connLshAuto]] (and hence c21's
+    * oracle layout) at verify scale — spec-pinned.
+    */
+  private[graft] def connLshCalibrated(s: SparkSession,
+      dir: String): DataFrame = {
+    val n = Tables.labeledPoints(s, dir).count()
+    connLshValue(s, dir, lshPlanesFor(n), lshTablesCalibrated(s, dir))
+  }
+
   /** Data-derived hyperplanes: the first planes·tables point vectors
     * (the s2 convention), deterministic and oracle-replayable.
     */

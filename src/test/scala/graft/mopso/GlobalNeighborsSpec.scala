@@ -182,6 +182,15 @@ class GlobalNeighborsSpec extends AnyFunSuite with SparkTestBase {
       Clustering.LshTables).head().getDouble(0)
     assert(auto === pinnedV,
       s"connLshAuto $auto != pinned connLshValue $pinnedV")
+    // the fully-calibrated face shares the fixed point: the fixture's
+    // measured recall meets the target at the base table count, so
+    // calibration derives the SAME layout and the same conn value
+    assert(Clustering.lshTablesCalibrated(spark, sfDir, step = 1L) ===
+      Clustering.LshTables)
+    val calib = Clustering.connLshCalibrated(spark, sfDir)
+      .head().getDouble(0)
+    assert(calib === pinnedV,
+      s"connLshCalibrated $calib != pinned connLshValue $pinnedV")
   }
 
   test("MOPSO runs end-to-end on the no-collect global path, seeded-stable") {
