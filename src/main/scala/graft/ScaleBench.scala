@@ -1019,9 +1019,16 @@ object ScaleBench {
       val line = s"""{"metric":"$metric","mult":$mult,""" +
         s""""unit":"sec","queries":$qs,"src":"$src"}"""
       println(line)
+      // the indep fixture gets its OWN default record file — without
+      // this an un-env-var'd indep run would clobber the eps-decade
+      // ledger (the commit-2369f0b incident class)
+      val outDefault =
+        if (perturb == "indep")
+          defaultOut.stripSuffix(".json") + "_indep.json"
+        else defaultOut
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse(
-          "SPARK_GRAFT_SCALE_OUT", defaultOut)),
+          "SPARK_GRAFT_SCALE_OUT", outDefault)),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       spark.stop()
       return
@@ -1065,7 +1072,9 @@ object ScaleBench {
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json")),
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+          if (perturb == "indep") "scale_out_indep.json"
+          else "scale_out.json")),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -287,7 +287,12 @@ object Curation {
     * exactly what the tokenizer splits on, or a tabs/newlines-only
     * document passes an ASCII-space `trim` and tokenizes to phantom
     * empty tokens that enter selection with the maximum diversity score
-    * (ADVICE r12 — the r11 phantom-token class, fully closed).
+    * (ADVICE r12 — closes the r11 phantom-token class for BLANK
+    * documents, the selection-order hazard). A doc with real content
+    * behind leading tab/newline whitespace still counts one leading
+    * empty token in both engines ([[tokensCol]] ASCII-trims by design
+    * — changing it would rewrite every tokenization oracle); that is
+    * a shared, hash-consistent counting quirk, not a selection hole.
     */
   private val WhitespaceClass = " \t\n\u000B\f\r"
 

@@ -227,6 +227,19 @@ object QualityModel {
   private val writtenModels =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Drops every per-JVM memo for `dir` — fitted model AND
+    * written-artifact marker — so the next [[writeServedModel]]
+    * retrains from scratch. The bench's `p7_model_build` row calls
+    * this first: `force` alone re-exports but would reuse the cached
+    * LR fit, silently excluding the training cost from the recorded
+    * build time.
+    */
+  def invalidate(dir: String): Unit = {
+    modelCache.synchronized { modelCache.remove(dir) }
+    val it = writtenModels.iterator()
+    while (it.hasNext) if (it.next().startsWith(dir + "->")) it.remove()
+  }
+
   /** Scores (doc_id, text) rows against a frozen token-keyed micro-nat
     * weight table — the ONE plan batch p7, the oracle replay, and the
     * streaming twin all run. explode_outer keeps empty documents (they

@@ -360,10 +360,21 @@ object Clustering {
     val n = Tables.labeledPoints(s, dir).count()
     val planes = lshPlanesFor(n)
     val st = if (step > 0) step else math.max(1L, n / 200L)
-    val grid = Iterator.iterate(LshTables)(_ * 2)
-      .takeWhile(_ < LshMaxTables).toSeq :+ LshMaxTables
-    grid.find(t => lshSampledRecall(s, dir, planes, t, st) >= target)
-      .getOrElse(LshMaxTables)
+    // each table consumes `planes` data-derived hyperplane vectors
+    // ([[lshPlaneRows]] takes the first planes·tables points), so the
+    // walk is hard-capped by the corpus itself as well as
+    // [[LshMaxTables]] — without this, a small corpus would hand
+    // signBucketCol an empty plane slice mid-walk
+    val hardCap = math.max(1,
+      math.min(LshMaxTables.toLong, n / planes).toInt)
+    val grid = Iterator.iterate(math.min(LshTables, hardCap))(_ * 2)
+      .takeWhile(_ < hardCap).toSeq :+ hardCap
+    // ONE exact denominator for the whole walk (the recallCurve
+    // discipline) — the O(s·n) exact leg is table-independent
+    val (exact, nExact) = sampledExactNeighbors(s, dir, st)
+    val found = grid.find(t =>
+      lshRecallAgainst(s, dir, planes, t, st, exact, nExact) >= target)
+    found.getOrElse(hardCap)
   }
 
   /** The production LSH Conn with the layout DERIVED from the data
@@ -484,15 +495,23 @@ object Clustering {
     */
   private[graft] def lshSampledRecall(s: SparkSession, dir: String,
       numPlanes: Int, numTables: Int, step: Long): Double = {
-    // HASH-based sampling, not id-modulo: the decade fixtures remap copy
-    // ids by +copy·10⁸ ≡ 0 mod the large-n steps, so a modulo sample
-    // collapses onto copies of a handful of original points (see
-    // Similarity.querySampleFilter — the same fix, same salt-independent
-    // contract: step = 1 still selects every id)
-    def sampled(id: Column) =
-      pmod(xxhash64(id, lit("qsample")), lit(step)) === lit(0L)
+    val (exact, nExact) = sampledExactNeighbors(s, dir, step)
+    lshRecallAgainst(s, dir, numPlanes, numTables, step, exact, nExact)
+  }
+
+  /** The layout-independent half of [[lshSampledRecall]]: every step-th
+    * id's exact top-L from a broadcast-sample × all-points ranking
+    * (O(s·n)), checkpointed so a calibration walk measures many layouts
+    * against ONE denominator. HASH-based sampling, not id-modulo: the
+    * decade fixtures remap copy ids by +copy·10⁸ ≡ 0 mod the large-n
+    * steps, so a modulo sample collapses onto copies of a handful of
+    * original points (see Similarity.querySampleFilter — the same fix,
+    * same contract: step = 1 still selects every id).
+    */
+  private def sampledExactNeighbors(s: SparkSession, dir: String,
+      step: Long): (DataFrame, Long) = {
     val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
-    val sx = pc.where(sampled(col("id")))
+    val sx = pc.where(sampledId(col("id"), step))
       .select(col("id").as("xi"), col("features").as("xv"),
         col("cluster").as("cx"))
     val ally = pc.select(col("id").as("yi"), col("features").as("yv"),
@@ -500,13 +519,23 @@ object Clustering {
     val exact = topRankedPairs(
       broadcast(sx).join(ally, col("xi") =!= col("yi")))
       .select(col("xi"), col("yi"))
-      .localCheckpoint(eager = true) // two consumers: hit join + count
-    val approx = lshRankedNeighbors(s, dir, numPlanes, numTables,
-      xiFilter = Some(sampled(col("xi"))))
+      .localCheckpoint(eager = true) // consumers: per-layout hit joins + count
     val nExact = exact.count()
     require(nExact > 0, s"empty recall denominator at step=$step")
-    val nHit = approx.join(exact, Seq("xi", "yi"), "left_semi").count()
-    nHit.toDouble / nExact
+    (exact, nExact)
+  }
+
+  private def sampledId(id: Column, step: Long): Column =
+    pmod(xxhash64(id, lit("qsample")), lit(step)) === lit(0L)
+
+  /** One layout's sampled recall against a precomputed exact leg. */
+  private def lshRecallAgainst(s: SparkSession, dir: String,
+      numPlanes: Int, numTables: Int, step: Long,
+      exact: DataFrame, nExact: Long): Double = {
+    val approx = lshRankedNeighbors(s, dir, numPlanes, numTables,
+      xiFilter = Some(sampledId(col("xi"), step)))
+    approx.join(exact, Seq("xi", "yi"), "left_semi").count()
+      .toDouble / nExact
   }
 
   /** The LSH Conn value alone — the production form of [[c21ConnLsh]]

@@ -670,17 +670,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       }
     }
     try {
-      input.addData(qs.take(2))
+      // derive the per-batch id sets from the collected rows — the
+      // parquet scan's collect() order is not vec_id order
+      val batch1 = qs.take(2)
+      val batch2 = qs.drop(2)
+      input.addData(batch1)
       query.processAllAvailable()
-      assert(got.toSet === batchServe(Seq(0L, 1L)), "base-only batch")
+      assert(got.toSet === batchServe(batch1.map(_.vec_id)),
+        "base-only batch")
       // append BETWEEN micro-batches: the next batch must see the
       // delta with no restart (parquet re-lists files per read)
       S.appendToIvfAdcIndex(spark, path,
         e.where(arrF).select(col("vec_id"), col("features")))
       got.clear()
-      input.addData(qs.drop(2))
+      input.addData(batch2)
       query.processAllAvailable()
-      assert(got.toSet === batchServe(Seq(2L, 3L, 4L)),
+      assert(got.toSet === batchServe(batch2.map(_.vec_id)),
         "base+delta batch")
       assert(got.size === 15)
     } finally query.stop()
