@@ -1365,6 +1365,16 @@ object Similarity {
     * are visible to the NEXT batch with no restart (parquet re-lists
     * its files per read). StreamingSpec pins stream ≡ batch over an
     * appended base+delta index.
+    *
+    * Concurrency contract: appends must be SERIALIZED against
+    * micro-batch reads (the ingest pipeline's job — e.g. append from
+    * the same single-threaded maintenance loop, or between
+    * processAllAvailable() fences as the spec does). Plain parquet
+    * commits one part-file rename at a time, so a reader listing the
+    * directory mid-append could see a partial delta; a deployment that
+    * needs concurrent append+serve should put a snapshot-isolated
+    * table format (or a directory-swap symlink) under `path` — the
+    * serving plan is unchanged either way.
     */
   def serveIvfAdcStreamFromIndex(queries: DataFrame, dir: String,
       path: String, nprobe: Int, rerank: Int)(sink: DataFrame => Unit)

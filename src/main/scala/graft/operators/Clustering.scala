@@ -494,9 +494,21 @@ object Clustering {
     * decades where the full denominator is the quadratic stall itself.
     */
   private[graft] def lshSampledRecall(s: SparkSession, dir: String,
-      numPlanes: Int, numTables: Int, step: Long): Double = {
+      numPlanes: Int, numTables: Int, step: Long): Double =
+    lshSampledRecallMulti(s, dir, numPlanes, Seq(numTables), step)
+      .head._2
+
+  /** Sampled recall for SEVERAL table counts at one plane count against
+    * ONE exact denominator — the calibration-walk factoring exposed to
+    * the measurement harness too (a per-layout [[lshSampledRecall]]
+    * would pay the O(s·n) exact leg once per layout).
+    */
+  private[graft] def lshSampledRecallMulti(s: SparkSession, dir: String,
+      numPlanes: Int, tableCounts: Seq[Int], step: Long)
+      : Seq[(Int, Double)] = {
     val (exact, nExact) = sampledExactNeighbors(s, dir, step)
-    lshRecallAgainst(s, dir, numPlanes, numTables, step, exact, nExact)
+    tableCounts.map(t => t ->
+      lshRecallAgainst(s, dir, numPlanes, t, step, exact, nExact))
   }
 
   /** The layout-independent half of [[lshSampledRecall]]: every step-th

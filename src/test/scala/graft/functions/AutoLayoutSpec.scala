@@ -60,17 +60,22 @@ class AutoLayoutSpec extends AnyFunSuite {
     val spark = graft.SparkTestBase.session
     val dir = "/root/testdata/sf0.001"
     val t = Clustering.lshTablesCalibrated(spark, dir, step = 1L)
-    // grid membership: doubling walk from the tuned base count
-    val grid = Iterator.iterate(Clustering.LshTables)(_ * 2)
-      .takeWhile(_ < Clustering.LshMaxTables).toSeq :+
-      Clustering.LshMaxTables
+    // grid membership: doubling walk from the tuned base count, capped
+    // by BOTH the max-tables bound and the corpus's own plane budget
+    // (n / planes) — the same cap the implementation enforces
+    val n = graft.sources.Tables.labeledPoints(spark, dir).count()
+    val planes = Clustering.lshPlanesFor(n)
+    val hardCap = math.max(1,
+      math.min(Clustering.LshMaxTables.toLong, n / planes).toInt)
+    val grid = Iterator.iterate(math.min(Clustering.LshTables, hardCap))(
+        _ * 2)
+      .takeWhile(_ < hardCap).toSeq :+ hardCap
     assert(grid.contains(t))
     // the chosen count actually meets the target it was picked for
     // (or is the cap — the documented unreachable-target signal)
-    if (t < Clustering.LshMaxTables) {
-      val n = graft.sources.Tables.labeledPoints(spark, dir).count()
-      val rec = Clustering.lshSampledRecall(spark, dir,
-        Clustering.lshPlanesFor(n), t, step = 1L)
+    if (t < hardCap) {
+      val rec = Clustering.lshSampledRecall(spark, dir, planes, t,
+        step = 1L)
       assert(rec >= Clustering.LshRecallTarget, s"t=$t recall=$rec")
     }
     assert(AutoLayout.lshTablesCalibrated(spark, dir) ===
