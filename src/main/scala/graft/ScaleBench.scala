@@ -61,6 +61,11 @@ object ScaleBench {
     "q14_top_customer_per_nation", "q16b_approx_percentiles",
     "d1_exact_dedup", "d2_minhash_sig", "d3_lsh_pairs", "d4_simhash",
     "d6_dedup_groups",
+    // round-14: incremental dedup — the serve row hits the store the
+    // pre-timed d11_index_build row wrote, so the decade claim is the
+    // SERVING cost (delta sign + one corpus-band scan, no corpus
+    // shuffle), with the corpus-sized build carried separately
+    "d11_incremental_dedup",
     "p1_corpus_curation", "p2_hash_split", "p5_decontaminate",
     "s1_cosine_topk", "s2_lsh_buckets", "s3_ann_ivf",
     "s4_embedding_neardup", "s5_ann_recall",
@@ -1057,7 +1062,34 @@ object ScaleBench {
     }
 
     timeOne(set.head) // warmup: JIT + codegen + page cache
-    val timedSet = set.map(n => n -> timeOne(n))
+    // artifact-backed rows: build each store BEFORE its serving query is
+    // timed (the graft.Bench build-row discipline), so the decade rows
+    // separate the once-per-corpus build from the per-batch serve
+    // ordered: the p7 weights table is an input to the p11 LM fit, so
+    // p7_model_build runs first and each later row times only its own
+    // work (r13's p7_quality_score decade rows included the build; from
+    // r14 the serve rows are pure serving — noted in SCALE.md)
+    val buildRows: Seq[(String, Double)] =
+      Seq(
+        "p7_model_build" -> (set.contains("p7_quality_score"), () => {
+          graft.functions.QualityModel.invalidate(work)
+          graft.functions.QualityModel.writeServedModel(spark, work,
+            s"${graft.functions.Similarity.artifactRoot(work)}/p7_model")
+        }),
+        "p11_lm_build" -> (set.contains("p11_pipeline_learned"), () => {
+          graft.functions.Dedup.invalidateLm(work)
+          graft.functions.Dedup.writeP11LmModel(spark, work,
+            s"${graft.functions.Similarity.artifactRoot(work)}/p11_lm")
+        }),
+        "d11_index_build" -> (set.contains("d11_incremental_dedup"), () => {
+          graft.functions.Dedup.invalidateDedupIndex(work)
+          graft.functions.Dedup.writeDedupIndex(spark, work,
+            s"${graft.functions.Similarity.artifactRoot(work)}/dedup_index")
+        })).collect { case (name, (true, build)) =>
+          val (t, _) = timed(build())
+          name -> t
+        }
+    val timedSet = set.map(n => n -> timeOne(n)) ++ buildRows
     // VERDICT r9 §next-8: the m1 partition-scaling mitigation (8·mult
     // partitions holds per-partition size constant — O(n·nᵤ) instead of
     // the reference-pinned 8-partition O(Σnᵤ²)) re-measured in EVERY

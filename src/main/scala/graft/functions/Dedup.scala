@@ -60,6 +60,7 @@ object Dedup {
     "d9_substring_spans" -> d9SubstringSpans,
     "d9b_span_removal" -> d9bSpanRemoval,
     "d10_lsh_auto" -> d10LshAuto,
+    "d11_incremental_dedup" -> d11IncrementalDedup,
     "p1_corpus_curation" -> p1CorpusCuration,
     "p10_pipeline_e2e" -> p10PipelineE2e,
     "p11_pipeline_learned" -> p11PipelineLearned
@@ -711,22 +712,21 @@ object Dedup {
     * table is model-capped, the bigram model is vocabulary-capped and
     * shuffle-joined like t13); everything downstream runs on the
     * post-gate survivor set, preserving the p10 dedup-first ordering
-    * argument (gates are CHEAPER than dedup, so they go first).
+    * argument (gates are CHEAPER than dedup, so they go first). Both
+    * learned components serve from persisted artifacts (p7 weights +
+    * [[writeP11LmModel]]'s bigram table) — the build-once/serve-many
+    * split; the bench times training separately (`p7_model_build`,
+    * `p11_lm_build`).
     */
   def p11PipelineLearned: Q = (s, dir) => {
-    val path = s"${Similarity.artifactRoot(dir)}/p7_model"
-    QualityModel.writeServedModel(s, dir, path)
-    val w = s.read.parquet(s"$path/weights")
-    val bMicro = s.read.parquet(s"$path/meta").collect()(0).getLong(0)
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val qKeep = QualityModel.scoreDocsServed(docs, w, bMicro)
-      .where(col("quality") >= LearnedQualityGate)
-      .select(col("doc_id"))
-    // persisted: the gated set feeds BOTH the LM training pass and the
+    // persisted: the gated set feeds BOTH the LM scoring pass and the
     // survivor join (and, after the second gate, the closure chain) —
     // the p1/p10 persist discipline
-    val qg = docs.join(qKeep, Seq("doc_id")).persist()
-    val lmKeep = TextAnalysis.lmScore2(qg)
+    val qg = qualityGated(s, dir).persist()
+    val lmPath = s"${Similarity.artifactRoot(dir)}/p11_lm"
+    writeP11LmModel(s, dir, lmPath)
+    val lmKeep = TextAnalysis
+      .lmScore2Apply(qg, s.read.parquet(lmPath))
       .where(col("avg_surprisal2") <= LearnedSurpGate)
       .select(col("doc_id"))
     val lg = qg.join(lmKeep, Seq("doc_id")).persist()
@@ -743,6 +743,56 @@ object Dedup {
     qg.unpersist()
     lg.unpersist()
     out.orderBy(col("doc_id"))
+  }
+
+  /** The p7-gated document set p11's second gate trains on and scores:
+    * (doc_id, text) with served quality ≥ [[LearnedQualityGate]].
+    * Serves from the persisted p7 weights table (writing it first if
+    * this JVM hasn't).
+    */
+  private def qualityGated(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${Similarity.artifactRoot(dir)}/p7_model"
+    QualityModel.writeServedModel(s, dir, path)
+    val w = s.read.parquet(s"$path/weights")
+    val bMicro = s.read.parquet(s"$path/meta").collect()(0).getLong(0)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val qKeep = QualityModel.scoreDocsServed(docs, w, bMicro)
+      .where(col("quality") >= LearnedQualityGate)
+      .select(col("doc_id"))
+    docs.join(qKeep, Seq("doc_id"))
+  }
+
+  /** Persist p11's bigram LM — [[TextAnalysis.lm2Model]] fitted on the
+    * quality-gated set — as a (prev, tok, surp2) micro-nat parquet
+    * table, the [[QualityModel.writeServedModel]] discipline: memoized
+    * per (dir, path) within the JVM, so the first call per process
+    * trains and writes a FRESH artifact (the correctness gate always
+    * hashes the model THIS code version produces) and every later call
+    * serves from it. Because the model is trained on the same gated
+    * set p11 scores, every scored bigram is in the table and
+    * apply-from-artifact is row-identical to training in-line (integer
+    * micro-nats — the parquet round trip is exact). The bench carries
+    * the training cost in its own `p11_lm_build` row.
+    */
+  def writeP11LmModel(s: SparkSession, dir: String, path: String,
+      force: Boolean = false): Unit = {
+    val key = s"$dir->$path"
+    if (!force && writtenLmModels.contains(key)) return
+    TextAnalysis.lm2Model(qualityGated(s, dir))
+      .write.mode("overwrite").parquet(path)
+    writtenLmModels.add(key)
+  }
+
+  private val writtenLmModels =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Drops the per-JVM written-artifact memo for `dir`, so the next
+    * [[writeP11LmModel]] retrains. The bench's `p11_lm_build` row calls
+    * this first (p7's [[QualityModel.invalidate]] twin).
+    */
+  def invalidateLm(dir: String): Unit = {
+    val it = writtenLmModels.iterator()
+    while (it.hasNext) if (it.next().startsWith(dir + "->")) it.remove()
   }
 
   /** 32-bit SimHash over the distinct token set: bit b is set when more
@@ -842,6 +892,134 @@ object Dedup {
       .where(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- d11: incremental dedup against a persisted signature store ---------
+
+  /** Deterministic batch split for [[d11IncrementalDedup]]: documents
+    * with doc_id ≡ [[DeltaResidue]] (mod [[DeltaMod]]) are the arriving
+    * "delta" batch (10%), the rest the already-indexed corpus. Fixture
+    * scaffolding only — production deltas arrive as their own table;
+    * the modulus keeps the split replayable in one SQL predicate.
+    */
+  val DeltaMod = 10
+  val DeltaResidue = 9
+
+  /** Jaccard acceptance for a delta→corpus duplicate claim (the d5
+    * verify threshold — candidates come from banding, the decision
+    * from exact token-set overlap).
+    */
+  val IncrementalJaccard = 0.5
+
+  /** Persist the corpus-side dedup state [[d11IncrementalDedup]] serves
+    * from: `bands/` (doc_id, band, key, rn — the banded MinHash rows
+    * with each row's rank within its (band, key) bucket) and `groups/`
+    * (doc_id, group_id — the d6 transitive closure over the base
+    * corpus). The rank is computed at BUILD time so serving never
+    * windows over the corpus-sized band table; the [[MaxBucket]] cap at
+    * serve time is a disk-pushable `rn <= cap` filter. Memoized per
+    * (dir, path) in the JVM, [[QualityModel.writeServedModel]]
+    * discipline: first call per process builds fresh, later calls
+    * serve. The bench carries the build in its own `d11_index_build`
+    * row.
+    */
+  def writeDedupIndex(s: SparkSession, dir: String, path: String,
+      force: Boolean = false): Unit = {
+    val key = s"$dir->$path"
+    if (!force && writtenDedupIndexes.contains(key)) return
+    val base = Tables.documents(s, dir)
+      .where(pmod(col("doc_id"), lit(DeltaMod)) =!= DeltaResidue)
+      .select(col("doc_id"), col("text"))
+    val bands = bandRowsOf(minhashSigsOf(base))
+    bands
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("key"))
+          .orderBy(col("doc_id"))))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    dedupGroupsOf(base).write.mode("overwrite").parquet(s"$path/groups")
+    writtenDedupIndexes.add(key)
+  }
+
+  private val writtenDedupIndexes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Drops the per-JVM index memo for `dir` ([[invalidateLm]] twin). */
+  def invalidateDedupIndex(dir: String): Unit = {
+    val it = writtenDedupIndexes.iterator()
+    while (it.hasNext) if (it.next().startsWith(dir + "->")) it.remove()
+  }
+
+  /** d11: INCREMENTAL dedup — assign an arriving batch against the
+    * persisted corpus signature store withOUT re-signaturing or
+    * re-shuffling the corpus (the daily-crawl-against-100-TB shape, the
+    * lexical twin of the s9 index's append path). Per delta batch:
+    *
+    *  1. sign the DELTA only (one scan of the batch);
+    *  2. broadcast its band rows against the persisted store — the
+    *     corpus side streams through ONE scan, `rn <= MaxBucket`
+    *     pushed to parquet, zero corpus shuffle;
+    *  3. fetch candidate corpus payloads by a broadcast semi-join into
+    *     the document table (candidates are few — pushdown prunes the
+    *     scan) and verify exact Jaccard ≥ [[IncrementalJaccard]];
+    *  4. label each delta doc with the smallest matched corpus
+    *     group_id, else itself. Corpus labels are immutable — the
+    *     store is never relabeled by serving, so repeated batches
+    *     compose (spec-pinned store-stability law).
+    *
+    * Emits (doc_id, group_id, n_matches) per delta doc. The bucket cap
+    * keeps a mass-duplicate bucket from exploding candidates, and the
+    * capped set still contains the bucket rep (rn = 1), so a delta doc
+    * matching a 10⁶-dup cluster still lands on the cluster's label.
+    * The delta side is broadcast because a daily batch ≪ the corpus;
+    * a backfill-sized delta would instead write the store bucketed by
+    * (band, key) so only the delta shuffles. The DuckDB oracle replays
+    * the ENTIRE chain — base split, signatures, banding, capped base
+    * closure, candidate join, Jaccard verify, assignment — from the
+    * raw documents table (the index is deterministic, so no parquet
+    * read is needed).
+    */
+  def d11IncrementalDedup: Q = (s, dir) => {
+    val path = s"${Similarity.artifactRoot(dir)}/dedup_index"
+    writeDedupIndex(s, dir, path)
+    val delta = Tables.documents(s, dir)
+      .where(pmod(col("doc_id"), lit(DeltaMod)) === DeltaResidue)
+      .select(col("doc_id"), col("text"))
+    val deltaBands = bandRowsOf(minhashSigsOf(delta))
+      .select(col("doc_id").as("delta_id"), col("band"), col("key"))
+    val cand = s.read.parquet(s"$path/bands")
+      .where(col("rn") <= MaxBucket)
+      .join(broadcast(deltaBands), Seq("band", "key"))
+      .select(col("delta_id"), col("doc_id").as("base_id"))
+      .distinct()
+    val baseToks = Tables.documents(s, dir)
+      .join(broadcast(cand.select(col("base_id")).distinct()),
+        col("doc_id") === col("base_id"), "left_semi")
+      .select(col("doc_id").as("base_id"),
+        array_distinct(tokensCol(col("text"))).as("toks_b"))
+    val deltaToks = delta.select(col("doc_id").as("delta_id"),
+      array_distinct(tokensCol(col("text"))).as("toks_d"))
+    val inter = size(array_intersect(col("toks_d"), col("toks_b")))
+    // |A∪B| as |A|+|B|−|A∩B| over the distinct arrays — the d5 oracle's
+    // formulation, mirrored so the 0.5 comparison is bit-identical
+    val union = size(col("toks_d")) + size(col("toks_b")) - inter
+    val ver = cand
+      .join(baseToks, Seq("base_id"))
+      .join(broadcast(deltaToks), Seq("delta_id"))
+      .where(inter.cast("double") / union >= IncrementalJaccard)
+      .select(col("delta_id"), col("base_id"))
+    // groups is corpus-sized, the verified set tiny: broadcast the
+    // verified side so the label fetch is one corpus scan, no shuffle
+    val matched = s.read.parquet(s"$path/groups")
+      .withColumnRenamed("doc_id", "base_id")
+      .join(broadcast(ver), Seq("base_id"))
+      .groupBy(col("delta_id"))
+      .agg(min(col("group_id")).as("mg"), count(lit(1)).as("nm"))
+    delta.select(col("doc_id"))
+      .join(broadcast(matched), col("doc_id") === col("delta_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mg"), col("doc_id")).as("group_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"))
+      .orderBy(col("doc_id"))
   }
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -961,6 +1139,56 @@ object Dedup {
       s"""WITH $sigSql,
          |${bandPairSqlFor(minhashBandsFor(NumHashes, D10TargetJaccard)._2)}
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // full raw replay of the incremental chain: base split → signatures
+    // → banding (with in-bucket base rank) → capped base closure
+    // (exact recursive reachability) → delta candidate join → exact
+    // Jaccard verify → min-group assignment. The persisted index is
+    // deterministic, so the oracle re-derives it from `documents`
+    // instead of reading parquet — fixture-portable by construction.
+    "d11_incremental_dedup" ->
+      s"""WITH RECURSIVE $sigSql,
+         |ab AS (
+         |  SELECT doc_id, (h // $BandSize)::INT AS band,
+         |    string_agg(mh, ',' ORDER BY h) AS key
+         |  FROM sig GROUP BY doc_id, (h // $BandSize)),
+         |ranked AS (
+         |  SELECT band, key, doc_id,
+         |    row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn,
+         |    min(doc_id) OVER (PARTITION BY band, key) AS rep
+         |  FROM ab WHERE doc_id % $DeltaMod != $DeltaResidue),
+         |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ranked a JOIN ranked b
+         |    ON a.band = b.band AND a.key = b.key
+         |    AND a.rn < b.rn AND b.rn <= $MaxBucket
+         |  UNION ALL
+         |  SELECT rep AS doc_a, doc_id AS doc_b FROM ranked
+         |  WHERE rn > $MaxBucket)),
+         |$edgesReachSql,
+         |${grpSqlFrom(s"(SELECT doc_id FROM documents " +
+           s"WHERE doc_id % $DeltaMod != $DeltaResidue)")},
+         |cand AS (SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+         |  FROM ab d JOIN ranked b ON d.band = b.band AND d.key = b.key
+         |    AND b.rn <= $MaxBucket
+         |  WHERE d.doc_id % $DeltaMod = $DeltaResidue),
+         |toks AS (SELECT doc_id,
+         |  list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+         |  FROM documents),
+         |ver AS (SELECT delta_id, base_id FROM cand
+         |  JOIN toks a ON a.doc_id = delta_id
+         |  JOIN toks b ON b.doc_id = base_id
+         |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+         |    (len(a.toks) + len(b.toks)
+         |      - len(list_intersect(a.toks, b.toks)))
+         |    >= $IncrementalJaccard),
+         |mg AS (SELECT delta_id, min(g.group_id) AS mg, count(*) AS nm
+         |  FROM ver JOIN grp g ON g.doc_id = ver.base_id
+         |  GROUP BY delta_id)
+         |SELECT d.doc_id, coalesce(mg, d.doc_id) AS group_id,
+         |  coalesce(nm, 0)::BIGINT AS n_matches
+         |FROM documents d LEFT JOIN mg ON mg.delta_id = d.doc_id
+         |WHERE d.doc_id % $DeltaMod = $DeltaResidue
+         |ORDER BY d.doc_id""".stripMargin,
     // independent algorithm cross-check of the propagation loop: exact
     // reachability via a recursive CTE, group = min reachable doc_id
     "d6_dedup_groups" ->
