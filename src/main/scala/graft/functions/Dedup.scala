@@ -795,6 +795,29 @@ object Dedup {
     while (it.hasNext) if (it.next().startsWith(dir + "->")) it.remove()
   }
 
+  /** Streaming face of d11: each arriving micro-batch of (doc_id, text)
+    * documents is assigned against the frozen store by the EXACT batch
+    * serving plan via foreachBatch (the candidate-driven semi-join into
+    * the corpus can't be a stream-static join — the store scan is
+    * pruned by each batch's band keys), results handed to `sink`.
+    * Batches are independent given the immutable store, so the union
+    * over micro-batches equals the one-shot batch answer
+    * (StreamingSpec) — the d11 law that arriving crawl batches compose.
+    */
+  def assignStream(stream: DataFrame, dir: String)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val path = s"${Similarity.artifactRoot(dir)}/dedup_index"
+    writeDedupIndex(stream.sparkSession, dir, path)
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        sink(assignAgainstIndex(batch.sparkSession, dir, path,
+          batch.toDF()))
+      }
+      .start()
+  }
+
   /** 32-bit SimHash over the distinct token set: bit b is set when more
     * token hashes have bit b set than clear. Same-vocabulary docs collapse
     * to the same simhash; near-dups differ in few bits (Hamming distance).
@@ -984,6 +1007,17 @@ object Dedup {
     val delta = Tables.documents(s, dir)
       .where(pmod(col("doc_id"), lit(DeltaMod)) === DeltaResidue)
       .select(col("doc_id"), col("text"))
+    assignAgainstIndex(s, dir, path, delta).orderBy(col("doc_id"))
+  }
+
+  /** The d11 SERVE face over an arbitrary arriving (doc_id, text) batch
+    * — shared by the batch query and the streaming foreachBatch twin
+    * (each micro-batch of arriving documents is one call; batches are
+    * independent given the immutable store, so the union over
+    * micro-batches equals the one-shot answer — StreamingSpec).
+    */
+  private[graft] def assignAgainstIndex(s: SparkSession, dir: String,
+      path: String, delta: DataFrame): DataFrame = {
     val deltaBands = bandRowsOf(minhashSigsOf(delta))
       .select(col("doc_id").as("delta_id"), col("band"), col("key"))
     val cand = s.read.parquet(s"$path/bands")
@@ -1019,7 +1053,6 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("mg"), col("doc_id")).as("group_id"),
         coalesce(col("nm"), lit(0L)).as("n_matches"))
-      .orderBy(col("doc_id"))
   }
 
   // ---- DuckDB oracles ------------------------------------------------------

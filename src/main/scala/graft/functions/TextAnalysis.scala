@@ -50,7 +50,8 @@ object TextAnalysis {
     "t10_oov_rate" -> t10OovRate,
     "t11_bm25" -> t11Bm25,
     "t12_lm_score" -> t12LmScore,
-    "t13_bigram_lm" -> t13BigramLm
+    "t13_bigram_lm" -> t13BigramLm,
+    "t14_pii_scrub" -> t14PiiScrub
   )
 
   /** Vocabulary size for [[t6Vocab]] — below the fixture's distinct-token
@@ -170,6 +171,47 @@ object TextAnalysis {
       .where(col("df") >= MinDf)
       .orderBy(col("df").desc, col("gram"))
       .limit(BoilerplateTop)
+
+  /** PII patterns for [[t14PiiScrub]] — kept to syntax Java regex and
+    * RE2 treat identically (char classes, bounded/open counted repeats;
+    * no lookaround, no backrefs) so the scrub is engine-portable.
+    */
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+  val IdRunPattern = "[0-9]{6,}"
+
+  /** t14: PII scrubbing — the redaction pass a training-data pipeline
+    * runs before anything else sees raw text: replace phone-shaped and
+    * long-digit-run (account/SSN-shaped) spans with typed placeholders
+    * and count what was removed, per row. Pure per-row regex map:
+    * scan-shaped, whole-stage codegen, zero shuffles — at 100 TB this
+    * is perfectly elastic and fuses into whatever scan precedes it.
+    *
+    * The synthetic corpus contains no organic PII (documents have no
+    * digits at all), so the demo composes a deterministic PII-bearing
+    * text IN-QUERY from driver tables — c_name's 9-digit customer
+    * number plus a phone derived from the key — and the oracle builds
+    * the identical text, so redaction+counting is still end-to-end
+    * hash-checked. Counts are taken on the PRE-scrub text; the digit
+    * runs the phone pattern eats are 3-4 long, below [[IdRunPattern]]'s
+    * floor, so the two patterns never overlap.
+    */
+  def t14PiiScrub: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit(" call "),
+          format_string("%03d-%04d",
+            pmod(col("c_custkey"), lit(1000L)),
+            pmod(col("c_custkey"), lit(10000L))),
+          lit(" segment "), col("c_mktsegment")).as("text"))
+      .select(col("c_custkey"),
+        regexp_replace(
+          regexp_replace(col("text"), PhonePattern, "[PHONE]"),
+          IdRunPattern, "[ID]").as("clean_text"),
+        regexp_count(col("text"), lit(PhonePattern)).cast("long")
+          .as("n_phones"),
+        regexp_count(col("text"), lit(IdRunPattern)).cast("long")
+          .as("n_ids"))
+      .orderBy(col("c_custkey"))
 
   /** BPE-ish subword boundary: letter runs, digit runs, and single
     * non-alphanumeric marks — the regex twin of a byte-pair pre-tokenizer
@@ -569,6 +611,24 @@ object TextAnalysis {
   }
 
   def oracles: Map[String, String] = Map(
+    // identical in-SQL text composition, then regexp_replace with the
+    // 'g' flag (Spark's replaces all matches by default) and
+    // regexp_extract_all length as the count twin
+    "t14_pii_scrub" ->
+      s"""WITH t AS (SELECT c_custkey,
+         |  c_name || ' call ' ||
+         |    printf('%03d-%04d', c_custkey % 1000, c_custkey % 10000) ||
+         |    ' segment ' || c_mktsegment AS text
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(text,
+         |    '$PhonePattern', '[PHONE]', 'g'),
+         |    '$IdRunPattern', '[ID]', 'g') AS clean_text,
+         |  len(regexp_extract_all(text, '$PhonePattern'))::BIGINT
+         |    AS n_phones,
+         |  len(regexp_extract_all(text, '$IdRunPattern'))::BIGINT
+         |    AS n_ids
+         |FROM t ORDER BY c_custkey""".stripMargin,
     "t1_token_stats" ->
       s"""WITH $toksSql
          |SELECT doc_id, len(toks) AS n_tokens,

@@ -215,4 +215,20 @@ class TextQualitySpec extends AnyFunSuite with SparkTestBase {
     assert((expected.isNullAt(0) && cell == null) ||
       cell == expected.getDouble(0))
   }
+
+  test("t14 scrub: redactions counted, nothing PII-shaped survives") {
+    val rows = TextAnalysis.t14PiiScrub(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the composed text plants exactly one phone and one customer
+    // number per row — both must be counted and both replaced
+    assert(rows.forall { case (_, _, np, ni) => np == 1L && ni == 1L })
+    val phone = TextAnalysis.PhonePattern.r
+    val idrun = TextAnalysis.IdRunPattern.r
+    assert(rows.forall { case (_, t, _, _) =>
+      phone.findFirstIn(t).isEmpty && idrun.findFirstIn(t).isEmpty })
+    assert(rows.forall(_._2.contains("[PHONE]")))
+    assert(rows.forall(_._2.contains("[ID]")))
+  }
 }

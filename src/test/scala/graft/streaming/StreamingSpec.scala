@@ -790,6 +790,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming incremental dedup against the frozen store matches batch d11") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // d11's serving twin: arriving crawl batches assigned per
+    // micro-batch against the immutable corpus store by the exact
+    // batch plan (foreachBatch — the candidate semi-join prunes the
+    // corpus scan per batch). Batches are independent given the frozen
+    // store, so the union over micro-batches must equal the one-shot
+    // batch assignment.
+    val delta = Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(graft.functions.Dedup.DeltaMod))
+        === graft.functions.Dedup.DeltaResidue)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => TextRow(r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[TextRow]
+    val got = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val query = graft.functions.Dedup.assignStream(input.toDF(), sfDir) {
+      assigned => got.synchronized {
+        got ++= assigned.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+    }
+    try {
+      input.addData(delta.take(delta.length / 2))
+      query.processAllAvailable()
+      input.addData(delta.drop(delta.length / 2))
+      query.processAllAvailable()
+      val want = graft.functions.Dedup.d11IncrementalDedup(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got.toSet === want)
+      assert(got.size === delta.length)
+    } finally query.stop()
+  }
+
   test("streaming binned range join matches the batch join") {
     // the binned point-in-interval join is a plain equi-join on the bin
     // key plus filters, so it runs unchanged as a stream-static join —
