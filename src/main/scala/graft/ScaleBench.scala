@@ -886,6 +886,49 @@ object ScaleBench {
     * schema isn't part of this claim and a x1000 lineitem would be
     * 600M rows of noise.
     */
+  /** d11 at depth: the SAME fixed 500-document arriving batch (the
+    * sf0.1 delta ids, present verbatim in every scaled copy-0) served
+    * against corpus stores one and two decades apart. The build row
+    * carries the corpus-sized cost (sign + band + rank + closure — the
+    * once-per-corpus work); the serve row's only corpus-dependent term
+    * is the single streaming scan of the band store, so it should move
+    * by far less than the 10× corpus growth between rows — THAT gap is
+    * the incremental claim, measured. A full-delta serve row (the 10%
+    * batch, growing with the corpus) rides along for reference.
+    */
+  private def d11DeepRows(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.functions.{Dedup, Similarity}
+    val nDocs = Tables.documents(spark, work).count()
+    val path = s"${Similarity.artifactRoot(work)}/dedup_index"
+    Dedup.invalidateDedupIndex(work)
+    val (tBuild, _) = timed(Dedup.writeDedupIndex(spark, work, path))
+    val delta = Tables.documents(spark, work)
+      .where(pmod(col("doc_id"), lit(Dedup.DeltaMod))
+        === Dedup.DeltaResidue)
+      .select(col("doc_id"), col("text"))
+    val fixed = delta.where(col("doc_id") < 5000)
+    // untimed warmup of the serving plan (JIT + store page cache), then
+    // the timed fixed-batch serve — the cross-decade comparison row
+    Dedup.assignAgainstIndex(spark, work, path, fixed)
+      .write.format("noop").mode("overwrite").save()
+    val (tFixed, _) = timed {
+      Dedup.assignAgainstIndex(spark, work, path, fixed)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val (tFull, nFull) = timed {
+      val out = Dedup.assignAgainstIndex(spark, work, path, delta)
+      out.write.format("noop").mode("overwrite").save()
+      out.where(col("n_matches") > 0).count()
+    }
+    Seq(
+      "d11_n_docs" -> nDocs.toDouble,
+      "d11_index_build_sec" -> tBuild,
+      "d11_serve_batch500_sec" -> tFixed,
+      "d11_serve_fulldelta_sec" -> tFull,
+      "d11_fulldelta_matched" -> nFull.toDouble)
+  }
+
   private def layeredCompare(spark: SparkSession,
       work: String): Seq[(String, Double)] = {
     import graft.functions.{Dedup, Similarity}
@@ -979,6 +1022,7 @@ object ScaleBench {
     materialize(spark, src, mult, work,
       only = if (mode == "layout") Some(Set("embeddings"))
         else if (mode == "layered") Some(Set("documents", "embeddings"))
+        else if (mode == "d11deep") Some(Set("documents"))
         // bpe30k generates its own zipf corpus — no fixture needed
         else if (mode == "bpe30k") Some(Set.empty)
         else None,
@@ -987,7 +1031,8 @@ object ScaleBench {
     if (mode == "q3bucket" || mode == "m1part" || mode == "vocab" ||
         mode == "bpe" || mode == "bpe30k" || mode == "connlsh" ||
         mode == "ivfauto" || mode == "layout" || mode == "pq" ||
-        mode == "d9border" || mode == "pqdisk" || mode == "layered") {
+        mode == "d9border" || mode == "pqdisk" || mode == "layered" ||
+        mode == "d11deep") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -1023,6 +1068,9 @@ object ScaleBench {
         else if (mode == "layered")
           ("layered_x1000", layeredCompare(spark, work),
             "scale_x1000.json")
+        else if (mode == "d11deep")
+          ("d11_deep", d11DeepRows(spark, work),
+            "scale_d11deep.json")
         else
           ("m1_partition_compare", m1PartitionCompare(spark, work, mult),
             "scale_m1part.json")
