@@ -916,17 +916,71 @@ object ScaleBench {
       Dedup.assignAgainstIndex(spark, work, path, fixed)
         .write.format("noop").mode("overwrite").save()
     }
-    val (tFull, nFull) = timed {
-      val out = Dedup.assignAgainstIndex(spark, work, path, delta)
-      out.write.format("noop").mode("overwrite").save()
-      out.where(col("n_matches") > 0).count()
+    // timed: ONE materialization (noop write), same as every decade
+    // row; the matched count re-executes the plan and is NOT timed
+    val (tFull, _) = timed {
+      Dedup.assignAgainstIndex(spark, work, path, delta)
+        .write.format("noop").mode("overwrite").save()
     }
+    val nFull = Dedup.assignAgainstIndex(spark, work, path, delta)
+      .where(col("n_matches") > 0).count()
     Seq(
       "d11_n_docs" -> nDocs.toDouble,
       "d11_index_build_sec" -> tBuild,
       "d11_serve_batch500_sec" -> tFixed,
       "d11_serve_fulldelta_sec" -> tFull,
       "d11_fulldelta_matched" -> nFull.toDouble)
+  }
+
+  /** The d11 backfill boundary, measured (the q3 bucketing pattern
+    * applied to the dedup store): at 10%-of-corpus deltas the broadcast
+    * of the delta band table stops being the right plan, so save the
+    * band store BUCKETED on its join key and let the DELTA side shuffle
+    * into the store's layout instead — the corpus still never shuffles
+    * in either form. Both serving plans are priced on the SAME full
+    * delta, their outputs asserted identical, and the one-time
+    * bucketing cost reported beside them.
+    */
+  private def d11BucketCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.functions.{Dedup, Similarity}
+    val path = s"${Similarity.artifactRoot(work)}/dedup_index"
+    Dedup.invalidateDedupIndex(work)
+    val (tBuild, _) = timed(Dedup.writeDedupIndex(spark, work, path))
+    val delta = Tables.documents(spark, work)
+      .where(pmod(col("doc_id"), lit(Dedup.DeltaMod))
+        === Dedup.DeltaResidue)
+      .select(col("doc_id"), col("text"))
+    def checksum(out: DataFrame): (Long, Long, Long) = {
+      val r = out.agg(count(lit(1)), sum(col("group_id")),
+        sum(col("n_matches"))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val groups = spark.read.parquet(s"$path/groups")
+    def broadcastForm() = checksum(Dedup.assignFrom(spark, work,
+      spark.read.parquet(s"$path/bands"), groups, delta,
+      broadcastDelta = true))
+    val db = "graft_d11_bucket"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db " +
+      s"LOCATION '$work/d11_bucket_warehouse'")
+    spark.sql(s"USE $db")
+    spark.sql("DROP TABLE IF EXISTS d11_bands_b")
+    val (tBucket, _) = timed {
+      spark.read.parquet(s"$path/bands").write
+        .bucketBy(32, "band", "key").sortBy("band", "key")
+        .saveAsTable("d11_bands_b")
+    }
+    def bucketedForm() = checksum(Dedup.assignFrom(spark, work,
+      spark.table("d11_bands_b"), groups, delta,
+      broadcastDelta = false))
+    // one untimed pass each (JIT + page cache), then the timed pair
+    broadcastForm(); bucketedForm()
+    val (tB, csB) = timed(broadcastForm())
+    val (tS, csS) = timed(bucketedForm())
+    require(csB == csS,
+      s"bucketed d11 diverged from the broadcast plan: $csB vs $csS")
+    Seq("d11_serve_broadcast" -> tB, "d11_serve_bucketed" -> tS,
+      "d11_store_bucket_build" -> tBucket, "d11_index_build" -> tBuild)
   }
 
   private def layeredCompare(spark: SparkSession,
@@ -1022,7 +1076,8 @@ object ScaleBench {
     materialize(spark, src, mult, work,
       only = if (mode == "layout") Some(Set("embeddings"))
         else if (mode == "layered") Some(Set("documents", "embeddings"))
-        else if (mode == "d11deep") Some(Set("documents"))
+        else if (mode == "d11deep" || mode == "d11bucket")
+          Some(Set("documents"))
         // bpe30k generates its own zipf corpus — no fixture needed
         else if (mode == "bpe30k") Some(Set.empty)
         else None,
@@ -1032,7 +1087,7 @@ object ScaleBench {
         mode == "bpe" || mode == "bpe30k" || mode == "connlsh" ||
         mode == "ivfauto" || mode == "layout" || mode == "pq" ||
         mode == "d9border" || mode == "pqdisk" || mode == "layered" ||
-        mode == "d11deep") {
+        mode == "d11deep" || mode == "d11bucket") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -1071,6 +1126,9 @@ object ScaleBench {
         else if (mode == "d11deep")
           ("d11_deep", d11DeepRows(spark, work),
             "scale_d11deep.json")
+        else if (mode == "d11bucket")
+          ("d11_bucket_compare", d11BucketCompare(spark, work),
+            "scale_d11bucket.json")
         else
           ("m1_partition_compare", m1PartitionCompare(spark, work, mult),
             "scale_m1part.json")

@@ -1017,12 +1017,30 @@ object Dedup {
     * micro-batches equals the one-shot answer — StreamingSpec).
     */
   private[graft] def assignAgainstIndex(s: SparkSession, dir: String,
-      path: String, delta: DataFrame): DataFrame = {
-    val deltaBands = bandRowsOf(minhashSigsOf(delta))
+      path: String, delta: DataFrame): DataFrame =
+    assignFrom(s, dir, s.read.parquet(s"$path/bands"),
+      s.read.parquet(s"$path/groups"), delta, broadcastDelta = true)
+
+  /** [[assignAgainstIndex]] parameterized by the store frames and the
+    * delta-join strategy. `broadcastDelta = true` is the daily-batch
+    * plan (store streams through one scan, zero shuffle anywhere);
+    * `false` is the BACKFILL plan for a delta too big to broadcast —
+    * pair it with a store saved bucketed on (band, key) and only the
+    * delta side shuffles into the store's layout (measured in
+    * `scale_d11bucket.json`; the q3 bucketing pattern). The downstream
+    * candidate/verify joins stay broadcast in both forms — they are
+    * sized by the capped candidate set, not the corpus.
+    */
+  private[graft] def assignFrom(s: SparkSession, dir: String,
+      baseBands: DataFrame, groups: DataFrame, delta: DataFrame,
+      broadcastDelta: Boolean): DataFrame = {
+    val deltaBands0 = bandRowsOf(minhashSigsOf(delta))
       .select(col("doc_id").as("delta_id"), col("band"), col("key"))
-    val cand = s.read.parquet(s"$path/bands")
+    val deltaBands =
+      if (broadcastDelta) broadcast(deltaBands0) else deltaBands0
+    val cand = baseBands
       .where(col("rn") <= MaxBucket)
-      .join(broadcast(deltaBands), Seq("band", "key"))
+      .join(deltaBands, Seq("band", "key"))
       .select(col("delta_id"), col("doc_id").as("base_id"))
       .distinct()
     val baseToks = Tables.documents(s, dir)
@@ -1043,7 +1061,7 @@ object Dedup {
       .select(col("delta_id"), col("base_id"))
     // groups is corpus-sized, the verified set tiny: broadcast the
     // verified side so the label fetch is one corpus scan, no shuffle
-    val matched = s.read.parquet(s"$path/groups")
+    val matched = groups
       .withColumnRenamed("doc_id", "base_id")
       .join(broadcast(ver), Seq("base_id"))
       .groupBy(col("delta_id"))
