@@ -35,7 +35,9 @@ object Similarity {
     "s6_quant_recall" -> s6QuantRecall,
     "s7_ann_ivf_auto" -> s7AnnIvfAuto,
     "s8_ann_pq" -> s8AnnPq,
-    "s9_ann_ivfadc" -> s9AnnIvfAdc
+    "s9_ann_ivfadc" -> s9AnnIvfAdc,
+    "s10_ann_truncated" -> s10AnnTruncated,
+    "s10b_ann_rotated" -> s10bAnnRotated
   )
 
   /** Root for persisted serving artifacts, keyed by the fixture dir's
@@ -123,6 +125,168 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"),
         round(col("cos"), 4).as("cos"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Matryoshka-style truncated-prefix shortlist width: stage 1 ranks on
+    * the first [[TruncDim]] of [[Dim]] dimensions only.
+    */
+  val TruncDim = 16
+  /** Shortlist depth fetched per query before the full-dim rerank. */
+  val TruncShortlist = 40
+
+  /** s10: two-stage truncated-dimension ANN (the Matryoshka serving
+    * shape). Stage 1 shortlists [[TruncShortlist]] candidates per query
+    * by cosine over ONLY the first [[TruncDim]] of [[Dim]] dims; stage 2
+    * fetches the shortlist's full vectors and reranks exactly. Same
+    * output shape as s1 (qid, rank, nid, cos) so recall against the
+    * exact answer is directly measurable (ScaleBench records the
+    * recall-vs-TruncDim curve across decades).
+    *
+    * 100 TB shape: the scan side of stage 1 touches TruncDim/Dim of the
+    * vector bytes (here 1/4) — on a petabyte of embeddings that is the
+    * difference between the index fitting in cluster memory or not, and
+    * the prefix slice prunes at the PARQUET reader when the truncated
+    * prefix is stored as its own column. Stage 2 touches full vectors
+    * for only Q·Shortlist rows, fetched by broadcasting the (tiny)
+    * shortlist against one scan — no second O(N) distance pass. The
+    * brute shortlist here is the verification face; at scale stage 1
+    * runs inside the IVF cells (s7) over truncated vectors, composing
+    * orthogonally with PQ (s8/s9) which compresses within the kept dims.
+    */
+  def s10AnnTruncated: Q = (s, dir) =>
+    truncatedTopK(Tables.embeddings(s, dir), TruncDim, TruncShortlist)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+
+  /** The parametrized s10 kernel (spec + ScaleBench sweep truncDim /
+    * shortlistN over it): (qid, rank, nid, cos) for the `nQ` query
+    * vectors, exact-reranked from a truncated-prefix shortlist.
+    */
+  private[graft] def truncatedTopK(e: DataFrame, truncDim: Int,
+      shortlistN: Int, k: Int = 5, nQ: Int = 5): DataFrame = {
+    val full = e.select(col("vec_id"), col("features"))
+    val trunc = full.select(col("vec_id"),
+      slice(col("features"), 1, truncDim).as("tv"))
+    val qs = trunc.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("tv").as("qtv"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("tcos").desc, col("nid"))
+    val shortlist = qs
+      .crossJoin(trunc.select(col("vec_id").as("nid"), col("tv").as("ntv")))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Linalg.cosineCol(col("qtv"), col("ntv")).as("tcos"))
+      .withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= shortlistN)
+      .select(col("qid"), col("nid"))
+    // fetch full vectors for shortlist members only: broadcast the
+    // Q×Shortlist pair list against ONE scan of the vector table
+    val fetched = full
+      .join(broadcast(shortlist), col("vec_id") === col("nid"))
+      .select(col("qid"), col("nid"), col("features").as("nv"))
+    val qFull = full.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("features").as("qv"))
+    val wFin = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    fetched.join(broadcast(qFull), "qid")
+      .select(col("qid"), col("nid"),
+        Linalg.cosineCol(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(wFin))
+      .where(col("rank") <= k)
+  }
+
+  /** s10b: LEARNED-rotation truncation — the OPQ-style answer to s10's
+    * honest weakness. On embeddings whose variance is spread evenly
+    * across dimensions (this fixture's are near-iid), a raw prefix
+    * keeps only TruncDim/Dim of the signal and s10's recall decays
+    * proportionally (measured: 0.44 vs the rotated 0.64 at the same 16
+    * kept dims on sf0.001). The fix a production pipeline applies is a
+    * learned rotation first: fit PCA once, persist the TruncDim×Dim
+    * rotation as a parquet artifact (the model-as-a-table discipline —
+    * p7/s9), project every vector through it, and shortlist in the
+    * rotated 16-dim space by L2 (projection through `ml.feature.PCA`
+    * is uncentered, and the constant mean offset cancels in L2
+    * differences but NOT in cosine — so stage 1 ranks by distance, and
+    * stage 2's exact full-dim cosine rerank fixes the metric). The
+    * DuckDB oracle replays projection → shortlist → rerank from the
+    * SAME parquet artifact.
+    *
+    * 100 TB shape: identical to s10 (quarter-width stage-1 scan, tiny
+    * broadcast fetch, no second O(N) pass) plus one 64×16 broadcast
+    * matrix; the rotation fit touches the corpus once for a 64×64 Gram
+    * matrix — map-side partials into one driver-sized eigenproblem.
+    */
+  def s10bAnnRotated: Q = (s, dir) => {
+    val path = s"${artifactRoot(dir)}/s10_rotation"
+    writeRotation(s, dir, path)
+    val w = s.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val e = Tables.embeddings(s, dir)
+    val full = e.select(col("vec_id"), col("features"))
+    val proj = full.select(col("vec_id"),
+      array(w.map { case (_, wj) =>
+        Linalg.dotColBuiltin(col("features"), typedlit(wj.toSeq))
+      }: _*).as("tv"))
+    shortlistRerankL2(full, proj, TruncShortlist)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Fit-and-persist the s10b rotation: the top [[TruncDim]] principal
+    * directions of the embedding corpus as rows (j, w[Dim]) — built by
+    * the query before serving, overwritten idempotently (the s9 write
+    * discipline).
+    */
+  private[graft] def writeRotation(s: SparkSession, dir: String,
+      path: String): Unit = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val fit = new PCA().setInputCol("fv").setOutputCol("pv")
+      .setK(TruncDim)
+      .fit(Tables.embeddings(s, dir)
+        .select(array_to_vector(col("features")).as("fv")))
+    val pc = fit.pc
+    import s.implicits._
+    (0 until TruncDim)
+      .map(j => (j, (0 until Dim).map(i => pc(i, j)).toArray.toSeq))
+      .toDF("j", "w")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Stage-1-by-L2 variant of [[truncatedTopK]]'s tail: shortlist by
+    * euclidean distance in the (vec_id, tv) projection frame, exact
+    * full-dim cosine rerank from `full`.
+    */
+  private[graft] def shortlistRerankL2(full: DataFrame, proj: DataFrame,
+      shortlistN: Int, k: Int = 5, nQ: Int = 5): DataFrame = {
+    val qs = proj.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("tv").as("qtv"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("tdist"), col("nid"))
+    val shortlist = qs
+      .crossJoin(proj.select(col("vec_id").as("nid"), col("tv").as("ntv")))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Linalg.euclidColBuiltin(col("qtv"), col("ntv")).as("tdist"))
+      .withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= shortlistN)
+      .select(col("qid"), col("nid"))
+    val fetched = full
+      .join(broadcast(shortlist), col("vec_id") === col("nid"))
+      .select(col("qid"), col("nid"), col("features").as("nv"))
+    val qFull = full.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("features").as("qv"))
+    val wFin = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    fetched.join(broadcast(qFull), "qid")
+      .select(col("qid"), col("nid"),
+        Linalg.cosineCol(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(wFin))
+      .where(col("rank") <= k)
   }
 
   /** Sign-LSH bucket per vector: bit i = [dot(v, plane_i) > 0] with the
@@ -1553,6 +1717,48 @@ object Similarity {
         |  FROM p q JOIN p c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 5)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s10_ann_truncated" ->
+      s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    (embedding::DOUBLE[])[1:$TruncDim] AS tv FROM embeddings),
+         |sl AS (SELECT qid, nid FROM (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.tv, n.tv) DESC, n.vec_id)
+         |      AS srank
+         |  FROM p q JOIN p n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5) WHERE srank <= $TruncShortlist)
+         |SELECT qid, rank, nid, round(cos, 4) AS cos FROM (
+         |  SELECT sl.qid, sl.nid,
+         |    list_cosine_similarity(q.v, n.v) AS cos,
+         |    row_number() OVER (PARTITION BY sl.qid
+         |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, sl.nid)
+         |      AS rank
+         |  FROM sl JOIN p q ON q.vec_id = sl.qid
+         |  JOIN p n ON n.vec_id = sl.nid)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s10b_ann_rotated" ->
+      s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |c AS (SELECT j, w FROM
+         |  read_parquet('${artifactRoot(oracleDir)}/s10_rotation/*.parquet')),
+         |proj AS (SELECT p.vec_id,
+         |    list(list_inner_product(p.v, c.w) ORDER BY c.j) AS tv
+         |  FROM p CROSS JOIN c GROUP BY p.vec_id),
+         |sl AS (SELECT qid, nid FROM (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_distance(q.tv, n.tv), n.vec_id) AS srank
+         |  FROM proj q JOIN proj n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5) WHERE srank <= $TruncShortlist)
+         |SELECT qid, rank, nid, round(cos, 4) AS cos FROM (
+         |  SELECT sl.qid, sl.nid,
+         |    list_cosine_similarity(q.v, n.v) AS cos,
+         |    row_number() OVER (PARTITION BY sl.qid
+         |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, sl.nid)
+         |      AS rank
+         |  FROM sl JOIN p q ON q.vec_id = sl.qid
+         |  JOIN p n ON n.vec_id = sl.nid)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "s2_lsh_buckets" ->
       s"""WITH pl AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv
          |  FROM embeddings WHERE vec_id < $NumPlanes)

@@ -51,7 +51,8 @@ object TextAnalysis {
     "t11_bm25" -> t11Bm25,
     "t12_lm_score" -> t12LmScore,
     "t13_bigram_lm" -> t13BigramLm,
-    "t14_pii_scrub" -> t14PiiScrub
+    "t14_pii_scrub" -> t14PiiScrub,
+    "t15_line_dedup" -> t15LineDedup
   )
 
   /** Vocabulary size for [[t6Vocab]] — below the fixture's distinct-token
@@ -212,6 +213,39 @@ object TextAnalysis {
         regexp_count(col("text"), lit(IdRunPattern)).cast("long")
           .as("n_ids"))
       .orderBy(col("c_custkey"))
+
+  /** t15: within-document repeated-line removal — the Gopher/RefinedWeb
+    * preprocessing transform (t5 scores within-doc repetition; this is
+    * the removal face): split on newlines, keep the FIRST occurrence of
+    * each line, reassemble in original order, report kept/total counts.
+    *
+    * The fixture corpus is single-line, so (t14 precedent) the query
+    * composes a deterministic multi-line document per row — two 8-word
+    * slices of the doc's own text, each duplicated around the full text —
+    * and the oracle composes the identical five lines, keeping the
+    * dedup+reassembly end-to-end hash-checked.
+    *
+    * 100 TB shape: the whole transform is per-row higher-order functions
+    * (`split` → `array_distinct`, which keeps first occurrence →
+    * `concat_ws`) — whole-stage codegen, ZERO shuffles, fuses into
+    * whatever scan precedes it; like t14 it is perfectly elastic and
+    * belongs at the very front of the pipeline, before any corpus-sized
+    * shuffle sees the repeated bytes.
+    */
+  def t15LineDedup: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("lines", array(
+        concat_ws(" ", slice(col("ws"), 1, 8)),
+        concat_ws(" ", slice(col("ws"), 9, 8)),
+        concat_ws(" ", slice(col("ws"), 1, 8)),
+        col("text"),
+        concat_ws(" ", slice(col("ws"), 9, 8))))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(array_distinct(col("lines"))).cast("long").as("n_kept"),
+        concat_ws("\n", array_distinct(col("lines"))).as("clean_text"))
+      .orderBy(col("doc_id"))
 
   /** BPE-ish subword boundary: letter runs, digit runs, and single
     * non-alphanumeric marks — the regex twin of a byte-pair pre-tokenizer
@@ -629,6 +663,22 @@ object TextAnalysis {
          |  len(regexp_extract_all(text, '$IdRunPattern'))::BIGINT
          |    AS n_ids
          |FROM t ORDER BY c_custkey""".stripMargin,
+    "t15_line_dedup" ->
+      """WITH c AS (SELECT doc_id, string_split(text, ' ') AS ws, text
+        |  FROM documents),
+        |l0 AS (SELECT doc_id,
+        |  [array_to_string(ws[1:8], ' '),
+        |   array_to_string(ws[9:16], ' '),
+        |   array_to_string(ws[1:8], ' '),
+        |   text,
+        |   array_to_string(ws[9:16], ' ')] AS lines FROM c),
+        |l AS (SELECT doc_id, i AS pos, lines[i] AS line
+        |  FROM l0 CROSS JOIN generate_series(1, 5) t(i)),
+        |firsts AS (SELECT doc_id, line, min(pos) AS pos FROM l
+        |  GROUP BY doc_id, line)
+        |SELECT doc_id, 5::BIGINT AS n_lines, count(*)::BIGINT AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t1_token_stats" ->
       s"""WITH $toksSql
          |SELECT doc_id, len(toks) AS n_tokens,

@@ -231,4 +231,30 @@ class TextQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_._2.contains("[PHONE]")))
     assert(rows.forall(_._2.contains("[ID]")))
   }
+
+  test("t15 line dedup equals a plain-Scala twin and is idempotent") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = TextAnalysis.t15LineDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(rows.length === texts.size)
+    rows.foreach { case (id, nLines, nKept, clean) =>
+      val ws = texts(id).split(" ", -1)
+      val l1 = ws.slice(0, 8).mkString(" ")
+      val l2 = ws.slice(8, 16).mkString(" ")
+      val lines = Seq(l1, l2, l1, texts(id), l2)
+      val expected = lines.distinct // Scala distinct keeps first occurrence
+      assert(nLines === 5L)
+      assert(nKept === expected.length.toLong)
+      assert(clean === expected.mkString("\n"),
+        s"doc $id: dedup must keep first occurrences in order")
+      // idempotence: a second pass removes nothing
+      val again = clean.split("\n", -1).toSeq.distinct
+      assert(again.mkString("\n") === clean)
+      // the composed duplicates really are dropped
+      assert(nKept < nLines)
+    }
+  }
 }
