@@ -545,6 +545,59 @@ object ScaleBench {
       }
   }
 
+  /** s10/s10b decade probe: recall@5 and wall-clock of the truncated-
+    * prefix shortlist at m ∈ {8, 16, 32} kept dims and of the learned
+    * PCA rotation at m = TruncDim, all against ONE exact top-5
+    * denominator over the scaled corpus. The question per decade: does
+    * the rotation's recall edge over the raw prefix survive corpus
+    * growth (the kept-dims budget is the memory story; recall is what
+    * it buys), and does the fit stay a one-Gram-matrix pass. The
+    * rotation rows split fit from serve (p7/s9 discipline).
+    */
+  private def truncCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.functions.Similarity
+    val e = Tables.embeddings(spark, work)
+    val n = e.count()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def timedPairs(df: => org.apache.spark.sql.DataFrame)
+        : (Set[(Long, Long)], Double) = {
+      val t0 = System.nanoTime()
+      val p = pairs(df)
+      (p, (System.nanoTime() - t0) / 1e9)
+    }
+    // untimed warmup (JIT/codegen + page cache, fair to all settings)
+    pairs(Similarity.truncatedTopK(e, 8, 5))
+    val (exact, exactSec) =
+      timedPairs(Similarity.truncatedTopK(e, Similarity.Dim, 5))
+    def recall(got: Set[(Long, Long)]): Double =
+      (got intersect exact).size.toDouble / exact.size
+    val prefixRows = Seq(8, 16, 32).flatMap { m =>
+      val (got, sec) = timedPairs(
+        Similarity.truncatedTopK(e, m, Similarity.TruncShortlist))
+      Seq(s"prefix${m}_sec" -> sec, s"prefix${m}_recall" -> recall(got))
+    }
+    val rotPath = s"/tmp/graft_scale_rot/${new java.io.File(work).getName}"
+    val tFit = System.nanoTime()
+    Similarity.writeRotation(spark, work, rotPath)
+    val fitSec = (System.nanoTime() - tFit) / 1e9
+    val (rotGot, rotSec) = timedPairs(
+      Similarity.serveRotated(spark, work, rotPath))
+    // the build-time worth-it gauge: kept explained variance vs the
+    // flat-spectrum baseline TruncDim/Dim — when it reads near the
+    // baseline, expect the rotated recall row at parity with prefix
+    val keptEvr = spark.read.parquet(rotPath)
+      .agg(sum(col("evr"))).collect()(0).getDouble(0)
+    Seq("trunc_n_vectors" -> n.toDouble, "exact_sec" -> exactSec) ++
+      prefixRows ++ Seq(
+        s"rot${Similarity.TruncDim}_fit_sec" -> fitSec,
+        s"rot${Similarity.TruncDim}_sec" -> rotSec,
+        s"rot${Similarity.TruncDim}_recall" -> recall(rotGot),
+        s"rot${Similarity.TruncDim}_evr" -> keptEvr)
+  }
+
   /** Cheap-metrics-only layout probe for multipliers where end-to-end
     * timing is beside the point (VERDICT r10 §next-3: the log₂/√ layout
     * rules were two-point extrapolations — one x1000 row turns them into
@@ -1074,7 +1127,8 @@ object ScaleBench {
     val spark = graft.core.GraftSession.local("graft-scale", 32)
 
     materialize(spark, src, mult, work,
-      only = if (mode == "layout") Some(Set("embeddings"))
+      only = if (mode == "layout" || mode == "trunc")
+          Some(Set("embeddings"))
         else if (mode == "layered") Some(Set("documents", "embeddings"))
         else if (mode == "d11deep" || mode == "d11bucket")
           Some(Set("documents"))
@@ -1087,7 +1141,7 @@ object ScaleBench {
         mode == "bpe" || mode == "bpe30k" || mode == "connlsh" ||
         mode == "ivfauto" || mode == "layout" || mode == "pq" ||
         mode == "d9border" || mode == "pqdisk" || mode == "layered" ||
-        mode == "d11deep" || mode == "d11bucket") {
+        mode == "d11deep" || mode == "d11bucket" || mode == "trunc") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -1129,6 +1183,9 @@ object ScaleBench {
         else if (mode == "d11bucket")
           ("d11_bucket_compare", d11BucketCompare(spark, work),
             "scale_d11bucket.json")
+        else if (mode == "trunc")
+          ("trunc_curve", truncCompare(spark, work),
+            "scale_trunc.json")
         else
           ("m1_partition_compare", m1PartitionCompare(spark, work, mult),
             "scale_m1part.json")

@@ -64,18 +64,32 @@ class TruncatedAnnSpec extends AnyFunSuite with SparkTestBase {
       s"learned rotation must beat the raw prefix: $rotated vs $prefix")
   }
 
-  test("the persisted rotation is orthonormal") {
+  test("the persisted rotation is orthonormal and carries the evr gauge") {
     val path = Files.createTempDirectory("s10rot").toString + "/rot"
     Similarity.writeRotation(spark, sfDir, path)
-    val w = spark.read.parquet(path).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    assert(w.length === Similarity.TruncDim)
-    assert(w.forall(_._2.length === Similarity.Dim))
-    for ((j1, w1) <- w; (j2, w2) <- w if j1 <= j2) {
+    val rows = spark.read.parquet(path)
+      .select("j", "w", "evr").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.length === Similarity.TruncDim)
+    assert(rows.forall(_._2.length === Similarity.Dim))
+    for ((j1, w1, _) <- rows; (j2, w2, _) <- rows if j1 <= j2) {
       val dot = w1.zip(w2).map { case (a, b) => a * b }.sum
       val expect = if (j1 == j2) 1.0 else 0.0
       assert(math.abs(dot - expect) < 1e-9,
         s"component $j1 . $j2 = $dot, expected $expect")
     }
+    // the worth-it gauge: kept explained variance must beat the
+    // no-structure baseline TruncDim/Dim for the rotation to pay —
+    // this fixture concentrates (≈0.38 vs 0.25), which is exactly why
+    // the recall test above sees rotated > prefix
+    val kept = rows.map(_._3).sum
+    val baseline = Similarity.TruncDim.toDouble / Similarity.Dim
+    assert(kept > baseline + 0.05,
+      s"kept evr $kept should clear the flat-spectrum baseline $baseline")
+    // evr rows are sorted: PCA orders components by variance
+    val evrs = rows.map(_._3).toSeq
+    assert(evrs === evrs.sorted.reverse)
   }
 }

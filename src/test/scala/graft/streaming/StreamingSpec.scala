@@ -566,6 +566,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming rotated-ANN serving against the frozen rotation matches batch s10b") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // s10b's serving shape: the PCA rotation persisted once, arriving
+    // query vectors projected through the frozen artifact and ranked by
+    // the exact batch chain per micro-batch — the union over batches
+    // must equal the one-shot batch answer
+    val path = java.nio.file.Files.createTempDirectory("s10rot_stream")
+      .toString + "/rot"
+    graft.functions.Similarity.writeRotation(spark, sfDir, path)
+    val qs = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 5)
+      .select(col("vec_id"), col("features"))
+      .collect()
+      .map(r => VecRow(r.getLong(0), r.getSeq[Double](1))).toSeq
+    val input = MemoryStream[VecRow]
+    val got = scala.collection.mutable.Set[(Long, Int, Long, Double)]()
+    val query = graft.functions.Similarity
+      .serveRotatedStream(input.toDF(), sfDir, path) { scored =>
+        got.synchronized {
+          got ++= scored.collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+              r.getDouble(3)))
+        }
+      }
+    try {
+      input.addData(qs.take(2))
+      query.processAllAvailable()
+      input.addData(qs.drop(2))
+      query.processAllAvailable()
+      val want = graft.functions.Similarity
+        .serveRotated(spark, sfDir, path)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got.toSet === want)
+      assert(got.size === qs.length * 5)
+    } finally query.stop()
+  }
+
   test("streaming bigram-LM scoring against the frozen model matches batch t13") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
