@@ -45,6 +45,7 @@ object Curation {
     "p4_seq_packing" -> p4SeqPacking,
     "p5_decontaminate" -> p5Decontaminate,
     "p5b_decontaminate_bloom" -> p5bDecontaminateBloom,
+    "p5c_contamination_frac" -> p5cContaminationFrac,
     "p6_stratified_sample" -> p6StratifiedSample,
     "p8_token_budget" -> p8TokenBudget
   )
@@ -145,6 +146,49 @@ object Curation {
       .groupBy(col("train_doc"), col("eval_doc"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
+  /** p5c: per-document contamination FRACTION — the graded form of
+    * p5's boolean overlap report. p5 answers "which (train, eval)
+    * pairs share grams"; the decision a pipeline actually makes is
+    * per TRAIN document — drop it when too much of it appears in the
+    * eval suite (the n-gram-overlap decontamination rule of published
+    * LM training sets). Emits EVERY train doc: distinct gram count,
+    * how many of those grams occur anywhere in the eval side, and
+    * their ratio (0.0 when a document is too short to have a full
+    * gram — those can't be contaminated).
+    *
+    * Scale shape: p5's exactly — the eval gram set broadcasts (swap in
+    * the p5b Bloom prefilter past a few billion eval grams), the train
+    * side is one linear gram scan, and the per-doc reduction is ONE
+    * map-side-combinable aggregate taken in the same pass as the
+    * overlap probe (count + conditional count over the left join), so
+    * grading costs no more than the boolean report. The train-universe
+    * left join restores gram-less documents the gram scan never emits.
+    */
+  def p5cContaminationFrac: Q = (s, dir) =>
+    contaminationFrac(Tables.documents(s, dir))
+
+  /** The p5c transform over any (doc_id, text) frame. */
+  def contaminationFrac(docs: DataFrame): DataFrame = {
+    val ev = distinctGrams(docs.where(col("doc_id") < EvalDocs))
+      .select(col("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    val perDoc = distinctGrams(docs.where(col("doc_id") >= EvalDocs))
+      .join(broadcast(ev), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+    docs.where(col("doc_id") >= EvalDocs).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contam_frac",
+        when(col("n_grams") > 0,
+          round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
   }
 
   /** Distinct [[GramSize]]-token grams per document as (doc_id, gram)
@@ -430,10 +474,14 @@ object Curation {
   /** Shared by p5 and its Bloom-prefilter twin p5b — identical output is
     * the twin's contract.
     */
-  private val p5OracleSql: String = {
+  /** Shared eval/train distinct-gram CTE prefix (t → g → ev/tr) — the
+    * SQL twin of [[distinctGrams]] split at [[EvalDocs]], reused by the
+    * p5/p5b and p5c oracles.
+    */
+  private val gramCtes: String = {
     val parts = (0 until GramSize).map(j => s"toks[i+$j]")
       .mkString("||' '||")
-    s"""WITH t AS (SELECT doc_id,
+    s"""t AS (SELECT doc_id,
        |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
        |g AS (SELECT doc_id, list_distinct(
        |    list_transform(generate_series(1, len(toks) - ${GramSize - 1}),
@@ -442,12 +490,15 @@ object Curation {
        |ev AS (SELECT doc_id AS eval_doc, unnest(gs) AS gram FROM g
        |  WHERE doc_id < $EvalDocs),
        |tr AS (SELECT doc_id AS train_doc, unnest(gs) AS gram FROM g
-       |  WHERE doc_id >= $EvalDocs)
+       |  WHERE doc_id >= $EvalDocs)""".stripMargin
+  }
+
+  private val p5OracleSql: String =
+    s"""WITH $gramCtes
        |SELECT train_doc, eval_doc, count(*) AS n_shared
        |FROM tr JOIN ev USING (gram)
        |GROUP BY train_doc, eval_doc
        |ORDER BY train_doc, eval_doc""".stripMargin
-  }
 
   def oracles: Map[String, String] = Map(
     "p2_hash_split" ->
@@ -476,6 +527,25 @@ object Curation {
     // p5b produces p5's exact rows (Bloom prefilter + exact verify);
     // hash-matching the same oracle proves the prefilter lost nothing
     "p5b_decontaminate_bloom" -> p5OracleSql,
+    // per-train-doc graded overlap over the SAME gram CTEs; the eval
+    // side distincts to gram level (a gram in many eval docs counts
+    // once), short docs surface with zero grams via the left joins
+    "p5c_contamination_frac" ->
+      s"""WITH $gramCtes,
+         |evg AS (SELECT DISTINCT gram FROM ev),
+         |pd AS (SELECT train_doc AS doc_id, count(*) AS n_grams,
+         |    count(evg.gram) AS n_contaminated
+         |  FROM tr LEFT JOIN evg ON evg.gram = tr.gram
+         |  GROUP BY train_doc)
+         |SELECT d.doc_id,
+         |  coalesce(n_grams, 0)::BIGINT AS n_grams,
+         |  coalesce(n_contaminated, 0)::BIGINT AS n_contaminated,
+         |  CASE WHEN coalesce(n_grams, 0) > 0
+         |    THEN round(n_contaminated * 1.0 / n_grams, 6)
+         |    ELSE 0.0 END AS contam_frac
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |WHERE d.doc_id >= $EvalDocs
+         |ORDER BY d.doc_id""".stripMargin,
     // the oracle USES the global window the Spark side refuses to — the
     // hash match proves the distributed prefix sum equals the global one
     "p8_token_budget" ->

@@ -61,6 +61,7 @@ object Dedup {
     "d9b_span_removal" -> d9bSpanRemoval,
     "d10_lsh_auto" -> d10LshAuto,
     "d11_incremental_dedup" -> d11IncrementalDedup,
+    "d12_group_reps" -> d12GroupReps,
     "p1_corpus_curation" -> p1CorpusCuration,
     "p10_pipeline_e2e" -> p10PipelineE2e,
     "p11_pipeline_learned" -> p11PipelineLearned
@@ -554,6 +555,59 @@ object Dedup {
       init = Some(repInitFromBuckets(buckets)))
     buckets.unpersist()
     out.orderBy(col("doc_id"))
+  }
+
+  /** d12: dedup-group REPRESENTATIVE selection — which duplicate
+    * survives. d6/p1/p10 keep each group's min doc_id (cheap, stable,
+    * and fine when duplicates are byte-identical), but near-duplicate
+    * groups mix quality levels, and a production pipeline keeps the
+    * BEST member: here the highest p8 token-diversity score
+    * (`n_distinct · 1000 div n_tokens` — the engine's one deterministic
+    * quality scalar), ties to the smallest doc_id. Emits one row per
+    * d6 group: (group_id, rep_id, rep_score, n_members).
+    *
+    * Scale shape: the d6 closure plus ONE extra hash aggregate. The
+    * argmax is `min(struct(-score, doc_id))` — a partial-aggregatable
+    * struct-min that combines map-side, so the per-group reduction
+    * never materializes a sorted window over the corpus (the oracle
+    * deliberately uses the opposite formulation — a row_number window
+    * — as an independent algorithm cross-check). At 100 TB: closure
+    * cost is d6's (banded buckets, capped pairs, shallow propagation);
+    * the rep selection adds one linear scan + one shuffled combine on
+    * group_id.
+    */
+  def d12GroupReps: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val buckets = bucketArrays(bandRows(s, dir)).persist()
+    val groups = connectedComponents(
+      docs.select(col("doc_id")),
+      pairsFromBuckets(buckets),
+      init = Some(repInitFromBuckets(buckets)))
+    buckets.unpersist()
+    val out = groupReps(groups, docs)
+    out.orderBy(col("group_id"))
+  }
+
+  /** The rep-selection reduction over any (doc_id, group_id) labeling
+    * and its (doc_id, text) universe — factored so the spec can feed
+    * synthetic labelings/corpora and pin the tie-break law directly.
+    */
+  private[functions] def groupReps(groups: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"),
+        expr("n_distinct * 1000 div n_tokens").as("score"))
+    groups.join(scored, "doc_id")
+      .groupBy(col("group_id"))
+      .agg(
+        min(struct((-col("score")).as("ns"), col("doc_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("group_id"), col("best.doc_id").as("rep_id"),
+        (-col("best.ns")).as("rep_score"), col("n_members"))
   }
 
   /** d7: SEMANTIC near-duplicate groups — the same transitive-closure
@@ -1248,6 +1302,28 @@ object Dedup {
          |$edgesReachSql,
          |${grpSqlFrom("documents")}
          |SELECT doc_id, group_id FROM grp ORDER BY doc_id""".stripMargin,
+    // rep = row_number()-over-window argmax — the OPPOSITE formulation
+    // of the Spark side's partial-aggregatable struct-min, so the hash
+    // match cross-checks the reduction, not just the closure
+    "d12_group_reps" ->
+      s"""WITH RECURSIVE $sigSql,
+         |$bandPairSql,
+         |$edgesReachSql,
+         |${grpSqlFrom("documents")},
+         |dsc AS (SELECT doc_id,
+         |    ((len(list_distinct(toks)) * 1000) // len(toks))::BIGINT
+         |      AS score
+         |  FROM (SELECT doc_id,
+         |      string_split_regex(trim(text), '\\s+') AS toks
+         |    FROM documents)),
+         |r AS (SELECT grp.group_id, grp.doc_id, dsc.score,
+         |    row_number() OVER (PARTITION BY grp.group_id
+         |      ORDER BY dsc.score DESC, grp.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY grp.group_id) AS n_members
+         |  FROM grp JOIN dsc ON dsc.doc_id = grp.doc_id)
+         |SELECT group_id, doc_id AS rep_id, score AS rep_score,
+         |  n_members
+         |FROM r WHERE rn = 1 ORDER BY group_id""".stripMargin,
     // reachability over the CAPPED embedding-cosine pairs (the SQL pair
     // fragment lives beside its Spark twin in Similarity)
     "d7_semantic_groups" ->

@@ -243,4 +243,40 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(exact.nonEmpty)
     assert(bloomed === exact)
   }
+
+  test("p5c grades every train doc; agrees with p5's boolean overlap") {
+    val frac = Curation.p5cContaminationFrac(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nTrain = Tables.documents(spark, sfDir)
+      .where(col("doc_id") >= Curation.EvalDocs).count()
+    assert(frac.length === nTrain.toInt)
+    frac.foreach { case (id, nG, nC, f) =>
+      assert(nC <= nG, s"doc $id: $nC contaminated > $nG grams")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(if (nG > 0) math.abs(f - nC.toDouble / nG) < 1e-6 else f === 0.0)
+    }
+    // boolean agreement: exactly the train docs p5 reports overlap for
+    // carry a positive count here
+    val p5Docs = Curation.p5Decontaminate(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(frac.filter(_._3 > 0).map(_._1).toSet === p5Docs)
+  }
+
+  test("p5c extremes: full copy 1.0, disjoint 0.0, gram-less short doc") {
+    import spark.implicits._
+    val g = Curation.GramSize
+    val eval0 = (0 until 12).map(i => s"ev$i").mkString(" ")
+    val docs = (0 until Curation.EvalDocs).map(i => (i.toLong, eval0)) ++
+      Seq(
+        (100L, eval0),                                  // verbatim copy
+        (101L, (0 until 12).map(i => s"tr$i").mkString(" ")), // disjoint
+        (102L, (0 until (g - 1)).map(i => s"s$i").mkString(" ")))
+    val got = Curation.contaminationFrac(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got === Array(
+      (100L, (12 - g + 1).toLong, (12 - g + 1).toLong, 1.0),
+      (101L, (12 - g + 1).toLong, 0L, 0.0),
+      (102L, 0L, 0L, 0.0)))
+  }
 }

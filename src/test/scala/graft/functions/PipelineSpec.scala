@@ -460,4 +460,49 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"recall not monotone: $curve")
     assert(curve.last._2 === 1.0, s"full probe must be exact: $curve")
   }
+
+  test("d12 reps: one row per d6 group, rep is the group's best member") {
+    val groups = Dedup.d6DedupGroups(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val reps = Dedup.d12GroupReps(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // universe agreement: exactly the d6 group ids, each once
+    assert(reps.map(_._1).toSet === groups.map(_._2).toSet)
+    assert(reps.length === groups.map(_._2).distinct.length)
+    // membership + cardinality per group
+    val members = groups.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    reps.foreach { case (gid, repId, _, n) =>
+      assert(members(gid).contains(repId), s"rep $repId not in group $gid")
+      assert(n === members(gid).size.toLong, s"group $gid cardinality")
+    }
+    // rep carries the group-max diversity score (brute-force recompute)
+    val score = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).trim.split("\\s+")
+        (r.getLong(0), toks.distinct.length.toLong * 1000 / toks.length)
+      }.toMap
+    reps.foreach { case (gid, repId, repScore, _) =>
+      val best = members(gid).map(score).max
+      assert(repScore === best, s"group $gid: rep score $repScore != $best")
+      assert(score(repId) === best)
+    }
+  }
+
+  test("d12 tie-break law: equal scores keep the smallest doc_id") {
+    import spark.implicits._
+    // group 1: docs 3 and 7 are byte-identical (equal score) → rep 3;
+    // group 2: doc 9 (all-distinct tokens, score 1000) beats the
+    // smaller-id repetitive doc 5 (score 500) → quality wins over id
+    val docs = Seq(
+      (3L, "a b c d"), (7L, "a b c d"),
+      (5L, "x x y y"), (9L, "p q r s t")).toDF("doc_id", "text")
+    val groups = Seq((3L, 1L), (7L, 1L), (5L, 2L), (9L, 2L))
+      .toDF("doc_id", "group_id")
+    val got = Dedup.groupReps(groups, docs)
+      .orderBy(col("group_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array((1L, 3L, 1000L, 2L), (2L, 9L, 1000L, 2L)))
+  }
 }
