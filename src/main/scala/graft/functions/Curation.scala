@@ -47,7 +47,8 @@ object Curation {
     "p5b_decontaminate_bloom" -> p5bDecontaminateBloom,
     "p5c_contamination_frac" -> p5cContaminationFrac,
     "p6_stratified_sample" -> p6StratifiedSample,
-    "p8_token_budget" -> p8TokenBudget
+    "p8_token_budget" -> p8TokenBudget,
+    "p12_cluster_budget" -> p12ClusterBudget
   )
 
   /** Eval-set boundary (doc_id < this = held-out) and overlap gram size
@@ -390,11 +391,12 @@ object Curation {
     * document — ADVICE r12) would otherwise enter as a
     * phantom-token doc with the maximum diversity score (spec'd).
     */
-  def tokenBudgetSelect(docs: DataFrame, numParts: Int,
-      budget: Long = SelectBudget): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val scored = docs
+  /** The p8 diversity scoring pass over any (doc_id, text) frame:
+    * (doc_id, n_tokens, score) with blank docs excluded — shared by the
+    * global (p8) and per-cluster (p12) budget selectors.
+    */
+  private[functions] def diversityScored(docs: DataFrame): DataFrame =
+    docs
       .where(nonBlankCol(col("text")))
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -402,6 +404,12 @@ object Curation {
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
       .select(col("doc_id"), col("n_tokens"),
         expr("n_distinct * 1000 div n_tokens").as("score"))
+
+  def tokenBudgetSelect(docs: DataFrame, numParts: Int,
+      budget: Long = SelectBudget): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val scored = diversityScored(docs)
     // range boundaries come from a sample pass; BOTH consumers (the
     // per-partition totals and the final window) must see the same
     // boundaries, so the partitioned frame is pinned first (the
@@ -447,6 +455,136 @@ object Curation {
     * shard id, every shard packs independently in parallel, and no
     * global sort ever happens.
     */
+  /** p12: CLUSTER-BALANCED token budgeting — domain induction by
+    * embedding k-means plus a per-cluster p8 budget cut. A source-label
+    * mix (p3) can only balance what the corpus already labels; when the
+    * axes of redundancy are latent, a training-data run induces domains
+    * by clustering the embedding space and spends its token budget per
+    * CLUSTER, so no latent domain monopolizes the selection. The
+    * composition: fit seeded k-means once, persist the [[P12K]]
+    * centroids as a parquet artifact (model-as-a-table — p7/s9/s10b),
+    * assign every embedded document to its nearest centroid with the
+    * c1 literal-struct argmin (centroids ride the plan as literals:
+    * broadcast in spirit, no exchange), then run the p8 diversity
+    * score + budget cut WITHIN each cluster at [[P12ClusterBudget]]
+    * tokens. Universe = the embedded corpus (documents join embeddings
+    * on doc_id = vec_id).
+    *
+    * The DuckDB oracle replays assignment → scoring → budget from the
+    * SAME centroid parquet, using the global per-cluster window the
+    * Spark side refuses (see [[tokenBudgetByKey]]) — the hash match
+    * proves the grouped distributed prefix sum equals the global one
+    * AND that the artifact fully determines the assignment.
+    *
+    * 100 TB shape: the fit touches the corpus once per k-means
+    * iteration (MLlib's map-side partial sums; K×64 doubles to the
+    * driver per round) and amortizes across servings like every other
+    * persisted model; assignment is a pure scan (no exchange); the
+    * budget cut is [[tokenBudgetByKey]]'s three narrow passes. Nothing
+    * global anywhere.
+    */
+  def p12ClusterBudget: Q = (s, dir) => {
+    val path = s"${Similarity.artifactRoot(dir)}/p12_centroids"
+    writeClusterCentroids(s, dir, path)
+    serveClusterBudget(s, dir, path).orderBy(col("doc_id"))
+  }
+
+  /** Number of induced domains, k-means seed/iterations, and the token
+    * budget each cluster may spend ([[p12ClusterBudget]]). K chosen
+    * below the fixture's natural label count so clusters genuinely mix
+    * labels; the budget binds in every cluster at fixture scale.
+    */
+  val P12K = 8
+  val P12Seed = 20260815L
+  val P12MaxIter = 20
+  val P12ClusterBudget = 1000L
+
+  /** Fit-and-persist the p12 centroids: seeded k-means over the
+    * embedding corpus, centers sorted by first coordinate (the I1
+    * convention) so cid assignment is deterministic; overwritten
+    * idempotently (the s9 write discipline).
+    */
+  private[graft] def writeClusterCentroids(s: SparkSession, dir: String,
+      path: String): Unit = {
+    val centers = graft.mopso.Init.kmeansCenters(
+      Tables.embeddings(s, dir).select(col("features")),
+      P12K, P12MaxIter, P12Seed)
+    import s.implicits._
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The serving face of p12 against an ALREADY-persisted centroid
+    * artifact — split out so ScaleBench can price fit and serve
+    * separately (the p7/s9 build/serve discipline) and the streaming
+    * twin can assign arriving documents per micro-batch.
+    */
+  private[graft] def serveClusterBudget(s: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val scored = diversityScored(Tables.documents(s, dir))
+    tokenBudgetByKey(scored.join(clusterAssignments(s, dir, path),
+      "doc_id"), SelectParts, P12ClusterBudget)
+  }
+
+  /** (doc_id, cid) nearest-centroid labels for the embedded corpus
+    * from the persisted artifact — the K×64-double centroid table is
+    * collected once and rides the plan as struct literals.
+    */
+  private[graft] def clusterAssignments(s: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val cs = s.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"),
+        graft.operators.Clustering.assignStruct(col("features"), cs)
+          .getField("cluster").as("cid"))
+  }
+
+  /** The GROUPED form of [[tokenBudgetSelect]]'s factored prefix sum:
+    * budget-cut each key's rows independently without ever windowing a
+    * whole key in one task. A `Window.partitionBy(cid)` would bound
+    * parallelism by the number of clusters — at 100 TB with K=8 that
+    * is one ~12 TB sort per task. Instead the range partitioner keys
+    * on (cid, score desc, doc_id): each cluster occupies a CONTIGUOUS
+    * run of partitions, per-(partition, cid) token totals reach the
+    * driver (≤ numParts + K rows — contiguity bounds the pairs), the
+    * driver folds them into per-(partition, cid) OFFSETS, and the
+    * final window cumulates within (partition, cid) on top of the
+    * broadcast offsets. Same three narrow passes as p8, now per key.
+    */
+  private[graft] def tokenBudgetByKey(scored: DataFrame, numParts: Int,
+      budget: Long): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val parts = scored
+      .repartitionByRange(numParts, col("cid").asc, col("score").desc,
+        col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val totals = parts.groupBy(col("pid"), col("cid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val offsets = totals.map { case (pid, cid, _) =>
+      (pid, cid,
+        totals.filter(x => x._2 == cid && x._1 < pid).map(_._3).sum)
+    }
+    val offDf = offsets.toSeq.toDF("pid", "cid", "off")
+    val w = Window.partitionBy(col("pid"), col("cid"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.join(broadcast(offDf), Seq("pid", "cid"))
+      .withColumn("tokens_before",
+        col("off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .where(col("tokens_before") < budget)
+      .select(col("doc_id"), col("cid"), col("score"), col("n_tokens"),
+        col("tokens_before"))
+  }
+
   def p4SeqPacking: Q = (s, dir) =>
     seqPacking(Tables.documents(s, dir)).orderBy(col("shard"), col("seq"))
 
@@ -563,6 +701,39 @@ object Curation {
          |  FROM s)
          |SELECT doc_id, score, n_tokens, tokens_before FROM c
          |WHERE tokens_before < $SelectBudget ORDER BY doc_id""".stripMargin,
+    // assignment → scoring → per-cluster budget replayed from the SAME
+    // persisted centroid parquet the query just wrote; the window here
+    // is the global per-cluster one the Spark side refuses — the hash
+    // match proves the grouped factored prefix sum equals it
+    "p12_cluster_budget" -> {
+      val cpath =
+        s"${Similarity.artifactRoot(Similarity.oracleDir)}/p12_centroids"
+      s"""WITH c AS (SELECT cid, centroid
+         |  FROM read_parquet('$cpath/*.parquet')),
+         |a AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.embedding::DOUBLE[], c.centroid),
+         |        c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |sc AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    ((len(list_distinct(toks)) * 1000) // len(toks))::BIGINT
+         |      AS score
+         |  FROM (SELECT doc_id,
+         |      string_split_regex(trim(text), '\\s+') AS toks
+         |    FROM documents WHERE ${nonBlankSql("text")})),
+         |j AS (SELECT sc.doc_id, a.cid, sc.score, sc.n_tokens
+         |  FROM sc JOIN a ON a.vec_id = sc.doc_id),
+         |b AS (SELECT doc_id, cid, score, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY cid
+         |      ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS tokens_before
+         |  FROM j)
+         |SELECT doc_id, cid::INT AS cid, score, n_tokens, tokens_before
+         |FROM b WHERE tokens_before < $P12ClusterBudget
+         |ORDER BY doc_id""".stripMargin
+    },
     "p4_seq_packing" ->
       s"""WITH t AS (SELECT doc_id, doc_id // $PackShard AS shard,
          |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens

@@ -244,6 +244,64 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(bloomed === exact)
   }
 
+  test("p12 centroid artifact: K rows, refit-deterministic; selection " +
+      "spans clusters and respects each cluster's budget") {
+    val path = java.nio.file.Files.createTempDirectory("p12c")
+      .toString + "/cent"
+    Curation.writeClusterCentroids(spark, sfDir, path)
+    def readCents() = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    val first = readCents()
+    assert(first.length === Curation.P12K)
+    assert(first.map(_._1) === (0 until Curation.P12K))
+    Curation.writeClusterCentroids(spark, sfDir, path)
+    assert(readCents() === first, "k-means refit must be deterministic")
+    val sel = Curation.serveClusterBudget(spark, sfDir, path).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(sel.map(_._2).distinct.length > 1,
+      "selection must span multiple induced clusters")
+    // within each cluster: the selected set is exactly the score-desc
+    // prefix whose running total stays under the budget (driver replay)
+    val assign = Curation.clusterAssignments(spark, sfDir, path).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val scores = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(_.getString(1).trim.nonEmpty)
+      .map { r =>
+        val toks = r.getString(1).trim.split("\\s+")
+        (r.getLong(0), toks.length.toLong,
+          toks.distinct.length.toLong * 1000 / toks.length)
+      }
+    val want = scores.filter(x => assign.contains(x._1))
+      .groupBy(x => assign(x._1)).toSeq.flatMap { case (cid, docs) =>
+        var before = 0L
+        docs.sortBy(d => (-d._3, d._1)).flatMap { case (id, nT, sc) =>
+          val row = if (before < Curation.P12ClusterBudget)
+            Some((id, cid, sc, nT, before)) else None
+          before += nT
+          row
+        }
+      }.toSet
+    assert(sel.toSet === want)
+  }
+
+  test("p12 grouped budget selection is invariant to the partition count") {
+    val path = java.nio.file.Files.createTempDirectory("p12p")
+      .toString + "/cent"
+    Curation.writeClusterCentroids(spark, sfDir, path)
+    val base = Curation.serveClusterBudget(spark, sfDir, path)
+      .collect().map(_.toSeq).toSet
+    for (n <- Seq(1, 3, 17)) {
+      val got = Curation.tokenBudgetByKey(
+        Curation.diversityScored(Tables.documents(spark, sfDir))
+          .join(Curation.clusterAssignments(spark, sfDir, path), "doc_id"),
+        n, Curation.P12ClusterBudget)
+        .collect().map(_.toSeq).toSet
+      assert(got === base, s"numParts=$n changed the selection")
+    }
+  }
+
   test("p5c grades every train doc; agrees with p5's boolean overlap") {
     val frac = Curation.p5cContaminationFrac(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
