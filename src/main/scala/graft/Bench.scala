@@ -80,6 +80,14 @@ object Bench {
         graft.functions.Dedup.invalidateDedupIndex(sfDir)
         graft.functions.Dedup.writeDedupIndex(spark, sfDir,
           s"${graft.functions.Similarity.artifactRoot(sfDir)}/dedup_index")
+      } :+
+      // p12's induced-domain centroids: the serving rows above assign
+      // from the artifact the warmup pass wrote; this row times the
+      // full seeded k-means fit + export
+      buildRow("p12_centroid_build") {
+        graft.functions.Curation.invalidateCentroids(sfDir)
+        graft.functions.Curation.writeClusterCentroids(spark, sfDir,
+          s"${graft.functions.Similarity.artifactRoot(sfDir)}/p12_centroids")
       }
 
     // Locale.ROOT: the f-interpolator is locale-sensitive and would emit

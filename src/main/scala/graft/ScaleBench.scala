@@ -100,6 +100,19 @@ object ScaleBench {
     // t4b first so t4c's row times the APPLY leg alone (the trainer
     // memoizes per (dir, m) within the JVM)
     "t4b_bpe_merges", "t4c_bpe_apply",
+    // round-14: rep selection (d6's closure + one combine), graded
+    // decontamination (p5's broadcast probe + one grouped count), and
+    // the cluster-balanced budget (serve row assigns from the
+    // pre-built centroids; the seeded k-means fit is its own
+    // p12_centroid_build row) — all expected linear
+    "d12_group_reps", "p5c_contamination_frac", "p12_cluster_budget",
+    // round-14: filtered ANN — candidate mass is selectivity·2n/√nlist
+    // (the widened probe rule), so the row should track s7's shape at
+    // ~a tenth the ranked candidates
+    "s11_ann_filtered",
+    // round-14: corpus-level boilerplate removal — three linear
+    // line-level shuffles (the d9b family)
+    "t16_boilerplate_removal",
     "c1_assign", "c17_conn_partitioned", "c19_conn_topk",
     "c20_silhouette_simplified",
     "mm2_frame_census", "mm8_wav_meta", "mm9_pcm_stats",
@@ -1248,6 +1261,11 @@ object ScaleBench {
           graft.functions.Dedup.invalidateDedupIndex(work)
           graft.functions.Dedup.writeDedupIndex(spark, work,
             s"${graft.functions.Similarity.artifactRoot(work)}/dedup_index")
+        }),
+        "p12_centroid_build" -> (set.contains("p12_cluster_budget"), () => {
+          graft.functions.Curation.invalidateCentroids(work)
+          graft.functions.Curation.writeClusterCentroids(spark, work,
+            s"${graft.functions.Similarity.artifactRoot(work)}/p12_centroids")
         })).collect { case (name, (true, build)) =>
           val (t, _) = timed(build())
           name -> t

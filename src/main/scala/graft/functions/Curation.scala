@@ -506,6 +506,8 @@ object Curation {
     */
   private[graft] def writeClusterCentroids(s: SparkSession, dir: String,
       path: String): Unit = {
+    val key = s"$dir->$path"
+    if (writtenCentroids.contains(key)) return
     val centers = graft.mopso.Init.kmeansCenters(
       Tables.embeddings(s, dir).select(col("features")),
       P12K, P12MaxIter, P12Seed)
@@ -515,6 +517,20 @@ object Curation {
       .toDF("cid", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(path)
+    writtenCentroids.add(key)
+  }
+
+  private val writtenCentroids =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Drops the per-JVM written-centroid memo for `dir` so the next
+    * [[writeClusterCentroids]] refits from scratch — the bench's
+    * `p12_centroid_build` row calls this first (the p7 invalidate
+    * discipline).
+    */
+  def invalidateCentroids(dir: String): Unit = {
+    val it = writtenCentroids.iterator()
+    while (it.hasNext) if (it.next().startsWith(dir + "->")) it.remove()
   }
 
   /** The serving face of p12 against an ALREADY-persisted centroid
@@ -534,14 +550,42 @@ object Curation {
     * collected once and rides the plan as struct literals.
     */
   private[graft] def clusterAssignments(s: SparkSession, dir: String,
-      path: String): DataFrame = {
-    val cs = s.read.parquet(path).collect()
+      path: String): DataFrame =
+    assignWithCentroids(Tables.embeddings(s, dir),
+      readCentroids(s, path))
+
+  /** The persisted centroid table, collected once (K×64 doubles). */
+  private[graft] def readCentroids(s: SparkSession,
+      path: String): Seq[(Int, Array[Double])] =
+    s.read.parquet(path).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    Tables.embeddings(s, dir)
-      .select(col("vec_id").as("doc_id"),
-        graft.operators.Clustering.assignStruct(col("features"), cs)
-          .getField("cluster").as("cid"))
+
+  /** Nearest-centroid labels over any (vec_id, features) frame. */
+  private[graft] def assignWithCentroids(vecs: DataFrame,
+      cs: Seq[(Int, Array[Double])]): DataFrame =
+    vecs.select(col("vec_id").as("doc_id"),
+      graft.operators.Clustering.assignStruct(col("features"), cs)
+        .getField("cluster").as("cid"))
+
+  /** Streaming serving twin of p12's assignment stage (the
+    * serveRotatedStream discipline): arriving embedded documents are
+    * labeled per micro-batch against the FROZEN persisted centroids —
+    * build once, serve forever. The budget stage stays batch (a token
+    * budget is a corpus-level decision; the streaming face answers
+    * "which induced domain does this document belong to" at ingest,
+    * which is what a partition-by-domain sink needs).
+    */
+  def serveClusterAssignStream(vecs: DataFrame, path: String)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cs = readCentroids(vecs.sparkSession, path)
+    vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        sink(assignWithCentroids(batch.toDF(), cs))
+      }
+      .start()
   }
 
   /** The GROUPED form of [[tokenBudgetSelect]]'s factored prefix sum:

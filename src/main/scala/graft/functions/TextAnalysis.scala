@@ -52,7 +52,8 @@ object TextAnalysis {
     "t12_lm_score" -> t12LmScore,
     "t13_bigram_lm" -> t13BigramLm,
     "t14_pii_scrub" -> t14PiiScrub,
-    "t15_line_dedup" -> t15LineDedup
+    "t15_line_dedup" -> t15LineDedup,
+    "t16_boilerplate_removal" -> t16BoilerplateRemoval
   )
 
   /** Vocabulary size for [[t6Vocab]] — below the fixture's distinct-token
@@ -246,6 +247,66 @@ object TextAnalysis {
         size(array_distinct(col("lines"))).cast("long").as("n_kept"),
         concat_ws("\n", array_distinct(col("lines"))).as("clean_text"))
       .orderBy(col("doc_id"))
+
+  /** t16: corpus-level BOILERPLATE LINE removal — the cross-document
+    * companion of t15 (which drops a doc's own repeats) and the
+    * REMOVAL form of t8 (which only reports boilerplate): any line
+    * occurring in at least [[T16MinDf]] DISTINCT documents is dropped
+    * from every document — the CCNet/RefinedWeb rule that strips nav
+    * bars, footers, and cookie banners before tokenization. Reports
+    * (doc_id, n_lines, n_removed, clean_text) with order preserved.
+    *
+    * The fixture is single-line, so (t14/t15 precedent) the query
+    * composes a deterministic five-line document per doc — two slices
+    * of its own text, a planted global banner, a per-`source` footer
+    * ("via src_N", df = that source's doc count), and the full text —
+    * and the oracle composes the identical lines, keeping df counting,
+    * removal, and reassembly end-to-end hash-checked. Own slices of
+    * near-duplicate documents collide ORGANICALLY across docs, so the
+    * df gate fires on real fixture structure too, not just plants.
+    *
+    * 100 TB shape: three linear line-level shuffles (the d9b family) —
+    * distinct (doc, line) → df ≥ threshold; one shuffle JOIN of lines
+    * against the df-qualified set (deliberately not a broadcast: the
+    * boilerplate line set is data-dependent — up to lines/df — and a
+    * runtime bloom prunes the probe side the p5b way if it is small);
+    * one reassembly shuffle on doc_id. No window over the corpus.
+    */
+  def t16BoilerplateRemoval: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("lines", array(
+        concat_ws(" ", slice(col("ws"), 1, 8)),
+        lit(T16Banner),
+        concat_ws(" ", slice(col("ws"), 9, 8)),
+        concat_ws(" ", lit("via"), col("source")),
+        col("text")))
+    val lines = docs.select(col("doc_id"),
+      posexplode(col("lines")).as(Seq("pos", "line")))
+    val bp = lines.select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= T16MinDf)
+      .select(col("line"), lit(1).as("bp"))
+    val kept = lines.join(bp, Seq("line"), "left")
+      .where(col("bp").isNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          sort_array(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("clean_text"))
+    docs.select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t16's df threshold and the planted global banner line. */
+  val T16MinDf = 3
+  val T16Banner = "subscribe to our newsletter today"
 
   /** BPE-ish subword boundary: letter runs, digit runs, and single
     * non-alphanumeric marks — the regex twin of a byte-pair pre-tokenizer
@@ -679,6 +740,31 @@ object TextAnalysis {
         |SELECT doc_id, 5::BIGINT AS n_lines, count(*)::BIGINT AS n_kept,
         |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
         |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // df over DISTINCT (doc, line), NOT IN removal, positional
+    // reassembly — the whole corpus-level chain replayed
+    "t16_boilerplate_removal" ->
+      s"""WITH c AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |    source, text FROM documents),
+        |l0 AS (SELECT doc_id,
+        |  [array_to_string(ws[1:8], ' '),
+        |   '$T16Banner',
+        |   array_to_string(ws[9:16], ' '),
+        |   'via ' || source,
+        |   text] AS lines FROM c),
+        |l AS (SELECT doc_id, i AS pos, lines[i] AS line
+        |  FROM l0 CROSS JOIN generate_series(1, 5) t(i)),
+        |bp AS (SELECT line FROM (
+        |    SELECT line, count(*) AS df FROM
+        |      (SELECT DISTINCT doc_id, line FROM l) GROUP BY line)
+        |  WHERE df >= $T16MinDf),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |  FROM l WHERE line NOT IN (SELECT line FROM bp)
+        |  GROUP BY doc_id)
+        |SELECT c.doc_id, 5::BIGINT AS n_lines,
+        |  (5 - coalesce(n_kept, 0))::BIGINT AS n_removed,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM c LEFT JOIN k USING (doc_id) ORDER BY c.doc_id""".stripMargin,
     "t1_token_stats" ->
       s"""WITH $toksSql
          |SELECT doc_id, len(toks) AS n_tokens,

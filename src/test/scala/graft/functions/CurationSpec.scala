@@ -254,6 +254,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val first = readCents()
     assert(first.length === Curation.P12K)
     assert(first.map(_._1) === (0 until Curation.P12K))
+    Curation.invalidateCentroids(sfDir)
     Curation.writeClusterCentroids(spark, sfDir, path)
     assert(readCents() === first, "k-means refit must be deterministic")
     val sel = Curation.serveClusterBudget(spark, sfDir, path).collect()

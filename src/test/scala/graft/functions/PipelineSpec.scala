@@ -461,6 +461,43 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(curve.last._2 === 1.0, s"full probe must be exact: $curve")
   }
 
+  test("s11 filtered ANN: predicate holds, pre-filter beats post-filter") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val lab = e.select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val got = Similarity.s11AnnFiltered(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every hit satisfies the predicate; ranks contiguous from 1
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, nid) =>
+      assert(lab(nid) === Similarity.S11Label) }
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length),
+        s"qid $qid ranks not contiguous") }
+    // exact filtered top-5 (driver brute force) as the recall denominator
+    val vecs = e.select(col("vec_id"), col("features")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val byId = vecs.toMap
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val exact = (0L until 5L).flatMap { q =>
+      vecs.filter(v => v._1 != q && lab(v._1) === Similarity.S11Label)
+        .map(v => (v._1, dist(byId(q), v._2)))
+        .sortBy { case (id, d) => (d, id) }.take(5)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    val preRecall = got.map(r => (r._1, r._3)).toSet
+      .intersect(exact).size.toDouble / exact.size
+    // post-filter strawman: unfiltered s7 top-5, then drop non-matching
+    val post = Similarity.s7AnnIvfAuto(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .filter { case (_, nid) => lab(nid) === Similarity.S11Label }.toSet
+    val postRecall = post.intersect(exact).size.toDouble / exact.size
+    assert(preRecall > postRecall,
+      s"pre-filter $preRecall must beat post-filter $postRecall")
+    assert(preRecall >= 0.8, s"pre-filter recall too low: $preRecall")
+  }
+
   test("d12 reps: one row per d6 group, rep is the group's best member") {
     val groups = Dedup.d6DedupGroups(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

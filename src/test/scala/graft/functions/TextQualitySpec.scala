@@ -257,4 +257,43 @@ class TextQualitySpec extends AnyFunSuite with SparkTestBase {
       assert(nKept < nLines)
     }
   }
+
+  test("t16 removal: planted boilerplate always dies, survivors are rare") {
+    val rows = TextAnalysis.t16BoilerplateRemoval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length === 500)
+    rows.foreach { case (id, nLines, nRemoved, clean) =>
+      assert(nLines === 5L)
+      // the global banner (df = corpus) and the per-source footer
+      // (df = docs-per-source >= threshold) are removed from EVERY doc
+      assert(nRemoved >= 2L, s"doc $id removed only $nRemoved")
+      assert(!clean.contains(TextAnalysis.T16Banner))
+      assert(!clean.split("\n", -1).exists(_.startsWith("via src")))
+    }
+    // every surviving line's document frequency is under the threshold
+    // (driver recount over the same composed lines)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val composed = docs.map { case (id, text, src) =>
+      val ws = text.split(" ", -1)
+      id -> Seq(ws.take(8).mkString(" "), TextAnalysis.T16Banner,
+        ws.slice(8, 16).mkString(" "), s"via $src", text)
+    }.toMap
+    val df = composed.values.flatMap(_.distinct)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    rows.foreach { case (id, _, _, clean) =>
+      val survivors =
+        if (clean.isEmpty) Seq.empty else clean.split("\n", -1).toSeq
+      survivors.foreach { line =>
+        assert(df(line) < TextAnalysis.T16MinDf,
+          s"doc $id kept boilerplate line '$line' (df ${df(line)})")
+      }
+      // removal preserves order: survivors appear as a subsequence of
+      // the composed lines
+      val it = composed(id).iterator
+      assert(survivors.forall(l => it.contains(l)),
+        s"doc $id: survivors out of order")
+    }
+  }
 }

@@ -566,6 +566,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming cluster assignment against the frozen centroids matches batch p12") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // p12's serving shape: centroids persisted once, arriving embedded
+    // documents labeled per micro-batch — the union over batches must
+    // equal the one-shot batch assignment of the same rows
+    val path = java.nio.file.Files.createTempDirectory("p12_stream")
+      .toString + "/cent"
+    graft.functions.Curation.writeClusterCentroids(spark, sfDir, path)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("features")).collect()
+      .map(r => VecRow(r.getLong(0), r.getSeq[Double](1))).toSeq
+    val input = MemoryStream[VecRow]
+    val got = scala.collection.mutable.Set[(Long, Int)]()
+    val query = graft.functions.Curation
+      .serveClusterAssignStream(input.toDF(), path) { labeled =>
+        got.synchronized {
+          got ++= labeled.collect()
+            .map(r => (r.getLong(0), r.getInt(1)))
+        }
+      }
+    try {
+      input.addData(vecs.take(vecs.length / 2))
+      query.processAllAvailable()
+      input.addData(vecs.drop(vecs.length / 2))
+      query.processAllAvailable()
+      val want = graft.functions.Curation
+        .clusterAssignments(spark, sfDir, path).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got.toSet === want)
+      assert(got.size === vecs.length)
+    } finally query.stop()
+  }
+
   test("streaming rotated-ANN serving against the frozen rotation matches batch s10b") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
