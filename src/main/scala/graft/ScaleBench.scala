@@ -113,6 +113,9 @@ object ScaleBench {
     // round-14: corpus-level boilerplate removal — three linear
     // line-level shuffles (the d9b family)
     "t16_boilerplate_removal",
+    // round-14: curriculum packing — p8's three narrow passes + a
+    // per-row division; should track p8's decade shape exactly
+    "p13_curriculum_pack",
     "c1_assign", "c17_conn_partitioned", "c19_conn_topk",
     "c20_silhouette_simplified",
     "mm2_frame_census", "mm8_wav_meta", "mm9_pcm_stats",

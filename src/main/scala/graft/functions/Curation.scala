@@ -48,7 +48,8 @@ object Curation {
     "p5c_contamination_frac" -> p5cContaminationFrac,
     "p6_stratified_sample" -> p6StratifiedSample,
     "p8_token_budget" -> p8TokenBudget,
-    "p12_cluster_budget" -> p12ClusterBudget
+    "p12_cluster_budget" -> p12ClusterBudget,
+    "p13_curriculum_pack" -> p13CurriculumPack
   )
 
   /** Eval-set boundary (doc_id < this = held-out) and overlap gram size
@@ -406,7 +407,19 @@ object Curation {
         expr("n_distinct * 1000 div n_tokens").as("score"))
 
   def tokenBudgetSelect(docs: DataFrame, numParts: Int,
-      budget: Long = SelectBudget): DataFrame = {
+      budget: Long = SelectBudget): DataFrame =
+    prefixScored(docs, numParts)
+      .where(col("tokens_before") < budget)
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        col("tokens_before"))
+
+  /** The factored global prefix sum over the quality order — every doc
+    * with its tokens-before-it in (score desc, doc_id) rank: the shared
+    * core of p8 (filter at a budget) and p13 (quantize into curriculum
+    * sequences).
+    */
+  private[functions] def prefixScored(docs: DataFrame,
+      numParts: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val scored = diversityScored(docs)
@@ -437,10 +450,28 @@ object Curation {
     parts.join(broadcast(offDf), Seq("pid"))
       .withColumn("tokens_before",
         col("off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .where(col("tokens_before") < budget)
-      .select(col("doc_id"), col("score"), col("n_tokens"),
-        col("tokens_before"))
   }
+
+  /** p13: CURRICULUM packing — the whole corpus cut into fixed
+    * [[PackBudget]]-token training sequences in QUALITY order (p8's
+    * diversity score desc), so early sequences carry the
+    * highest-quality tokens: the curriculum-sharding step between
+    * selection (p8/p12) and physical packing (p4). Same offset
+    * quantization as p4 (seq = tokens-before / budget — no sequential
+    * reset state), but the order is the learned-quality rank instead
+    * of doc_id, which is exactly what [[prefixScored]]'s distributed
+    * prefix sum provides: three narrow passes, no global window, at
+    * any corpus size. The oracle uses the global window the Spark
+    * side refuses (the p8 convention) plus the seq division.
+    */
+  def p13CurriculumPack: Q = (s, dir) =>
+    curriculumPack(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The p13 transform over any (doc_id, text) frame. */
+  def curriculumPack(docs: DataFrame): DataFrame =
+    prefixScored(docs, SelectParts)
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        (col("tokens_before") / PackBudget).cast("long").as("seq"))
 
   /** p4: offset-quantized contiguous sequence packing — the shard's token
     * stream (docs in doc_id order) is cut at fixed [[PackBudget]] offsets
@@ -778,6 +809,24 @@ object Curation {
          |FROM b WHERE tokens_before < $P12ClusterBudget
          |ORDER BY doc_id""".stripMargin
     },
+    // the p8 global-window convention + the p4 seq division, over the
+    // quality order — one oracle covers the composed semantics
+    "p13_curriculum_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents WHERE ${nonBlankSql("text")}),
+         |s AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    ((len(list_distinct(toks)) * 1000) // len(toks))::BIGINT
+         |      AS score
+         |  FROM t),
+         |c AS (SELECT doc_id, score, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS tokens_before
+         |  FROM s)
+         |SELECT doc_id, score, n_tokens,
+         |  (tokens_before // $PackBudget)::BIGINT AS seq
+         |FROM c ORDER BY doc_id""".stripMargin,
     "p4_seq_packing" ->
       s"""WITH t AS (SELECT doc_id, doc_id // $PackShard AS shard,
          |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens

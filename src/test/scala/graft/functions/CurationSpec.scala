@@ -303,6 +303,33 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("p13 curriculum packing matches a driver-side quality-order replay") {
+    val got = Curation.p13CurriculumPack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver replay: global quality order, cumulative offsets, quantize
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(_.getString(1).trim.nonEmpty)
+      .map { r =>
+        val toks = r.getString(1).trim.split("\\s+")
+        (r.getLong(0), toks.length.toLong,
+          toks.distinct.length.toLong * 1000 / toks.length)
+      }
+    var before = 0L
+    val want = docs.sortBy { case (id, _, sc) => (-sc, id) }
+      .map { case (id, nT, sc) =>
+        val row = (id, sc, nT, before / Curation.PackBudget)
+        before += nT
+        row
+      }.toSet
+    assert(got.toSet === want)
+    // curriculum law: sequence ids are non-decreasing in quality order,
+    // and the corpus fills more than one sequence
+    val inOrder = got.sortBy { case (id, sc, _, _) => (-sc, id) }.map(_._4)
+    assert(inOrder.sliding(2).forall(p => p.head <= p.last))
+    assert(got.map(_._4).distinct.length > 1)
+  }
+
   test("p5c grades every train doc; agrees with p5's boolean overlap") {
     val frac = Curation.p5cContaminationFrac(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
