@@ -88,6 +88,14 @@ object Bench {
         graft.functions.Curation.invalidateCentroids(sfDir)
         graft.functions.Curation.writeClusterCentroids(spark, sfDir,
           s"${graft.functions.Similarity.artifactRoot(sfDir)}/p12_centroids")
+      } :+
+      // s9's three-table IVFADC index, same discipline: quantizer fits
+      // + code encoding + parquet export in one timed row, so the s9
+      // rows above are pure from-disk serving
+      buildRow("s9_index_build") {
+        graft.functions.Similarity.invalidateIvfAdcBuild(sfDir)
+        graft.functions.Similarity.writeIvfAdcIndex(spark, sfDir,
+          s"${graft.functions.Similarity.artifactRoot(sfDir)}/ivfadc")
       }
 
     // Locale.ROOT: the f-interpolator is locale-sensitive and would emit

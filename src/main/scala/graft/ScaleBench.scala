@@ -1269,6 +1269,11 @@ object ScaleBench {
           graft.functions.Curation.invalidateCentroids(work)
           graft.functions.Curation.writeClusterCentroids(spark, work,
             s"${graft.functions.Similarity.artifactRoot(work)}/p12_centroids")
+        }),
+        "s9_index_build" -> (set.contains("s9_ann_ivfadc"), () => {
+          graft.functions.Similarity.invalidateIvfAdcBuild(work)
+          graft.functions.Similarity.writeIvfAdcIndex(spark, work,
+            s"${graft.functions.Similarity.artifactRoot(work)}/ivfadc")
         })).collect { case (name, (true, build)) =>
           val (t, _) = timed(build())
           name -> t

@@ -1113,8 +1113,39 @@ object Similarity {
     * by `cell` so a probe's candidate scan is partition-pruned.
     */
   def writeIvfAdcIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val key = s"$dir->$path"
+    if (writtenIvfAdc.contains(key)) return
     val (cents, cbR, codes) = ivfAdcIndexFrames(s, dir)
     writeIndexTables(cents, cbR, codes, path)
+    writtenIvfAdc.add(key)
+  }
+
+  private val writtenIvfAdc =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Drops the per-JVM written-index memo for `dir` so the next
+    * [[writeIvfAdcIndex]] re-exports (the underlying quantizer fits
+    * have their own caches — this marker only skips the parquet
+    * re-write, which is what the bench's serve rows must not pay).
+    * The bench's `s9_index_build` row clears quantizer caches too.
+    */
+  def invalidateIvfAdcWrite(dir: String): Unit = {
+    val it = writtenIvfAdc.iterator()
+    while (it.hasNext) if (it.next().startsWith(dir + "->")) it.remove()
+  }
+
+  /** Full build-cost invalidation for `dir`: written-index marker AND
+    * the memoized quantizer fits (trained coarse centers, residual
+    * codebook), so a timed `s9_index_build` row covers train + encode
+    * + export — the p7 `invalidate` contract.
+    */
+  def invalidateIvfAdcBuild(dir: String): Unit = {
+    invalidateIvfAdcWrite(dir)
+    trainedCenters.synchronized {
+      trainedCenters.keys.filter(_._1 == dir).toSeq
+        .foreach(trainedCenters.remove)
+    }
+    pqResidualCache.synchronized { pqResidualCache.remove(dir) }
   }
 
   /** Persist an index built from an explicit corpus frame — the

@@ -56,12 +56,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     *    itself: every vector's codes meet every query's LUT; O(n·|q|)
     *    40-byte rows with a bounded build side, the s1 family with
     *    codes in place of vectors).
+    *  - s10/s10b: the truncated/rotated stage-1 shortlist — the 5-row
+    *    query frame × the quarter-width corpus representation (the s1
+    *    family at TruncDim/Dim the bytes; stage 2 is a broadcast
+    *    fetch, never a second O(n) pass).
+    *  - s11: the s7 family twice over — queries × the broadcast
+    *    coarse-centroid table (probe ranking) and the FILTERED corpus
+    *    slice × the same table (cell assignment of qualified vectors
+    *    only).
     */
   private val allowCartesian = Set(
     "c9_knn", "c10_conn", "c13_minmax_norm", "c14_silhouette",
     "c19_conn_topk", "c21_conn_lsh",
     "s1_cosine_topk", "s3_ann_ivf", "s5_ann_recall", "s6_quant_recall",
-    "s7_ann_ivf_auto", "s8_ann_pq",
+    "s7_ann_ivf_auto", "s8_ann_pq", "s10_ann_truncated",
+    "s10b_ann_rotated", "s11_ann_filtered",
     "d5_jaccard_pairs", "t11_bm25", "t12_lm_score", "t13_bigram_lm")
 
   /** Documented unpartitioned-window sites — each rides a tiny DERIVED
