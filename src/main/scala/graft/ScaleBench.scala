@@ -1129,8 +1129,11 @@ object ScaleBench {
     val set =
       // explicit query list (`only:a,b`) — focused mitigation runs; the
       // caller owns the quadratic-compute risk here
-      if (mode.startsWith("only:")) {
-        val names = mode.stripPrefix("only:").split(",").toSeq
+      // `onlye:` = the same explicit list, materializing ONLY the
+      // documents/embeddings fixtures — for doc/vector-only sets at
+      // multipliers where scaling the fact tables would dwarf the run
+      if (mode.startsWith("only:") || mode.startsWith("onlye:")) {
+        val names = mode.dropWhile(_ != ':').drop(1).split(",").toSeq
         names.foreach(n => require(SparkEntry.queries.contains(n),
           s"unknown query $n"))
         names
@@ -1145,7 +1148,8 @@ object ScaleBench {
     materialize(spark, src, mult, work,
       only = if (mode == "layout" || mode == "trunc")
           Some(Set("embeddings"))
-        else if (mode == "layered") Some(Set("documents", "embeddings"))
+        else if (mode == "layered" || mode.startsWith("onlye:"))
+          Some(Set("documents", "embeddings"))
         else if (mode == "d11deep" || mode == "d11bucket")
           Some(Set("documents"))
         // bpe30k generates its own zipf corpus — no fixture needed
