@@ -273,7 +273,16 @@ object TextAnalysis {
     * one reassembly shuffle on doc_id. No window over the corpus.
     */
   def t16BoilerplateRemoval: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    val docs = composedLines(Tables.documents(s, dir))
+    removeBoilerplate(docs, boilerplateSet(docs))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The five-line composition over any (doc_id, text, source) frame
+    * (see [[t16BoilerplateRemoval]]): adds the `lines` column.
+    */
+  private def composedLines(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("lines", array(
         concat_ws(" ", slice(col("ws"), 1, 8)),
@@ -281,13 +290,24 @@ object TextAnalysis {
         concat_ws(" ", slice(col("ws"), 9, 8)),
         concat_ws(" ", lit("via"), col("source")),
         col("text")))
-    val lines = docs.select(col("doc_id"),
-      posexplode(col("lines")).as(Seq("pos", "line")))
-    val bp = lines.select(col("doc_id"), col("line")).distinct()
+
+  /** The df-qualified boilerplate line set of a composed corpus. */
+  private def boilerplateSet(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(col("lines"))).as("line"))
       .groupBy(col("line")).agg(count(lit(1)).as("df"))
       .where(col("df") >= T16MinDf)
-      .select(col("line"), lit(1).as("bp"))
-    val kept = lines.join(bp, Seq("line"), "left")
+      .select(col("line"))
+
+  /** Remove every `bp` line from each composed document, preserving
+    * order — the shared tail of batch t16 and its streaming face.
+    */
+  private def removeBoilerplate(docs: DataFrame,
+      bp: DataFrame): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(col("lines")).as(Seq("pos", "line")))
+    val kept = lines
+      .join(bp.withColumn("bp", lit(1)), Seq("line"), "left")
       .where(col("bp").isNull)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -301,8 +321,34 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
           .as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Persist the corpus's df-qualified boilerplate line set — the
+    * frozen artifact t16's streaming face removes against (the
+    * model-as-a-table discipline; a nightly batch refreshes the set,
+    * ingest applies it).
+    */
+  def writeBoilerplateSet(s: SparkSession, dir: String,
+      path: String): Unit =
+    boilerplateSet(composedLines(Tables.documents(s, dir)))
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Streaming serving twin of t16: arriving documents are cleaned per
+    * micro-batch against the FROZEN persisted line set. Restricted to
+    * the frozen set, removal is per-document, so the union over
+    * batches equals the batch query whenever the set came from the
+    * same corpus (spec-pinned).
+    */
+  def serveLineCleanStream(docs: DataFrame, path: String)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val bp = batch.sparkSession.read.parquet(path)
+        sink(removeBoilerplate(composedLines(batch.toDF()), bp))
+      }
+      .start()
 
   /** t16's df threshold and the planted global banner line. */
   val T16MinDf = 3

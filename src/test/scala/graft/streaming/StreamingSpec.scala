@@ -28,6 +28,7 @@ case class ClickState(tsMillis: Long)
 case class AsofOut(user_id: Long, event_id: Long, purchase_at: String,
     click_at: Option[String])
 case class DocRow(doc_id: Long, n_chars: Long)
+case class DocTextRow(doc_id: Long, text: String, source: String)
 case class TextRow(doc_id: Long, text: String)
 case class PtRow(id: Long, features: Seq[Double])
 case class VecRow(vec_id: Long, features: Seq[Double])
@@ -563,6 +564,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(got.toSet === want)
       assert(got.size === qs.length * 5)
+    } finally query.stop()
+  }
+
+  test("streaming line cleaning against the frozen boilerplate set matches batch t16") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // t16's serving shape: the df-qualified line set persisted once,
+    // arriving documents cleaned per micro-batch — restricted to the
+    // frozen set removal is per-document, so the union over batches
+    // equals the one-shot batch answer when the set came from the
+    // same corpus
+    val path = java.nio.file.Files.createTempDirectory("t16_stream")
+      .toString + "/bp"
+    graft.functions.TextAnalysis.writeBoilerplateSet(spark, sfDir, path)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => DocTextRow(r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    val input = MemoryStream[DocTextRow]
+    val got = scala.collection.mutable.Set[(Long, Long, Long, String)]()
+    val query = graft.functions.TextAnalysis
+      .serveLineCleanStream(input.toDF(), path) { cleaned =>
+        got.synchronized {
+          got ++= cleaned.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        }
+      }
+    try {
+      input.addData(docs.take(docs.length / 2))
+      query.processAllAvailable()
+      input.addData(docs.drop(docs.length / 2))
+      query.processAllAvailable()
+      val want = graft.functions.TextAnalysis
+        .t16BoilerplateRemoval(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(got.toSet === want)
+      assert(got.size === docs.length)
     } finally query.stop()
   }
 
