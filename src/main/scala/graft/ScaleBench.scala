@@ -1230,8 +1230,12 @@ object ScaleBench {
       spark.stop()
       return
     }
-    val rows = factTables.map(t =>
-      t -> Tables.table(spark, work, t).count()).toMap
+    // count only the tables this mode materialized (`onlye:` skips the
+    // relational facts — counting them would fail on the missing paths)
+    val rows = factTables
+      .filter(t => new java.io.File(s"$work/$t.parquet", "_SUCCESS")
+        .exists())
+      .map(t => t -> Tables.table(spark, work, t).count()).toMap
 
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
