@@ -116,6 +116,14 @@ object ScaleBench {
     // round-14: curriculum packing — p8's three narrow passes + a
     // per-row division; should track p8's decade shape exactly
     "p13_curriculum_pack",
+    // round-14: the kNN graph — c21's candidate chain + L-bounded
+    // aggregate WITHOUT the exact-leg denominator, so the row prices
+    // the production graph build alone
+    "s12_knn_graph",
+    // round-14: mutual-kNN components — the s12 build + one graph-sized
+    // self-join + the d6 propagation loop; the delta over s12's row
+    // prices the clustering itself
+    "s13_graph_clusters",
     "c1_assign", "c17_conn_partitioned", "c19_conn_topk",
     "c20_silhouette_simplified",
     "mm2_frame_census", "mm8_wav_meta", "mm9_pcm_stats",
@@ -1239,8 +1247,16 @@ object ScaleBench {
 
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, work)
-        .write.format("noop").mode("overwrite").save()
+      // s12's registered face pins the oracle's 4×8 layout; the decade
+      // row times the production auto-layout build (the c21/connlsh
+      // split — a fixed layout is Θ(n²) in candidates at scale)
+      try (name match {
+        case "s12_knn_graph" =>
+          graft.operators.Clustering.s12KnnGraphAuto(spark, work)
+        case "s13_graph_clusters" =>
+          graft.operators.Clustering.s13GraphClustersAuto(spark, work)
+        case _ => SparkEntry.queries(name)(spark, work)
+      }).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[scale] $name failed: ${e.getMessage}")
         return -1.0

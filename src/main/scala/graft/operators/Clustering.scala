@@ -51,7 +51,9 @@ object Clustering {
     "c18_weighted_dist" -> c18WeightedDist,
     "c19_conn_topk" -> c19ConnTopk,
     "c21_conn_lsh" -> c21ConnLsh,
-    "c20_silhouette_simplified" -> c20SilhouetteSimplified
+    "c20_silhouette_simplified" -> c20SilhouetteSimplified,
+    "s12_knn_graph" -> s12KnnGraph,
+    "s13_graph_clusters" -> s13GraphClusters
   )
 
   /** Bucket width for the partition-local Conn query (c17). */
@@ -626,6 +628,119 @@ object Clustering {
         col("n_exact"),
         round(col("n_hit") / col("n_exact"), 6).as("recall"))
   }
+
+  /** s12: the corpus-wide k-NN GRAPH as a first-class artifact — every
+    * vector's top-[[L]] neighbors among its LSH candidates, (xi, rank,
+    * yi) rows. This is the intermediate c21 reduces to one Conn number
+    * and the building block everything graph-shaped consumes: graph
+    * clustering, connectivity objectives, semantic-dedup edges, and
+    * diversity sampling all start from exactly this frame. Candidate
+    * generation is the c21 chain (deterministic data-derived
+    * hyperplanes, per-table sign-bucket join, first-match cross-table
+    * dedup) feeding the L-bounded TopKByKey aggregate, so the exchange
+    * carries O(n·L) rows — never the n² window sort, which is how the
+    * same plan survives a corpus that no longer fits one task's sort
+    * buffer. The DuckDB oracle replays planes → buckets → candidates →
+    * per-point ranking with the window formulation as the independent
+    * cross-check; c21's hash-checked recall column is this graph's
+    * quality measurement. This face pins the 4×8 oracle layout; the
+    * production build and ScaleBench's decade row are
+    * [[s12KnnGraphAuto]], which grows the layout with the corpus
+    * ([[lshPlanesFor]]).
+    */
+  def s12KnnGraph: Q = (s, dir) =>
+    lshRankedNeighbors(s, dir, LshPlanes, LshTables)
+      .select(col("xi"), col("rnk").cast("int").as("rank"), col("yi"))
+      .orderBy(col("xi"), col("rank"))
+
+  /** The production graph build: [[s12KnnGraph]] with the plane layout
+    * DERIVED from the corpus count ([[lshPlanesFor]]) instead of the
+    * fixture-pinned 4×8 — the same fixed-layout-vs-auto split as
+    * [[c21ConnLsh]]/[[connLshAuto]], and for the same reason: a fixed
+    * layout has a fixed bucket-mass distribution, so its candidate count
+    * is Θ(n²) in the corpus (22 B pairs at x100 where the grown layout
+    * carries 183 M). No global order-by: a graph artifact is consumed
+    * joined-on-xi, not scanned in rank order, so the production face
+    * ends at the aggregate's output partitioning. At the sf0.01 fixture
+    * [[lshPlanesFor]] returns exactly [[LshPlanes]], so this IS the
+    * oracle face there (spec-pinned). ScaleBench's `s12_knn_graph`
+    * decade row times THIS face.
+    */
+  private[graft] def s12KnnGraphAuto(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.labeledPoints(s, dir).count()
+    lshRankedNeighbors(s, dir, lshPlanesFor(n), LshTables)
+      .select(col("xi"), col("rnk").cast("int").as("rank"), col("yi"))
+  }
+
+  /** Mutuality depth for [[s13GraphClusters]]: an edge needs BOTH
+    * endpoints within each other's top-[[S13MutualRank]] (not top-[[L]])
+    * to count. Measured on the fixture: at mutual-[[L]] the graph
+    * percolates into one 497-member component (the blobs overlap enough
+    * that 5-deep mutuality is everywhere), at 3 a 428-member giant
+    * forms, at 2 the corpus resolves into 202 components (max 14,
+    * 101 singletons) — actual neighborhood structure. Shallow mutuality
+    * IS the hub/percolation control knob of mutual-kNN clustering.
+    */
+  val S13MutualRank = 2
+
+  /** Mutual-kNN components over an (xi, rank, yi) top-L graph: an edge
+    * survives only if BOTH directions are in the graph at rank ≤
+    * [[S13MutualRank]] (the standard hub-pruning rule — an asymmetric
+    * neighbor claim is usually a hub absorbing everything near it),
+    * then min-label connected components assign every point its
+    * semantic-cluster id. Factored from [[s13GraphClusters]] so the
+    * fixed-layout oracle face and the auto-layout production face share
+    * one body.
+    */
+  private def mutualComponents(s: SparkSession, dir: String,
+      graph: DataFrame): DataFrame = {
+    // the LSH candidate chain feeds both sides of the mutuality join —
+    // persist it so the chain (bucket join + ranking aggregate) runs once
+    val g = graph.where(col("rank") <= S13MutualRank)
+      .select(col("xi"), col("yi")).persist()
+    val mutual = g.as("ga").join(g.as("gb"),
+        col("ga.xi") === col("gb.yi") && col("ga.yi") === col("gb.xi"))
+      .where(col("ga.xi") < col("ga.yi"))
+      .select(col("ga.xi").as("doc_a"), col("ga.yi").as("doc_b"))
+    val ids = Tables.labeledPoints(s, dir).select(col("id").as("doc_id"))
+    // pointer doubling, not the plain loop: near-dup chains through a
+    // vector corpus make mutual-kNN components DEEP (the x100 fixture's
+    // exceed the 30-round cap — measured), and doubling converges in
+    // O(log diameter) rounds; same fixpoint, spec'd in PipelineSpec
+    val out = graft.functions.Dedup
+      .connectedComponents(ids, mutual, pointerDoubling = true)
+      .select(col("doc_id").as("id"), col("group_id").as("component"))
+      .orderBy(col("id"))
+    g.unpersist()
+    out
+  }
+
+  /** s13: semantic clustering over the [[s12KnnGraph]] artifact —
+    * mutual-kNN edge filter at depth [[S13MutualRank]], then transitive
+    * components (the SemDeDup / graph-curation shape: cluster the
+    * corpus by neighborhood structure without choosing K). Every point
+    * gets (id, component = min reachable id); singletons label
+    * themselves. Scale shape: the graph build is s12's (O(n·L)
+    * exchange), mutuality is one self-join of an O(n·m) frame on
+    * (xi, yi) — a hash shuffle of graph-sized, not corpus-squared,
+    * rows — and the closure is the d6 propagation loop (shuffled once
+    * on dst, label side only per round). The DuckDB oracle replays the
+    * chain with a recursive CTE — an independent reachability
+    * algorithm, the d6 cross-check convention.
+    */
+  def s13GraphClusters: Q = (s, dir) =>
+    mutualComponents(s, dir,
+      lshRankedNeighbors(s, dir, LshPlanes, LshTables)
+        .select(col("xi"), col("rnk").as("rank"), col("yi")))
+
+  /** The production face: [[s13GraphClusters]] over the auto-layout
+    * graph ([[s12KnnGraphAuto]]); equals the pinned face at fixture
+    * size (spec). ScaleBench's `s13_graph_clusters` decade row times
+    * THIS face.
+    */
+  private[graft] def s13GraphClustersAuto(s: SparkSession,
+      dir: String): DataFrame =
+    mutualComponents(s, dir, s12KnnGraphAuto(s, dir))
 
   // ---- Pareto front (M2) as a distributed skyline --------------------------
 
@@ -1228,6 +1343,57 @@ object Clustering {
          |  n_exact::BIGINT AS n_exact,
          |  round(n_hit * 1.0 / n_exact, 6) AS recall
          |FROM cl CROSS JOIN ce CROSS JOIN h""".stripMargin),
+    // the c21 candidate chain alone, ending at the ranked pairs — the
+    // graph rows themselves, window-ranked as the independent
+    // cross-check of the TopKByKey bounded aggregate
+    "s12_knn_graph" ->
+      s"""WITH $P,
+         |pl AS (SELECT id, v FROM p WHERE id < ${LshPlanes * LshTables}),
+         |b AS (SELECT p.id, (pl.id // $LshPlanes)::INT AS tbl,
+         |    sum(CASE WHEN list_inner_product(p.v, pl.v) > 0
+         |      THEN (1::BIGINT << (pl.id % $LshPlanes)::INT)
+         |      ELSE 0::BIGINT END) AS bucket
+         |  FROM p CROSS JOIN pl GROUP BY p.id, pl.id // $LshPlanes),
+         |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
+         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |    AND x.id <> y.id)
+         |SELECT xi, rnk::INT AS rank, yi FROM (
+         |  SELECT cand.xi, cand.yi,
+         |    row_number() OVER (PARTITION BY cand.xi
+         |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
+         |  FROM cand JOIN p px ON px.id = cand.xi
+         |  JOIN p py ON py.id = cand.yi)
+         |WHERE rnk <= $L ORDER BY xi, rank""".stripMargin,
+    // the s12 chain through the mutuality filter, then reachability as a
+    // recursive CTE — an independent closure algorithm vs the Spark
+    // side's min-label propagation loop (the d6 cross-check convention)
+    "s13_graph_clusters" ->
+      s"""WITH RECURSIVE $P,
+         |pl AS (SELECT id, v FROM p WHERE id < ${LshPlanes * LshTables}),
+         |b AS (SELECT p.id, (pl.id // $LshPlanes)::INT AS tbl,
+         |    sum(CASE WHEN list_inner_product(p.v, pl.v) > 0
+         |      THEN (1::BIGINT << (pl.id % $LshPlanes)::INT)
+         |      ELSE 0::BIGINT END) AS bucket
+         |  FROM p CROSS JOIN pl GROUP BY p.id, pl.id // $LshPlanes),
+         |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
+         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |    AND x.id <> y.id),
+         |g AS (SELECT xi, yi FROM (
+         |  SELECT cand.xi, cand.yi,
+         |    row_number() OVER (PARTITION BY cand.xi
+         |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
+         |  FROM cand JOIN p px ON px.id = cand.xi
+         |  JOIN p py ON py.id = cand.yi)
+         |  WHERE rnk <= $S13MutualRank),
+         |mu AS (SELECT ga.xi AS src, ga.yi AS dst
+         |  FROM g ga JOIN g gb ON ga.xi = gb.yi AND ga.yi = gb.xi),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM mu
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN mu e ON r.dst = e.src)
+         |SELECT p.id, least(p.id, coalesce(min(r.dst), p.id)) AS component
+         |FROM p LEFT JOIN reach r ON r.src = p.id
+         |GROUP BY p.id ORDER BY p.id""".stripMargin,
     // a(i)/b(i) are the two smallest centroid distances (assignment IS
     // nearest-centroid), so the oracle ranks per-point distances and keeps
     // rn 1 and 2 — only the dist VALUES feed the score, so rank ties are

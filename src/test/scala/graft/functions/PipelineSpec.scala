@@ -461,6 +461,75 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(curve.last._2 === 1.0, s"full probe must be exact: $curve")
   }
 
+  test("s12 kNN graph: contiguous ranks, Conn over the graph equals c21") {
+    import graft.operators.Clustering
+    val graph = Clustering.s12KnnGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // per-point ranks are contiguous from 1, bounded by L, no self edges
+    graph.groupBy(_._1).foreach { case (xi, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length))
+      assert(rows.length <= Clustering.L)
+      assert(rows.forall(_._3 != xi))
+    }
+    // cross-operator law: Conn recomputed from the GRAPH plus the c1
+    // assignment equals c21's hash-checked conn_lsh — the reduction c21
+    // performs is exactly a fold over these rows
+    val cluster = Clustering.c1Assign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val conn = graph.map { case (xi, rnk, yi) =>
+      if (cluster(xi) == cluster(yi)) 1.0 / rnk else 0.0
+    }.sum
+    val c21 = Clustering.c21ConnLsh(spark, sfDir).collect()(0)
+    assert(math.abs(conn - c21.getDouble(0)) < 1e-3,
+      s"graph-fold Conn $conn != c21 ${c21.getDouble(0)}")
+    // fixed point: at the fixture size lshPlanesFor returns the pinned
+    // layout, so the production auto face IS the oracle face (the
+    // connLshAuto pin, restated for the graph artifact)
+    val auto = Clustering.s12KnnGraphAuto(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(auto.toSeq === graph.sorted.toSeq,
+      "s12KnnGraphAuto must equal the pinned-layout graph at fixture size")
+  }
+
+  test("s13 graph clusters: driver union-find twin, mutuality, fixed point") {
+    import graft.operators.Clustering
+    val comp = Clustering.s13GraphClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent algorithm twin: union-find over the mutual-m edges of
+    // the collected s12 graph must produce the identical labeling
+    val edges = Clustering.s12KnnGraph(spark, sfDir).collect()
+      .filter(_.getInt(1) <= Clustering.S13MutualRank)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mutual = edges.filter { case (x, y) => x < y && edges((y, x)) }
+    val parent = scala.collection.mutable.Map(comp.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    mutual.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    // path-compress to the min-id root (union by min keeps roots minimal)
+    val twin = comp.keys.map(k => k -> find(k)).toMap
+    assert(twin === comp, "union-find twin disagrees with propagation")
+    // mutuality law: some candidate pairs must be asymmetric-only and
+    // therefore possibly split; every mutual pair must co-label
+    mutual.foreach { case (x, y) =>
+      assert(comp(x) === comp(y), s"mutual pair ($x,$y) split") }
+    // structure law: shallow mutuality must NOT percolate — the corpus
+    // resolves into many components with singletons present (at
+    // mutual-L the fixture collapses to one 497-member giant; the
+    // rank-2 rule is what makes the labeling informative)
+    val sizes = comp.values.groupBy(identity).map(_._2.size)
+    assert(mutual.nonEmpty && sizes.size > 100 && sizes.count(_ == 1) > 50
+        && sizes.max < 50,
+      s"unexpected component structure: ${sizes.size} comps, max ${sizes.max}")
+    // fixed point: the auto face equals the pinned face at fixture size
+    val auto = Clustering.s13GraphClustersAuto(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(auto === comp,
+      "s13GraphClustersAuto must equal the pinned face at fixture size")
+  }
+
   test("s11 filtered ANN: predicate holds, pre-filter beats post-filter") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val lab = e.select(col("vec_id"), col("label")).collect()
