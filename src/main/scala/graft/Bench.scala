@@ -96,6 +96,15 @@ object Bench {
         graft.functions.Similarity.invalidateIvfAdcBuild(sfDir)
         graft.functions.Similarity.writeIvfAdcIndex(spark, sfDir,
           s"${graft.functions.Similarity.artifactRoot(sfDir)}/ivfadc")
+      } :+
+      // s14's two-table graph index (planes + pre-signed component
+      // rows), same discipline: the s14 row above serves against the
+      // holdout store its warmup pass wrote; this row times the full
+      // graph build + closure + export at the production auto layout
+      buildRow("s14_index_build") {
+        graft.operators.Clustering.invalidateKnnGraphIndex(sfDir)
+        graft.operators.Clustering.writeKnnGraphIndex(spark, sfDir,
+          s"${graft.functions.Similarity.artifactRoot(sfDir)}/s14_graph_full")
       }
 
     // Locale.ROOT: the f-interpolator is locale-sensitive and would emit

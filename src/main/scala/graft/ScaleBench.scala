@@ -124,6 +124,15 @@ object ScaleBench {
     // self-join + the d6 propagation loop; the delta over s12's row
     // prices the clustering itself
     "s13_graph_clusters",
+    // round-14: the semantic-component budget cut — s13's build + one
+    // doc-side join + the p12 grouped prefix sum; the delta over s13's
+    // row prices the cut
+    "p14_semantic_budget",
+    // round-14: graph-index serving — the corpus-sized build is its own
+    // s14_index_build row; this row serves a 1/8 delta batch against
+    // the frozen store (delta signs itself, probes pre-signed buckets,
+    // argmin — no corpus re-sign, no corpus shuffle)
+    "s14_graph_assign",
     "c1_assign", "c17_conn_partitioned", "c19_conn_topk",
     "c20_silhouette_simplified",
     "mm2_frame_census", "mm8_wav_meta", "mm9_pcm_stats",
@@ -1255,6 +1264,21 @@ object ScaleBench {
           graft.operators.Clustering.s12KnnGraphAuto(spark, work)
         case "s13_graph_clusters" =>
           graft.operators.Clustering.s13GraphClustersAuto(spark, work)
+        case "p14_semantic_budget" =>
+          graft.functions.Curation.semanticBudget(
+            Tables.documents(spark, work),
+            graft.operators.Clustering.s13GraphClustersAuto(spark, work)
+              .select(col("id"), col("component")))
+        case "s14_graph_assign" =>
+          // serve-only: the s14_index_build row pre-built the full
+          // auto-layout store; this prices labeling a 1/8 batch
+          graft.operators.Clustering.assignFromGraphIndex(
+            Tables.labeledPoints(spark, work)
+              .select(col("id"), col("features"))
+              .where(pmod(col("id"),
+                lit(graft.operators.Clustering.S14Mod)) ===
+                lit(graft.operators.Clustering.S14Res)),
+            s"${graft.functions.Similarity.artifactRoot(work)}/s14_graph_full")
         case _ => SparkEntry.queries(name)(spark, work)
       }).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -1298,6 +1322,11 @@ object ScaleBench {
           graft.functions.Similarity.invalidateIvfAdcBuild(work)
           graft.functions.Similarity.writeIvfAdcIndex(spark, work,
             s"${graft.functions.Similarity.artifactRoot(work)}/ivfadc")
+        }),
+        "s14_index_build" -> (set.contains("s14_graph_assign"), () => {
+          graft.operators.Clustering.invalidateKnnGraphIndex(work)
+          graft.operators.Clustering.writeKnnGraphIndex(spark, work,
+            s"${graft.functions.Similarity.artifactRoot(work)}/s14_graph_full")
         })).collect { case (name, (true, build)) =>
           val (t, _) = timed(build())
           name -> t

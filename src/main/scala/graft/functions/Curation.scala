@@ -49,7 +49,8 @@ object Curation {
     "p6_stratified_sample" -> p6StratifiedSample,
     "p8_token_budget" -> p8TokenBudget,
     "p12_cluster_budget" -> p12ClusterBudget,
-    "p13_curriculum_pack" -> p13CurriculumPack
+    "p13_curriculum_pack" -> p13CurriculumPack,
+    "p14_semantic_budget" -> p14SemanticBudget
   )
 
   /** Eval-set boundary (doc_id < this = held-out) and overlap gram size
@@ -473,6 +474,47 @@ object Curation {
       .select(col("doc_id"), col("score"), col("n_tokens"),
         (col("tokens_before") / PackBudget).cast("long").as("seq"))
 
+  /** Per-component token budget for [[p14SemanticBudget]]: binds for
+    * the fixture's multi-member components (sizes up to 14 at median
+    * 56 tokens/doc) while every singleton — and every component's
+    * best-scored member — always survives (tokens_before = 0).
+    */
+  val P14Budget = 150L
+
+  /** p14: the p12 budget cut keyed by DATA-DERIVED semantic components
+    * instead of a pinned-K k-means — s13's mutual-kNN clusters decide
+    * where the token budget is spent, so no latent near-dup
+    * neighborhood monopolizes it and every discovered neighborhood
+    * keeps at least its best member (the diversity floor). Same
+    * grouped factored prefix sum as p12 ([[tokenBudgetByKey]] — three
+    * narrow passes, no whole-key window task), with the component ids
+    * normalized to long (min vec_ids survive the 1e8-per-copy key
+    * remap where k-means cids stay small). Scale shape: s13's graph
+    * build + closure, one doc-side join, then p12's linear cut. The
+    * oracle replays the whole chain — LSH graph → mutuality →
+    * recursive reachability → scoring → per-component window cut — as
+    * ONE statement.
+    */
+  def p14SemanticBudget: Q = (s, dir) => {
+    val comp = graft.operators.Clustering.s13GraphClusters(s, dir)
+      .select(col("id"), col("component"))
+    semanticBudget(Tables.documents(s, dir), comp)
+  }
+
+  /** The p14 cut over any (doc_id, text) corpus and (id, component)
+    * labeling — factored so ScaleBench can feed the auto-layout
+    * components and the spec can feed synthetic labelings.
+    */
+  private[graft] def semanticBudget(docs: DataFrame,
+      comp: DataFrame): DataFrame =
+    tokenBudgetByKey(
+      diversityScored(docs)
+        .join(comp, col("doc_id") === col("id"))
+        .select(col("doc_id"), col("component").as("cid"),
+          col("score"), col("n_tokens")),
+      SelectParts, P14Budget)
+      .orderBy(col("doc_id"))
+
   /** p4: offset-quantized contiguous sequence packing — the shard's token
     * stream (docs in doc_id order) is cut at fixed [[PackBudget]] offsets
     * and each document belongs to the sequence containing its FIRST
@@ -635,7 +677,11 @@ object Curation {
       budget: Long): DataFrame = {
     val s = scored.sparkSession
     import s.implicits._
+    // cid normalized to long: p12's k-means cids are small ints, but
+    // p14's semantic-component keys are min vec_ids, which pass
+    // Int.MaxValue once the 1e8-per-copy key remap is in play
     val parts = scored
+      .withColumn("cid", col("cid").cast("long"))
       .repartitionByRange(numParts, col("cid").asc, col("score").desc,
         col("doc_id").asc)
       .withColumn("pid", spark_partition_id())
@@ -643,7 +689,7 @@ object Curation {
     val totals = parts.groupBy(col("pid"), col("cid"))
       .agg(sum(col("n_tokens")).as("t"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val offsets = totals.map { case (pid, cid, _) =>
       (pid, cid,
         totals.filter(x => x._2 == cid && x._1 < pid).map(_._3).sum)
@@ -805,7 +851,7 @@ object Curation {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
          |      AS tokens_before
          |  FROM j)
-         |SELECT doc_id, cid::INT AS cid, score, n_tokens, tokens_before
+         |SELECT doc_id, cid::BIGINT AS cid, score, n_tokens, tokens_before
          |FROM b WHERE tokens_before < $P12ClusterBudget
          |ORDER BY doc_id""".stripMargin
     },
@@ -827,6 +873,56 @@ object Curation {
          |SELECT doc_id, score, n_tokens,
          |  (tokens_before // $PackBudget)::BIGINT AS seq
          |FROM c ORDER BY doc_id""".stripMargin,
+    // the s13 recursive-reachability chain + the p12 window-cut
+    // convention, composed into one statement over the component key
+    "p14_semantic_budget" -> {
+      import graft.operators.Clustering.{LshPlanes, LshTables, S13MutualRank}
+      s"""WITH RECURSIVE
+         |p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pl AS (SELECT id, v FROM p WHERE id < ${LshPlanes * LshTables}),
+         |bk AS (SELECT p.id, (pl.id // $LshPlanes)::INT AS tbl,
+         |    sum(CASE WHEN list_inner_product(p.v, pl.v) > 0
+         |      THEN (1::BIGINT << (pl.id % $LshPlanes)::INT)
+         |      ELSE 0::BIGINT END) AS bucket
+         |  FROM p CROSS JOIN pl GROUP BY p.id, pl.id // $LshPlanes),
+         |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
+         |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |    AND x.id <> y.id),
+         |g AS (SELECT xi, yi FROM (
+         |  SELECT cand.xi, cand.yi,
+         |    row_number() OVER (PARTITION BY cand.xi
+         |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
+         |  FROM cand JOIN p px ON px.id = cand.xi
+         |  JOIN p py ON py.id = cand.yi)
+         |  WHERE rnk <= $S13MutualRank),
+         |mu AS (SELECT ga.xi AS src, ga.yi AS dst
+         |  FROM g ga JOIN g gb ON ga.xi = gb.yi AND ga.yi = gb.xi),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM mu
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN mu e ON r.dst = e.src),
+         |grp AS (SELECT p.id, least(p.id, coalesce(min(r.dst), p.id))
+         |    AS component
+         |  FROM p LEFT JOIN reach r ON r.src = p.id GROUP BY p.id),
+         |sc AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    ((len(list_distinct(toks)) * 1000) // len(toks))::BIGINT
+         |      AS score
+         |  FROM (SELECT doc_id,
+         |      string_split_regex(trim(text), '\\s+') AS toks
+         |    FROM documents WHERE ${nonBlankSql("text")})),
+         |j AS (SELECT sc.doc_id, grp.component AS cid, sc.score,
+         |    sc.n_tokens
+         |  FROM sc JOIN grp ON grp.id = sc.doc_id),
+         |b AS (SELECT doc_id, cid, score, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY cid
+         |      ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS tokens_before
+         |  FROM j)
+         |SELECT doc_id, cid::BIGINT AS cid, score, n_tokens, tokens_before
+         |FROM b WHERE tokens_before < $P14Budget
+         |ORDER BY doc_id""".stripMargin
+    },
     "p4_seq_packing" ->
       s"""WITH t AS (SELECT doc_id, doc_id // $PackShard AS shard,
          |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens

@@ -53,7 +53,8 @@ object Clustering {
     "c21_conn_lsh" -> c21ConnLsh,
     "c20_silhouette_simplified" -> c20SilhouetteSimplified,
     "s12_knn_graph" -> s12KnnGraph,
-    "s13_graph_clusters" -> s13GraphClusters
+    "s13_graph_clusters" -> s13GraphClusters,
+    "s14_graph_assign" -> s14GraphAssign
   )
 
   /** Bucket width for the partition-local Conn query (c17). */
@@ -411,8 +412,16 @@ object Clustering {
     */
   private def lshPlaneRows(s: SparkSession, dir: String,
       numPlanes: Int, numTables: Int): Seq[Array[Double]] =
-    Tables.labeledPoints(s, dir)
-      .orderBy(col("id")).limit(numPlanes * numTables)
+    planeRowsOf(Tables.labeledPoints(s, dir), numPlanes, numTables)
+
+  /** The same first-rows-by-id convention over an arbitrary
+    * (id, features) corpus — the s14 index draws its planes from the
+    * INDEXED corpus only, so a held-out serving batch never leaks into
+    * the layout.
+    */
+  private def planeRowsOf(corpus: DataFrame,
+      numPlanes: Int, numTables: Int): Seq[Array[Double]] =
+    corpus.orderBy(col("id")).limit(numPlanes * numTables)
       .select(col("features")).collect()
       .map(_.getSeq[Double](0).toArray).toSeq
 
@@ -456,9 +465,20 @@ object Clustering {
     */
   private[graft] def lshRankedNeighbors(s: SparkSession, dir: String,
       numPlanes: Int, numTables: Int,
+      xiFilter: Option[Column] = None): DataFrame =
+    lshRankedNeighborsOf(
+      assigned(s, dir).select(col("id"), col("features"), col("cluster")),
+      lshPlaneRows(s, dir, numPlanes, numTables),
+      numPlanes, numTables, xiFilter)
+
+  /** [[lshRankedNeighbors]] over an arbitrary (id, features, cluster)
+    * corpus and explicit plane rows — factored so the s14 graph index
+    * can build the same candidate chain on a held-out-filtered corpus
+    * with planes drawn from that corpus alone.
+    */
+  private[graft] def lshRankedNeighborsOf(pc: DataFrame,
+      planes: Seq[Array[Double]], numPlanes: Int, numTables: Int,
       xiFilter: Option[Column] = None): DataFrame = {
-    val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
-    val planes = lshPlaneRows(s, dir, numPlanes, numTables)
     // every table's bucket computed once per point and carried as an
     // array: the exploded (tbl, bucket) rows drive the bucket join, and
     // the arrays on BOTH sides let a pair colliding in several tables be
@@ -692,7 +712,7 @@ object Clustering {
     * fixed-layout oracle face and the auto-layout production face share
     * one body.
     */
-  private def mutualComponents(s: SparkSession, dir: String,
+  private def mutualComponents(ids0: DataFrame,
       graph: DataFrame): DataFrame = {
     // the LSH candidate chain feeds both sides of the mutuality join —
     // persist it so the chain (bucket join + ranking aggregate) runs once
@@ -702,7 +722,7 @@ object Clustering {
         col("ga.xi") === col("gb.yi") && col("ga.yi") === col("gb.xi"))
       .where(col("ga.xi") < col("ga.yi"))
       .select(col("ga.xi").as("doc_a"), col("ga.yi").as("doc_b"))
-    val ids = Tables.labeledPoints(s, dir).select(col("id").as("doc_id"))
+    val ids = ids0.select(col("id").as("doc_id"))
     // pointer doubling, not the plain loop: near-dup chains through a
     // vector corpus make mutual-kNN components DEEP (the x100 fixture's
     // exceed the 30-round cap — measured), and doubling converges in
@@ -729,7 +749,7 @@ object Clustering {
     * algorithm, the d6 cross-check convention.
     */
   def s13GraphClusters: Q = (s, dir) =>
-    mutualComponents(s, dir,
+    mutualComponents(Tables.labeledPoints(s, dir),
       lshRankedNeighbors(s, dir, LshPlanes, LshTables)
         .select(col("xi"), col("rnk").as("rank"), col("yi")))
 
@@ -740,7 +760,158 @@ object Clustering {
     */
   private[graft] def s13GraphClustersAuto(s: SparkSession,
       dir: String): DataFrame =
-    mutualComponents(s, dir, s12KnnGraphAuto(s, dir))
+    mutualComponents(Tables.labeledPoints(s, dir), s12KnnGraphAuto(s, dir))
+
+  // ---- s14: persisted graph index + assignment serving ---------------------
+
+  /** Held-out split for [[s14GraphAssign]] (the d11 `DeltaMod`
+    * convention): ids ≡ [[S14Res]] (mod [[S14Mod]]) form the arriving
+    * batch; the rest are the indexed corpus. The planes are drawn from
+    * the INDEXED corpus only, so the serving batch never leaks into
+    * the layout.
+    */
+  val S14Mod = 8L
+  val S14Res = 0L
+
+  /** Graph-index frames over an arbitrary (id, features) corpus:
+    * `planes` (pid, v) at the given layout, `points` (id, features,
+    * sigs, component) — each corpus point's per-table sign buckets
+    * (computed once, stored, so serving never re-signs the corpus) and
+    * its mutual-kNN component ([[mutualComponents]]).
+    */
+  private def knnGraphIndexFrames(s: SparkSession, corpus: DataFrame,
+      numPlanes: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val planes = planeRowsOf(corpus, numPlanes, LshTables)
+    val pc = corpus.select(col("id"), col("features"),
+      lit(0).as("cluster")).persist()
+    val graph = lshRankedNeighborsOf(pc, planes, numPlanes, LshTables)
+      .select(col("xi"), col("rnk").as("rank"), col("yi"))
+    val comp = mutualComponents(pc, graph)
+    val planesDf = planes.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toDF("pid", "v")
+    val pointsDf = pc
+      .withColumn("sigs", lshSigsCol(planes, numPlanes, LshTables))
+      .join(comp, "id")
+      .select(col("id"), col("features"), col("sigs"), col("component"))
+    (planesDf, pointsDf)
+  }
+
+  private val writtenGraphIdx =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write the two-table graph index for `corpus` at `path` (memoized
+    * per `key` within the JVM — the s9 write discipline).
+    */
+  private[graft] def writeKnnGraphIndexOf(s: SparkSession,
+      corpus: DataFrame, numPlanes: Int, path: String,
+      key: String): Unit = {
+    if (writtenGraphIdx.contains(key)) return
+    val (planesDf, pointsDf) = knnGraphIndexFrames(s, corpus, numPlanes)
+    planesDf.coalesce(1).write.mode("overwrite").parquet(s"$path/planes")
+    pointsDf.write.mode("overwrite").parquet(s"$path/points")
+    writtenGraphIdx.add(key)
+  }
+
+  /** The production build face: the FULL corpus at the auto-derived
+    * layout ([[lshPlanesFor]]) — build once, then serve arriving
+    * vectors forever via [[assignFromGraphIndex]] /
+    * [[serveGraphAssignStream]].
+    */
+  private[graft] def writeKnnGraphIndex(s: SparkSession, dir: String,
+      path: String): Unit = {
+    val pts = Tables.labeledPoints(s, dir).select(col("id"), col("features"))
+    writeKnnGraphIndexOf(s, pts, lshPlanesFor(pts.count()), path,
+      s"$dir->$path->full")
+  }
+
+  /** Drops the per-JVM written-index memo for `dir` so a timed build
+    * row re-exports (the p7 `invalidate` contract).
+    */
+  def invalidateKnnGraphIndex(dir: String): Unit = {
+    val it = writtenGraphIdx.iterator()
+    while (it.hasNext) if (it.next().startsWith(dir + "->")) it.remove()
+  }
+
+  /** Assign a batch of (id, features) vectors against a persisted
+    * graph index: sign each vector with the FROZEN planes (a driver
+    * read — the planes table is layout-sized), bucket-join against the
+    * store's pre-computed sigs (exploded from parquet, no corpus
+    * re-signing), and take each vector's nearest candidate's component
+    * via a partial-aggregatable struct-min — no window, no exact pass.
+    * A vector colliding with a candidate in several tables contributes
+    * duplicate pairs; the argmin is unaffected, so no first-match
+    * dedup is spent on them. Vectors with NO bucket collision mint a
+    * new singleton component = their own id (null neighbor) — exactly
+    * what an ingest pipeline does with a genuinely novel point.
+    */
+  private[graft] def assignFromGraphIndex(batch: DataFrame,
+      path: String): DataFrame = {
+    val s = batch.sparkSession
+    val planeRows = s.read.parquet(s"$path/planes")
+      .orderBy(col("pid")).collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val numPlanes = planeRows.length / LshTables
+    val store = s.read.parquet(s"$path/points")
+      .select(col("id").as("nid"), col("features").as("nv"),
+        col("component"),
+        posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    val q = batch
+      .withColumn("sigs", lshSigsCol(planeRows, numPlanes, LshTables))
+      .select(col("id"), col("features"),
+        posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    val best = q.join(store, Seq("tbl", "bucket"))
+      .groupBy(col("id"))
+      .agg(min(struct(
+        Linalg.euclidCol(col("features"), col("nv")).as("dist"),
+        col("nid").as("nid"),
+        col("component").as("component"))).as("b"))
+      .select(col("id"), col("b.nid").as("neighbor"),
+        col("b.component").as("component"))
+    batch.select(col("id")).join(best, Seq("id"), "left")
+      .select(col("id"), col("neighbor"),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Streaming serving face (the p12 `serveClusterAssignStream`
+    * discipline): arriving vectors are component-labeled per
+    * micro-batch against the FROZEN index — build once, serve forever.
+    */
+  def serveGraphAssignStream(vecs: DataFrame, path: String)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        sink(assignFromGraphIndex(batch.toDF(), path))
+      }
+      .start()
+
+  /** s14: graph-index serving, END TO END — build the two-table index
+    * on the corpus MINUS the held-out ids (planes, pre-signed buckets,
+    * s13 components), then label every held-out vector with its
+    * nearest bucket-candidate's component from the persisted store.
+    * This is d11's incremental-serving shape for the GRAPH family: the
+    * corpus is never re-signed or re-shuffled per batch — the delta
+    * signs itself against frozen planes and probes the store. The
+    * registered face pins the 4×8 oracle layout (fixture-portable,
+    * like s12/s13); production builds ride [[writeKnnGraphIndex]]'s
+    * auto layout. The DuckDB oracle replays the ENTIRE chain from raw
+    * `embeddings` — base split → planes → sigs → mutual graph →
+    * recursive components → delta sigs → bucket probe → argmin — with
+    * the window formulation as the independent cross-check of the
+    * struct-min.
+    */
+  def s14GraphAssign: Q = (s, dir) => {
+    val pts = Tables.labeledPoints(s, dir).select(col("id"), col("features"))
+    val path = s"${graft.functions.Similarity.artifactRoot(dir)}/s14_graph"
+    writeKnnGraphIndexOf(s,
+      pts.where(pmod(col("id"), lit(S14Mod)) =!= lit(S14Res)),
+      LshPlanes, path, s"$dir->$path->holdout")
+    assignFromGraphIndex(
+      pts.where(pmod(col("id"), lit(S14Mod)) === lit(S14Res)), path)
+      .orderBy(col("id"))
+  }
 
   // ---- Pareto front (M2) as a distributed skyline --------------------------
 
@@ -1394,6 +1565,59 @@ object Clustering {
          |SELECT p.id, least(p.id, coalesce(min(r.dst), p.id)) AS component
          |FROM p LEFT JOIN reach r ON r.src = p.id
          |GROUP BY p.id ORDER BY p.id""".stripMargin,
+    // the whole serving chain from raw embeddings (the d11 oracle
+    // convention — deterministic index, no parquet read): base split →
+    // planes from the BASE only → base sigs → mutual graph → recursive
+    // components → delta sigs → bucket probe → window-ranked argmin
+    "s14_graph_assign" ->
+      s"""WITH RECURSIVE $P,
+         |bc AS (SELECT id, v FROM p WHERE id % $S14Mod != $S14Res),
+         |pl AS (SELECT v, row_number() OVER (ORDER BY id) - 1 AS pid
+         |  FROM bc ORDER BY id LIMIT ${LshPlanes * LshTables}),
+         |b AS (SELECT bc.id, (pl.pid // $LshPlanes)::INT AS tbl,
+         |    sum(CASE WHEN list_inner_product(bc.v, pl.v) > 0
+         |      THEN (1::BIGINT << (pl.pid % $LshPlanes)::INT)
+         |      ELSE 0::BIGINT END) AS bucket
+         |  FROM bc CROSS JOIN pl GROUP BY bc.id, pl.pid // $LshPlanes),
+         |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
+         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |    AND x.id <> y.id),
+         |g AS (SELECT xi, yi FROM (
+         |  SELECT cand.xi, cand.yi,
+         |    row_number() OVER (PARTITION BY cand.xi
+         |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
+         |  FROM cand JOIN bc px ON px.id = cand.xi
+         |  JOIN bc py ON py.id = cand.yi)
+         |  WHERE rnk <= $S13MutualRank),
+         |mu AS (SELECT ga.xi AS src, ga.yi AS dst
+         |  FROM g ga JOIN g gb ON ga.xi = gb.yi AND ga.yi = gb.xi),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM mu
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN mu e ON r.dst = e.src),
+         |grp AS (SELECT bc.id, least(bc.id, coalesce(min(r.dst), bc.id))
+         |    AS component
+         |  FROM bc LEFT JOIN reach r ON r.src = bc.id GROUP BY bc.id),
+         |d AS (SELECT id, v FROM p WHERE id % $S14Mod = $S14Res),
+         |db AS (SELECT d.id, (pl.pid // $LshPlanes)::INT AS tbl,
+         |    sum(CASE WHEN list_inner_product(d.v, pl.v) > 0
+         |      THEN (1::BIGINT << (pl.pid % $LshPlanes)::INT)
+         |      ELSE 0::BIGINT END) AS bucket
+         |  FROM d CROSS JOIN pl GROUP BY d.id, pl.pid // $LshPlanes),
+         |cd AS (SELECT DISTINCT db.id AS qid, b.id AS nid
+         |  FROM db JOIN b ON db.tbl = b.tbl AND db.bucket = b.bucket),
+         |best AS (SELECT qid, nid FROM (
+         |  SELECT cd.qid, cd.nid,
+         |    row_number() OVER (PARTITION BY cd.qid
+         |      ORDER BY list_distance(dv.v, nv.v), cd.nid) AS rn
+         |  FROM cd JOIN d dv ON dv.id = cd.qid
+         |  JOIN bc nv ON nv.id = cd.nid)
+         |  WHERE rn = 1)
+         |SELECT d.id, best.nid AS neighbor,
+         |  coalesce(grp.component, d.id) AS component
+         |FROM d LEFT JOIN best ON best.qid = d.id
+         |LEFT JOIN grp ON grp.id = best.nid
+         |ORDER BY d.id""".stripMargin,
     // a(i)/b(i) are the two smallest centroid distances (assignment IS
     // nearest-centroid), so the oracle ranks per-point distances and keeps
     // rn 1 and 2 — only the dist VALUES feed the score, so rank ties are

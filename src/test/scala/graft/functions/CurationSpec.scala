@@ -258,7 +258,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     Curation.writeClusterCentroids(spark, sfDir, path)
     assert(readCents() === first, "k-means refit must be deterministic")
     val sel = Curation.serveClusterBudget(spark, sfDir, path).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(sel.map(_._2).distinct.length > 1,
       "selection must span multiple induced clusters")
@@ -279,7 +279,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
         var before = 0L
         docs.sortBy(d => (-d._3, d._1)).flatMap { case (id, nT, sc) =>
           val row = if (before < Curation.P12ClusterBudget)
-            Some((id, cid, sc, nT, before)) else None
+            Some((id, cid.toLong, sc, nT, before)) else None
           before += nT
           row
         }
@@ -328,6 +328,55 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val inOrder = got.sortBy { case (id, sc, _, _) => (-sc, id) }.map(_._4)
     assert(inOrder.sliding(2).forall(p => p.head <= p.last))
     assert(got.map(_._4).distinct.length > 1)
+  }
+
+  test("p14 semantic budget: driver replay over the s13 components, " +
+      "diversity floor, long component keys survive") {
+    val sel = Curation.p14SemanticBudget(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val comp = graft.operators.Clustering.s13GraphClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(_.getString(1).trim.nonEmpty)
+      .map { r =>
+        val toks = r.getString(1).trim.split("\\s+")
+        (r.getLong(0), toks.length.toLong,
+          toks.distinct.length.toLong * 1000 / toks.length)
+      }
+    // driver replay of the per-component score-desc prefix cut
+    val want = docs.groupBy(d => comp(d._1)).toSeq
+      .flatMap { case (cid, members) =>
+        var before = 0L
+        members.sortBy(d => (-d._3, d._1)).flatMap { case (id, nT, sc) =>
+          val row = if (before < Curation.P14Budget)
+            Some((id, cid, sc, nT, before)) else None
+          before += nT
+          row
+        }
+      }.toSet
+    assert(sel.toSet === want)
+    // diversity floor: every component's best-scored member is kept,
+    // and the budget genuinely binds somewhere (some doc is dropped)
+    val keptIds = sel.map(_._1).toSet
+    docs.groupBy(d => comp(d._1)).foreach { case (cid, members) =>
+      val best = members.minBy(d => (-d._3, d._1))._1
+      assert(keptIds(best), s"component $cid lost its best member $best")
+    }
+    assert(keptIds.size < docs.length,
+      "fixture budget must bind — nothing was cut")
+    // the Long-key path: a component id past Int.MaxValue (the
+    // 1e8-per-copy remap regime) flows through the grouped cut intact
+    import spark.implicits._
+    val bigCid = Int.MaxValue.toLong + 7L
+    val synth = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha alpha alpha alpha"))
+      .toDF("doc_id", "text")
+    val lab = Seq((1L, bigCid), (2L, bigCid)).toDF("id", "component")
+    val got = Curation.semanticBudget(synth, lab).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === Set((1L, bigCid), (2L, bigCid)))
   }
 
   test("p5c grades every train doc; agrees with p5's boolean overlap") {

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.functions.{col, length, size}
+import org.apache.spark.sql.functions.{col, length, lit, pmod, size}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -528,6 +528,52 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(auto === comp,
       "s13GraphClustersAuto must equal the pinned face at fixture size")
+  }
+
+  test("s14 graph index: self-serve fixed point, held-out assignments " +
+      "land in stored components") {
+    import graft.operators.Clustering
+    val path = java.nio.file.Files.createTempDirectory("s14_idx")
+      .toString + "/graph"
+    val pts = graft.sources.Tables.labeledPoints(spark, sfDir)
+      .select(col("id"), col("features"))
+    val base = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) =!= lit(Clustering.S14Res))
+    Clustering.writeKnnGraphIndexOf(spark, base,
+      Clustering.LshPlanes, path, s"pipespec->$path")
+    val stored = spark.read.parquet(s"$path/points")
+      .select(col("id"), col("component")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // fixed point: re-serving the indexed corpus through its own store
+    // returns every point's own stored component (each point's nearest
+    // candidate at distance 0 is itself, or an exact duplicate inside
+    // the same dist-0 mutual component)
+    val self = Clustering.assignFromGraphIndex(base, path).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    self.foreach { case (id, comp) =>
+      assert(comp === stored(id), s"self-serve moved $id to $comp") }
+    assert(self.length === stored.size)
+    // held-out serving: every delta id gets a row; a row's component is
+    // a stored component (nearest-candidate inheritance) unless it had
+    // no bucket collision, in which case it minted its own id
+    val delta = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) === lit(Clustering.S14Res))
+    val served = Clustering.assignFromGraphIndex(delta, path).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+    assert(served.length === delta.count())
+    val storedComps = stored.values.toSet
+    served.foreach { case (id, nb, comp) =>
+      nb match {
+        case Some(n) =>
+          assert(comp === stored(n), s"$id inherited $comp != stored($n)")
+        case None =>
+          assert(comp === id, s"collision-less $id minted $comp, not itself")
+      }
+    }
+    assert(served.exists(_._2.isDefined),
+      "fixture delta must collide with the store somewhere")
+    assert(storedComps.nonEmpty)
   }
 
   test("s11 filtered ANN: predicate holds, pre-filter beats post-filter") {

@@ -26,7 +26,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "m1_mopso_archive", "t4b_bpe_merges", "t4c_bpe_apply",
     "d6_dedup_groups", "d7_semantic_groups", "p1_corpus_curation",
     "p10_pipeline_e2e", "mm10b_audio_dedup", "mm6b_pixel_dedup",
-    "s13_graph_clusters",
+    "s13_graph_clusters", "p14_semantic_budget", "s14_graph_assign",
     // s9's trained coarse + residual codebooks and p7's logistic
     // regression run seeded MLlib fits (driver-side jobs) during
     // CONSTRUCTION — the m1 family; their plan shapes (s8's scan +

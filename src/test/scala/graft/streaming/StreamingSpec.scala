@@ -639,6 +639,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming graph assignment against the frozen index matches batch s14") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // s14's serving shape: the graph index persisted once (planes +
+    // pre-signed points + components), held-out vectors labeled per
+    // micro-batch — the union over batches must equal the one-shot
+    // batch assignment of the same rows
+    import graft.operators.Clustering
+    val path = java.nio.file.Files.createTempDirectory("s14_stream")
+      .toString + "/graph"
+    val pts = Tables.labeledPoints(spark, sfDir)
+      .select(col("id"), col("features"))
+    Clustering.writeKnnGraphIndexOf(spark,
+      pts.where(pmod(col("id"), lit(Clustering.S14Mod)) =!=
+        lit(Clustering.S14Res)),
+      Clustering.LshPlanes, path, s"spec->$path")
+    val delta = pts
+      .where(pmod(col("id"), lit(Clustering.S14Mod)) ===
+        lit(Clustering.S14Res))
+      .collect().map(r => VecRow(r.getLong(0), r.getSeq[Double](1))).toSeq
+    val input = MemoryStream[VecRow]
+    val got = scala.collection.mutable.Set[(Long, Option[Long], Long)]()
+    val query = Clustering.serveGraphAssignStream(
+      input.toDF().select(col("vec_id").as("id"), col("features")),
+      path) { labeled =>
+      got.synchronized {
+        got ++= labeled.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      }
+    }
+    try {
+      input.addData(delta.take(delta.length / 2))
+      query.processAllAvailable()
+      input.addData(delta.drop(delta.length / 2))
+      query.processAllAvailable()
+      val want = Clustering.s14GraphAssign(spark, sfDir).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+        .toSet
+      assert(got.toSet === want)
+      assert(got.size === delta.length)
+    } finally query.stop()
+  }
+
   test("streaming rotated-ANN serving against the frozen rotation matches batch s10b") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
