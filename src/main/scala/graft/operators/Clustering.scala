@@ -873,6 +873,35 @@ object Clustering {
         coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Append an arriving batch INTO the persisted graph store (the d11
+    * append contract, for neighborhood state): each delta vector is
+    * component-labeled against the CURRENT store
+    * ([[assignFromGraphIndex]]), signed against the frozen planes, and
+    * appended to `points/` — existing rows are immutable (their
+    * components never change), so sequential appends compose
+    * deterministically and a later batch can inherit a component
+    * through an earlier appended row (chain growth, spec'd). The
+    * planes stay frozen: an append never re-shuffles or re-signs the
+    * corpus, which is the whole point — the store drifts from the
+    * layout a fresh build would derive, and the rebuild cadence is the
+    * same staleness trade d11/s9 measured for their stores.
+    */
+  private[graft] def appendToGraphIndex(batch: DataFrame,
+      path: String): Unit = {
+    val s = batch.sparkSession
+    val planeRows = s.read.parquet(s"$path/planes")
+      .orderBy(col("pid")).collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val numPlanes = planeRows.length / LshTables
+    val labeled = assignFromGraphIndex(batch, path)
+      .select(col("id"), col("component"))
+    batch
+      .withColumn("sigs", lshSigsCol(planeRows, numPlanes, LshTables))
+      .join(labeled, "id")
+      .select(col("id"), col("features"), col("sigs"), col("component"))
+      .write.mode("append").parquet(s"$path/points")
+  }
+
   /** Streaming serving face (the p12 `serveClusterAssignStream`
     * discipline): arriving vectors are component-labeled per
     * micro-batch against the FROZEN index — build once, serve forever.

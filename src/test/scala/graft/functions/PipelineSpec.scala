@@ -576,6 +576,52 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(storedComps.nonEmpty)
   }
 
+  test("s14 append: existing rows immutable, appended labels serve back, " +
+      "a later batch inherits through an appended row") {
+    import graft.operators.Clustering
+    val path = java.nio.file.Files.createTempDirectory("s14_app")
+      .toString + "/graph"
+    val pts = graft.sources.Tables.labeledPoints(spark, sfDir)
+      .select(col("id"), col("features"))
+    val base = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) =!= lit(Clustering.S14Res))
+    Clustering.writeKnnGraphIndexOf(spark, base,
+      Clustering.LshPlanes, path, s"appspec->$path")
+    def storeRows() = spark.read.parquet(s"$path/points")
+      .select(col("id"), col("component")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val before = storeRows()
+    val delta = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) === lit(Clustering.S14Res))
+    val assignedPre = Clustering.assignFromGraphIndex(delta, path)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    Clustering.appendToGraphIndex(delta, path)
+    val after = storeRows()
+    // immutability: every pre-append row kept its component verbatim
+    before.foreach { case (id, c) =>
+      assert(after(id) === c, s"append mutated stored row $id") }
+    // the appended rows carry exactly their pre-append assignment
+    assignedPre.foreach { case (id, c) =>
+      assert(after(id) === c, s"appended $id stored ${after(id)} != $c") }
+    // serving an appended id now self-matches its stored component
+    val reServed = Clustering.assignFromGraphIndex(delta, path)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    reServed.foreach { case (id, c) => assert(c === after(id)) }
+    // chain growth: an exact twin of an appended vector (new id) must
+    // inherit THROUGH the appended row — dist 0 to it, and to nothing
+    // else, since the twin's original is held out of the base store
+    import spark.implicits._
+    val seedId = assignedPre.keys.min
+    val seedVec = delta.where(col("id") === seedId)
+      .collect()(0).getSeq[Double](1)
+    val twin = Seq((seedId + 1000000L, seedVec)).toDF("id", "features")
+    val twinServed = Clustering.assignFromGraphIndex(twin, path).collect()(0)
+    assert(twinServed.getLong(1) === seedId,
+      "twin's nearest candidate must be the appended row itself")
+    assert(twinServed.getLong(2) === after(seedId),
+      "twin must inherit the appended row's component")
+  }
+
   test("s11 filtered ANN: predicate holds, pre-filter beats post-filter") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val lab = e.select(col("vec_id"), col("label")).collect()
