@@ -574,6 +574,16 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(served.exists(_._2.isDefined),
       "fixture delta must collide with the store somewhere")
     assert(storedComps.nonEmpty)
+    // plan audit of the per-batch SERVE face (the PlanAuditSpec gate
+    // skips s14's registered face as iterative because of the in-query
+    // index build; the serve plan is static and must stay clean): the
+    // candidate probe is a (tbl, bucket) equi-join, never a cartesian
+    val physical = Clustering.assignFromGraphIndex(delta, path)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"serve plan grew a cartesian-shaped join:\n$physical")
   }
 
   test("s14 append: existing rows immutable, appended labels serve back, " +
