@@ -1069,6 +1069,61 @@ object ScaleBench {
       "d11_store_bucket_build" -> tBucket, "d11_index_build" -> tBuild)
   }
 
+  /** The d11bucket comparison for the GRAPH store: the same delta
+    * batch served against (a) the plain parquet points table (the
+    * store side shuffles on (tbl, bucket) because the feature-carrying
+    * batch is past the broadcast threshold) and (b) a
+    * bucket-partitioned saveAsTable of the pre-exploded rows (the
+    * store side reads exchange-free; only the batch side moves).
+    * Checksum-guarded: both layouts must produce identical
+    * assignments.
+    */
+  private def s14BucketCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.operators.Clustering
+    import graft.functions.Similarity
+    val path = s"${Similarity.artifactRoot(work)}/s14_graph_full"
+    Clustering.invalidateKnnGraphIndex(work)
+    val (tBuild, _) =
+      timed(Clustering.writeKnnGraphIndex(spark, work, path))
+    val delta = Tables.labeledPoints(spark, work)
+      .where(pmod(col("id"), lit(Clustering.S14Mod)) ===
+        lit(Clustering.S14Res))
+      .select(col("id"), col("features"))
+    val planeRows = spark.read.parquet(s"$path/planes")
+      .orderBy(col("pid")).collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+    def checksum(out: DataFrame): (Long, Long, Long) = {
+      val r = out.agg(count(lit(1)), sum(col("component")),
+        sum(coalesce(col("neighbor"), lit(0L)))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def plainForm() = checksum(Clustering.assignFromGraphIndex(delta, path))
+    val db = "graft_s14_bucket"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db " +
+      s"LOCATION '$work/s14_bucket_warehouse'")
+    spark.sql(s"USE $db")
+    spark.sql("DROP TABLE IF EXISTS s14_points_b")
+    val (tBucket, _) = timed {
+      spark.read.parquet(s"$path/points")
+        .select(col("id").as("nid"), col("features").as("nv"),
+          col("component"),
+          posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+        .write.bucketBy(32, "tbl", "bucket").sortBy("tbl", "bucket")
+        .saveAsTable("s14_points_b")
+    }
+    def bucketedForm() = checksum(Clustering.assignFromGraphStore(
+      delta, planeRows, spark.table("s14_points_b")))
+    // one untimed pass each (JIT + page cache), then the timed pair
+    plainForm(); bucketedForm()
+    val (tP, csP) = timed(plainForm())
+    val (tS, csS) = timed(bucketedForm())
+    require(csP == csS,
+      s"bucketed s14 diverged from the plain store: $csP vs $csS")
+    Seq("s14_serve_plain" -> tP, "s14_serve_bucketed" -> tS,
+      "s14_store_bucket_build" -> tBucket, "s14_index_build" -> tBuild)
+  }
+
   private def layeredCompare(spark: SparkSession,
       work: String): Seq[(String, Double)] = {
     import graft.functions.{Dedup, Similarity}
@@ -1169,6 +1224,7 @@ object ScaleBench {
           Some(Set("documents", "embeddings"))
         else if (mode == "d11deep" || mode == "d11bucket")
           Some(Set("documents"))
+        else if (mode == "s14bucket") Some(Set("embeddings"))
         // bpe30k generates its own zipf corpus — no fixture needed
         else if (mode == "bpe30k") Some(Set.empty)
         else None,
@@ -1178,7 +1234,8 @@ object ScaleBench {
         mode == "bpe" || mode == "bpe30k" || mode == "connlsh" ||
         mode == "ivfauto" || mode == "layout" || mode == "pq" ||
         mode == "d9border" || mode == "pqdisk" || mode == "layered" ||
-        mode == "d11deep" || mode == "d11bucket" || mode == "trunc") {
+        mode == "d11deep" || mode == "d11bucket" || mode == "trunc" ||
+        mode == "s14bucket") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -1220,6 +1277,9 @@ object ScaleBench {
         else if (mode == "d11bucket")
           ("d11_bucket_compare", d11BucketCompare(spark, work),
             "scale_d11bucket.json")
+        else if (mode == "s14bucket")
+          ("s14_bucket_compare", s14BucketCompare(spark, work),
+            "scale_s14bucket.json")
         else if (mode == "trunc")
           ("trunc_curve", truncCompare(spark, work),
             "scale_trunc.json")

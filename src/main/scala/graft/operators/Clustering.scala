@@ -851,11 +851,22 @@ object Clustering {
     val planeRows = s.read.parquet(s"$path/planes")
       .orderBy(col("pid")).collect()
       .map(_.getSeq[Double](1).toArray).toSeq
+    assignFromGraphStore(batch, planeRows,
+      s.read.parquet(s"$path/points")
+        .select(col("id").as("nid"), col("features").as("nv"),
+          col("component"),
+          posexplode(col("sigs")).as(Seq("tbl", "bucket"))))
+  }
+
+  /** The serve core over an arbitrary EXPLODED store frame
+    * (tbl, bucket, nid, nv, component) — factored so ScaleBench's
+    * `s14bucket` mode can feed a bucket-partitioned table (store-side
+    * exchange-free join) against the plain parquet explode and compare
+    * the two serving layouts at scale.
+    */
+  private[graft] def assignFromGraphStore(batch: DataFrame,
+      planeRows: Seq[Array[Double]], store: DataFrame): DataFrame = {
     val numPlanes = planeRows.length / LshTables
-    val store = s.read.parquet(s"$path/points")
-      .select(col("id").as("nid"), col("features").as("nv"),
-        col("component"),
-        posexplode(col("sigs")).as(Seq("tbl", "bucket")))
     val q = batch
       .withColumn("sigs", lshSigsCol(planeRows, numPlanes, LshTables))
       .select(col("id"), col("features"),
