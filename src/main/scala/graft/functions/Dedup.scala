@@ -563,8 +563,10 @@ object Dedup {
     * groups mix quality levels, and a production pipeline keeps the
     * BEST member: here the highest p8 token-diversity score
     * (`n_distinct · 1000 div n_tokens` — the engine's one deterministic
-    * quality scalar), ties to the smallest doc_id. Emits one row per
-    * d6 group: (group_id, rep_id, rep_score, n_members).
+    * quality scalar; blank docs score 0 under p8's nonBlank gate so a
+    * whitespace-only member can never represent real content), ties to
+    * the smallest doc_id. Emits one row per d6 group:
+    * (group_id, rep_id, rep_score, n_members).
     *
     * Scale shape: the d6 closure plus ONE extra hash aggregate. The
     * argmax is `min(struct(-score, doc_id))` — a partial-aggregatable
@@ -594,13 +596,20 @@ object Dedup {
     */
   private[functions] def groupReps(groups: DataFrame,
       docs: DataFrame): DataFrame = {
+    // blank docs score 0, not the phantom-token maximum: a
+    // whitespace-only doc tokenizes to one empty token (n_distinct =
+    // n_tokens = 1 → score 1000) and would beat every real member —
+    // the exact hazard p8's nonBlank gate exists for (ADVICE r14). An
+    // all-blank group falls through to the min-doc_id tie-break.
     val scored = docs
-      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"),
+        Curation.nonBlankCol(col("text")).as("nb"))
+      .select(col("doc_id"), col("nb"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
       .select(col("doc_id"),
-        expr("n_distinct * 1000 div n_tokens").as("score"))
+        when(col("nb"), expr("n_distinct * 1000 div n_tokens"))
+          .otherwise(lit(0L)).as("score"))
     groups.join(scored, "doc_id")
       .groupBy(col("group_id"))
       .agg(
@@ -1311,9 +1320,10 @@ object Dedup {
          |$edgesReachSql,
          |${grpSqlFrom("documents")},
          |dsc AS (SELECT doc_id,
-         |    ((len(list_distinct(toks)) * 1000) // len(toks))::BIGINT
-         |      AS score
-         |  FROM (SELECT doc_id,
+         |    (CASE WHEN ${Curation.nonBlankSql("text")}
+         |      THEN (len(list_distinct(toks)) * 1000) // len(toks)
+         |      ELSE 0 END)::BIGINT AS score
+         |  FROM (SELECT doc_id, text,
          |      string_split_regex(trim(text), '\\s+') AS toks
          |    FROM documents)),
          |r AS (SELECT grp.group_id, grp.doc_id, dsc.score,

@@ -314,10 +314,6 @@ object Similarity {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Stage-1-by-L2 variant of [[truncatedTopK]]'s tail: shortlist by
-    * euclidean distance in the (vec_id, tv) projection frame, exact
-    * full-dim cosine rerank from `full`.
-    */
   /** Rotated ranking over EXPLICIT query vectors (vec_id, features) —
     * the serving face [[serveRotatedStream]] applies per micro-batch:
     * both corpus and arriving queries project through the SAME

@@ -303,6 +303,46 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tokenBudgetByKey at 10k data-derived components (the p14 key " +
+      "domain, mostly singletons) matches a driver replay at any " +
+      "partition count") {
+    // VERDICT r14's one scale-killer was the driver-side offsets fold,
+    // O(T²) in the (partition, key) totals — fine for p12's K=32,
+    // fatal for p14's corpus-scaled component keys. This pins the
+    // windowed replacement on exactly that key domain: ~10⁴ keys,
+    // mostly singletons, ids past Int.MaxValue (the 1e8-remap regime).
+    import spark.implicits._
+    val n = 10000
+    val base = Int.MaxValue.toLong + 11L
+    val rows = (0 until n).map { i =>
+      // every 100th trio shares a component; the rest are singletons
+      val cid = if (i % 100 < 3) base + (i / 100) * 100 else base + i
+      (i.toLong, cid, (i * 37 % 1000).toLong, (50 + i % 100).toLong)
+    }
+    val budget = 100L
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, members) =>
+      var before = 0L
+      members.sortBy(r => (-r._3, r._1)).flatMap { case (id, cid, sc, nT) =>
+        val row = if (before < budget) Some((id, cid, sc, nT, before))
+          else None
+        before += nT
+        row
+      }
+    }.toSet
+    // the cut binds in EVERY trio (members carry 50..52 tokens, so the
+    // third always starts past the 100-token budget and the second
+    // never does) while every singleton survives at tokens_before = 0
+    assert(want.size === n - n / 100)
+    for (numParts <- Seq(7, 32)) {
+      val got = Curation.tokenBudgetByKey(
+        rows.toDF("doc_id", "cid", "score", "n_tokens"), numParts, budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(got.toSet === want, s"numParts=$numParts diverged")
+    }
+  }
+
   test("p13 curriculum packing matches a driver-side quality-order replay") {
     val got = Curation.p13CurriculumPack(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -713,4 +713,55 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got === Array((1L, 3L, 1000L, 2L), (2L, 9L, 1000L, 2L)))
   }
+
+  test("d12 blank members never represent a group; all-blank groups " +
+      "fall to the min-id tie-break") {
+    import spark.implicits._
+    // a whitespace-only doc tokenizes to one phantom token and would
+    // score the 1000 maximum without the nonBlank gate (ADVICE r14) —
+    // it must lose to ANY real member, even a repetitive one
+    val docs = Seq(
+      (2L, " \t\n "), (6L, "x x y y"),
+      (11L, "   "), (13L, "\t")).toDF("doc_id", "text")
+    val groups = Seq((2L, 1L), (6L, 1L), (11L, 2L), (13L, 2L))
+      .toDF("doc_id", "group_id")
+    val got = Dedup.groupReps(groups, docs)
+      .orderBy(col("group_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array((1L, 6L, 500L, 2L), (2L, 11L, 0L, 2L)))
+  }
+
+  test("s14 bucketed serving layout: the default face equals the " +
+      "plain-parquet fallback and stays in sync through append") {
+    import graft.operators.Clustering
+    val path = java.nio.file.Files.createTempDirectory("s14_bkt")
+      .toString + "/graph"
+    val pts = graft.sources.Tables.labeledPoints(spark, sfDir)
+      .select(col("id"), col("features"))
+    val base = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) =!= lit(Clustering.S14Res))
+    Clustering.writeKnnGraphIndexOf(spark, base,
+      Clustering.LshPlanes, path, s"bktspec->$path")
+    assert(new java.io.File(s"$path/points_bucketed").exists(),
+      "build must export the bucketed serving layout")
+    val delta = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) === lit(Clustering.S14Res))
+    def served(useBucketed: Boolean) =
+      Clustering.assignFromGraphIndex(delta, path, useBucketed)
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(served(true) === served(false),
+      "bucketed layout diverged from the plain store")
+    // the append path must write BOTH layouts, so serving stays
+    // layout-invariant afterwards and the stores stay row-identical
+    Clustering.appendToGraphIndex(delta, path)
+    assert(served(true) === served(false),
+      "bucketed layout out of sync after append")
+    val nPlain =
+      Clustering.graphStoreFrame(spark, path, useBucketed = false).count()
+    assert(Clustering.graphStoreFrame(spark, path).count() === nPlain,
+      "bucketed store row count drifted from the plain store")
+  }
 }

@@ -102,6 +102,67 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         s"${allowCartesian -- offenders.toSet}")
   }
 
+  test("s14 graph-store serve sub-plan: bucket equi-join, " +
+      "partial-aggregatable struct-min, no window, store side " +
+      "exchange-free on the bucketed layout") {
+    // s13/p14/s14 are construction-skipped above (their builds run
+    // driver jobs — the m1 family), but the per-batch SERVE plan is
+    // static and auditable directly against a pre-written store
+    // (VERDICT r14 "What's missing" #3)
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.operators.Clustering
+    val path = java.nio.file.Files.createTempDirectory("audit_s14")
+      .toString + "/graph"
+    val pts = graft.sources.Tables.labeledPoints(spark, sfDir)
+      .select(col("id"), col("features"))
+    Clustering.writeKnnGraphIndexOf(spark,
+      pts.where(pmod(col("id"), lit(Clustering.S14Mod)) =!=
+        lit(Clustering.S14Res)),
+      Clustering.LshPlanes, path, s"audit->$path")
+    val batch = pts.where(pmod(col("id"), lit(Clustering.S14Mod)) ===
+      lit(Clustering.S14Res))
+    // audit in the AT-SCALE join regime: at x100 the feature-carrying
+    // batch is past the broadcast threshold (the measured condition of
+    // scale_s14bucket.json), so the fixture audit disables broadcast —
+    // otherwise the planner broadcasts the tiny test batch and both
+    // layouts degenerate to the same exchange-free store scan
+    def audit(useBucketed: Boolean): String = {
+      val df = Clustering.assignFromGraphIndex(batch, path, useBucketed)
+      val physical = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      assert(!physical.contains("CartesianProduct") &&
+        !physical.contains("BroadcastNestedLoopJoin"),
+        s"serve plan grew a cartesian-shaped join:\n$physical")
+      assert(df.queryExecution.optimizedPlan.collect {
+          case w: logical.Window => w
+        }.isEmpty,
+        "serve plan must carry no window — the argmin is the struct-min " +
+          "aggregate")
+      assert(physical.contains("partial_min"),
+        s"struct-min must partial-aggregate map-side:\n$physical")
+      physical
+    }
+    def exchanges(useBucketed: Boolean): Int =
+      "(?m)^[^\\n]*Exchange".r.findAllIn(audit(useBucketed)).length
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the bucketed (default) layout reads the store pre-partitioned
+      // on the (tbl, bucket) probe key: only the batch side may
+      // exchange, so the plan carries strictly fewer shuffles than the
+      // plain fallback
+      val formatted = Clustering.assignFromGraphIndex(batch, path)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      assert(formatted.contains("Bucketed: true"),
+        s"default serve face must ride the bucketed scan:\n$formatted")
+      assert(exchanges(useBucketed = true) <
+          exchanges(useBucketed = false),
+        "bucketed serve must drop the store-side exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      prevThreshold)
+  }
+
   test("no undeclared unpartitioned window in any query plan") {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(iterative)
     val offenders = names.filter { n =>
