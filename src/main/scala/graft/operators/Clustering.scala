@@ -700,6 +700,12 @@ object Clustering {
     * forms, at 2 the corpus resolves into 202 components (max 14,
     * 101 singletons) — actual neighborhood structure. Shallow mutuality
     * IS the hub/percolation control knob of mutual-kNN clustering.
+    * Decade-backed (r15, `scale_s13rank_x{10,100}.json`): on the scaled
+    * clone-structured fixtures rank 1 under-merges (strict mutual-NN
+    * can only form matched pairs — 12,607/123,646 components at
+    * x10/x100), rank 2 recovers exactly the 2,000 base clusters at both
+    * decades, and ranks 3–5 are byte-identical to 2 — depth 2 sits
+    * between pair-matching fragmentation below and percolation above.
     */
   val S13MutualRank = 2
 
@@ -974,8 +980,15 @@ object Clustering {
     * through an earlier appended row (chain growth, spec'd). The
     * planes stay frozen: an append never re-shuffles or re-signs the
     * corpus, which is the whole point — the store drifts from the
-    * layout a fresh build would derive, and the rebuild cadence is the
-    * same staleness trade d11/s9 measured for their stores.
+    * layout a fresh build would derive. The drift is MEASURED
+    * (`scale_s14stale_x10.json`, the d11/s9 staleness protocol):
+    * appending 12/25/50% of the corpus in four sequential batches
+    * against a frozen base store yields adjusted-Rand agreement
+    * 0.895/0.826/0.855 with a fresh full rebuild, the stale store
+    * carrying 42–67% MORE components (appended points mint singletons
+    * their later-arriving neighbors would have merged; appends never
+    * refine base neighborhoods). The rebuild cadence is the point on
+    * that curve a deployment tolerates.
     */
   private[graft] def appendToGraphIndex(batch: DataFrame,
       path: String): Unit = {
