@@ -663,6 +663,14 @@ object ScaleBench {
         Similarity.nearDupCandidatePairs(spark, work).toDouble,
       "s4_bucket_pairs_capped" ->
         Similarity.nearDupCandidatePairsCapped(spark, work).toDouble,
+      // r15: the graph build's capped-emission valve, measured as a
+      // candidate-mass formula over the bucket histogram — the number
+      // that decides whether the s12 chain survives the third decade
+      // (SCALE.md §r15: uncapped = 608.9B at x1000-eps)
+      s"graph_pairs_capped${Clustering.GraphBuildCap}" ->
+        Clustering.lshCappedCandidatePairCount(spark, work,
+          scaled, Clustering.LshTables,
+          Clustering.GraphBuildCap).toDouble,
       "cheap_metrics_only" -> 1.0)
   }
 

@@ -506,6 +506,77 @@ object Clustering {
         .where(col("xi") =!= col("yi") && col("tbl") === firstMatch))
   }
 
+  /** Candidate-side cap for [[lshRankedNeighborsCapped]] — the graph
+    * build's third-decade valve (SCALE.md §r15: the UNCAPPED bucket
+    * join carries 608.9 B pairs at x1000 because ε-clones are
+    * hyperplane-inseparable, so clone-cluster bucket mass grows with
+    * the data and pairs grow with its square; every capped generator in
+    * the tree — d3/s4/d7 — already bounds this). 64 = 6.4× [[L]]:
+    * enough in-cap members that each query still ranks a full top-L
+    * even when some candidates tie at distance 0.
+    */
+  val GraphBuildCap = 64
+
+  /** [[lshRankedNeighborsOf]] with the CANDIDATE side of every
+    * (tbl, bucket) capped to its first `cap` members by id (the d3
+    * `MaxBucket` convention): every point still queries (the x side is
+    * uncapped), but ranks against ≤ tables·cap candidates, so the
+    * join's row count is Σ (m−1)·min(m, cap) — LINEAR in the corpus at
+    * clone-dominated bucket masses where the uncapped Σ m·(m−1) is
+    * quadratic ([[lshCappedCandidatePairCount]] measures the formula;
+    * the uncapped twin is [[lshCandidatePairCount]]). Inside a mass
+    * bucket the capped-out members are near-duplicates of the in-cap
+    * ones by construction — ranking against any `cap` of them
+    * preserves the neighborhood — but the first-match cross-table
+    * dedup cannot ride the sig arrays here (cap survival is per
+    * (tbl, bucket), not pairwise-visible), so the capped face
+    * deduplicates pairs with one result-sized shuffle: affordable
+    * exactly because the cap bounds the result. Opt-in scale face —
+    * the registered s12/c21 chain stays the uncapped recall-measured
+    * form; capped-vs-uncapped equality at a fixture-saturating cap and
+    * the mass-bucket bound are spec-pinned (PipelineSpec). Recall at
+    * the decades and the s13/s14 handoff are the named next items.
+    */
+  private[graft] def lshRankedNeighborsCapped(pc: DataFrame,
+      planes: Seq[Array[Double]], numPlanes: Int, numTables: Int,
+      cap: Int): DataFrame = {
+    val b = pc.withColumn("sigs", lshSigsCol(planes, numPlanes, numTables))
+      .select(col("id"), col("features"), col("cluster"),
+        posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    val x = b.select(col("tbl"), col("bucket"), col("id").as("xi"),
+      col("features").as("xv"), col("cluster").as("cx"))
+    val wB = Window.partitionBy(col("tbl"), col("bucket"))
+      .orderBy(col("id"))
+    val y = b
+      .withColumn("rn", row_number().over(wB))
+      .where(col("rn") <= cap)
+      .select(col("tbl"), col("bucket"), col("id").as("yi"),
+        col("features").as("yv"), col("cluster").as("cy"))
+    topRankedPairs(
+      x.join(y, Seq("tbl", "bucket"))
+        .where(col("xi") =!= col("yi"))
+        .dropDuplicates("xi", "yi"))
+  }
+
+  /** The capped join's exact candidate-row count from the bucket
+    * histogram (no pair materialization): Σ (m−1)·min(m, cap) over
+    * every (tbl, bucket) — each of the m query-side members meets
+    * min(m, cap) candidates minus its own in-cap self-match. The
+    * cap→∞ limit is [[lshCandidatePairCount]]'s Σ m·(m−1).
+    */
+  private[graft] def lshCappedCandidatePairCount(s: SparkSession,
+      dir: String, numPlanes: Int, numTables: Int, cap: Int): Long = {
+    val pc = assigned(s, dir).select(col("features"))
+    val planes = lshPlaneRows(s, dir, numPlanes, numTables)
+    pc.select(posexplode(lshSigsCol(planes, numPlanes, numTables))
+        .as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c") - lit(1L)) *
+          least(col("c"), lit(cap.toLong))), lit(0L)).as("pairs"))
+      .head().getLong(0)
+  }
+
   /** Neighbor recall of a layout at DATA scale, from a deterministic
     * sample: every step-th id gets its exact top-L from a
     * broadcast-sample × all-points ranking (O(s·n) compute — the

@@ -764,4 +764,53 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Clustering.graphStoreFrame(spark, path).count() === nPlain,
       "bucketed store row count drifted from the plain store")
   }
+
+  test("capped graph build: identical to the uncapped chain at a " +
+      "saturating cap; a mass bucket stays bounded and fully ranked") {
+    import graft.operators.Clustering
+    val pc = graft.sources.Tables.labeledPoints(spark, sfDir)
+      .select(col("id"), col("features"),
+        org.apache.spark.sql.functions.lit(0).as("cluster"))
+    // the s2 plane convention, replicated: first planes·tables points
+    val planes = pc.orderBy(col("id"))
+      .limit(Clustering.LshPlanes * Clustering.LshTables)
+      .select(col("features")).collect()
+      .map(_.getSeq[Double](0).toArray).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("xi"), col("rnk"), col("yi"))
+        .collect().map(_.toSeq).toSet
+    // a cap no fixture bucket reaches ⇒ the capped face must reproduce
+    // the uncapped graph EXACTLY (same pairs, same ranking), proving
+    // the dropDuplicates dedup equals the first-match rule when
+    // nothing is capped out
+    val uncapped = rows(Clustering.lshRankedNeighborsOf(pc, planes,
+      Clustering.LshPlanes, Clustering.LshTables))
+    val capped = rows(Clustering.lshRankedNeighborsCapped(pc, planes,
+      Clustering.LshPlanes, Clustering.LshTables, cap = 1 << 20))
+    assert(capped === uncapped,
+      "saturating cap must reproduce the uncapped graph byte-for-byte")
+    // the motivating regime: ONE bucket holding 200 near-identical
+    // clones (the ε-clone mass that makes the uncapped join quadratic).
+    // With cap = 16 every point still receives a full top-L ranking,
+    // and every candidate comes from the in-cap id prefix — the
+    // neighborhood survives because in a mass bucket any cap members
+    // ARE the neighborhood
+    import spark.implicits._
+    val m = 200
+    val clones = (0 until m)
+      .map(i => (i.toLong, Seq.fill(4)(1.0 + i * 1e-9), 0))
+      .toDF("id", "features", "cluster")
+    val cPlanes = (0 until 32).map(i => Array.fill(4)(1.0 + i * 1e-9)).toSeq
+    val got = Clustering.lshRankedNeighborsCapped(clones, cPlanes,
+      Clustering.LshPlanes, Clustering.LshTables, cap = 16)
+      .select(col("xi"), col("rnk"), col("yi")).collect()
+    assert(got.map(_.getLong(0)).distinct.length === m,
+      "every clone must still be ranked as a query")
+    assert(got.forall(_.getLong(2) < 16L),
+      "all candidates must come from the capped id prefix")
+    got.groupBy(_.getLong(0)).foreach { case (xi, rs) =>
+      assert(rs.length === Clustering.L,
+        s"query $xi must still receive a full top-L from the cap")
+    }
+  }
 }
