@@ -122,6 +122,15 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the full line above exceeds the driver record's 2 KB stdout tail,
+    // so its per-query map never parsed (every BENCH_r*.json carried
+    // parsed: null — VERDICT r15 next-8). Emit a SHORT final line that
+    // fits the tail whole: the total plus a pointer at the file
+    // carrying the complete map (tools/bench_ratio.py reads that file
+    // unchanged).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","n_queries":${results.length},""" +
+      s""""queries_file":"$outPath"}""")
     spark.stop()
   }
 }

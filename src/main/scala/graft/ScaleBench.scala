@@ -1110,51 +1110,153 @@ object ScaleBench {
       delta, path, useBucketed = false))
     def bucketedForm() = checksum(Clustering.assignFromGraphIndex(
       delta, path))
-    // one untimed pass each (JIT + page cache), then the timed pair
+    // one untimed pass each (JIT + page cache), then THREE timed passes
+    // per layout (the BASELINE.md drift protocol's same-session warm
+    // pair, VERDICT r15 next-4): the median decides, the spread shows
+    // whether a small-batch constant is real or VM noise
     plainForm(); bucketedForm()
-    val (tP, csP) = timed(plainForm())
-    val (tS, csS) = timed(bucketedForm())
-    require(csP == csS,
-      s"bucketed s14 diverged from the plain store: $csP vs $csS")
-    Seq("s14_serve_plain" -> tP, "s14_serve_bucketed" -> tS,
-      "s14_index_build" -> tBuild)
+    val ps = (1 to 3).map(_ => timed(plainForm()))
+    val bs = (1 to 3).map(_ => timed(bucketedForm()))
+    require(ps.map(_._2).distinct.size == 1 &&
+        ps.head._2 == bs.head._2 && bs.map(_._2).distinct.size == 1,
+      s"bucketed s14 diverged from the plain store: " +
+        s"${ps.map(_._2)} vs ${bs.map(_._2)}")
+    ps.zipWithIndex.map { case ((t, _), i) => s"s14_serve_plain_p${i + 1}" -> t } ++
+      bs.zipWithIndex.map { case ((t, _), i) => s"s14_serve_bucketed_p${i + 1}" -> t } ++
+      Seq("s14_serve_plain" -> ps.map(_._1).sorted.apply(1),
+        "s14_serve_bucketed" -> bs.map(_._1).sorted.apply(1),
+        "s14_index_build" -> tBuild)
   }
 
   /** Components-vs-mutualRank table (VERDICT r14 next-6): is the
     * `S13MutualRank = 2` pin — chosen from fixture percolation — still
     * the right hub/percolation knob once near-dup chains lengthen at
-    * the decades? The auto-layout ranked graph is built ONCE and
+    * the decades? The auto-layout ranked graph (the CAPPED production
+    * chain since r16, orphan fan-out included) is built ONCE and
     * persisted so the five closures share one candidate chain; per
     * rank 1..5 the record carries component count, max component size,
-    * singleton share, and the closure time.
+    * singleton share, the closure time, and a PARTITION CHECKSUM —
+    * Σ pmod(xxhash64(id, component), 10⁶), exactly representable in the
+    * record's doubles — so "identical at ranks r and r′" is backed by
+    * label-level evidence, not just matching summary stats (ADVICE
+    * r15).
     */
   private def s13RankCompare(spark: SparkSession,
       work: String): Seq[(String, Double)] = {
     import graft.operators.Clustering
     val graphPath = s"$work/s13rank_graph"
+    val orphPath = s"$work/s13rank_orphans"
     val (tGraph, _) = timed {
-      Clustering.s12KnnGraphAuto(spark, work)
+      val n = Tables.labeledPoints(spark, work).count()
+      val (graph, orphans) = Clustering.cappedGraphAt(spark, work,
+        Clustering.lshPlanesFor(n), Clustering.LshTables,
+        Clustering.GraphBuildCap)
+      graph.select(col("xi"), col("rnk").as("rank"), col("yi"))
         .write.mode("overwrite").parquet(graphPath)
+      orphans.write.mode("overwrite").parquet(orphPath)
     }
     val ids = Tables.labeledPoints(spark, work)
     val n = ids.count().toDouble
     val graph = spark.read.parquet(graphPath)
+    val orphans = spark.read.parquet(orphPath)
     val rows = (1 to 5).flatMap { rank =>
       val (t, stats) = timed {
-        val r = Clustering.mutualComponents(ids, graph, rank)
+        val comp = Clustering.mutualComponents(ids, graph, rank,
+          orphans = Some(orphans)).localCheckpoint(eager = true)
+        val r = comp
           .groupBy(col("component"))
           .agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)), max(col("sz")),
             sum(when(col("sz") === 1, 1L).otherwise(0L)))
           .collect()(0)
-        (r.getLong(0), r.getLong(1), r.getLong(2))
+        val ck = comp.agg(sum(pmod(
+            xxhash64(col("id"), col("component")), lit(1000000L))))
+          .collect()(0).getLong(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), ck)
       }
       Seq(s"s13rank${rank}_components" -> stats._1.toDouble,
         s"s13rank${rank}_max_size" -> stats._2.toDouble,
         s"s13rank${rank}_singleton_share" -> stats._3 / n,
+        s"s13rank${rank}_partition_checksum" -> stats._4.toDouble,
         s"s13rank${rank}_closure_sec" -> t)
     }
     Seq("s13rank_graph_build" -> tGraph) ++ rows
+  }
+
+  /** Sampled neighbor recall of the CAPPED production graph vs both the
+    * exact top-L and the uncapped chain (VERDICT r15 next-1's "measured
+    * recall" requirement): every ~step-th id (hash-sampled, ~500
+    * queries) gets its exact top-L from the broadcast O(s·n) ranking —
+    * the denominator that stays linear at decades where the full
+    * exact pass is the quadratic stall — and the capped/uncapped
+    * LSH-fed top-L at the auto layout, query side pruned BEFORE the
+    * bucket join. Records recall-vs-exact for both chains plus the
+    * capped chain's edge overlap with the uncapped one (what the cap
+    * actually discards), with per-leg wall clock.
+    */
+  private def graphRecallCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.operators.Clustering
+    val n = Tables.labeledPoints(spark, work).count()
+    val numPlanes = Clustering.lshPlanesFor(n)
+    val step = math.max(1L, n / 500L)
+    val xiF = Some(Clustering.sampledId(col("xi"), step))
+    val (tEx, (exact, nExact)) =
+      timed(Clustering.sampledExactNeighbors(spark, work, step))
+    def leg(df: org.apache.spark.sql.DataFrame) =
+      timed(df.select(col("xi"), col("yi")).localCheckpoint(eager = true))
+    val (tU, unc) = leg(Clustering.lshRankedNeighbors(spark, work,
+      numPlanes, Clustering.LshTables, xiFilter = xiF))
+    val (tC, cap) = leg(Clustering.cappedGraphAt(spark, work,
+      numPlanes, Clustering.LshTables, Clustering.GraphBuildCap,
+      xiFilter = xiF)._1)
+    val nU = unc.count().toDouble
+    def hits(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Double =
+      a.join(b, Seq("xi", "yi"), "left_semi").count().toDouble
+    Seq(
+      "graphrecall_n_points" -> n.toDouble,
+      "graphrecall_n_queries" -> (nExact.toDouble / Clustering.L),
+      "graphrecall_exact_sec" -> tEx,
+      "graphrecall_uncapped_sec" -> tU,
+      "graphrecall_capped_sec" -> tC,
+      "graphrecall_uncapped_vs_exact" -> hits(unc, exact) / nExact,
+      "graphrecall_capped_vs_exact" -> hits(cap, exact) / nExact,
+      "graphrecall_capped_vs_uncapped" -> hits(cap, unc) / nU)
+  }
+
+  /** Adversarial mega-bucket probe for the capped generator (VERDICT
+    * r15 next-6): a synthetic corpus whose every point lands in ONE
+    * bucket per table, at 10⁵ and 10⁶ members — far past any
+    * data-derived bucket mass — timing the whole capped chain. The two
+    * suspects are the per-bucket row_number sort (a single task sorts
+    * the whole corpus once per table) and the result-sized pair dedup
+    * (n·tables·cap rows before DISTINCT); if the single-task sort is
+    * the wall, the cap selection moves to the TopKByKey aggregate
+    * (min-cap-by-id is exactly its shape). Emits rows/sec so the two
+    * sizes expose the scaling exponent directly.
+    */
+  private def megaBucketProbe(spark: SparkSession): Seq[(String, Double)] = {
+    import graft.operators.Clustering
+    Seq(100000, 1000000).flatMap { n =>
+      // collinear ε-clones: every dot product positive ⇒ one bucket per
+      // table; distances distinct so the ranking is total
+      val pc = spark.range(n.toLong).select(col("id"),
+        array((0 until 4).map(d =>
+          lit(1.0) + col("id") * lit(1e-12) * lit(d + 1)): _*)
+          .as("features"),
+        lit(0).as("cluster"))
+      val planes = (0 until
+        Clustering.LshPlanes * Clustering.LshTables)
+        .map(i => Array.fill(4)(1.0 + i * 1e-9)).toSeq
+      val (t, cnt) = timed {
+        Clustering.lshRankedNeighborsCapped(pc, planes,
+          Clustering.LshPlanes, Clustering.LshTables,
+          Clustering.GraphBuildCap).count()
+      }
+      Seq(s"megabucket_${n}_sec" -> t,
+        s"megabucket_${n}_graph_rows" -> cnt.toDouble)
+    }
   }
 
   /** Graph-store staleness curve (VERDICT r14 next-3 — the d11/s9
@@ -1333,9 +1435,10 @@ object ScaleBench {
         else if (mode == "d11deep" || mode == "d11bucket")
           Some(Set("documents"))
         else if (mode == "s14bucket" || mode == "s13rank" ||
-            mode == "s14stale") Some(Set("embeddings"))
-        // bpe30k generates its own zipf corpus — no fixture needed
-        else if (mode == "bpe30k") Some(Set.empty)
+            mode == "s14stale" || mode == "graphrecall")
+          Some(Set("embeddings"))
+        // bpe30k / megabucket generate their own corpora — no fixture
+        else if (mode == "bpe30k" || mode == "megabucket") Some(Set.empty)
         else None,
       perturb = perturb)
 
@@ -1344,7 +1447,8 @@ object ScaleBench {
         mode == "ivfauto" || mode == "layout" || mode == "pq" ||
         mode == "d9border" || mode == "pqdisk" || mode == "layered" ||
         mode == "d11deep" || mode == "d11bucket" || mode == "trunc" ||
-        mode == "s14bucket" || mode == "s13rank" || mode == "s14stale") {
+        mode == "s14bucket" || mode == "s13rank" || mode == "s14stale" ||
+        mode == "graphrecall" || mode == "megabucket") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -1392,6 +1496,12 @@ object ScaleBench {
         else if (mode == "s13rank")
           ("s13_rank_table", s13RankCompare(spark, work),
             "scale_s13rank.json")
+        else if (mode == "graphrecall")
+          ("graph_recall", graphRecallCompare(spark, work),
+            "scale_graphrecall.json")
+        else if (mode == "megabucket")
+          ("megabucket_probe", megaBucketProbe(spark),
+            "scale_megabucket.json")
         else if (mode == "s14stale")
           ("s14_staleness", s14StaleCompare(spark, work),
             "scale_s14stale.json")
@@ -1467,10 +1577,27 @@ object ScaleBench {
     // an explicit-list run at the big multipliers warms against the
     // UNSCALED source instead — the point is hot code paths, not a
     // free second decade run (an s12 warmup at x1000 would cost about
-    // as much as the timed row itself)
-    if ((mode.startsWith("only:") || mode.startsWith("onlye:")) &&
-        mult >= 100) timeOne(set.head, src)
-    else timeOne(set.head)
+    // as much as the timed row itself). Artifact-backed rows (serve
+    // faces reading a store their build row writes) would silently
+    // no-op against the unscaled src, leaving the timed row carrying
+    // JIT cost (ADVICE r15) — warm with the first NON-artifact query
+    // in the set, pre-building the src store only when the whole set
+    // is artifact-backed, and LOG a failed warm pass either way
+    val artifactBacked = Set("s14_graph_assign")
+    val warmT =
+      if ((mode.startsWith("only:") || mode.startsWith("onlye:")) &&
+          mult >= 100) {
+        val w = set.find(!artifactBacked.contains(_)).getOrElse {
+          graft.operators.Clustering.invalidateKnnGraphIndex(src)
+          graft.operators.Clustering.writeKnnGraphIndex(spark, src,
+            s"${graft.functions.Similarity.artifactRoot(src)}/s14_graph_full")
+          set.head
+        }
+        timeOne(w, src)
+      } else timeOne(set.head)
+    if (warmT < 0)
+      System.err.println(
+        "[scale] WARMUP PASS FAILED — timed rows may carry JIT/codegen cost")
     // artifact-backed rows: build each store BEFORE its serving query is
     // timed (the graft.Bench build-row discipline), so the decade rows
     // separate the once-per-corpus build from the per-batch serve

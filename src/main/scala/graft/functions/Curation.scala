@@ -882,7 +882,8 @@ object Curation {
     // the s13 recursive-reachability chain + the p12 window-cut
     // convention, composed into one statement over the component key
     "p14_semantic_budget" -> {
-      import graft.operators.Clustering.{LshPlanes, LshTables, S13MutualRank}
+      import graft.operators.Clustering.{LshPlanes, LshTables,
+        S13MutualRank, GraphBuildCap}
       s"""WITH RECURSIVE
          |p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |pl AS (SELECT id, v FROM p WHERE id < ${LshPlanes * LshTables}),
@@ -891,10 +892,14 @@ object Curation {
          |      THEN (1::BIGINT << (pl.id % $LshPlanes)::INT)
          |      ELSE 0::BIGINT END) AS bucket
          |  FROM p CROSS JOIN pl GROUP BY p.id, pl.id // $LshPlanes),
+         |yc AS (SELECT id, tbl, bucket,
+         |    row_number() OVER (PARTITION BY tbl, bucket ORDER BY id)
+         |      AS rn
+         |  FROM bk),
          |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
-         |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket
-         |    AND x.id <> y.id),
-         |g AS (SELECT xi, yi FROM (
+         |  FROM bk x JOIN yc y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |    AND x.id <> y.id AND y.rn <= $GraphBuildCap),
+         |g AS (SELECT xi, yi, rnk FROM (
          |  SELECT cand.xi, cand.yi,
          |    row_number() OVER (PARTITION BY cand.xi
          |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
@@ -907,9 +912,18 @@ object Curation {
          |  SELECT src, dst FROM mu
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN mu e ON r.dst = e.src),
-         |grp AS (SELECT p.id, least(p.id, coalesce(min(r.dst), p.id))
+         |grp0 AS (SELECT p.id, least(p.id, coalesce(min(r.dst), p.id))
          |    AS component
          |  FROM p LEFT JOIN reach r ON r.src = p.id GROUP BY p.id),
+         |orph AS (SELECT id FROM yc GROUP BY id
+         |  HAVING min(rn) > $GraphBuildCap),
+         |fan AS (SELECT g.xi, gc.component
+         |  FROM g JOIN orph ON orph.id = g.xi
+         |  JOIN grp0 gc ON gc.id = g.yi
+         |  WHERE g.rnk = 1),
+         |grp AS (SELECT grp0.id,
+         |    coalesce(fan.component, grp0.component) AS component
+         |  FROM grp0 LEFT JOIN fan ON fan.xi = grp0.id),
          |sc AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
          |    ((len(list_distinct(toks)) * 1000) // len(toks))::BIGINT
          |      AS score

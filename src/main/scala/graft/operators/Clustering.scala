@@ -53,7 +53,9 @@ object Clustering {
     "c21_conn_lsh" -> c21ConnLsh,
     "c20_silhouette_simplified" -> c20SilhouetteSimplified,
     "s12_knn_graph" -> s12KnnGraph,
+    "s12b_knn_graph_capped" -> s12bKnnGraphCapped,
     "s13_graph_clusters" -> s13GraphClusters,
+    "s13b_graph_clusters_capped" -> s13bGraphClustersCapped,
     "s14_graph_assign" -> s14GraphAssign
   )
 
@@ -441,13 +443,20 @@ object Clustering {
     * exchange never carries the full candidate set. Emits
     * (xi, yi, same, rnk).
     */
-  private def topRankedPairs(cands: DataFrame): DataFrame = cands
+  private def topRankedPairs(cands: DataFrame): DataFrame =
+    topRankedPairsPre(cands.select(col("xi"), col("yi"),
+      Linalg.euclidCol(col("xv"), col("yv")).as("dist"),
+      (col("cx") === col("cy")).as("same")))
+
+  /** [[topRankedPairs]] over candidates whose `dist`/`same` columns are
+    * ALREADY computed — factored so the capped generator can compute
+    * them before its pair dedup (the dedup exchange then carries
+    * 28-byte rows instead of two feature vectors per row).
+    */
+  private def topRankedPairsPre(cands: DataFrame): DataFrame = cands
     .select(col("xi"),
-      struct(
-        Linalg.euclidCol(col("xv"), col("yv")).as("dist"),
-        col("yi").as("yi")).as("rank_key"),
-      struct(col("yi").as("yi"),
-        (col("cx") === col("cy")).as("same")).as("v"))
+      struct(col("dist").as("dist"), col("yi").as("yi")).as("rank_key"),
+      struct(col("yi").as("yi"), col("same").as("same")).as("v"))
     .groupBy(col("xi"))
     .agg(graft.functions.TopKAggregate
       .topKByKey(col("rank_key"), col("v"), L).as("vs"))
@@ -506,16 +515,32 @@ object Clustering {
         .where(col("xi") =!= col("yi") && col("tbl") === firstMatch))
   }
 
-  /** Candidate-side cap for [[lshRankedNeighborsCapped]] — the graph
-    * build's third-decade valve (SCALE.md §r15: the UNCAPPED bucket
+  /** Candidate-side cap for the PRODUCTION graph build — the valve that
+    * closed the third decade (SCALE.md §r15/§r16: the UNCAPPED bucket
     * join carries 608.9 B pairs at x1000 because ε-clones are
     * hyperplane-inseparable, so clone-cluster bucket mass grows with
     * the data and pairs grow with its square; every capped generator in
     * the tree — d3/s4/d7 — already bounds this). 64 = 6.4× [[L]]:
     * enough in-cap members that each query still ranks a full top-L
-    * even when some candidates tie at distance 0.
+    * even when some candidates tie at distance 0. Since round 16 this
+    * IS the production path: [[s12KnnGraph]]/[[s12KnnGraphAuto]], the
+    * s13 closures, and the s14 index build all ride
+    * [[cappedGraphWithOrphans]] at this cap. At the sf0.01 oracle
+    * fixture the pinned 4×8 layout's largest bucket holds 46 members
+    * (< 64), so the capped chain is byte-identical to the uncapped one
+    * there — [[OracleGraphCap]] is the smaller cap the b-faces pin so
+    * the capped SEMANTICS (prefix truncation + orphan fan-out) are
+    * oracle-exercised at verify scale too.
     */
   val GraphBuildCap = 64
+
+  /** A cap the sf0.01 fixture actually EXCEEDS (masses reach 46 at the
+    * pinned 4×8 layout; 126 of 500 points cap out everywhere at 16), so
+    * the s12b/s13b oracle rows hash-check the live capped semantics —
+    * prefix truncation, result-sized pair dedup, and the orphan
+    * fan-out — against DuckDB, not just the saturated fixed point.
+    */
+  val OracleGraphCap = 16
 
   /** [[lshRankedNeighborsOf]] with the CANDIDATE side of every
     * (tbl, bucket) capped to its first `cap` members by id (the d3
@@ -531,32 +556,82 @@ object Clustering {
     * dedup cannot ride the sig arrays here (cap survival is per
     * (tbl, bucket), not pairwise-visible), so the capped face
     * deduplicates pairs with one result-sized shuffle: affordable
-    * exactly because the cap bounds the result. Opt-in scale face —
-    * the registered s12/c21 chain stays the uncapped recall-measured
-    * form; capped-vs-uncapped equality at a fixture-saturating cap and
-    * the mass-bucket bound are spec-pinned (PipelineSpec). Recall at
-    * the decades and the s13/s14 handoff are the named next items.
+    * exactly because the cap bounds the result, and slim because
+    * dist/same are computed BEFORE the dedup (28-byte rows, not two
+    * feature vectors). Capped-vs-uncapped byte-equality at a
+    * fixture-saturating cap and the mass-bucket bound are spec-pinned
+    * (PipelineSpec); sampled recall vs the exact top-L is measured per
+    * decade (SCALE.md §r16, `scale_graphrecall_x*.json`).
     */
   private[graft] def lshRankedNeighborsCapped(pc: DataFrame,
       planes: Seq[Array[Double]], numPlanes: Int, numTables: Int,
-      cap: Int): DataFrame = {
+      cap: Int, xiFilter: Option[Column] = None): DataFrame =
+    cappedGraphWithOrphans(pc, planes, numPlanes, numTables, cap,
+      xiFilter)._1
+
+  /** The capped candidate chain plus its ORPHAN set — the ids capped
+    * out of every table's candidate prefix. An orphan receives no
+    * incoming edges at all, so the mutuality filter would leave it a
+    * singleton regardless of its true neighborhood; the s13 faces fan
+    * each orphan out to its rank-1 neighbor's component instead
+    * ([[mutualComponents]]'s `orphans` leg — the dedup-first
+    * rep→member convention expressed in graph terms). The orphan leg
+    * rides its own SLIM lineage (id, tbl, bucket — one extra signing
+    * scan and a 24-byte-row window) so the feature-carrying candidate
+    * frame is never shuffled twice; at a saturating cap the orphan set
+    * is empty by construction, which is the fixed point the specs pin.
+    */
+  private[graft] def cappedGraphWithOrphans(pc: DataFrame,
+      planes: Seq[Array[Double]], numPlanes: Int, numTables: Int,
+      cap: Int, xiFilter: Option[Column] = None)
+      : (DataFrame, DataFrame) = {
     val b = pc.withColumn("sigs", lshSigsCol(planes, numPlanes, numTables))
       .select(col("id"), col("features"), col("cluster"),
         posexplode(col("sigs")).as(Seq("tbl", "bucket")))
-    val x = b.select(col("tbl"), col("bucket"), col("id").as("xi"),
+    val x0 = b.select(col("tbl"), col("bucket"), col("id").as("xi"),
       col("features").as("xv"), col("cluster").as("cx"))
+    // the optional xi filter (a sampled-recall probe) prunes the query
+    // side BEFORE the bucket join — same contract as the uncapped face
+    val x = xiFilter.map(x0.where).getOrElse(x0)
     val wB = Window.partitionBy(col("tbl"), col("bucket"))
       .orderBy(col("id"))
+    // the in-cap window keeps the (tbl, bucket) partitioning, which is
+    // also the join key — Catalyst reuses the exchange, so the y side
+    // moves exactly once
     val y = b
       .withColumn("rn", row_number().over(wB))
       .where(col("rn") <= cap)
       .select(col("tbl"), col("bucket"), col("id").as("yi"),
         col("features").as("yv"), col("cluster").as("cy"))
-    topRankedPairs(
+    val graph = topRankedPairsPre(
       x.join(y, Seq("tbl", "bucket"))
         .where(col("xi") =!= col("yi"))
+        .select(col("xi"), col("yi"),
+          Linalg.euclidCol(col("xv"), col("yv")).as("dist"),
+          (col("cx") === col("cy")).as("same"))
         .dropDuplicates("xi", "yi"))
+    val slim = pc
+      .select(col("id"),
+        posexplode(lshSigsCol(planes, numPlanes, numTables))
+          .as(Seq("tbl", "bucket")))
+      .withColumn("rn", row_number().over(wB))
+    val orphans = slim.groupBy(col("id"))
+      .agg(min(col("rn")).as("min_rn"))
+      .where(col("min_rn") > cap)
+      .select(col("id"))
+    (graph, orphans)
   }
+
+  /** [[cappedGraphWithOrphans]] over the assigned corpus at `dir` — the
+    * dir-level face the registered queries and the recall probe share.
+    */
+  private[graft] def cappedGraphAt(s: SparkSession, dir: String,
+      numPlanes: Int, numTables: Int, cap: Int,
+      xiFilter: Option[Column] = None): (DataFrame, DataFrame) =
+    cappedGraphWithOrphans(
+      assigned(s, dir).select(col("id"), col("features"), col("cluster")),
+      lshPlaneRows(s, dir, numPlanes, numTables),
+      numPlanes, numTables, cap, xiFilter)
 
   /** The capped join's exact candidate-row count from the bucket
     * histogram (no pair materialization): Σ (m−1)·min(m, cap) over
@@ -613,7 +688,7 @@ object Clustering {
     * original points (see Similarity.querySampleFilter — the same fix,
     * same contract: step = 1 still selects every id).
     */
-  private def sampledExactNeighbors(s: SparkSession, dir: String,
+  private[graft] def sampledExactNeighbors(s: SparkSession, dir: String,
       step: Long): (DataFrame, Long) = {
     val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
     val sx = pc.where(sampledId(col("id"), step))
@@ -630,7 +705,7 @@ object Clustering {
     (exact, nExact)
   }
 
-  private def sampledId(id: Column, step: Long): Column =
+  private[graft] def sampledId(id: Column, step: Long): Column =
     pmod(xxhash64(id, lit("qsample")), lit(step)) === lit(0L)
 
   /** One layout's sampled recall against a precomputed exact leg. */
@@ -734,13 +809,35 @@ object Clustering {
     * buffer. The DuckDB oracle replays planes → buckets → candidates →
     * per-point ranking with the window formulation as the independent
     * cross-check; c21's hash-checked recall column is this graph's
-    * quality measurement. This face pins the 4×8 oracle layout; the
-    * production build and ScaleBench's decade row are
-    * [[s12KnnGraphAuto]], which grows the layout with the corpus
-    * ([[lshPlanesFor]]).
+    * quality measurement. Since round 16 this face runs the CAPPED
+    * candidate chain at [[GraphBuildCap]] — the production semantics
+    * (VERDICT r15 §next-1: the uncapped join is quadratic in
+    * duplication mass, measured DNF at x1000) — and the oracle SQL
+    * carries the same row_number prefix cap. At the sf0.01 fixture the
+    * cap exceeds every bucket mass, so the rows equal the uncapped
+    * chain's byte-for-byte (spec-pinned); [[s12bKnnGraphCapped]] pins
+    * the cap-LIVE semantics at [[OracleGraphCap]]. This face pins the
+    * 4×8 oracle layout; the production build and ScaleBench's decade
+    * row are [[s12KnnGraphAuto]], which grows the layout with the
+    * corpus ([[lshPlanesFor]]). The uncapped chain stays registered as
+    * c21's recall-measured verification twin.
     */
   def s12KnnGraph: Q = (s, dir) =>
-    lshRankedNeighbors(s, dir, LshPlanes, LshTables)
+    cappedGraphAt(s, dir, LshPlanes, LshTables, GraphBuildCap)._1
+      .select(col("xi"), col("rnk").cast("int").as("rank"), col("yi"))
+      .orderBy(col("xi"), col("rank"))
+
+  /** s12b: the capped build chain where the cap is LIVE at verify
+    * scale — [[s12KnnGraph]] at [[OracleGraphCap]], so the DuckDB
+    * oracle hash-checks the prefix truncation and the result-sized
+    * pair dedup on buckets that actually exceed the cap (the sf0.01
+    * fixture's reach 46 members at the pinned layout). With the main
+    * faces saturated at fixture size, this row is what proves the
+    * capped SEMANTICS — not just the saturated fixed point — against
+    * an independent engine.
+    */
+  def s12bKnnGraphCapped: Q = (s, dir) =>
+    cappedGraphAt(s, dir, LshPlanes, LshTables, OracleGraphCap)._1
       .select(col("xi"), col("rnk").cast("int").as("rank"), col("yi"))
       .orderBy(col("xi"), col("rank"))
 
@@ -750,16 +847,20 @@ object Clustering {
     * [[c21ConnLsh]]/[[connLshAuto]], and for the same reason: a fixed
     * layout has a fixed bucket-mass distribution, so its candidate count
     * is Θ(n²) in the corpus (22 B pairs at x100 where the grown layout
-    * carries 183 M). No global order-by: a graph artifact is consumed
-    * joined-on-xi, not scanned in rank order, so the production face
-    * ends at the aggregate's output partitioning. At the sf0.01 fixture
-    * [[lshPlanesFor]] returns exactly [[LshPlanes]], so this IS the
-    * oracle face there (spec-pinned). ScaleBench's `s12_knn_graph`
-    * decade row times THIS face.
+    * carries 183 M). Candidate emission is capped at [[GraphBuildCap]]
+    * (Σ (m−1)·min(m, cap) rows — linear in the corpus at clone-dominated
+    * masses where the uncapped chain's 608.9 B pairs DNF'd the x1000
+    * build; sampled recall vs the exact top-L is the per-decade
+    * measurement, SCALE.md §r16). No global order-by: a graph artifact
+    * is consumed joined-on-xi, not scanned in rank order, so the
+    * production face ends at the aggregate's output partitioning. At
+    * the sf0.01 fixture [[lshPlanesFor]] returns exactly [[LshPlanes]],
+    * so this IS the oracle face there (spec-pinned). ScaleBench's
+    * `s12_knn_graph` decade row times THIS face.
     */
   private[graft] def s12KnnGraphAuto(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.labeledPoints(s, dir).count()
-    lshRankedNeighbors(s, dir, lshPlanesFor(n), LshTables)
+    cappedGraphAt(s, dir, lshPlanesFor(n), LshTables, GraphBuildCap)._1
       .select(col("xi"), col("rnk").cast("int").as("rank"), col("yi"))
   }
 
@@ -775,8 +876,11 @@ object Clustering {
     * clone-structured fixtures rank 1 under-merges (strict mutual-NN
     * can only form matched pairs — 12,607/123,646 components at
     * x10/x100), rank 2 recovers exactly the 2,000 base clusters at both
-    * decades, and ranks 3–5 are byte-identical to 2 — depth 2 sits
-    * between pair-matching fragmentation below and percolation above.
+    * decades, and ranks 3–5 carry identical component statistics to 2
+    * (since r16 the rank table also records a label-level partition
+    * checksum, so "identical" is evidence-backed per run rather than
+    * summary-stat-only — ADVICE r15) — depth 2 sits between
+    * pair-matching fragmentation below and percolation above.
     */
   val S13MutualRank = 2
 
@@ -788,13 +892,25 @@ object Clustering {
     * semantic-cluster id. Factored from [[s13GraphClusters]] so the
     * fixed-layout oracle face and the auto-layout production face share
     * one body.
+    *
+    * `orphans` is the capped build's handoff ([[cappedGraphWithOrphans]]):
+    * a point capped out of every candidate prefix receives no incoming
+    * edges, so mutuality would leave it a singleton regardless of its
+    * true neighborhood. Each orphan instead INHERITS its rank-1
+    * neighbor's component — the dedup-first rep→member fan-out in graph
+    * terms. The fan-out is one join after the closure, never part of
+    * it: an orphan attaches to exactly one core component and so can
+    * never BRIDGE two of them (no percolation channel; spec-pinned),
+    * and with an empty orphan set (any saturating cap) the labeling is
+    * byte-identical to the plain mutual closure.
     */
   private[graft] def mutualComponents(ids0: DataFrame,
-      graph: DataFrame, mutualRank: Int = S13MutualRank): DataFrame = {
+      graph: DataFrame, mutualRank: Int = S13MutualRank,
+      orphans: Option[DataFrame] = None): DataFrame = {
     // the LSH candidate chain feeds both sides of the mutuality join —
     // persist it so the chain (bucket join + ranking aggregate) runs once
     val g = graph.where(col("rank") <= mutualRank)
-      .select(col("xi"), col("yi")).persist()
+      .select(col("xi"), col("rank"), col("yi")).persist()
     val mutual = g.as("ga").join(g.as("gb"),
         col("ga.xi") === col("gb.yi") && col("ga.yi") === col("gb.xi"))
       .where(col("ga.xi") < col("ga.yi"))
@@ -804,12 +920,34 @@ object Clustering {
     // vector corpus make mutual-kNN components DEEP (the x100 fixture's
     // exceed the 30-round cap — measured), and doubling converges in
     // O(log diameter) rounds; same fixpoint, spec'd in PipelineSpec
-    val out = graft.functions.Dedup
+    val comp = graft.functions.Dedup
       .connectedComponents(ids, mutual, pointerDoubling = true)
       .select(col("doc_id").as("id"), col("group_id").as("component"))
-      .orderBy(col("id"))
-    g.unpersist()
-    out
+    orphans match {
+      case None =>
+        g.unpersist()
+        comp.orderBy(col("id"))
+      case Some(orph) =>
+        // rank-1 rep per orphan, materialized while g is still cached
+        // (the rep frame is orphan-sized; its rank-1 target is always
+        // in-cap somewhere — candidates are in-cap by construction —
+        // so its component is a core label)
+        val rep = g.where(col("rank") === 1)
+          .join(orph.select(col("id").as("xi")), Seq("xi"), "left_semi")
+          .select(col("xi").as("o_id"), col("yi").as("rep"))
+          .localCheckpoint(eager = true)
+        g.unpersist()
+        // comp is a checkpointed frame (the closure materializes per
+        // round), so its two consumers here never re-run the closure
+        comp.join(rep, col("id") === col("o_id"), "left")
+          .join(comp.select(col("id").as("rep_id"),
+              col("component").as("rep_component")),
+            col("rep") === col("rep_id"), "left")
+          .select(col("id"),
+            coalesce(col("rep_component"), col("component"))
+              .as("component"))
+          .orderBy(col("id"))
+    }
   }
 
   /** s13: semantic clustering over the [[s12KnnGraph]] artifact —
@@ -823,21 +961,51 @@ object Clustering {
     * rows — and the closure is the d6 propagation loop (shuffled once
     * on dst, label side only per round). The DuckDB oracle replays the
     * chain with a recursive CTE — an independent reachability
-    * algorithm, the d6 cross-check convention.
+    * algorithm, the d6 cross-check convention. Since round 16 the graph
+    * is the capped production chain at [[GraphBuildCap]] with the
+    * orphan fan-out (inactive at the sf0.01 fixture where no bucket
+    * reaches the cap — byte-equal to the uncapped closure there;
+    * [[s13bGraphClustersCapped]] pins the LIVE fan-out).
     */
-  def s13GraphClusters: Q = (s, dir) =>
+  def s13GraphClusters: Q = (s, dir) => {
+    val (graph, orphans) =
+      cappedGraphAt(s, dir, LshPlanes, LshTables, GraphBuildCap)
     mutualComponents(Tables.labeledPoints(s, dir),
-      lshRankedNeighbors(s, dir, LshPlanes, LshTables)
-        .select(col("xi"), col("rnk").as("rank"), col("yi")))
+      graph.select(col("xi"), col("rnk").as("rank"), col("yi")),
+      orphans = Some(orphans))
+  }
+
+  /** s13b: the capped closure where the cap — and therefore the orphan
+    * fan-out — is LIVE at verify scale ([[OracleGraphCap]]: 126 of the
+    * fixture's 500 points cap out of every candidate prefix). The
+    * DuckDB oracle replays the whole production handoff: capped
+    * candidates → mutual edges → recursive reachability over the core →
+    * each orphan inheriting its rank-1 neighbor's component. This is
+    * the row that proves the s13 handoff VERDICT r15 named — capped-out
+    * points cannot form mutual edges — resolves to the rep-inheritance
+    * convention, hash-checked against an independent engine.
+    */
+  def s13bGraphClustersCapped: Q = (s, dir) => {
+    val (graph, orphans) =
+      cappedGraphAt(s, dir, LshPlanes, LshTables, OracleGraphCap)
+    mutualComponents(Tables.labeledPoints(s, dir),
+      graph.select(col("xi"), col("rnk").as("rank"), col("yi")),
+      orphans = Some(orphans))
+  }
 
   /** The production face: [[s13GraphClusters]] over the auto-layout
-    * graph ([[s12KnnGraphAuto]]); equals the pinned face at fixture
-    * size (spec). ScaleBench's `s13_graph_clusters` decade row times
-    * THIS face.
+    * capped graph; equals the pinned face at fixture size (spec).
+    * ScaleBench's `s13_graph_clusters` decade row times THIS face.
     */
   private[graft] def s13GraphClustersAuto(s: SparkSession,
-      dir: String): DataFrame =
-    mutualComponents(Tables.labeledPoints(s, dir), s12KnnGraphAuto(s, dir))
+      dir: String): DataFrame = {
+    val n = Tables.labeledPoints(s, dir).count()
+    val (graph, orphans) =
+      cappedGraphAt(s, dir, lshPlanesFor(n), LshTables, GraphBuildCap)
+    mutualComponents(Tables.labeledPoints(s, dir),
+      graph.select(col("xi"), col("rnk").as("rank"), col("yi")),
+      orphans = Some(orphans))
+  }
 
   // ---- s14: persisted graph index + assignment serving ---------------------
 
@@ -857,14 +1025,18 @@ object Clustering {
     * its mutual-kNN component ([[mutualComponents]]).
     */
   private def knnGraphIndexFrames(s: SparkSession, corpus: DataFrame,
-      numPlanes: Int): (DataFrame, DataFrame, DataFrame) = {
+      numPlanes: Int, cap: Int): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val planes = planeRowsOf(corpus, numPlanes, LshTables)
     val pc = corpus.select(col("id"), col("features"),
       lit(0).as("cluster")).persist()
-    val graph = lshRankedNeighborsOf(pc, planes, numPlanes, LshTables)
-      .select(col("xi"), col("rnk").as("rank"), col("yi"))
-    val comp = mutualComponents(pc, graph)
+    // the capped production chain + orphan fan-out — the same build the
+    // s13 faces run (uncapped at any fixture whose buckets stay under
+    // the cap; the valve that closed the x1000 decade above it)
+    val (graphRaw, orphans) =
+      cappedGraphWithOrphans(pc, planes, numPlanes, LshTables, cap)
+    val graph = graphRaw.select(col("xi"), col("rnk").as("rank"), col("yi"))
+    val comp = mutualComponents(pc, graph, orphans = Some(orphans))
     val planesDf = planes.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toDF("pid", "v")
     val pointsDf = pc
@@ -909,14 +1081,24 @@ object Clustering {
     */
   private[graft] def writeKnnGraphIndexOf(s: SparkSession,
       corpus: DataFrame, numPlanes: Int, path: String,
-      key: String): Unit = {
+      key: String, cap: Int = GraphBuildCap): Unit = {
     if (writtenGraphIdx.contains(key)) return
-    val (planesDf, pointsDf, pc) = knnGraphIndexFrames(s, corpus, numPlanes)
+    val (planesDf, pointsDf, pc) =
+      knnGraphIndexFrames(s, corpus, numPlanes, cap)
     planesDf.coalesce(1).write.mode("overwrite").parquet(s"$path/planes")
     pointsDf.write.mode("overwrite").parquet(s"$path/points")
     pc.unpersist()
-    // the bucketed layout re-reads the JUST-WRITTEN points parquet —
-    // never pointsDf, whose plan would re-run the whole graph build
+    exportBucketedStore(s, path)
+    writtenGraphIdx.add(key)
+  }
+
+  /** (Re)builds the bucketed SERVING layout from the plain `points`
+    * parquet — the source of truth. Reads the JUST-WRITTEN files, never
+    * a lazy points frame whose plan would re-run the whole graph build.
+    * Also the repair path of [[appendToGraphIndex]]'s dual-write guard.
+    */
+  private[graft] def exportBucketedStore(s: SparkSession,
+      path: String): Unit = {
     val tbl = storeTableName(path)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     explodedStore(s.read.parquet(s"$path/points"))
@@ -924,7 +1106,6 @@ object Clustering {
       .sortBy("tbl", "bucket")
       .option("path", s"$path/points_bucketed")
       .mode("overwrite").saveAsTable(tbl)
-    writtenGraphIdx.add(key)
   }
 
   /** The production build face: the FULL corpus at the auto-derived
@@ -973,6 +1154,17 @@ object Clustering {
     points.select(col("id").as("nid"), col("features").as("nv"),
       col("component"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
 
+  /** Scheme-agnostic existence probe via Hadoop's FileSystem API —
+    * `java.io.File` is always false for non-local stores (hdfs://,
+    * s3a://), which would silently degrade the promoted bucketed serve
+    * face to the plain-parquet fallback on exactly the deployments the
+    * layout was promoted for (ADVICE r15).
+    */
+  private def storePathExists(s: SparkSession, loc: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(loc)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The store at `path` in its fastest AVAILABLE serving layout: the
     * bucketed table when its directory exists (re-registered in this
     * session's catalog if needed — the bucketing metadata lives in the
@@ -983,7 +1175,7 @@ object Clustering {
   private[graft] def graphStoreFrame(s: SparkSession, path: String,
       useBucketed: Boolean = true): DataFrame = {
     val loc = s"$path/points_bucketed"
-    if (useBucketed && new java.io.File(loc).exists()) {
+    if (useBucketed && storePathExists(s, loc)) {
       val tbl = storeTableName(path)
       if (!s.catalog.tableExists(tbl))
         s.sql(s"""CREATE TABLE $tbl
@@ -1060,6 +1252,13 @@ object Clustering {
     * their later-arriving neighbors would have merged; appends never
     * refine base neighborhoods). The rebuild cadence is the point on
     * that curve a deployment tolerates.
+    *
+    * The plain append and the bucketed append are NOT atomic; a crash
+    * between them would leave the default serve face silently short.
+    * Every append therefore ends with a totals comparison (exploded =
+    * points × tables, two metadata-cheap counts) that detects any
+    * divergence — this append's or an earlier crash's — and rebuilds
+    * the bucketed layout from the source-of-truth points (spec-pinned).
     */
   private[graft] def appendToGraphIndex(batch: DataFrame,
       path: String): Unit = {
@@ -1085,13 +1284,28 @@ object Clustering {
     // keep the bucketed serving layout in sync (same rows, probe-key
     // bucketed); Spark validates the spec matches the existing table
     val tbl = storeTableName(path)
-    if (new java.io.File(s"$path/points_bucketed").exists()) {
+    if (storePathExists(s, s"$path/points_bucketed")) {
       graphStoreFrame(s, path) // ensures tbl registered in this catalog
       explodedStore(rows)
         .write.bucketBy(StoreBuckets, "tbl", "bucket")
         .sortBy("tbl", "bucket")
         .option("path", s"$path/points_bucketed")
         .mode("append").saveAsTable(tbl)
+      // dual-write guard (ADVICE r15): the plain append and the
+      // bucketed append are not atomic — a crash between them (in THIS
+      // or any EARLIER append; the totals comparison catches old
+      // divergence too) would leave the DEFAULT serve face silently
+      // missing rows forever. Two metadata-cheap counts (parquet
+      // footers) verify exploded = points × tables and rebuild the
+      // bucketed layout from the source-of-truth points on mismatch.
+      val nPlain = s.read.parquet(s"$path/points").count()
+      val nBucketed = s.table(tbl).count()
+      if (nBucketed != nPlain * LshTables) {
+        System.err.println(s"[graft] bucketed graph store at $path " +
+          s"diverged ($nBucketed exploded rows vs ${nPlain} points x " +
+          s"$LshTables tables) — rebuilding from points")
+        exportBucketedStore(s, path)
+      }
     }
   }
 
@@ -1557,6 +1771,75 @@ object Clustering {
   private def withAssign(body: String): String =
     s"WITH $P, $C, $A\n$body"
 
+  /** Shared SQL fragment: the capped candidate chain over `p` — planes,
+    * per-table sign buckets, the row_number prefix cap, and the
+    * DISTINCT pair dedup (≡ the Spark side's dropDuplicates — duplicate
+    * (xi, yi) rows across tables carry identical dist/same).
+    */
+  private def cappedCandSql(cap: Int): String =
+    s"""pl AS (SELECT id, v FROM p WHERE id < ${LshPlanes * LshTables}),
+       |b AS (SELECT p.id, (pl.id // $LshPlanes)::INT AS tbl,
+       |    sum(CASE WHEN list_inner_product(p.v, pl.v) > 0
+       |      THEN (1::BIGINT << (pl.id % $LshPlanes)::INT)
+       |      ELSE 0::BIGINT END) AS bucket
+       |  FROM p CROSS JOIN pl GROUP BY p.id, pl.id // $LshPlanes),
+       |yc AS (SELECT id, tbl, bucket,
+       |    row_number() OVER (PARTITION BY tbl, bucket ORDER BY id) AS rn
+       |  FROM b),
+       |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
+       |  FROM b x JOIN yc y ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |    AND x.id <> y.id AND y.rn <= $cap)""".stripMargin
+
+  /** The s12 graph SQL at an arbitrary cap — the registered face pins
+    * [[GraphBuildCap]] (saturated at fixture size), the b-face pins
+    * [[OracleGraphCap]] (live truncation).
+    */
+  private def cappedGraphSql(cap: Int): String =
+    s"""WITH $P,
+       |${cappedCandSql(cap)}
+       |SELECT xi, rnk::INT AS rank, yi FROM (
+       |  SELECT cand.xi, cand.yi,
+       |    row_number() OVER (PARTITION BY cand.xi
+       |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
+       |  FROM cand JOIN p px ON px.id = cand.xi
+       |  JOIN p py ON py.id = cand.yi)
+       |WHERE rnk <= $L ORDER BY xi, rank""".stripMargin
+
+  /** The s13 closure SQL at an arbitrary cap: capped candidates →
+    * mutual edges → recursive reachability (the independent closure
+    * algorithm vs Spark's min-label propagation) → orphan fan-out
+    * (ids capped out of EVERY prefix inherit their rank-1 neighbor's
+    * component — the Spark side's `orphans` leg, replayed as one
+    * HAVING + two joins).
+    */
+  private def cappedClustersSql(cap: Int): String =
+    s"""WITH RECURSIVE $P,
+       |${cappedCandSql(cap)},
+       |g AS (SELECT xi, yi, rnk FROM (
+       |  SELECT cand.xi, cand.yi,
+       |    row_number() OVER (PARTITION BY cand.xi
+       |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
+       |  FROM cand JOIN p px ON px.id = cand.xi
+       |  JOIN p py ON py.id = cand.yi)
+       |  WHERE rnk <= $S13MutualRank),
+       |mu AS (SELECT ga.xi AS src, ga.yi AS dst
+       |  FROM g ga JOIN g gb ON ga.xi = gb.yi AND ga.yi = gb.xi),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM mu
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN mu e ON r.dst = e.src),
+       |grp AS (SELECT p.id, least(p.id, coalesce(min(r.dst), p.id))
+       |    AS component
+       |  FROM p LEFT JOIN reach r ON r.src = p.id GROUP BY p.id),
+       |orph AS (SELECT id FROM yc GROUP BY id HAVING min(rn) > $cap),
+       |fan AS (SELECT g.xi, gc.component
+       |  FROM g JOIN orph ON orph.id = g.xi
+       |  JOIN grp gc ON gc.id = g.yi
+       |  WHERE g.rnk = 1)
+       |SELECT grp.id, coalesce(fan.component, grp.component) AS component
+       |FROM grp LEFT JOIN fan ON fan.xi = grp.id
+       |ORDER BY grp.id""".stripMargin
+
   private val fitnessSql =
     """f AS (SELECT c_custkey AS id, round(c_acctbal, 2) AS f1,
       |  round(sum(o_totalprice), 2) AS f2
@@ -1736,61 +2019,31 @@ object Clustering {
          |  n_exact::BIGINT AS n_exact,
          |  round(n_hit * 1.0 / n_exact, 6) AS recall
          |FROM cl CROSS JOIN ce CROSS JOIN h""".stripMargin),
-    // the c21 candidate chain alone, ending at the ranked pairs — the
+    // the capped production chain ending at the ranked pairs — the
     // graph rows themselves, window-ranked as the independent
-    // cross-check of the TopKByKey bounded aggregate
-    "s12_knn_graph" ->
-      s"""WITH $P,
-         |pl AS (SELECT id, v FROM p WHERE id < ${LshPlanes * LshTables}),
-         |b AS (SELECT p.id, (pl.id // $LshPlanes)::INT AS tbl,
-         |    sum(CASE WHEN list_inner_product(p.v, pl.v) > 0
-         |      THEN (1::BIGINT << (pl.id % $LshPlanes)::INT)
-         |      ELSE 0::BIGINT END) AS bucket
-         |  FROM p CROSS JOIN pl GROUP BY p.id, pl.id // $LshPlanes),
-         |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
-         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
-         |    AND x.id <> y.id)
-         |SELECT xi, rnk::INT AS rank, yi FROM (
-         |  SELECT cand.xi, cand.yi,
-         |    row_number() OVER (PARTITION BY cand.xi
-         |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
-         |  FROM cand JOIN p px ON px.id = cand.xi
-         |  JOIN p py ON py.id = cand.yi)
-         |WHERE rnk <= $L ORDER BY xi, rank""".stripMargin,
+    // cross-check of the TopKByKey bounded aggregate; the prefix cap
+    // saturates at fixture size (masses ≤ 46 < 64), so this row also
+    // pins capped ≡ uncapped where no bucket overflows
+    "s12_knn_graph" -> cappedGraphSql(GraphBuildCap),
+    // the same chain at the cap the fixture EXCEEDS — the truncation
+    // and pair dedup are live in this row
+    "s12b_knn_graph_capped" -> cappedGraphSql(OracleGraphCap),
     // the s12 chain through the mutuality filter, then reachability as a
     // recursive CTE — an independent closure algorithm vs the Spark
-    // side's min-label propagation loop (the d6 cross-check convention)
-    "s13_graph_clusters" ->
-      s"""WITH RECURSIVE $P,
-         |pl AS (SELECT id, v FROM p WHERE id < ${LshPlanes * LshTables}),
-         |b AS (SELECT p.id, (pl.id // $LshPlanes)::INT AS tbl,
-         |    sum(CASE WHEN list_inner_product(p.v, pl.v) > 0
-         |      THEN (1::BIGINT << (pl.id % $LshPlanes)::INT)
-         |      ELSE 0::BIGINT END) AS bucket
-         |  FROM p CROSS JOIN pl GROUP BY p.id, pl.id // $LshPlanes),
-         |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
-         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
-         |    AND x.id <> y.id),
-         |g AS (SELECT xi, yi FROM (
-         |  SELECT cand.xi, cand.yi,
-         |    row_number() OVER (PARTITION BY cand.xi
-         |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
-         |  FROM cand JOIN p px ON px.id = cand.xi
-         |  JOIN p py ON py.id = cand.yi)
-         |  WHERE rnk <= $S13MutualRank),
-         |mu AS (SELECT ga.xi AS src, ga.yi AS dst
-         |  FROM g ga JOIN g gb ON ga.xi = gb.yi AND ga.yi = gb.xi),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM mu
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN mu e ON r.dst = e.src)
-         |SELECT p.id, least(p.id, coalesce(min(r.dst), p.id)) AS component
-         |FROM p LEFT JOIN reach r ON r.src = p.id
-         |GROUP BY p.id ORDER BY p.id""".stripMargin,
+    // side's min-label propagation loop (the d6 cross-check convention),
+    // plus the orphan fan-out (empty at this cap at fixture size)
+    "s13_graph_clusters" -> cappedClustersSql(GraphBuildCap),
+    // the closure at the live cap: 126 of 500 fixture points cap out of
+    // every prefix and inherit their rank-1 neighbor's component — the
+    // s13 handoff, hash-checked
+    "s13b_graph_clusters_capped" -> cappedClustersSql(OracleGraphCap),
     // the whole serving chain from raw embeddings (the d11 oracle
     // convention — deterministic index, no parquet read): base split →
-    // planes from the BASE only → base sigs → mutual graph → recursive
-    // components → delta sigs → bucket probe → window-ranked argmin
+    // planes from the BASE only → base sigs → CAPPED mutual graph →
+    // recursive components → orphan fan-out → delta sigs → bucket
+    // probe → window-ranked argmin. The cap saturates at fixture size
+    // (base buckets ≤ 46 < 64), but the SQL describes the production
+    // build — s13b pins the live-cap semantics
     "s14_graph_assign" ->
       s"""WITH RECURSIVE $P,
          |bc AS (SELECT id, v FROM p WHERE id % $S14Mod != $S14Res),
@@ -1801,10 +2054,14 @@ object Clustering {
          |      THEN (1::BIGINT << (pl.pid % $LshPlanes)::INT)
          |      ELSE 0::BIGINT END) AS bucket
          |  FROM bc CROSS JOIN pl GROUP BY bc.id, pl.pid // $LshPlanes),
+         |yc AS (SELECT id, tbl, bucket,
+         |    row_number() OVER (PARTITION BY tbl, bucket ORDER BY id)
+         |      AS rn
+         |  FROM b),
          |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
-         |  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
-         |    AND x.id <> y.id),
-         |g AS (SELECT xi, yi FROM (
+         |  FROM b x JOIN yc y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |    AND x.id <> y.id AND y.rn <= $GraphBuildCap),
+         |g AS (SELECT xi, yi, rnk FROM (
          |  SELECT cand.xi, cand.yi,
          |    row_number() OVER (PARTITION BY cand.xi
          |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
@@ -1817,9 +2074,18 @@ object Clustering {
          |  SELECT src, dst FROM mu
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN mu e ON r.dst = e.src),
-         |grp AS (SELECT bc.id, least(bc.id, coalesce(min(r.dst), bc.id))
+         |grp0 AS (SELECT bc.id, least(bc.id, coalesce(min(r.dst), bc.id))
          |    AS component
          |  FROM bc LEFT JOIN reach r ON r.src = bc.id GROUP BY bc.id),
+         |orph AS (SELECT id FROM yc GROUP BY id
+         |  HAVING min(rn) > $GraphBuildCap),
+         |fan AS (SELECT g.xi, gc.component
+         |  FROM g JOIN orph ON orph.id = g.xi
+         |  JOIN grp0 gc ON gc.id = g.yi
+         |  WHERE g.rnk = 1),
+         |grp AS (SELECT grp0.id,
+         |    coalesce(fan.component, grp0.component) AS component
+         |  FROM grp0 LEFT JOIN fan ON fan.xi = grp0.id),
          |d AS (SELECT id, v FROM p WHERE id % $S14Mod = $S14Res),
          |db AS (SELECT d.id, (pl.pid // $LshPlanes)::INT AS tbl,
          |    sum(CASE WHEN list_inner_product(d.v, pl.v) > 0

@@ -763,6 +763,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       Clustering.graphStoreFrame(spark, path, useBucketed = false).count()
     assert(Clustering.graphStoreFrame(spark, path).count() === nPlain,
       "bucketed store row count drifted from the plain store")
+    // dual-write guard (ADVICE r15): simulate a crash BETWEEN the plain
+    // append and the bucketed append — rows land in points/ only, so
+    // the default serve face silently misses them. Inject the
+    // divergence by appending copies of stored rows under fresh ids to
+    // points/ alone (the guard compares exploded-row totals, so any
+    // schema-valid rows exhibit it), then run a normal append: its
+    // totals check must detect the stale divergence and rebuild the
+    // bucketed layout from the source-of-truth points.
+    spark.read.parquet(s"$path/points").limit(3)
+      .withColumn("id", col("id") + lit(10000000L))
+      .write.mode("append").parquet(s"$path/points")
+    assert(Clustering.graphStoreFrame(spark, path).count() <
+      Clustering.graphStoreFrame(spark, path, useBucketed = false).count(),
+      "fixture setup: bucketed store must now lag the plain store")
+    val delta2 = delta.withColumn("id", col("id") + lit(20000000L))
+    Clustering.appendToGraphIndex(delta2, path)
+    val nPlain2 =
+      Clustering.graphStoreFrame(spark, path, useBucketed = false).count()
+    assert(Clustering.graphStoreFrame(spark, path).count() === nPlain2,
+      "dual-write guard failed to rebuild the diverged bucketed store")
   }
 
   test("capped graph build: identical to the uncapped chain at a " +
@@ -812,5 +832,79 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(rs.length === Clustering.L,
         s"query $xi must still receive a full top-L from the cap")
     }
+  }
+
+  test("capped s13 handoff: orphans inherit their rank-1 rep's " +
+      "component, never bridge core components; saturated face equals " +
+      "the uncapped closure") {
+    import graft.operators.Clustering
+    val ids = graft.sources.Tables.labeledPoints(spark, sfDir)
+    // the live-cap face: 126 of the fixture's 500 points cap out of
+    // every candidate prefix at OracleGraphCap
+    val (graphB, orphB) = Clustering.cappedGraphAt(spark, sfDir,
+      Clustering.LshPlanes, Clustering.LshTables, Clustering.OracleGraphCap)
+    val g = graphB.select(col("xi"), col("rnk").as("rank"), col("yi"))
+      .localCheckpoint(eager = true)
+    val orphans = orphB.collect().map(_.getLong(0)).toSet
+    assert(orphans.size > 50,
+      s"expected a live orphan set at the oracle cap, got ${orphans.size}")
+    val withFan = Clustering.mutualComponents(ids, g,
+        orphans = Some(orphB)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val noFan = Clustering.mutualComponents(ids, g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // an orphan receives no incoming edges, so without fan-out it is
+    // always a self-labeled singleton; with fan-out it carries exactly
+    // its rank-1 neighbor's CORE component
+    val rank1 = g.where(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    orphans.foreach { o =>
+      assert(noFan(o) === o, s"orphan $o not a singleton pre-fan-out")
+      assert(withFan(o) === noFan(rank1(o)),
+        s"orphan $o must inherit its rank-1 rep's component")
+    }
+    // no-bridge law: the fan-out attaches, it never merges — every
+    // core (non-orphan) id keeps its exact pre-fan-out label
+    noFan.keys.filterNot(orphans).foreach { id =>
+      assert(withFan(id) === noFan(id),
+        s"core id $id relabeled by the fan-out")
+    }
+    // saturated fixed point, restated for the REGISTERED faces: at
+    // GraphBuildCap no fixture bucket overflows, so the production s13
+    // face must equal the plain uncapped mutual closure byte-for-byte
+    val s13 = Clustering.s13GraphClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val uncapped = Clustering.mutualComponents(ids,
+      Clustering.s12KnnGraph(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s13 === uncapped,
+      "s13 at the saturated production cap diverged from the uncapped closure")
+  }
+
+  test("capped s13 handoff on a mass bucket: one component spans the " +
+      "whole clone set across the cap boundary") {
+    import graft.operators.Clustering
+    import spark.implicits._
+    // 200 ε-clones in one bucket per table at cap 16: in-cap members
+    // chain through mutual rank-2 edges; the 184 capped-out clones have
+    // no incoming edges and would all be singletons — the fan-out must
+    // reattach every one of them to the single core component
+    val m = 200
+    val clones = (0 until m)
+      .map(i => (i.toLong, Seq.fill(4)(1.0 + i * 1e-9), 0))
+      .toDF("id", "features", "cluster")
+    val cPlanes = (0 until 32).map(i => Array.fill(4)(1.0 + i * 1e-9)).toSeq
+    val (graph, orph) = Clustering.cappedGraphWithOrphans(clones, cPlanes,
+      Clustering.LshPlanes, Clustering.LshTables, cap = 16)
+    assert(orph.count() === (m - 16).toLong,
+      "every clone past the prefix must be an orphan")
+    val comp = Clustering.mutualComponents(
+      clones.select(col("id"), col("features")),
+      graph.select(col("xi"), col("rnk").as("rank"), col("yi")),
+      orphans = Some(orph)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length === m)
+    assert(comp.map(_._2).distinct.toSeq === Seq(0L),
+      "the clone mass must resolve to ONE component through the fan-out")
   }
 }
