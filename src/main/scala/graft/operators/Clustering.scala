@@ -603,12 +603,21 @@ object Clustering {
       .where(col("rn") <= cap)
       .select(col("tbl"), col("bucket"), col("id").as("yi"),
         col("features").as("yv"), col("cluster").as("cy"))
+    // ONE exchange serves both tails: hash(xi) co-locates every
+    // (xi, yi) duplicate for the dedup (a subset of the clustering
+    // keys satisfies it) AND satisfies the ranking aggregate's
+    // distribution, so the TopKByKey partial holds only its task's
+    // n/parts keys. Without this the partial object aggregate reads
+    // the (xi, yi)-partitioned dedup output with the FULL xi key
+    // space per task — 2M bounded-TopK buffers × 32 tasks OOM'd the
+    // x1000 build at 48 GB (SCALE.md §r16)
     val graph = topRankedPairsPre(
       x.join(y, Seq("tbl", "bucket"))
         .where(col("xi") =!= col("yi"))
         .select(col("xi"), col("yi"),
           Linalg.euclidCol(col("xv"), col("yv")).as("dist"),
           (col("cx") === col("cy")).as("same"))
+        .repartition(col("xi"))
         .dropDuplicates("xi", "yi"))
     val slim = pc
       .select(col("id"),
