@@ -82,9 +82,25 @@ object Linalg {
 
   /** Sign-LSH bucket id: bit i set iff dot(features, planes(i)) > 0 —
     * the one shared definition of the hyperplane-sign fold (Similarity
-    * s2/s4 buckets and the GlobalNeighbors candidate generator).
+    * s2/s4 buckets and the GlobalNeighbors candidate generator). Routed
+    * through the native [[graft.functions.SignBuckets]] single-table
+    * form: the compositional when/dot chain inlines one DotProduct
+    * subtree per plane, which stops JIT-compiling past ~64 inlined dots
+    * (the r16 scan-stage cliff — SCALE.md §r16); the native expression
+    * is layout-size-independent and bit-identical (spec-pinned).
     */
   def signBucketCol(features: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.nonEmpty && planes.length < 63,
+      s"signBucket needs 1..62 planes, got ${planes.length}")
+    element_at(graft.functions.VectorExpressions
+      .signBuckets(features, planes, planes.length), 1)
+  }
+
+  /** The pre-r16 compositional formulation, kept as the cross-validation
+    * twin of the native fold (LinalgColSpec convention).
+    */
+  private[graft] def signBucketColComposed(features: Column,
+      planes: Seq[Array[Double]]): Column = {
     require(planes.nonEmpty && planes.length < 63,
       s"signBucket needs 1..62 planes, got ${planes.length}")
     planes.zipWithIndex.map { case (p, i) =>

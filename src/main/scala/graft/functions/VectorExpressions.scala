@@ -210,6 +210,102 @@ case class WeightedEuclid(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ALL LSH tables' sign buckets for one vector in ONE expression:
+  * bucket(t) = Σ_j (features·plane[t·numPlanes+j] > 0) << j, returned as
+  * array<long> of length numTables.
+  *
+  * Why this exists (SCALE.md §r16): the compositional formulation — one
+  * `when(dot > 0, 1<<j)` chain per plane, numPlanes·numTables inlined
+  * [[DotProduct]] subtrees — stops being compilable as the layout grows.
+  * At the fixture's 4×8 = 32 dots the generated stage JITs fine (2.1 s /
+  * 200k rows measured); at the auto layouts the decades derive (8×8 = 64
+  * dots → 40.5 s, 16×8 = 128 dots → 74 s on the same rows) the generated
+  * method blows past the JIT's huge-method limit and the whole scan
+  * stage runs de-optimized — a ~100× per-row cliff that silently
+  * dominated every graph-family operator at x100+ and stalled the x1000
+  * build. One expression with a referenced `double[]` plane matrix keeps
+  * the generated method a fixed few hundred bytes at ANY layout.
+  *
+  * Bucket arithmetic is bit-identical to the compositional form (disjoint
+  * bits OR'd vs summed; same ascending-index dot fold, same `> 0` test),
+  * spec-pinned against it in VectorExpressionsSpec.
+  */
+case class SignBuckets(child: Expression, planes: Seq[Seq[Double]],
+    numPlanes: Int) extends org.apache.spark.sql.catalyst.expressions
+    .UnaryExpression with ExpectsInputTypes {
+  require(numPlanes > 0 && numPlanes < 63 &&
+    planes.nonEmpty && planes.length % numPlanes == 0,
+    s"SignBuckets needs 1..62 planes per table and a whole number of " +
+      s"tables, got ${planes.length} planes at $numPlanes per table")
+  private lazy val flat: Array[Double] = planes.flatten.toArray
+  private lazy val dim: Int = planes.head.length
+  private lazy val numTables: Int = planes.length / numPlanes
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // null also arises from a dimension mismatch (the [[VectorFoldExpression]]
+  // ragged-input convention)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < numPlanes) {
+        val base = (t * numPlanes + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += x.getDouble(i) * flat(base + i); i += 1 }
+        if (s > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val flatRef = ctx.addReferenceObj("planesFlat", flat, "double[]")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$numTables];
+         |  for (int $t = 0; $t < $numTables; $t++) {
+         |    long $bucket = 0L;
+         |    for (int $j = 0; $j < $numPlanes; $j++) {
+         |      int $base = ($t * $numPlanes + $j) * $dim;
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $s += $v.getDouble($i) * $flatRef[$base + $i];
+         |      }
+         |      if ($s > 0) $bucket |= (1L << $j);
+         |    }
+         |    $out[$t] = $bucket;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
   def euclid(a: Column, b: Column): Column =
     Bridge.column(EuclidDistance(
@@ -223,6 +319,10 @@ object VectorExpressions {
   def weightedEuclid(a: Column, b: Column): Column =
     Bridge.column(WeightedEuclid(
       Bridge.expression(a), Bridge.expression(b)))
+  def signBuckets(features: Column, planes: Seq[Array[Double]],
+      numPlanes: Int): Column =
+    Bridge.column(SignBuckets(Bridge.expression(features),
+      planes.map(_.toSeq), numPlanes))
 
   /** SQL registration so the kernels are usable from spark.sql(...). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -428,14 +428,21 @@ object Clustering {
       .map(_.getSeq[Double](0).toArray).toSeq
 
   /** All tables' sign buckets for one point, computed in a single
-    * projection (each point needs every table's bucket anyway).
+    * projection (each point needs every table's bucket anyway) — ONE
+    * native [[graft.functions.SignBuckets]] expression, not
+    * numPlanes·numTables inlined dot subtrees: the compositional array
+    * blows past the JIT's method limit once the auto layout grows the
+    * plane count, de-optimizing the whole scan stage ~100× per row
+    * (measured, SCALE.md §r16 — the real x1000 stall behind the r15
+    * DNF narrative's candidate-mass half).
     */
   private def lshSigsCol(planes: Seq[Array[Double]],
-      numPlanes: Int, numTables: Int): Column =
-    array((0 until numTables).map { t =>
-      Linalg.signBucketCol(col("features"),
-        planes.slice(t * numPlanes, (t + 1) * numPlanes))
-    }: _*)
+      numPlanes: Int, numTables: Int): Column = {
+    require(planes.length == numPlanes * numTables,
+      s"expected ${numPlanes * numTables} plane rows, got ${planes.length}")
+    graft.functions.VectorExpressions
+      .signBuckets(col("features"), planes, numPlanes)
+  }
 
   /** The shared ranking tail (the c19 shape): candidate rows with
     * columns (xi, xv, cx, yi, yv, cy) through the L-bounded aggregate —

@@ -127,6 +127,46 @@ class LinalgColSpec extends AnyFunSuite with SparkTestBase {
     assert(e.eval(null) === 5.0)
   }
 
+  test("SignBuckets == the compositional when/dot chain at every layout " +
+      "(incl. past the 64-dot codegen cliff)") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("features"))
+    // plane sets drawn from the corpus (the s2 convention); 4×8 is the
+    // fixture layout, 16×8 is the x1000 auto layout — the size where the
+    // compositional form stops JIT-compiling (SCALE.md §r16)
+    val planeRows = e.orderBy(col("vec_id")).limit(16 * 8)
+      .select(col("features")).collect()
+      .map(_.getSeq[Double](0).toArray).toSeq
+    for (numPlanes <- Seq(1, 4, 16)) {
+      val numTables = 8
+      val ps = planeRows.take(numPlanes * numTables)
+      val composed = org.apache.spark.sql.functions.array(
+        (0 until numTables).map { t =>
+          Linalg.signBucketColComposed(col("features"),
+            ps.slice(t * numPlanes, (t + 1) * numPlanes))
+        }: _*)
+      val native = VectorExpressions
+        .signBuckets(col("features"), ps, numPlanes)
+      val diff = e.select(native.as("fast"), composed.as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(diff === 0L, s"SignBuckets diverged at $numPlanes x $numTables")
+      // the single-table face routes through the same expression
+      val diff1 = e.select(
+        Linalg.signBucketCol(col("features"), ps.take(numPlanes)).as("f"),
+        Linalg.signBucketColComposed(col("features"), ps.take(numPlanes))
+          .as("r"))
+        .filter(col("f") =!= col("r")).count()
+      assert(diff1 === 0L)
+    }
+    // ragged input → null (the VectorFoldExpression convention)
+    val ragged = spark.range(1).select(
+      org.apache.spark.sql.functions.array(lit(1.0), lit(2.0))
+        .as("features"))
+    assert(ragged.select(VectorExpressions.signBuckets(col("features"),
+        Seq(Array(1.0, 2.0, 3.0)), 1).as("s"))
+      .head().isNullAt(0))
+  }
+
   test("SQL registration exposes the kernels to spark.sql") {
     VectorExpressions.register(spark)
     val d = spark.sql(
