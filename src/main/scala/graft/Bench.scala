@@ -116,18 +116,18 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // stdout runs through sbt's [info]-prefixed logger, which broke the
-    // driver's JSON parse in round 1 — also write the line to a file
+    // the full line goes ONLY to the file (tools/bench_ratio.py reads it
+    // unchanged): printing it too would put TWO total-metric lines on
+    // stdout, and a consumer scanning for the first would pick the
+    // oversized one the short line below exists to bypass (ADVICE r16)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // the full line above exceeds the driver record's 2 KB stdout tail,
-    // so its per-query map never parsed (every BENCH_r*.json carried
-    // parsed: null — VERDICT r15 next-8). Emit a SHORT final line that
-    // fits the tail whole: the total plus a pointer at the file
-    // carrying the complete map (tools/bench_ratio.py reads that file
-    // unchanged).
+    // a full per-query line exceeds the driver record's 2 KB stdout
+    // tail, so its map never parsed (every BENCH_r*.json carried
+    // parsed: null — VERDICT r15 next-8). Emit ONE SHORT line that fits
+    // the tail whole: the total plus a pointer at the file carrying the
+    // complete map.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${results.length},""" +
       s""""queries_file":"$outPath"}""")

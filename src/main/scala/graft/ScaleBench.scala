@@ -1216,7 +1216,10 @@ object ScaleBench {
       a.join(b, Seq("xi", "yi"), "left_semi").count().toDouble
     Seq(
       "graphrecall_n_points" -> n.toDouble,
-      "graphrecall_n_queries" -> (nExact.toDouble / Clustering.L),
+      // distinct xi, not nExact/L: a tiny corpus or tie filtering can
+      // hand a sampled query fewer than L exact neighbors (ADVICE r16)
+      "graphrecall_n_queries" ->
+        exact.select(col("xi")).distinct().count().toDouble,
       "graphrecall_exact_sec" -> tEx,
       "graphrecall_uncapped_sec" -> tU,
       "graphrecall_capped_sec" -> tC,
@@ -1273,6 +1276,63 @@ object ScaleBench {
     * rebuild cadence is the point on this curve a deployment
     * tolerates, exactly as measured for d11/s9.
     */
+  /** Capped-vs-uncapped SERVE parity and cost at a decade (VERDICT r16
+    * next-1 verification leg + next-8 recall geometry): build the full
+    * auto-layout store once, then serve the 1/8 delta batch through
+    * (a) the default face — the physically capped bucketed store — and
+    * (b) the uncapped plain explode (exactly the join that died on
+    * disk spill at x1000). Three timed passes each after a warm pass
+    * (the warm-pair protocol); ONE untimed joined pass measures the
+    * assignment delta: the fraction of batch vectors whose component /
+    * neighbor changes under the prefix. A capped bucket always keeps a
+    * non-empty prefix, so the singleton sets must be IDENTICAL — the
+    * mode asserts that invariant rather than measuring it.
+    */
+  private def s14CapCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.operators.Clustering
+    import graft.functions.Similarity
+    val path = s"${Similarity.artifactRoot(work)}/s14_graph_full"
+    Clustering.invalidateKnnGraphIndex(work)
+    val (tBuild, _) =
+      timed(Clustering.writeKnnGraphIndex(spark, work, path))
+    val delta = Tables.labeledPoints(spark, work)
+      .where(pmod(col("id"), lit(Clustering.S14Mod)) ===
+        lit(Clustering.S14Res))
+      .select(col("id"), col("features"))
+    def run(capped: Boolean): Long =
+      Clustering.assignFromGraphIndex(delta, path,
+        useBucketed = capped, capped = capped).count()
+    run(capped = true); run(capped = false) // warm: JIT + page cache
+    val cs = (1 to 3).map(_ => timed(run(capped = true)))
+    val us = (1 to 3).map(_ => timed(run(capped = false)))
+    val c = Clustering.assignFromGraphIndex(delta, path)
+      .select(col("id"), col("neighbor").as("cn"),
+        col("component").as("cc"))
+    val u = Clustering.assignFromGraphIndex(delta, path,
+        useBucketed = false, capped = false)
+      .select(col("id"), col("neighbor").as("un"),
+        col("component").as("uc"))
+    val r = c.join(u, "id").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("cc") =!= col("uc"), 1L).otherwise(0L)).as("cdiff"),
+      sum(when(!(col("cn") <=> col("un")), 1L).otherwise(0L)).as("ndiff"),
+      sum(when(col("cn").isNull =!= col("un").isNull, 1L).otherwise(0L))
+        .as("singdiff")).collect()(0)
+    require(r.getLong(3) == 0L,
+      s"capped serve changed the singleton set (${r.getLong(3)} rows) — " +
+        "a non-empty bucket must keep a non-empty prefix")
+    Seq(
+      "s14cap_index_build" -> tBuild,
+      "s14cap_serve_capped" -> cs.map(_._1).sorted.apply(1),
+      "s14cap_serve_uncapped" -> us.map(_._1).sorted.apply(1),
+      "s14cap_n_batch" -> r.getLong(0).toDouble,
+      "s14cap_component_diff_frac" ->
+        (r.getLong(1).toDouble / r.getLong(0)),
+      "s14cap_neighbor_diff_frac" ->
+        (r.getLong(2).toDouble / r.getLong(0)))
+  }
+
   private def s14StaleCompare(spark: SparkSession,
       work: String): Seq[(String, Double)] = {
     import graft.operators.Clustering
@@ -1435,7 +1495,8 @@ object ScaleBench {
         else if (mode == "d11deep" || mode == "d11bucket")
           Some(Set("documents"))
         else if (mode == "s14bucket" || mode == "s13rank" ||
-            mode == "s14stale" || mode == "graphrecall")
+            mode == "s14stale" || mode == "graphrecall" ||
+            mode == "s14cap")
           Some(Set("embeddings"))
         // bpe30k / megabucket generate their own corpora — no fixture
         else if (mode == "bpe30k" || mode == "megabucket") Some(Set.empty)
@@ -1448,7 +1509,8 @@ object ScaleBench {
         mode == "d9border" || mode == "pqdisk" || mode == "layered" ||
         mode == "d11deep" || mode == "d11bucket" || mode == "trunc" ||
         mode == "s14bucket" || mode == "s13rank" || mode == "s14stale" ||
-        mode == "graphrecall" || mode == "megabucket") {
+        mode == "graphrecall" || mode == "megabucket" ||
+        mode == "s14cap") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -1505,6 +1567,9 @@ object ScaleBench {
         else if (mode == "s14stale")
           ("s14_staleness", s14StaleCompare(spark, work),
             "scale_s14stale.json")
+        else if (mode == "s14cap")
+          ("s14_cap_parity", s14CapCompare(spark, work),
+            "scale_s14cap.json")
         else if (mode == "trunc")
           ("trunc_curve", truncCompare(spark, work),
             "scale_trunc.json")
@@ -1539,7 +1604,21 @@ object ScaleBench {
         .exists())
       .map(t => t -> Tables.table(spark, work, t).count()).toMap
 
+    // free disk under the work volume, GB — logged around every timed
+    // row at the third decade (VERDICT r16 next-7: the x1000 serve
+    // failure was detected as spill death with 6.7 GB of artifacts
+    // resident; the record must let a quadratic-join wall and a plain
+    // disk-exhaustion wall be told apart)
+    def diskFreeGb: Double =
+      new java.io.File(work0).getUsableSpace / 1e9
+    val diskRows = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def timeOne(name: String, dir: String = work): Double = {
+      if (mult >= 1000) {
+        val free = diskFreeGb
+        diskRows += (s"${name}_disk_free_gb_before" -> free)
+        System.err.println(
+          f"[scale] disk free before $name: $free%.1f GB")
+      }
       val t0 = System.nanoTime()
       // s12's registered face pins the oracle's 4×8 layout; the decade
       // row times the production auto-layout build (the c21/connlsh
@@ -1568,7 +1647,18 @@ object ScaleBench {
       }).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[scale] $name failed: ${e.getMessage}")
+        if (mult >= 1000) {
+          val free = diskFreeGb
+          diskRows += (s"${name}_disk_free_gb_after" -> free)
+          System.err.println(
+            f"[scale] disk free after FAILED $name: $free%.1f GB")
+        }
         return -1.0
+      }
+      if (mult >= 1000) {
+        val free = diskFreeGb
+        diskRows += (s"${name}_disk_free_gb_after" -> free)
+        System.err.println(f"[scale] disk free after $name: $free%.1f GB")
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -1637,7 +1727,11 @@ object ScaleBench {
           graft.operators.Clustering.writeKnnGraphIndex(spark, work,
             s"${graft.functions.Similarity.artifactRoot(work)}/s14_graph_full")
         })).collect { case (name, (true, build)) =>
+          if (mult >= 1000)
+            diskRows += (s"${name}_disk_free_gb_before" -> diskFreeGb)
           val (t, _) = timed(build())
+          if (mult >= 1000)
+            diskRows += (s"${name}_disk_free_gb_after" -> diskFreeGb)
           name -> t
         }
     val timedSet = set.map(n => n -> timeOne(n)) ++ buildRows
@@ -1647,10 +1741,10 @@ object ScaleBench {
     // decade refresh, so scale_out/scale_x100 always carry the mitigated
     // row next to the reference-pinned m1_mopso_archive
     val results =
-      if (set.contains("m1_mopso_archive"))
+      (if (set.contains("m1_mopso_archive"))
         timedSet :+ ("m1_mopso_archive_scaledparts" ->
           m1TimeRun(spark, work, 8 * mult))
-      else timedSet
+      else timedSet) ++ diskRows
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -87,7 +87,15 @@ object Linalg {
     * form: the compositional when/dot chain inlines one DotProduct
     * subtree per plane, which stops JIT-compiling past ~64 inlined dots
     * (the r16 scan-stage cliff — SCALE.md §r16); the native expression
-    * is layout-size-independent and bit-identical (spec-pinned).
+    * is layout-size-independent and bit-identical (spec-pinned) ON
+    * WELL-FORMED vectors. Ragged-input divergence, INTENTIONAL
+    * (ADVICE r16): the composed twin mapped a dimension-mismatched
+    * vector to bucket 0 (`when(NULL > 0, …).otherwise(0)` sums to 0) —
+    * a silent wrong answer that collided corrupt rows into a real
+    * bucket; the native form returns NULL, the fold-expression family
+    * convention. Consumers that would silently DROP a null (the graph
+    * chain's posexplode) add their own loud dim guard at the entry
+    * point (`Clustering.lshSigsCol`).
     */
   def signBucketCol(features: Column, planes: Seq[Array[Double]]): Column = {
     require(planes.nonEmpty && planes.length < 63,

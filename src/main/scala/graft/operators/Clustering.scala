@@ -56,7 +56,8 @@ object Clustering {
     "s12b_knn_graph_capped" -> s12bKnnGraphCapped,
     "s13_graph_clusters" -> s13GraphClusters,
     "s13b_graph_clusters_capped" -> s13bGraphClustersCapped,
-    "s14_graph_assign" -> s14GraphAssign
+    "s14_graph_assign" -> s14GraphAssign,
+    "s14b_graph_assign_capped" -> s14bGraphAssignCapped
   )
 
   /** Bucket width for the partition-local Conn query (c17). */
@@ -440,8 +441,21 @@ object Clustering {
       numPlanes: Int, numTables: Int): Column = {
     require(planes.length == numPlanes * numTables,
       s"expected ${numPlanes * numTables} plane rows, got ${planes.length}")
-    graft.functions.VectorExpressions
-      .signBuckets(col("features"), planes, numPlanes)
+    val dim = planes.head.length
+    val f = col("features")
+    // ragged guard (ADVICE r16): the native SignBuckets maps a
+    // dimension-mismatched vector to NULL (the fold-expression family
+    // convention), and the downstream posexplode would then silently
+    // drop the row from BOTH candidate generation and the orphan leg —
+    // an unflagged singleton with no diagnostic. A wrong-dimension
+    // vector in the graph chain is corrupt input; fail the job loudly
+    // instead (one size() comparison per row, branch-free otherwise)
+    when(f.isNotNull && size(f) =!= lit(dim),
+      raise_error(concat(
+        lit(s"lshSigsCol: expected dimension $dim, got "),
+        size(f).cast("string"))))
+      .otherwise(graft.functions.VectorExpressions
+        .signBuckets(f, planes, numPlanes))
   }
 
   /** The shared ranking tail (the c19 shape): candidate rows with
@@ -1055,10 +1069,14 @@ object Clustering {
     val comp = mutualComponents(pc, graph, orphans = Some(orphans))
     val planesDf = planes.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toDF("pid", "v")
+    // tier 0 = build/base rows (subject to the serving prefix cap);
+    // appends write tier 1 (never capped — chain growth through an
+    // appended row is part of the append contract)
     val pointsDf = pc
       .withColumn("sigs", lshSigsCol(planes, numPlanes, LshTables))
       .join(comp, "id")
-      .select(col("id"), col("features"), col("sigs"), col("component"))
+      .select(col("id"), col("features"), col("sigs"), col("component"),
+        lit(0).as("tier"))
     // pc is returned only so writeKnnGraphIndexOf can unpersist it once
     // the frames are materialized (ADVICE r14: the build used to leak a
     // cached corpus copy per index build for the JVM's lifetime)
@@ -1104,25 +1122,71 @@ object Clustering {
     planesDf.coalesce(1).write.mode("overwrite").parquet(s"$path/planes")
     pointsDf.write.mode("overwrite").parquet(s"$path/points")
     pc.unpersist()
-    exportBucketedStore(s, path)
+    exportBucketedStore(s, path, cap)
     writtenGraphIdx.add(key)
   }
 
+  /** The CAPPED serving projection of an exploded store: per
+    * (tbl, bucket), the first `cap` tier-0 rows by nid — the BUILD's
+    * own candidate-prefix convention (`cappedGraphWithOrphans`' in-cap
+    * window: same keys, same id order) — plus every tier-1 (appended)
+    * row uncapped. Serve candidates over this projection are EXACTLY
+    * the build's candidate set, so the self-serve fixed point survives
+    * capping by construction; appended rows are never capped out, so a
+    * later batch still inherits through an earlier append (the chain-
+    * growth contract). This is the round-17 fix for the x1000 serve
+    * DNF (VERDICT r16 next-1): the uncapped store side made the serve
+    * join's output ∝ batch-mass × store-mass per bucket — quadratic in
+    * duplication mass — and spilled the disk to death at x1000; the
+    * prefix bounds the store side at `cap` rows per (tbl, bucket).
+    */
+  private def cappedServing(exploded: DataFrame, cap: Int): DataFrame = {
+    val wB = Window.partitionBy(col("tbl"), col("bucket"))
+      .orderBy(col("nid"))
+    exploded.where(col("tier") === 0)
+      .withColumn("rn", row_number().over(wB))
+      .where(col("rn") <= cap)
+      .drop("rn", "tier")
+      .unionByName(exploded.where(col("tier") === 1).drop("tier"))
+  }
+
   /** (Re)builds the bucketed SERVING layout from the plain `points`
-    * parquet — the source of truth. Reads the JUST-WRITTEN files, never
-    * a lazy points frame whose plan would re-run the whole graph build.
-    * Also the repair path of [[appendToGraphIndex]]'s dual-write guard.
+    * parquet — the source of truth — applying the per-(tbl, bucket)
+    * serving prefix at `cap` ([[cappedServing]]). Reads the
+    * JUST-WRITTEN files, never a lazy points frame whose plan would
+    * re-run the whole graph build. Also the repair path of
+    * [[appendToGraphIndex]]'s dual-write guard. Ends by writing the
+    * store meta row (cap, plain/bucketed row counts at export) that
+    * the guard's capped-count arithmetic and the plain fallback's
+    * prefix read from.
     */
   private[graft] def exportBucketedStore(s: SparkSession,
-      path: String): Unit = {
+      path: String, cap: Int = GraphBuildCap): Unit = {
     val tbl = storeTableName(path)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
-    explodedStore(s.read.parquet(s"$path/points"))
+    cappedServing(explodedStore(s.read.parquet(s"$path/points")), cap)
       .write.bucketBy(StoreBuckets, "tbl", "bucket")
       .sortBy("tbl", "bucket")
       .option("path", s"$path/points_bucketed")
       .mode("overwrite").saveAsTable(tbl)
+    val nPlain = s.read.parquet(s"$path/points").count()
+    val nBucketed = s.table(tbl).count()
+    import s.implicits._
+    Seq((cap, nPlain, nBucketed))
+      .toDF("cap", "points_at_export", "bucketed_at_export")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/store_meta")
   }
+
+  /** The store's export-time meta row: (serve cap, plain point count at
+    * export, bucketed row count at export) — absent on a pre-r17 store,
+    * which the guard treats as divergence (rebuild re-creates it).
+    */
+  private def readStoreMeta(s: SparkSession,
+      path: String): Option[(Int, Long, Long)] =
+    if (storePathExists(s, s"$path/store_meta")) {
+      val r = s.read.parquet(s"$path/store_meta").collect()(0)
+      Some((r.getInt(0), r.getLong(1), r.getLong(2)))
+    } else None
 
   /** The production build face: the FULL corpus at the auto-derived
     * layout ([[lshPlanesFor]]) — build once, then serve arriving
@@ -1155,6 +1219,16 @@ object Clustering {
     * dedup is spent on them. Vectors with NO bucket collision mint a
     * new singleton component = their own id (null neighbor) — exactly
     * what an ingest pipeline does with a genuinely novel point.
+    *
+    * The store side is the CAPPED serving projection (r17): at most
+    * `cap` base rows per (tbl, bucket) — the build's own candidate
+    * prefix — so serve output is ≤ batch-sigs × cap rows regardless of
+    * duplication mass (the uncapped join's batch × bucket-mass output
+    * spilled the disk to death at x1000, SCALE.md §r16→17). A probed
+    * bucket that is non-empty in the store always has a non-empty
+    * prefix, so capping never creates NEW singletons — it can only
+    * move an assignment to another near candidate's component; that
+    * delta is measured per decade (`scale_s14cap_*.json`).
     */
   /** The store's frozen hyperplanes — a driver read; the planes table
     * is layout-sized (≤ ~13×8 rows at any corpus size).
@@ -1165,10 +1239,18 @@ object Clustering {
       .orderBy(col("pid")).collect()
       .map(_.getSeq[Double](1).toArray).toSeq
 
-  /** The exploded serving projection of a `points` frame. */
-  private def explodedStore(points: DataFrame): DataFrame =
-    points.select(col("id").as("nid"), col("features").as("nv"),
-      col("component"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+  /** The exploded serving projection of a `points` frame (tier carried
+    * through for [[cappedServing]]; a pre-r17 store without the column
+    * reads as all-tier-0 — entirely base rows, the correct semantics).
+    */
+  private def explodedStore(points: DataFrame): DataFrame = {
+    val p =
+      if (points.columns.contains("tier")) points
+      else points.withColumn("tier", lit(0))
+    p.select(col("id").as("nid"), col("features").as("nv"),
+      col("component"), col("tier"),
+      posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+  }
 
   /** Scheme-agnostic existence probe via Hadoop's FileSystem API —
     * `java.io.File` is always false for non-local stores (hdfs://,
@@ -1187,11 +1269,21 @@ object Clustering {
     * catalog, the files carry the bucket ids in their names), else the
     * plain parquet explode. `useBucketed = false` forces the plain path
     * (ScaleBench's layout comparison and the portability fallback).
+    *
+    * Since r17 BOTH layouts serve the CAPPED projection
+    * ([[cappedServing]]): the bucketed table is capped physically at
+    * export (zero read-time cost — the production path); the plain
+    * fallback applies the same prefix window at read time (one
+    * store-sized sort per serve, partitioned on (tbl, bucket) — the
+    * price of portability, never the default). `capped = false` forces
+    * the UNCAPPED plain explode — the parity-measurement face
+    * (`scale_s14cap_*.json`) and nothing else; it is exactly the plan
+    * that died on disk spill at x1000 (SCALE.md §r16→17).
     */
   private[graft] def graphStoreFrame(s: SparkSession, path: String,
-      useBucketed: Boolean = true): DataFrame = {
+      useBucketed: Boolean = true, capped: Boolean = true): DataFrame = {
     val loc = s"$path/points_bucketed"
-    if (useBucketed && storePathExists(s, loc)) {
+    if (useBucketed && capped && storePathExists(s, loc)) {
       val tbl = storeTableName(path)
       if (!s.catalog.tableExists(tbl))
         s.sql(s"""CREATE TABLE $tbl
@@ -1202,14 +1294,21 @@ object Clustering {
           INTO $StoreBuckets BUCKETS
           LOCATION '$loc'""")
       s.table(tbl)
-    } else explodedStore(s.read.parquet(s"$path/points"))
+    } else {
+      val exploded = explodedStore(s.read.parquet(s"$path/points"))
+      if (capped)
+        cappedServing(exploded,
+          readStoreMeta(s, path).map(_._1).getOrElse(GraphBuildCap))
+      else exploded.drop("tier")
+    }
   }
 
   private[graft] def assignFromGraphIndex(batch: DataFrame,
-      path: String, useBucketed: Boolean = true): DataFrame = {
+      path: String, useBucketed: Boolean = true,
+      capped: Boolean = true): DataFrame = {
     val s = batch.sparkSession
     assignFromGraphStore(batch, readPlanes(s, path),
-      graphStoreFrame(s, path, useBucketed))
+      graphStoreFrame(s, path, useBucketed, capped))
   }
 
   /** The serve core over an arbitrary EXPLODED store frame
@@ -1269,12 +1368,25 @@ object Clustering {
     * refine base neighborhoods). The rebuild cadence is the point on
     * that curve a deployment tolerates.
     *
+    * Appended rows carry tier 1: they are NEVER capped out of the
+    * serving prefix (an appended row must stay findable, or the chain-
+    * growth contract breaks), so a hot bucket's appended mass grows
+    * past the cap until the next FULL index rebuild
+    * ([[writeKnnGraphIndexOf]] re-signs and re-tiers everything as
+    * base) — bounded by the same rebuild cadence the staleness curve
+    * already prescribes. The guard's [[exportBucketedStore]] repair
+    * deliberately preserves tiers: it reproduces the dual-write
+    * content exactly (capped base + all appends), never re-caps.
+    *
     * The plain append and the bucketed append are NOT atomic; a crash
     * between them would leave the default serve face silently short.
-    * Every append therefore ends with a totals comparison (exploded =
-    * points × tables, two metadata-cheap counts) that detects any
-    * divergence — this append's or an earlier crash's — and rebuilds
-    * the bucketed layout from the source-of-truth points (spec-pinned).
+    * Every append therefore ends with a totals comparison — footer
+    * counts against the export meta's capped arithmetic: expected
+    * bucketed rows = bucketed_at_export + (points since export) ×
+    * tables — that detects any divergence (this append's or an earlier
+    * crash's; a missing meta row, i.e. a pre-r17 store, counts as
+    * divergence) and rebuilds the bucketed layout from the
+    * source-of-truth points (spec-pinned).
     */
   private[graft] def appendToGraphIndex(batch: DataFrame,
       path: String): Unit = {
@@ -1294,7 +1406,8 @@ object Clustering {
     val rows = signed
       .join(assignFromSignedGraphStore(signed, graphStoreFrame(s, path))
         .select(col("id"), col("component")), "id")
-      .select(col("id"), col("features"), col("sigs"), col("component"))
+      .select(col("id"), col("features"), col("sigs"), col("component"),
+        lit(1).as("tier"))
       .localCheckpoint(eager = true)
     rows.write.mode("append").parquet(s"$path/points")
     // keep the bucketed serving layout in sync (same rows, probe-key
@@ -1302,25 +1415,33 @@ object Clustering {
     val tbl = storeTableName(path)
     if (storePathExists(s, s"$path/points_bucketed")) {
       graphStoreFrame(s, path) // ensures tbl registered in this catalog
-      explodedStore(rows)
+      explodedStore(rows).drop("tier")
         .write.bucketBy(StoreBuckets, "tbl", "bucket")
         .sortBy("tbl", "bucket")
         .option("path", s"$path/points_bucketed")
         .mode("append").saveAsTable(tbl)
-      // dual-write guard (ADVICE r15): the plain append and the
-      // bucketed append are not atomic — a crash between them (in THIS
-      // or any EARLIER append; the totals comparison catches old
-      // divergence too) would leave the DEFAULT serve face silently
-      // missing rows forever. Two metadata-cheap counts (parquet
-      // footers) verify exploded = points × tables and rebuild the
-      // bucketed layout from the source-of-truth points on mismatch.
+      // dual-write guard (ADVICE r15; capped arithmetic since r17):
+      // the plain append and the bucketed append are not atomic — a
+      // crash between them (in THIS or any EARLIER append; the totals
+      // comparison catches old divergence too) would leave the DEFAULT
+      // serve face silently missing rows forever. Two metadata-cheap
+      // footer counts verify bucketed = bucketed_at_export + (points
+      // since export) × tables — every post-export point is an append
+      // contributing all its exploded rows — and rebuild the bucketed
+      // layout from the source-of-truth points on mismatch (a missing
+      // meta row is a pre-r17 store: also a rebuild).
+      val meta = readStoreMeta(s, path)
       val nPlain = s.read.parquet(s"$path/points").count()
       val nBucketed = s.table(tbl).count()
-      if (nBucketed != nPlain * LshTables) {
+      val expected = meta.map { case (_, p0, b0) =>
+        b0 + (nPlain - p0) * LshTables }
+      if (!expected.contains(nBucketed)) {
         System.err.println(s"[graft] bucketed graph store at $path " +
-          s"diverged ($nBucketed exploded rows vs ${nPlain} points x " +
-          s"$LshTables tables) — rebuilding from points")
-        exportBucketedStore(s, path)
+          s"diverged ($nBucketed exploded rows vs expected " +
+          s"${expected.getOrElse("<no meta>")} = export base + " +
+          s"appends x $LshTables) — rebuilding from points")
+        exportBucketedStore(s, path,
+          meta.map(_._1).getOrElse(GraphBuildCap))
       }
     }
   }
@@ -1360,6 +1481,27 @@ object Clustering {
     writeKnnGraphIndexOf(s,
       pts.where(pmod(col("id"), lit(S14Mod)) =!= lit(S14Res)),
       LshPlanes, path, s"$dir->$path->holdout")
+    assignFromGraphIndex(
+      pts.where(pmod(col("id"), lit(S14Mod)) === lit(S14Res)), path)
+      .orderBy(col("id"))
+  }
+
+  /** [[s14GraphAssign]] at [[OracleGraphCap]] — the s12b/s13b
+    * convention for the SERVING chain: at cap 16 the fixture's base
+    * buckets (≤ 46 members at sf0.01) genuinely truncate, so this row
+    * hash-checks the LIVE capped-store semantics end-to-end — the
+    * build prefix, the orphan fan-out in the stored components, AND
+    * the r17 capped serve probe — against DuckDB's independent replay
+    * ([[s14AssignSql]]). The default face stays saturated at fixture
+    * size, exactly like s12 vs s12b.
+    */
+  def s14bGraphAssignCapped: Q = (s, dir) => {
+    val pts = Tables.labeledPoints(s, dir).select(col("id"), col("features"))
+    val path = s"${graft.functions.Similarity.artifactRoot(dir)}/s14b_graph"
+    writeKnnGraphIndexOf(s,
+      pts.where(pmod(col("id"), lit(S14Mod)) =!= lit(S14Res)),
+      LshPlanes, path, s"$dir->$path->holdout-live",
+      cap = OracleGraphCap)
     assignFromGraphIndex(
       pts.where(pmod(col("id"), lit(S14Mod)) === lit(S14Res)), path)
       .orderBy(col("id"))
@@ -1856,6 +1998,79 @@ object Clustering {
        |FROM grp LEFT JOIN fan ON fan.xi = grp.id
        |ORDER BY grp.id""".stripMargin
 
+
+  /** The s14 serving-chain SQL at an arbitrary cap — the registered
+    * face pins [[GraphBuildCap]] (saturated at fixture size: base
+    * buckets ≤ 46), the b-face pins [[OracleGraphCap]] (live
+    * truncation of the build chain AND the serve prefix). The serve
+    * probe `cd` joins the delta sigs against the SAME row_number ≤ cap
+    * base prefix the build ranked against — the r17 capped serving
+    * projection, replayed independently.
+    */
+  private def s14AssignSql(cap: Int): String =
+    s"""WITH RECURSIVE $P,
+         |bc AS (SELECT id, v FROM p WHERE id % $S14Mod != $S14Res),
+         |pl AS (SELECT v, row_number() OVER (ORDER BY id) - 1 AS pid
+         |  FROM bc ORDER BY id LIMIT ${LshPlanes * LshTables}),
+         |b AS (SELECT bc.id, (pl.pid // $LshPlanes)::INT AS tbl,
+         |    sum(CASE WHEN list_inner_product(bc.v, pl.v) > 0
+         |      THEN (1::BIGINT << (pl.pid % $LshPlanes)::INT)
+         |      ELSE 0::BIGINT END) AS bucket
+         |  FROM bc CROSS JOIN pl GROUP BY bc.id, pl.pid // $LshPlanes),
+         |yc AS (SELECT id, tbl, bucket,
+         |    row_number() OVER (PARTITION BY tbl, bucket ORDER BY id)
+         |      AS rn
+         |  FROM b),
+         |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
+         |  FROM b x JOIN yc y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |    AND x.id <> y.id AND y.rn <= $cap),
+         |g AS (SELECT xi, yi, rnk FROM (
+         |  SELECT cand.xi, cand.yi,
+         |    row_number() OVER (PARTITION BY cand.xi
+         |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
+         |  FROM cand JOIN bc px ON px.id = cand.xi
+         |  JOIN bc py ON py.id = cand.yi)
+         |  WHERE rnk <= $S13MutualRank),
+         |mu AS (SELECT ga.xi AS src, ga.yi AS dst
+         |  FROM g ga JOIN g gb ON ga.xi = gb.yi AND ga.yi = gb.xi),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM mu
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN mu e ON r.dst = e.src),
+         |grp0 AS (SELECT bc.id, least(bc.id, coalesce(min(r.dst), bc.id))
+         |    AS component
+         |  FROM bc LEFT JOIN reach r ON r.src = bc.id GROUP BY bc.id),
+         |orph AS (SELECT id FROM yc GROUP BY id
+         |  HAVING min(rn) > $cap),
+         |fan AS (SELECT g.xi, gc.component
+         |  FROM g JOIN orph ON orph.id = g.xi
+         |  JOIN grp0 gc ON gc.id = g.yi
+         |  WHERE g.rnk = 1),
+         |grp AS (SELECT grp0.id,
+         |    coalesce(fan.component, grp0.component) AS component
+         |  FROM grp0 LEFT JOIN fan ON fan.xi = grp0.id),
+         |d AS (SELECT id, v FROM p WHERE id % $S14Mod = $S14Res),
+         |db AS (SELECT d.id, (pl.pid // $LshPlanes)::INT AS tbl,
+         |    sum(CASE WHEN list_inner_product(d.v, pl.v) > 0
+         |      THEN (1::BIGINT << (pl.pid % $LshPlanes)::INT)
+         |      ELSE 0::BIGINT END) AS bucket
+         |  FROM d CROSS JOIN pl GROUP BY d.id, pl.pid // $LshPlanes),
+         |cd AS (SELECT DISTINCT db.id AS qid, yc.id AS nid
+         |  FROM db JOIN yc ON db.tbl = yc.tbl AND db.bucket = yc.bucket
+         |    AND yc.rn <= $cap),
+         |best AS (SELECT qid, nid FROM (
+         |  SELECT cd.qid, cd.nid,
+         |    row_number() OVER (PARTITION BY cd.qid
+         |      ORDER BY list_distance(dv.v, nv.v), cd.nid) AS rn
+         |  FROM cd JOIN d dv ON dv.id = cd.qid
+         |  JOIN bc nv ON nv.id = cd.nid)
+         |  WHERE rn = 1)
+         |SELECT d.id, best.nid AS neighbor,
+         |  coalesce(grp.component, d.id) AS component
+         |FROM d LEFT JOIN best ON best.qid = d.id
+         |LEFT JOIN grp ON grp.id = best.nid
+         |ORDER BY d.id""".stripMargin
+
   private val fitnessSql =
     """f AS (SELECT c_custkey AS id, round(c_acctbal, 2) AS f1,
       |  round(sum(o_totalprice), 2) AS f2
@@ -2056,72 +2271,14 @@ object Clustering {
     // the whole serving chain from raw embeddings (the d11 oracle
     // convention — deterministic index, no parquet read): base split →
     // planes from the BASE only → base sigs → CAPPED mutual graph →
-    // recursive components → orphan fan-out → delta sigs → bucket
-    // probe → window-ranked argmin. The cap saturates at fixture size
-    // (base buckets ≤ 46 < 64), but the SQL describes the production
-    // build — s13b pins the live-cap semantics
-    "s14_graph_assign" ->
-      s"""WITH RECURSIVE $P,
-         |bc AS (SELECT id, v FROM p WHERE id % $S14Mod != $S14Res),
-         |pl AS (SELECT v, row_number() OVER (ORDER BY id) - 1 AS pid
-         |  FROM bc ORDER BY id LIMIT ${LshPlanes * LshTables}),
-         |b AS (SELECT bc.id, (pl.pid // $LshPlanes)::INT AS tbl,
-         |    sum(CASE WHEN list_inner_product(bc.v, pl.v) > 0
-         |      THEN (1::BIGINT << (pl.pid % $LshPlanes)::INT)
-         |      ELSE 0::BIGINT END) AS bucket
-         |  FROM bc CROSS JOIN pl GROUP BY bc.id, pl.pid // $LshPlanes),
-         |yc AS (SELECT id, tbl, bucket,
-         |    row_number() OVER (PARTITION BY tbl, bucket ORDER BY id)
-         |      AS rn
-         |  FROM b),
-         |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
-         |  FROM b x JOIN yc y ON x.tbl = y.tbl AND x.bucket = y.bucket
-         |    AND x.id <> y.id AND y.rn <= $GraphBuildCap),
-         |g AS (SELECT xi, yi, rnk FROM (
-         |  SELECT cand.xi, cand.yi,
-         |    row_number() OVER (PARTITION BY cand.xi
-         |      ORDER BY list_distance(px.v, py.v), cand.yi) AS rnk
-         |  FROM cand JOIN bc px ON px.id = cand.xi
-         |  JOIN bc py ON py.id = cand.yi)
-         |  WHERE rnk <= $S13MutualRank),
-         |mu AS (SELECT ga.xi AS src, ga.yi AS dst
-         |  FROM g ga JOIN g gb ON ga.xi = gb.yi AND ga.yi = gb.xi),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM mu
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN mu e ON r.dst = e.src),
-         |grp0 AS (SELECT bc.id, least(bc.id, coalesce(min(r.dst), bc.id))
-         |    AS component
-         |  FROM bc LEFT JOIN reach r ON r.src = bc.id GROUP BY bc.id),
-         |orph AS (SELECT id FROM yc GROUP BY id
-         |  HAVING min(rn) > $GraphBuildCap),
-         |fan AS (SELECT g.xi, gc.component
-         |  FROM g JOIN orph ON orph.id = g.xi
-         |  JOIN grp0 gc ON gc.id = g.yi
-         |  WHERE g.rnk = 1),
-         |grp AS (SELECT grp0.id,
-         |    coalesce(fan.component, grp0.component) AS component
-         |  FROM grp0 LEFT JOIN fan ON fan.xi = grp0.id),
-         |d AS (SELECT id, v FROM p WHERE id % $S14Mod = $S14Res),
-         |db AS (SELECT d.id, (pl.pid // $LshPlanes)::INT AS tbl,
-         |    sum(CASE WHEN list_inner_product(d.v, pl.v) > 0
-         |      THEN (1::BIGINT << (pl.pid % $LshPlanes)::INT)
-         |      ELSE 0::BIGINT END) AS bucket
-         |  FROM d CROSS JOIN pl GROUP BY d.id, pl.pid // $LshPlanes),
-         |cd AS (SELECT DISTINCT db.id AS qid, b.id AS nid
-         |  FROM db JOIN b ON db.tbl = b.tbl AND db.bucket = b.bucket),
-         |best AS (SELECT qid, nid FROM (
-         |  SELECT cd.qid, cd.nid,
-         |    row_number() OVER (PARTITION BY cd.qid
-         |      ORDER BY list_distance(dv.v, nv.v), cd.nid) AS rn
-         |  FROM cd JOIN d dv ON dv.id = cd.qid
-         |  JOIN bc nv ON nv.id = cd.nid)
-         |  WHERE rn = 1)
-         |SELECT d.id, best.nid AS neighbor,
-         |  coalesce(grp.component, d.id) AS component
-         |FROM d LEFT JOIN best ON best.qid = d.id
-         |LEFT JOIN grp ON grp.id = best.nid
-         |ORDER BY d.id""".stripMargin,
+    // recursive components → orphan fan-out → delta sigs → CAPPED
+    // bucket probe (the r17 serve prefix: the store side is the same
+    // row_number ≤ cap prefix the build ranks against) →
+    // window-ranked argmin. The cap saturates at fixture size (base
+    // buckets ≤ 46 < 64); the b-face at OracleGraphCap pins the LIVE
+    // truncation of both the build chain AND the serve probe
+    "s14_graph_assign" -> s14AssignSql(GraphBuildCap),
+    "s14b_graph_assign_capped" -> s14AssignSql(OracleGraphCap),
     // a(i)/b(i) are the two smallest centroid distances (assignment IS
     // nearest-centroid), so the oracle ranks per-point distances and keeps
     // rn 1 and 2 — only the dist VALUES feed the score, so rank ties are

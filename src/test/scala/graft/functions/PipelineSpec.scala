@@ -756,6 +756,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "bucketed layout diverged from the plain store")
     // the append path must write BOTH layouts, so serving stays
     // layout-invariant afterwards and the stores stay row-identical
+    // (both faces are the same capped projection since r17: the
+    // bucketed table caps physically at export, the plain fallback
+    // applies the identical prefix window at read time; appends land
+    // tier-1 — uncapped — in both)
     Clustering.appendToGraphIndex(delta, path)
     assert(served(true) === served(false),
       "bucketed layout out of sync after append")
@@ -767,22 +771,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // append and the bucketed append — rows land in points/ only, so
     // the default serve face silently misses them. Inject the
     // divergence by appending copies of stored rows under fresh ids to
-    // points/ alone (the guard compares exploded-row totals, so any
-    // schema-valid rows exhibit it), then run a normal append: its
-    // totals check must detect the stale divergence and rebuild the
-    // bucketed layout from the source-of-truth points.
+    // points/ alone (the guard compares footer counts against the
+    // export meta's capped arithmetic, and any post-export points/
+    // growth without its bucketed twin exhibits it), then run a normal
+    // append: its totals check must detect the stale divergence and
+    // rebuild the bucketed layout from the source-of-truth points.
+    val bucketedPre = Clustering.graphStoreFrame(spark, path).count()
     spark.read.parquet(s"$path/points").limit(3)
       .withColumn("id", col("id") + lit(10000000L))
       .write.mode("append").parquet(s"$path/points")
-    assert(Clustering.graphStoreFrame(spark, path).count() <
-      Clustering.graphStoreFrame(spark, path, useBucketed = false).count(),
-      "fixture setup: bucketed store must now lag the plain store")
+    assert(Clustering.graphStoreFrame(spark, path).count() === bucketedPre,
+      "fixture setup: the injected rows must land in points/ only")
     val delta2 = delta.withColumn("id", col("id") + lit(20000000L))
     Clustering.appendToGraphIndex(delta2, path)
     val nPlain2 =
       Clustering.graphStoreFrame(spark, path, useBucketed = false).count()
     assert(Clustering.graphStoreFrame(spark, path).count() === nPlain2,
       "dual-write guard failed to rebuild the diverged bucketed store")
+    assert(served(true) === served(false),
+      "faces diverged after the guard rebuild")
   }
 
   test("capped graph build: identical to the uncapped chain at a " +
@@ -871,11 +878,16 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
     // saturated fixed point, restated for the REGISTERED faces: at
     // GraphBuildCap no fixture bucket overflows, so the production s13
-    // face must equal the plain uncapped mutual closure byte-for-byte
+    // face must equal the plain uncapped mutual closure byte-for-byte.
+    // The baseline is lshRankedNeighbors — the GENUINELY uncapped chain
+    // (s12KnnGraph is itself the capped chain since r16, which would
+    // reduce this to a fan-out-inactivity check — ADVICE r16)
     val s13 = Clustering.s13GraphClusters(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val uncapped = Clustering.mutualComponents(ids,
-      Clustering.s12KnnGraph(spark, sfDir)).collect()
+      Clustering.lshRankedNeighbors(spark, sfDir,
+          Clustering.LshPlanes, Clustering.LshTables)
+        .select(col("xi"), col("rnk").as("rank"), col("yi"))).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(s13 === uncapped,
       "s13 at the saturated production cap diverged from the uncapped closure")
@@ -906,5 +918,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(comp.length === m)
     assert(comp.map(_._2).distinct.toSeq === Seq(0L),
       "the clone mass must resolve to ONE component through the fan-out")
+  }
+
+  test("graph chain fails loudly on a dimension-mismatched vector " +
+      "instead of silently dropping it (ADVICE r16)") {
+    import graft.operators.Clustering
+    import spark.implicits._
+    // 3 well-formed 4-dim points plus one 3-dim straggler: the native
+    // SignBuckets would null it and posexplode would erase it from both
+    // the candidate AND orphan legs — the guard must abort the job
+    val pc = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (1L, Seq(0.9, 0.1, 0.0, 0.0), 0),
+      (2L, Seq(0.8, 0.2, 0.0, 0.0), 0),
+      (3L, Seq(1.0, 0.0, 0.0), 0)).toDF("id", "features", "cluster")
+    val planes = (0 until Clustering.LshPlanes * Clustering.LshTables)
+      .map(i => Array(1.0 + i * 0.1, 0.5, -0.5, 0.25)).toSeq
+    val (graph, orph) = Clustering.cappedGraphWithOrphans(pc, planes,
+      Clustering.LshPlanes, Clustering.LshTables, cap = 16)
+    val ex = intercept[Exception] { graph.count() }
+    val exOrph = intercept[Exception] { orph.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("expected dimension 4, got 3")),
+      s"wanted the lshSigsCol dim guard, got: ${messages(ex)}")
+    assert(messages(exOrph).exists(_.contains("expected dimension 4, got 3")),
+      "the orphan (slim) lineage must carry the same dim guard")
   }
 }

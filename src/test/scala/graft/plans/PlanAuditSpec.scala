@@ -27,6 +27,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     "d6_dedup_groups", "d7_semantic_groups", "p1_corpus_curation",
     "p10_pipeline_e2e", "mm10b_audio_dedup", "mm6b_pixel_dedup",
     "s13_graph_clusters", "p14_semantic_budget", "s14_graph_assign",
+    "s14b_graph_assign_capped",
     // s9's trained coarse + residual codebooks and p7's logistic
     // regression run seeded MLlib fits (driver-side jobs) during
     // CONSTRUCTION — the m1 family; their plan shapes (s8's scan +
@@ -133,11 +134,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       assert(!physical.contains("CartesianProduct") &&
         !physical.contains("BroadcastNestedLoopJoin"),
         s"serve plan grew a cartesian-shaped join:\n$physical")
-      assert(df.queryExecution.optimizedPlan.collect {
-          case w: logical.Window => w
-        }.isEmpty,
-        "serve plan must carry no window — the argmin is the struct-min " +
-          "aggregate")
+      // the argmin is the struct-min aggregate, never a window. The
+      // PRODUCTION (bucketed) face carries no window at all — its cap
+      // is physical, applied once at export; the plain PORTABILITY
+      // fallback may carry exactly the capped-serving prefix window,
+      // and that window must be partitioned on the (tbl, bucket) probe
+      // key (an unpartitioned one would single-task the store)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window => w
+      }
+      if (useBucketed)
+        assert(windows.isEmpty,
+          "bucketed serve plan must carry no window — the cap is " +
+            "physical and the argmin is the struct-min aggregate")
+      else {
+        assert(windows.size <= 1, s"plain serve grew extra windows")
+        windows.foreach(w => assert(w.partitionSpec.nonEmpty &&
+          w.partitionSpec.map(_.sql).mkString(",").contains("tbl"),
+          s"plain-serve prefix window must partition on the probe key: " +
+            s"${w.partitionSpec.map(_.sql)}"))
+      }
       assert(physical.contains("partial_min"),
         s"struct-min must partial-aggregate map-side:\n$physical")
       physical
