@@ -469,13 +469,33 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .persist()
-    // localCheckpoint (eager) per round: the iterative plan references
-    // `labels` twice per round, so WITHOUT lineage truncation the Catalyst
-    // plan doubles every round — exponential analysis/explain cost long
-    // before any data moves. Checkpointing pins each round's result as a
-    // LogicalRDD (superseded rounds are auto-unpersisted by the
-    // ContextCleaner once unreferenced); on a real cluster prefer
+    // roundCheckpoint per round: the iterative plan references `labels`
+    // twice per round, so WITHOUT lineage truncation the Catalyst plan
+    // doubles every round — exponential analysis/explain cost long
+    // before any data moves. NOT Dataset.localCheckpoint (r17, found by
+    // a 27-minute driver stall then `ArithmeticException: BigInteger
+    // would overflow supported range` on the indep x100 rank table):
+    // Spark 4's localCheckpoint pins the ORIGIN plan's size estimate
+    // into the new LogicalRDD (`LogicalRDD.fromDataset` →
+    // `rewriteStatsAndConstraints`), and the size-only join estimate is
+    // a PRODUCT of its children — so each round's estimate multiplies
+    // the previous round's pinned estimate twice (step join + doubling
+    // hop) and the BigInteger DIGIT COUNT doubles per round. Any
+    // closure needing ~25+ rounds (honest long-chain geometry; the
+    // ε-clone fixtures converge in a handful) burns unbounded driver
+    // CPU in Toom-Cook multiplication before overflowing at 2^31 bits.
+    // The RDD round-trip below cuts lineage the same way but gives the
+    // new leaf DEFAULT stats (no origin rewrite) — per-round estimates
+    // stay flat; superseded rounds are auto-unpersisted by the
+    // ContextCleaner once unreferenced. On a real cluster prefer
     // reliable `checkpoint()` for executor-loss tolerance.
+    val session = docs.sparkSession
+    def roundCheckpoint(df: DataFrame): DataFrame = {
+      val rdd = df.rdd // this round's plan only — labels leaf is a leaf
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager: the convergence aggregate right after materializes it
+      session.createDataFrame(rdd, df.schema)
+    }
     // convergence checksum as decimal(38,0): an exact Long sum overflows
     // once n·maxId exceeds 2^63 (≈1e10 sequential doc ids — precisely the
     // 100 TB regime), which would throw per round under ANSI mode or
@@ -522,10 +542,11 @@ object Dedup {
               .select(col("doc_id"),
                 least(col("group_id"), coalesce(col("h_grp"), col("group_id")))
                   .as("group_id"))
-          }).localCheckpoint(eager = true)
+          })
+        val nextCp = roundCheckpoint(next)
         // labels only ever decrease → fixpoint iff the sum is unchanged
-        val nextSum = labelStats(next)._1
-        labels = next
+        val nextSum = labelStats(nextCp)._1
+        labels = nextCp
         converged = nextSum.compareTo(checksum) == 0
         checksum = nextSum
         round += 1
