@@ -1612,12 +1612,16 @@ object ScaleBench {
     def diskFreeGb: Double =
       new java.io.File(work0).getUsableSpace / 1e9
     val diskRows = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    // the warm pass rides timeOne too — label its disk rows apart so
+    // the timed row's before/after keys stay unique in the record
+    var warming = true
     def timeOne(name: String, dir: String = work): Double = {
+      val tag = if (warming) s"warm_$name" else name
       if (mult >= 1000) {
         val free = diskFreeGb
-        diskRows += (s"${name}_disk_free_gb_before" -> free)
+        diskRows += (s"${tag}_disk_free_gb_before" -> free)
         System.err.println(
-          f"[scale] disk free before $name: $free%.1f GB")
+          f"[scale] disk free before $tag: $free%.1f GB")
       }
       val t0 = System.nanoTime()
       // s12's registered face pins the oracle's 4×8 layout; the decade
@@ -1649,16 +1653,16 @@ object ScaleBench {
         System.err.println(s"[scale] $name failed: ${e.getMessage}")
         if (mult >= 1000) {
           val free = diskFreeGb
-          diskRows += (s"${name}_disk_free_gb_after" -> free)
+          diskRows += (s"${tag}_disk_free_gb_after" -> free)
           System.err.println(
-            f"[scale] disk free after FAILED $name: $free%.1f GB")
+            f"[scale] disk free after FAILED $tag: $free%.1f GB")
         }
         return -1.0
       }
       if (mult >= 1000) {
         val free = diskFreeGb
-        diskRows += (s"${name}_disk_free_gb_after" -> free)
-        System.err.println(f"[scale] disk free after $name: $free%.1f GB")
+        diskRows += (s"${tag}_disk_free_gb_after" -> free)
+        System.err.println(f"[scale] disk free after $tag: $free%.1f GB")
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -1685,6 +1689,7 @@ object ScaleBench {
         }
         timeOne(w, src)
       } else timeOne(set.head)
+    warming = false
     if (warmT < 0)
       System.err.println(
         "[scale] WARMUP PASS FAILED — timed rows may carry JIT/codegen cost")

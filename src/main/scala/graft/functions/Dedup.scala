@@ -81,6 +81,15 @@ object Dedup {
     */
   val MaxPropagationRounds = 30
 
+  /** Outer round at which the pointer-doubling closure escalates from
+    * one shortcut hop per round to full path compression (iterated
+    * label∘label to fixpoint). Shallow geometry (the common case)
+    * never reaches it and pays nothing; long random-id chains switch
+    * to the hash-to-min discipline instead of riding the bare step's
+    * O(diameter) rounds into the [[MaxPropagationRounds]] wall.
+    */
+  val CompressEscalateRounds = 10
+
   /** Exact dedup summary via content hash: total docs, distinct contents,
     * duplicate groups. (Hash-groupBy — the map-side partial aggregation
     * makes this a single cheap shuffle at any scale.)
@@ -521,12 +530,57 @@ object Dedup {
           .localCheckpoint(eager = true)
     }
     val (sum0, n0) = labelStats(labels)
+    var prevLabels = labels
     var checksum = sum0
     var converged = n0 == 0L
     var round = 0
+    // one shortcut composition: a's labels chased one level through
+    // mapping b (label ∘ label) — labels stay component members, so
+    // composing never crosses a component boundary
+    def compose(a: DataFrame, b: DataFrame): DataFrame = {
+      val hop = b.select(col("doc_id").as("h_doc"),
+        col("group_id").as("h_grp"))
+      a.join(hop, col("group_id") === col("h_doc"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("h_grp"), col("group_id")))
+            .as("group_id"))
+    }
     try {
       while (!converged && round < MaxPropagationRounds) {
-        val nbrMin = edges
+        // deep-geometry escalation (r17, found by the indep x100 rank
+        // table): propagation over a FIXED edge set is Θ(graph
+        // diameter) rounds no matter how labels are chased — the
+        // ε-clone fixtures converge in a handful only because copy ids
+        // ascend along the chain; honest geometry has random ids along
+        // long paths. Past [[CompressEscalateRounds]] the min step also
+        // flows over the POINTER stars (v ↔ label(v), both directions)
+        // of the CURRENT **and PREVIOUS** round: the current star
+        // broadcasts a region's min to every member in one hop, and the
+        // previous star is what makes region MERGES O(1) — a boundary
+        // node that just defected to a smaller min still carries a
+        // stale edge to its old center, so the news reaches the center
+        // next round instead of crawling node-by-node across the old
+        // region (without the stale edges the defector leaves the star
+        // before reporting, and each merge costs a region radius — the
+        // same Θ(diameter) wall). Stars coalesce as labels agree: the
+        // hash-to-min contraction, empirically O(log n) rounds. Not
+        // enabled from round 1: shallow geometry (the common case)
+        // converges before the threshold and never pays the 4n-row
+        // union. Pointer edges stay within a component, so the
+        // fixpoint is unchanged (union-find twin spec).
+        def starEdges(l: DataFrame): DataFrame = l
+          .where(col("doc_id") =!= col("group_id"))
+          .select(explode(array(
+            struct(col("doc_id").as("src"), col("group_id").as("dst")),
+            struct(col("group_id").as("src"), col("doc_id").as("dst"))))
+            .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val effEdges =
+          if (!pointerDoubling || round + 1 < CompressEscalateRounds)
+            edges
+          else edges.unionByName(starEdges(labels))
+            .unionByName(starEdges(prevLabels))
+        val nbrMin = effEdges
           .join(labels, col("dst") === col("doc_id"))
           .groupBy(col("src")).agg(min(col("group_id")).as("nbr_min"))
         val stepped = labels
@@ -534,19 +588,12 @@ object Dedup {
           .select(labels("doc_id"),
             least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
               .as("group_id"))
-        val next = (if (!pointerDoubling) stepped
-          else {
-            val hop = labels.select(col("doc_id").as("h_doc"),
-              col("group_id").as("h_grp"))
-            stepped.join(hop, col("group_id") === col("h_doc"), "left")
-              .select(col("doc_id"),
-                least(col("group_id"), coalesce(col("h_grp"), col("group_id")))
-                  .as("group_id"))
-          })
-        val nextCp = roundCheckpoint(next)
+        val next = roundCheckpoint(
+          if (!pointerDoubling) stepped else compose(stepped, labels))
+        val nextSum = labelStats(next)._1
         // labels only ever decrease → fixpoint iff the sum is unchanged
-        val nextSum = labelStats(nextCp)._1
-        labels = nextCp
+        prevLabels = labels
+        labels = next
         converged = nextSum.compareTo(checksum) == 0
         checksum = nextSum
         round += 1

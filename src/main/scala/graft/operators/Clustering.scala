@@ -1358,15 +1358,23 @@ object Clustering {
     * through an earlier appended row (chain growth, spec'd). The
     * planes stay frozen: an append never re-shuffles or re-signs the
     * corpus, which is the whole point — the store drifts from the
-    * layout a fresh build would derive. The drift is MEASURED
-    * (`scale_s14stale_x10.json`, the d11/s9 staleness protocol):
-    * appending 12/25/50% of the corpus in four sequential batches
-    * against a frozen base store yields adjusted-Rand agreement
-    * 0.895/0.826/0.855 with a fresh full rebuild, the stale store
-    * carrying 42–67% MORE components (appended points mint singletons
-    * their later-arriving neighbors would have merged; appends never
-    * refine base neighborhoods). The rebuild cadence is the point on
-    * that curve a deployment tolerates.
+    * layout a fresh build would derive. The drift is MEASURED at two
+    * decades (`scale_s14stale_x{10,100}.json`, the d11/s9 staleness
+    * protocol): appending 12/25/50% of the corpus in four sequential
+    * batches against a frozen base store yields adjusted-Rand
+    * agreement 0.895/0.826/0.855 with a fresh full rebuild at x10 —
+    * but 0.384/0.230/0.183 at x100, the stale store carrying 6–11×
+    * the components. The x100 collapse is the BASE build's chain
+    * geometry, not the append path (diagnosed per tier: every excess
+    * component is tier-0; appends only inherit, they never mint):
+    * near-dup chains thread mutual-rank components as paths, and
+    * every not-yet-arrived chain member breaks the path — expected
+    * breaks ≈ chain_length × holdout_rate, which reproduces BOTH
+    * decades' component counts (SCALE.md §r17). The cadence rule:
+    * rebuild frequency must scale with the length of the duplication
+    * chains arriving, not just the append fraction — long-chain
+    * corpora (crawl re-fetches, template families) need a rebuild at
+    * a few % appended; short-chain corpora tolerate 12–50%.
     *
     * Appended rows carry tier 1: they are NEVER capped out of the
     * serving prefix (an appended row must stay findable, or the chain-

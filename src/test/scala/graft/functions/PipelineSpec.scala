@@ -249,6 +249,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(groups.forall(_._2 === 0L), "whole chain is one component")
   }
 
+  test("compression escalation finishes a RANDOM-id long path (the " +
+      "indep-geometry wall) within the round cap") {
+    import spark.implicits._
+    // the sequential-id chain above flatters the single shortcut hop:
+    // copy ids ascend along ε-clone chains, so each node's neighbor-min
+    // already points far back. Honest geometry has random ids along a
+    // long path — the bare step + one hop is O(diameter) rounds there,
+    // which blew the 30-round cap on the indep x100 rank table (r17).
+    // A deterministic multiplicative permutation scrambles ids along a
+    // 4096-node path; only the escalated compression can close it.
+    val n = 4096L
+    val p = 4099L // prime > n; k=3001 coprime → a permutation of 1..4098
+    def perm(i: Long): Long = (i + 1L) * 3001L % p
+    val ids = (0L until n).map(perm)
+    val docs = ids.toDF("doc_id")
+    val path = (0L until n - 1).map(i => (perm(i), perm(i + 1)))
+      .toDF("doc_a", "doc_b")
+    val groups = Dedup.connectedComponents(docs, path,
+      pointerDoubling = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(groups.length === n)
+    val minId = ids.min
+    assert(groups.forall(_._2 === minId),
+      "random-id path must resolve to one component at the global min")
+  }
+
   test("min-label propagation == union-find on random graphs") {
     import spark.implicits._
     // a handful of randomized graphs (each case runs a real multi-job
