@@ -911,6 +911,15 @@ object Clustering {
     * checksum, so "identical" is evidence-backed per run rather than
     * summary-stat-only — ADVICE r15) — depth 2 sits between
     * pair-matching fragmentation below and percolation above.
+    * INDEP geometry (r17, `scale_s13rank_indep.json`, x100, 200k
+    * genuinely distinct points — where percolation could reappear, and
+    * does): rank 5 grows a 9,066-member giant (4.5% of the corpus) and
+    * the max component climbs 13 → 80 → 334 → 9,066 across ranks 2–5,
+    * while rank 2 stays informative (max 13, 45% singletons — honest
+    * density neighborhoods, not a blob). The depth-2 pin therefore
+    * holds on BOTH geometries: on clones it recovers exactly the base
+    * clusters; on honest density it is the last depth before the
+    * percolation ramp.
     */
   val S13MutualRank = 2
 
