@@ -1149,7 +1149,42 @@ object Clustering {
     * duplication mass — and spilled the disk to death at x1000; the
     * prefix bounds the store side at `cap` rows per (tbl, bucket).
     */
-  private def cappedServing(exploded: DataFrame, cap: Int): DataFrame = {
+  private[graft] def cappedServing(exploded: DataFrame, cap: Int): DataFrame = {
+    // threshold filter, not a row_number window (r17 export-cost fix):
+    // the window formulation shuffles AND sorts the full
+    // feature-carrying exploded store (~560-byte rows) just to rank by
+    // nid, and the bucketed write re-shuffles it again — the one
+    // above-linear decade row in `scale_graph_x1000.json`. nid is
+    // unique, so "rank ≤ cap by nid" ≡ "nid ≤ cap-th smallest nid in
+    // the bucket": compute the per-(tbl, bucket) threshold with the
+    // bounded TopKByKey aggregate over SLIM (tbl, bucket, nid) rows
+    // (24-byte shuffle; pre-repartitioned on the group key so partial
+    // state is groups/task, the r16 OOM discipline), then filter the
+    // feature rows with one join — AQE broadcasts the bucket-sized
+    // threshold table at any realistic layout, so the big side never
+    // shuffles before the write's own bucketBy exchange. The window
+    // twin below stays as the spec cross-check.
+    val thr = exploded.where(col("tier") === 0)
+      .select(col("tbl"), col("bucket"), col("nid"))
+      .repartition(col("tbl"), col("bucket"))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(graft.functions.TopKAggregate
+        .topKByKey(col("nid"), col("nid"), cap).as("ks"))
+      .select(col("tbl"), col("bucket"),
+        element_at(col("ks"), size(col("ks"))).as("nid_cap"))
+    exploded.where(col("tier") === 0)
+      .join(thr, Seq("tbl", "bucket"))
+      .where(col("nid") <= col("nid_cap"))
+      .drop("nid_cap", "tier")
+      .unionByName(exploded.where(col("tier") === 1).drop("tier"))
+  }
+
+  /** The row_number formulation of [[cappedServing]] — kept as the
+    * independent cross-check twin (spec-pinned byte-equal; nid
+    * uniqueness is what makes the threshold filter exact).
+    */
+  private[graft] def cappedServingWindow(exploded: DataFrame,
+      cap: Int): DataFrame = {
     val wB = Window.partitionBy(col("tbl"), col("bucket"))
       .orderBy(col("nid"))
     exploded.where(col("tier") === 0)

@@ -946,6 +946,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "the clone mass must resolve to ONE component through the fan-out")
   }
 
+  test("capped serving projection: threshold filter == row_number " +
+      "window, tier-1 rows never capped") {
+    import graft.operators.Clustering
+    import spark.implicits._
+    // 3 buckets: one saturating (40 tier-0 rows at cap 16), one under
+    // cap (5 rows), one tier-1-heavy (3 base + 30 appended). nid order
+    // deliberately scrambled vs insertion order.
+    val rows = ((0 until 40).map(i => ((i * 7 + 3) % 97 * 100L, 0, 0, 11L)) ++
+      (0 until 5).map(i => (5000L + i * 13, 0, 1, 22L)) ++
+      (0 until 3).map(i => (8000L + i, 0, 2, 33L)) ++
+      (0 until 30).map(i => (9000L + i, 1, 2, 33L)))
+      .map { case (nid, tier, tbl, bucket) =>
+        (nid, Seq(nid.toDouble), nid, tier, tbl, bucket) }
+      .toDF("nid", "nv", "component", "tier", "tbl", "bucket")
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("nid"), col("component"), col("tbl"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).sorted.toSeq
+    val fast = collect(Clustering.cappedServing(rows, 16))
+    val twin = collect(Clustering.cappedServingWindow(rows, 16))
+    assert(fast === twin,
+      "threshold-capped serving diverged from the window twin")
+    // live truncation really happened, under-cap bucket kept whole,
+    // every tier-1 row present
+    assert(fast.count(_._4 == 11L) === 16)
+    assert(fast.count(_._4 == 22L) === 5)
+    assert(fast.count(_._4 == 33L) === 3 + 30)
+  }
+
   test("graph chain fails loudly on a dimension-mismatched vector " +
       "instead of silently dropping it (ADVICE r16)") {
     import graft.operators.Clustering
