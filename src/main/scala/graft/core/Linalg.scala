@@ -88,20 +88,31 @@ object Linalg {
     * subtree per plane, which stops JIT-compiling past ~64 inlined dots
     * (the r16 scan-stage cliff — SCALE.md §r16); the native expression
     * is layout-size-independent and bit-identical (spec-pinned) ON
-    * WELL-FORMED vectors. Ragged-input divergence, INTENTIONAL
-    * (ADVICE r16): the composed twin mapped a dimension-mismatched
-    * vector to bucket 0 (`when(NULL > 0, …).otherwise(0)` sums to 0) —
-    * a silent wrong answer that collided corrupt rows into a real
-    * bucket; the native form returns NULL, the fold-expression family
-    * convention. Consumers that would silently DROP a null (the graph
-    * chain's posexplode) add their own loud dim guard at the entry
-    * point (`Clustering.lshSigsCol`).
+    * WELL-FORMED vectors. Ragged-input semantics (ADVICE r16/r17): the
+    * composed twin mapped a dimension-mismatched vector to bucket 0
+    * (`when(NULL > 0, …).otherwise(0)` sums to 0) — a silent wrong
+    * answer that collided corrupt rows into a real bucket; the RAW
+    * native expression returns NULL, the fold-expression family
+    * convention — but every bucket consumer (Similarity's band joins,
+    * GlobalNeighbors, the graph chain's posexplode) would then silently
+    * DROP the row from candidate generation, an unflagged data loss.
+    * This shared entry point therefore FAILS LOUDLY on a
+    * dimension-mismatched vector (`raise_error` naming both sizes —
+    * the `Clustering.lshSigsCol` convention, now uniform across every
+    * sign-bucket surface; spec-pinned in LinalgColSpec). A NULL vector
+    * still maps to NULL: absence is a modeled state, raggedness is
+    * corruption.
     */
   def signBucketCol(features: Column, planes: Seq[Array[Double]]): Column = {
     require(planes.nonEmpty && planes.length < 63,
       s"signBucket needs 1..62 planes, got ${planes.length}")
-    element_at(graft.functions.VectorExpressions
-      .signBuckets(features, planes, planes.length), 1)
+    val dim = planes.head.length
+    when(features.isNotNull && size(features) =!= lit(dim),
+      raise_error(concat(
+        lit(s"signBucketCol: expected dimension $dim, got "),
+        size(features).cast("string"))))
+      .otherwise(element_at(graft.functions.VectorExpressions
+        .signBuckets(features, planes, planes.length), 1))
   }
 
   /** The pre-r16 compositional formulation, kept as the cross-validation

@@ -495,16 +495,29 @@ object Dedup {
     // CPU in Toom-Cook multiplication before overflowing at 2^31 bits.
     // The RDD round-trip below cuts lineage the same way but gives the
     // new leaf DEFAULT stats (no origin rewrite) — per-round estimates
-    // stay flat; superseded rounds are auto-unpersisted by the
-    // ContextCleaner once unreferenced. On a real cluster prefer
-    // reliable `checkpoint()` for executor-loss tolerance.
+    // stay flat. Superseded rounds are unpersisted EXPLICITLY
+    // (ADVICE r17): relying on the ContextCleaner means a 30-round
+    // escalated closure can accumulate every round's MEMORY_AND_DISK
+    // blocks until a driver GC happens to run; the loop instead drops
+    // round r−2's blocks as soon as round r materializes — r−1 must
+    // stay (it is `prevLabels`, an input to the escalated star edges
+    // AND the cached parent of round r's lineage). On a real cluster
+    // prefer reliable `checkpoint()` for executor-loss tolerance.
     val session = docs.sparkSession
+    var roundRdds: List[org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.Row]] = Nil // newest first, ≤2 kept live
     def roundCheckpoint(df: DataFrame): DataFrame = {
       val rdd = df.rdd // this round's plan only — labels leaf is a leaf
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      roundRdds = rdd :: roundRdds
       // eager: the convergence aggregate right after materializes it
       session.createDataFrame(rdd, df.schema)
     }
+    def dropSupersededRounds(): Unit =
+      if (roundRdds.length > 2) {
+        roundRdds.drop(2).foreach(_.unpersist(blocking = false))
+        roundRdds = roundRdds.take(2)
+      }
     // convergence checksum as decimal(38,0): an exact Long sum overflows
     // once n·maxId exceeds 2^63 (≈1e10 sequential doc ids — precisely the
     // 100 TB regime), which would throw per round under ANSI mode or
@@ -594,12 +607,20 @@ object Dedup {
         // labels only ever decrease → fixpoint iff the sum is unchanged
         prevLabels = labels
         labels = next
+        // round r is materialized (the stats job above) — r−2 and older
+        // are no longer inputs to any future plan; drop their blocks now
+        dropSupersededRounds()
         converged = nextSum.compareTo(checksum) == 0
         checksum = nextSum
         round += 1
       }
       require(converged,
         s"label propagation still changing after $MaxPropagationRounds rounds")
+      // converged: only the FINAL round's blocks back the returned
+      // frame — release the runner-up too (its data is no longer an
+      // input; lineage alone keeps fault recovery correct)
+      roundRdds.drop(1).foreach(_.unpersist(blocking = false))
+      roundRdds = roundRdds.take(1)
     } finally edges.unpersist() // also on the divergence throw
     labels
   }

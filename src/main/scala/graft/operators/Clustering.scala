@@ -1208,7 +1208,7 @@ object Clustering {
       path: String, cap: Int = GraphBuildCap): Unit = {
     val tbl = storeTableName(path)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
-    cappedServing(explodedStore(s.read.parquet(s"$path/points")), cap)
+    cappedServing(explodedStore(readPoints(s, path)), cap)
       .write.bucketBy(StoreBuckets, "tbl", "bucket")
       .sortBy("tbl", "bucket")
       .option("path", s"$path/points_bucketed")
@@ -1283,16 +1283,37 @@ object Clustering {
       .orderBy(col("pid")).collect()
       .map(_.getSeq[Double](1).toArray).toSeq
 
+  /** The store's `points/` parquet with the schema NORMALIZED across
+    * file generations (ADVICE r17). A pre-r17 store's files lack the
+    * `tier` column; an append then writes tier-carrying files into the
+    * same directory, and a plain read (no mergeSchema) picks one
+    * arbitrary file footer as the schema — if a new footer wins, every
+    * legacy row reads tier = NULL and the serving projection's
+    * tier-0/tier-1 filters drop the ENTIRE legacy base from both legs;
+    * if an old footer wins, appended rows lose their tier and can be
+    * capped out of the prefix, breaking the chain-growth contract.
+    * `mergeSchema` unions the footers, and the null-tier rows (legacy
+    * files under the merged schema) coalesce to 0 — base rows, the
+    * correct semantics. A store with NO tier column at all (never
+    * appended pre-r17) gets the all-zero column directly.
+    */
+  private[graft] def readPoints(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.option("mergeSchema", "true").parquet(s"$path/points")
+    if (df.columns.contains("tier"))
+      df.withColumn("tier", coalesce(col("tier"), lit(0)))
+    else df.withColumn("tier", lit(0))
+  }
+
   /** The exploded serving projection of a `points` frame (tier carried
-    * through for [[cappedServing]]; a pre-r17 store without the column
-    * reads as all-tier-0 — entirely base rows, the correct semantics).
+    * through for [[cappedServing]]; feed it [[readPoints]], which
+    * normalizes the column across store generations).
     */
   private def explodedStore(points: DataFrame): DataFrame = {
     val p =
       if (points.columns.contains("tier")) points
       else points.withColumn("tier", lit(0))
     p.select(col("id").as("nid"), col("features").as("nv"),
-      col("component"), col("tier"),
+      col("component"), coalesce(col("tier"), lit(0)).as("tier"),
       posexplode(col("sigs")).as(Seq("tbl", "bucket")))
   }
 
@@ -1317,9 +1338,13 @@ object Clustering {
     * Since r17 BOTH layouts serve the CAPPED projection
     * ([[cappedServing]]): the bucketed table is capped physically at
     * export (zero read-time cost — the production path); the plain
-    * fallback applies the same prefix window at read time (one
-    * store-sized sort per serve, partitioned on (tbl, bucket) — the
-    * price of portability, never the default). `capped = false` forces
+    * fallback applies the same prefix at read time via the
+    * TopKByKey-threshold + broadcast-join formulation — NO window, no
+    * store-wide sort: one slim (tbl, bucket, nid) aggregate derives
+    * the per-bucket cap-th nid, and the feature rows filter against
+    * the broadcast threshold table (the price of portability is that
+    * one extra store scan per serve, never the default;
+    * PlanAuditSpec pins both faces windowless). `capped = false` forces
     * the UNCAPPED plain explode — the parity-measurement face
     * (`scale_s14cap_*.json`) and nothing else; it is exactly the plan
     * that died on disk spill at x1000 (SCALE.md §r16→17).
@@ -1339,7 +1364,7 @@ object Clustering {
           LOCATION '$loc'""")
       s.table(tbl)
     } else {
-      val exploded = explodedStore(s.read.parquet(s"$path/points"))
+      val exploded = explodedStore(readPoints(s, path))
       if (capped)
         cappedServing(exploded,
           readStoreMeta(s, path).map(_._1).getOrElse(GraphBuildCap))

@@ -158,13 +158,53 @@ class LinalgColSpec extends AnyFunSuite with SparkTestBase {
         .filter(col("f") =!= col("r")).count()
       assert(diff1 === 0L)
     }
-    // ragged input → null (the VectorFoldExpression convention)
+    // ragged input → null on the RAW expression (the
+    // VectorFoldExpression convention)
     val ragged = spark.range(1).select(
       org.apache.spark.sql.functions.array(lit(1.0), lit(2.0))
         .as("features"))
     assert(ragged.select(VectorExpressions.signBuckets(col("features"),
         Seq(Array(1.0, 2.0, 3.0)), 1).as("s"))
       .head().isNullAt(0))
+  }
+
+  test("signBucketCol fails loudly on a ragged vector, maps NULL to " +
+      "NULL, unchanged on well-formed input") {
+    // the shared bucket entry point (Similarity band joins,
+    // GlobalNeighbors, every LSH consumer): a dimension-mismatched
+    // vector must FAIL THE JOB with both sizes named — the raw
+    // expression's NULL would silently drop the row from candidate
+    // generation (VERDICT r17 next-2)
+    val planes = Seq(Array(1.0, -2.0, 3.0))
+    val ragged = spark.range(1).select(
+      org.apache.spark.sql.functions.array(lit(1.0), lit(2.0))
+        .as("features"))
+    val err = intercept[Exception] {
+      ragged.select(Linalg.signBucketCol(col("features"), planes))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(m =>
+        m.contains("expected dimension 3") && m.contains("got 2")),
+      s"ragged guard message missing sizes: ${msgs(err)}")
+    // NULL vector: absence is a modeled state, not corruption → NULL out
+    val nullVec = spark.range(1).select(
+      lit(null).cast("array<double>").as("features"))
+    assert(nullVec.select(Linalg.signBucketCol(col("features"), planes))
+      .head().isNullAt(0))
+    // well-formed rows are untouched: guard-wrapped == raw expression
+    val ok = spark.range(8).select(
+      org.apache.spark.sql.functions.array(
+        col("id").cast("double"), lit(-1.5), lit(0.25)).as("features"))
+    val diff = ok.select(
+        Linalg.signBucketCol(col("features"), planes).as("g"),
+        org.apache.spark.sql.functions.element_at(
+          VectorExpressions.signBuckets(col("features"), planes, 1), 1)
+          .as("r"))
+      .filter(!(col("g") <=> col("r"))).count()
+    assert(diff === 0L)
   }
 
   test("SQL registration exposes the kernels to spark.sql") {

@@ -818,6 +818,63 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "faces diverged after the guard rebuild")
   }
 
+  test("mixed-generation store: a pre-r17 points dir (no tier column) " +
+      "survives a tier-writing append — legacy base reads tier 0") {
+    // ADVICE r17 (medium): an append writes tier-carrying files into a
+    // dir whose older files lack the column; without mergeSchema an
+    // arbitrary footer wins — if a NEW one, every legacy row reads
+    // tier = NULL and the serving projection's tier filters drop the
+    // entire legacy base; if an OLD one, appended rows lose tier 1 and
+    // can be capped out of the prefix. readPoints normalizes both.
+    import graft.operators.Clustering
+    val path = java.nio.file.Files.createTempDirectory("s14_gen")
+      .toString + "/graph"
+    val pts = graft.sources.Tables.labeledPoints(spark, sfDir)
+      .select(col("id"), col("features"))
+    val base = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) =!= lit(Clustering.S14Res))
+    Clustering.writeKnnGraphIndexOf(spark, base,
+      Clustering.LshPlanes, path, s"genspec->$path")
+    val nBase = base.count()
+    // strip the store to its pre-r17 shape: points without the tier
+    // column, no serving export, no meta row
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+      f.delete()
+    }
+    val legacyCols = spark.read.parquet(s"$path/points").columns
+      .filterNot(Set("tier", "r2dist")).toSeq
+    val legacy = spark.read.parquet(s"$path/points")
+      .select(legacyCols.map(col): _*).localCheckpoint(eager = true)
+    rmrf(s"$path/points"); rmrf(s"$path/points_bucketed")
+    rmrf(s"$path/store_meta")
+    legacy.write.parquet(s"$path/points")
+    // the append lands tier-1 files NEXT TO the tier-less legacy files
+    val delta = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) === lit(Clustering.S14Res))
+    Clustering.appendToGraphIndex(delta, path)
+    val nDelta = delta.count()
+    val merged = Clustering.readPoints(spark, path)
+      .select(col("id"), col("tier")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(merged.size === nBase + nDelta,
+      "mixed-generation read lost rows")
+    val deltaIds = delta.select(col("id")).collect().map(_.getLong(0)).toSet
+    merged.foreach { case (id, tier) =>
+      assert(tier === (if (deltaIds(id)) 1 else 0),
+        s"row $id read tier $tier in the mixed-generation store")
+    }
+    // the serving projection must keep the whole legacy base: the
+    // failure mode being pinned is the tier-NULL rows vanishing from
+    // BOTH the tier-0 prefix and the tier-1 append leg
+    val servedIds = Clustering
+      .graphStoreFrame(spark, path, useBucketed = false)
+      .select(col("nid")).distinct().count()
+    assert(servedIds === nBase + nDelta,
+      "serving projection dropped rows across store generations")
+  }
+
   test("capped graph build: identical to the uncapped chain at a " +
       "saturating cap; a mass bucket stays bounded and fully ranked") {
     import graft.operators.Clustering

@@ -134,26 +134,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       assert(!physical.contains("CartesianProduct") &&
         !physical.contains("BroadcastNestedLoopJoin"),
         s"serve plan grew a cartesian-shaped join:\n$physical")
-      // the argmin is the struct-min aggregate, never a window. The
-      // PRODUCTION (bucketed) face carries no window at all — its cap
-      // is physical, applied once at export; the plain PORTABILITY
-      // fallback may carry exactly the capped-serving prefix window,
-      // and that window must be partitioned on the (tbl, bucket) probe
-      // key (an unpartitioned one would single-task the store)
+      // the argmin is the struct-min aggregate, never a window — on
+      // BOTH faces (ADVICE r17): the bucketed face's cap is physical,
+      // applied once at export, and since the r17 export fix the plain
+      // PORTABILITY fallback derives its prefix with the
+      // TopKByKey-threshold + broadcast-join formulation, so no serve
+      // plan may carry a window at all (a window reappearing here
+      // means the store-sized sort crept back in)
       val windows = df.queryExecution.optimizedPlan.collect {
         case w: logical.Window => w
       }
-      if (useBucketed)
-        assert(windows.isEmpty,
-          "bucketed serve plan must carry no window — the cap is " +
-            "physical and the argmin is the struct-min aggregate")
-      else {
-        assert(windows.size <= 1, s"plain serve grew extra windows")
-        windows.foreach(w => assert(w.partitionSpec.nonEmpty &&
-          w.partitionSpec.map(_.sql).mkString(",").contains("tbl"),
-          s"plain-serve prefix window must partition on the probe key: " +
-            s"${w.partitionSpec.map(_.sql)}"))
-      }
+      assert(windows.isEmpty,
+        s"${if (useBucketed) "bucketed" else "plain"} serve plan must " +
+          "carry no window — the cap is the physical export or the " +
+          "TopK-threshold filter, and the argmin is the struct-min " +
+          "aggregate")
       assert(physical.contains("partial_min"),
         s"struct-min must partial-aggregate map-side:\n$physical")
       physical
