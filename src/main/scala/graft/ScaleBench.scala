@@ -294,11 +294,12 @@ object ScaleBench {
     * must still produce a non-empty archive.)
     */
   private def m1TimeRun(spark: SparkSession, work: String,
-      parts: Int): Double = {
+      parts: Int, sampleFraction: Double = 1.0): Double = {
     import graft.mopso.{Config, Mopso, MopsoConfig}
     val pts = Tables.labeledPoints(spark, work)
     val cfg = MopsoConfig.avg(numPartitions = parts).copy(
-      iterMax = 10, partitioning = Config.PartByIdRange)
+      iterMax = 10, partitioning = Config.PartByIdRange,
+      fitnessSampleFraction = sampleFraction)
     val t0 = System.nanoTime()
     val r = Mopso.run(spark, pts, cfg, seed = 42L)
     require(r.archive.nonEmpty, s"empty archive at parts=$parts")
@@ -308,8 +309,25 @@ object ScaleBench {
   private def m1PartitionCompare(spark: SparkSession, work: String,
       mult: Int): Seq[(String, Double)] = {
     val scaledParts = 8 * mult
-    Seq(s"m1_parts$scaledParts" -> m1TimeRun(spark, work, scaledParts),
-      "m1_parts8" -> m1TimeRun(spark, work, 8))
+    val rows =
+      Seq(s"m1_parts$scaledParts" -> m1TimeRun(spark, work, scaledParts))
+    if (mult < 1000) rows :+ ("m1_parts8" -> m1TimeRun(spark, work, 8))
+    else {
+      // the reference-pinned 8-partition face at the third decade
+      // (VERDICT r17 next-7): its partition-local Conn precompute is
+      // Σ nᵤ² = n²/8 pair ops — exact arithmetic from the even
+      // PartByIdRange split, the lshCandidatePairCount discipline —
+      // which at the x100-measured pair rate is hours of wall clock,
+      // not a timed row. The record carries the wall as arithmetic
+      // plus the two survivors MEASURED: the scaled-partition face
+      // (nᵤ held constant — linear) and the §7.4.6 sampled face at
+      // the PINNED 8 partitions (neighbor build shrinks with the
+      // square of the fraction; fraction 0.1 ≈ the x100 budget).
+      val n = Tables.labeledPoints(spark, work).count().toDouble
+      rows ++ Seq(
+        "m1_parts8_pair_ops" -> n * n / 8.0,
+        "m1_parts8_sample01" -> m1TimeRun(spark, work, 8, 0.1))
+    }
   }
 
   /** The vocab pipeline at corpus scale (VERDICT r7 §next-7): t6+t10
@@ -1292,14 +1310,22 @@ object ScaleBench {
       work: String): Seq[(String, Double)] = {
     import graft.operators.Clustering
     import graft.functions.Similarity
-    val path = s"${Similarity.artifactRoot(work)}/s14_graph_full"
+    val path = s"${Similarity.artifactRoot(work)}/s14_graph_hold"
     Clustering.invalidateKnnGraphIndex(work)
-    val (tBuild, _) =
-      timed(Clustering.writeKnnGraphIndex(spark, work, path))
-    val delta = Tables.labeledPoints(spark, work)
+    // ADVICE r17: build on the =!= S14Res HOLDOUT (the s14GraphAssign
+    // shape) — a full-corpus store lets every probe self-match at
+    // distance 0, so the parity delta would partly measure
+    // self-matches instead of novel-point serving
+    val pts = Tables.labeledPoints(spark, work)
+      .select(col("id"), col("features"))
+    val base = pts.where(pmod(col("id"), lit(Clustering.S14Mod)) =!=
+      lit(Clustering.S14Res))
+    val (tBuild, _) = timed(Clustering.writeKnnGraphIndexOf(spark, base,
+      Clustering.lshPlanesFor(base.count()), path,
+      s"$work->$path->cap_holdout"))
+    val delta = pts
       .where(pmod(col("id"), lit(Clustering.S14Mod)) ===
         lit(Clustering.S14Res))
-      .select(col("id"), col("features"))
     def run(capped: Boolean): Long =
       Clustering.assignFromGraphIndex(delta, path,
         useBucketed = capped, capped = capped).count()
@@ -1333,8 +1359,17 @@ object ScaleBench {
         (r.getLong(2).toDouble / r.getLong(0)))
   }
 
+  /** `stitch = false` is the frozen-base staleness protocol (the r15–17
+    * records); `stitch = true` re-runs the IDENTICAL protocol with the
+    * append-time stitch on (VERDICT r17 next-1's verification leg) —
+    * same fresh baseline, same fractions, same batch split — plus the
+    * per-fraction stitch-map size, so the two records differ only in
+    * the repair under measurement. The stale partition reads
+    * [[Clustering.storeComponents]] (raw labels ∘ stitch map; the
+    * identity when no map exists, so the frozen numbers are unchanged).
+    */
   private def s14StaleCompare(spark: SparkSession,
-      work: String): Seq[(String, Double)] = {
+      work: String, stitch: Boolean = false): Seq[(String, Double)] = {
     import graft.operators.Clustering
     import graft.functions.Similarity
     val pts = Tables.labeledPoints(spark, work)
@@ -1358,19 +1393,24 @@ object ScaleBench {
       val arrF = pmod(xxhash64(col("id"), lit("s14stale")), lit(100L)) <
         lit(pct.toLong)
       val base = pts.where(!arrF)
-      val stalePath = s"${Similarity.artifactRoot(work)}/s14_stale$pct"
+      val stalePath = s"${Similarity.artifactRoot(work)}/s14_stale$pct" +
+        (if (stitch) "st" else "")
       val (tBuild, _) = timed(Clustering.writeKnnGraphIndexOf(spark, base,
         Clustering.lshPlanesFor(base.count()), stalePath,
-        s"$work->stale$pct"))
+        s"$work->stale$pct->stitch=$stitch"))
       val arrivals = pts.where(arrF)
       val (tAppend, _) = timed {
         (0 until 4).foreach { b =>
           Clustering.appendToGraphIndex(
             arrivals.where(pmod(xxhash64(col("id"), lit("s14batch")),
-              lit(4L)) === lit(b.toLong)), stalePath)
+              lit(4L)) === lit(b.toLong)), stalePath, stitch = stitch)
         }
       }
-      val joint = spark.read.parquet(s"$stalePath/points")
+      val mapRows =
+        if (stitch)
+          Clustering.readComponentMap(spark, stalePath).count()
+        else 0L
+      val joint = Clustering.storeComponents(spark, stalePath)
         .select(col("id"), col("component").as("stale_c"))
         .join(fresh, "id").persist()
       val nTot = joint.count().toDouble
@@ -1388,7 +1428,9 @@ object ScaleBench {
         s"s14stale${pct}_ari" -> ari,
         s"s14stale${pct}_components" -> nStaleComp.toDouble,
         s"s14stale${pct}_base_build_sec" -> tBuild,
-        s"s14stale${pct}_append_sec" -> tAppend)
+        s"s14stale${pct}_append_sec" -> tAppend) ++
+        (if (stitch) Seq(s"s14stale${pct}_map_rows" -> mapRows.toDouble)
+        else Seq.empty)
     }
     Seq("s14stale_fresh_build_sec" -> tFresh,
       "s14stale_fresh_components" -> nFreshComp.toDouble) ++ rows
@@ -1495,8 +1537,8 @@ object ScaleBench {
         else if (mode == "d11deep" || mode == "d11bucket")
           Some(Set("documents"))
         else if (mode == "s14bucket" || mode == "s13rank" ||
-            mode == "s14stale" || mode == "graphrecall" ||
-            mode == "s14cap")
+            mode == "s14stale" || mode == "s14stitch" ||
+            mode == "graphrecall" || mode == "s14cap")
           Some(Set("embeddings"))
         // bpe30k / megabucket generate their own corpora — no fixture
         else if (mode == "bpe30k" || mode == "megabucket") Some(Set.empty)
@@ -1509,8 +1551,8 @@ object ScaleBench {
         mode == "d9border" || mode == "pqdisk" || mode == "layered" ||
         mode == "d11deep" || mode == "d11bucket" || mode == "trunc" ||
         mode == "s14bucket" || mode == "s13rank" || mode == "s14stale" ||
-        mode == "graphrecall" || mode == "megabucket" ||
-        mode == "s14cap") {
+        mode == "s14stitch" || mode == "graphrecall" ||
+        mode == "megabucket" || mode == "s14cap") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -1567,6 +1609,10 @@ object ScaleBench {
         else if (mode == "s14stale")
           ("s14_staleness", s14StaleCompare(spark, work),
             "scale_s14stale.json")
+        else if (mode == "s14stitch")
+          ("s14_staleness_stitch",
+            s14StaleCompare(spark, work, stitch = true),
+            "scale_s14stitch.json")
         else if (mode == "s14cap")
           ("s14_cap_parity", s14CapCompare(spark, work),
             "scale_s14cap.json")
@@ -1700,6 +1746,8 @@ object ScaleBench {
     // p7_model_build runs first and each later row times only its own
     // work (r13's p7_quality_score decade rows included the build; from
     // r14 the serve rows are pure serving — noted in SCALE.md)
+    val s14BuildPhases =
+      scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val buildRows: Seq[(String, Double)] =
       Seq(
         "p7_model_build" -> (set.contains("p7_quality_score"), () => {
@@ -1729,8 +1777,12 @@ object ScaleBench {
         }),
         "s14_index_build" -> (set.contains("s14_graph_assign"), () => {
           graft.operators.Clustering.invalidateKnnGraphIndex(work)
-          graft.operators.Clustering.writeKnnGraphIndex(spark, work,
-            s"${graft.functions.Similarity.artifactRoot(work)}/s14_graph_full")
+          // per-phase wall clock into the record (VERDICT r17 next-4:
+          // name the phase carrying the build's above-linear residual)
+          s14BuildPhases ++= graft.operators.Clustering
+            .writeKnnGraphIndex(spark, work,
+              s"${graft.functions.Similarity.artifactRoot(work)}/s14_graph_full")
+            .map { case (k, v) => s"s14_build_$k" -> v }
         })).collect { case (name, (true, build)) =>
           if (mult >= 1000)
             diskRows += (s"${name}_disk_free_gb_before" -> diskFreeGb)
@@ -1749,7 +1801,7 @@ object ScaleBench {
       (if (set.contains("m1_mopso_archive"))
         timedSet :+ ("m1_mopso_archive_scaledparts" ->
           m1TimeRun(spark, work, 8 * mult))
-      else timedSet) ++ diskRows
+      else timedSet) ++ s14BuildPhases ++ diskRows
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

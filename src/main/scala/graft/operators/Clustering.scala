@@ -422,7 +422,7 @@ object Clustering {
     * INDEXED corpus only, so a held-out serving batch never leaks into
     * the layout.
     */
-  private def planeRowsOf(corpus: DataFrame,
+  private[graft] def planeRowsOf(corpus: DataFrame,
       numPlanes: Int, numTables: Int): Seq[Array[Double]] =
     corpus.orderBy(col("id")).limit(numPlanes * numTables)
       .select(col("features")).collect()
@@ -477,13 +477,17 @@ object Clustering {
   private def topRankedPairsPre(cands: DataFrame): DataFrame = cands
     .select(col("xi"),
       struct(col("dist").as("dist"), col("yi").as("yi")).as("rank_key"),
-      struct(col("yi").as("yi"), col("same").as("same")).as("v"))
+      struct(col("yi").as("yi"), col("same").as("same"),
+        col("dist").as("dist")).as("v"))
     .groupBy(col("xi"))
     .agg(graft.functions.TopKAggregate
       .topKByKey(col("rank_key"), col("v"), L).as("vs"))
     .select(col("xi"), posexplode(col("vs")).as(Seq("pos", "v")))
+    // dist rides along (8 bytes per bounded-L pair) for the graph
+    // store's r2dist export — every registered face selects its own
+    // column subset, so the extra column never reaches an oracle
     .select(col("xi"), col("v.yi").as("yi"), col("v.same").as("same"),
-      (col("pos") + lit(1)).as("rnk"))
+      (col("pos") + lit(1)).as("rnk"), col("v.dist").as("dist"))
 
   /** LSH-fed top-L neighbor ranking at an arbitrary (planes, tables)
     * layout — the parameterized form behind [[c21ConnLsh]] (which pins
@@ -1059,23 +1063,55 @@ object Clustering {
 
   /** Graph-index frames over an arbitrary (id, features) corpus:
     * `planes` (pid, v) at the given layout, `points` (id, features,
-    * sigs, component) — each corpus point's per-table sign buckets
-    * (computed once, stored, so serving never re-signs the corpus) and
-    * its mutual-kNN component ([[mutualComponents]]).
+    * sigs, component, tier, r2dist) — each corpus point's per-table
+    * sign buckets (computed once, stored, so serving never re-signs
+    * the corpus), its mutual-kNN component ([[mutualComponents]]),
+    * and its STITCH THRESHOLD `r2dist`: the distance of its
+    * rank-[[S13MutualRank]] capped candidate. For a single arriving
+    * point x, `dist(x, c) ≤ r2dist(c)` is EXACTLY "x enters c's
+    * top-[[S13MutualRank]] list in a rebuild at the same layout"
+    * (x displaces the current rank-2 edge) — the store-side half of
+    * the mutual-edge test the append-time stitch evaluates
+    * ([[appendToGraphIndex]]). A point with FEWER than
+    * [[S13MutualRank]] candidates gets +∞: any arrival within
+    * candidate reach fills its list, so the mutual condition is
+    * vacuously satisfiable — not an over-admission.
     */
   private def knnGraphIndexFrames(s: SparkSession, corpus: DataFrame,
-      numPlanes: Int, cap: Int): (DataFrame, DataFrame, DataFrame) = {
+      numPlanes: Int, cap: Int,
+      phase: (String, Double) => Unit = (_, _) => ())
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
+    def timedPhase[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      phase(name, (System.nanoTime() - t0) / 1e9)
+      a
+    }
     val planes = planeRowsOf(corpus, numPlanes, LshTables)
     val pc = corpus.select(col("id"), col("features"),
       lit(0).as("cluster")).persist()
     // the capped production chain + orphan fan-out — the same build the
     // s13 faces run (uncapped at any fixture whose buckets stay under
-    // the cap; the valve that closed the x1000 decade above it)
+    // the cap; the valve that closed the x1000 decade above it).
+    // Only ranks ≤ S13MutualRank feed the build's two consumers (the
+    // mutual closure and the r2dist export), so the chain materializes
+    // ONCE into this slim persisted prefix instead of running per
+    // consumer.
     val (graphRaw, orphans) =
       cappedGraphWithOrphans(pc, planes, numPlanes, LshTables, cap)
-    val graph = graphRaw.select(col("xi"), col("rnk").as("rank"), col("yi"))
-    val comp = mutualComponents(pc, graph, orphans = Some(orphans))
+    val gmut = graphRaw.where(col("rnk") <= lit(S13MutualRank))
+      .select(col("xi"), col("rnk").as("rank"), col("yi"), col("dist"))
+      .persist()
+    timedPhase("chain") { gmut.count() } // candidate chain + ranking
+    val comp = timedPhase("closure") { // mutual join + propagation
+      mutualComponents(pc, gmut.drop("dist"), orphans = Some(orphans))
+    }
+    val r2 = gmut.groupBy(col("xi"))
+      .agg(count(lit(1)).as("deg"), max(col("dist")).as("d2"))
+      .select(col("xi").as("id"),
+        when(col("deg") >= lit(S13MutualRank), col("d2"))
+          .otherwise(lit(Double.PositiveInfinity)).as("r2dist"))
     val planesDf = planes.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toDF("pid", "v")
     // tier 0 = build/base rows (subject to the serving prefix cap);
@@ -1084,12 +1120,18 @@ object Clustering {
     val pointsDf = pc
       .withColumn("sigs", lshSigsCol(planes, numPlanes, LshTables))
       .join(comp, "id")
+      .join(r2, Seq("id"), "left")
       .select(col("id"), col("features"), col("sigs"), col("component"),
-        lit(0).as("tier"))
-    // pc is returned only so writeKnnGraphIndexOf can unpersist it once
-    // the frames are materialized (ADVICE r14: the build used to leak a
-    // cached corpus copy per index build for the JVM's lifetime)
-    (planesDf, pointsDf, pc)
+        lit(0).as("tier"),
+        // a point absent from the graph entirely (zero candidates) is
+        // the degenerate deg-0 case of the +∞ rule above
+        coalesce(col("r2dist"), lit(Double.PositiveInfinity))
+          .as("r2dist"))
+    // pc/gmut are returned only so writeKnnGraphIndexOf can unpersist
+    // them once the frames are materialized (ADVICE r14: the build used
+    // to leak a cached corpus copy per index build for the JVM's
+    // lifetime)
+    (planesDf, pointsDf, pc, gmut)
   }
 
   private val writtenGraphIdx =
@@ -1122,17 +1164,40 @@ object Clustering {
     * parquet stays as the portability fallback (bucketed reads need
     * the table registered in a catalog; plain parquet needs nothing).
     */
+  /** Returns the build's per-phase wall clock — (chain, closure,
+    * points_write, export_write, export_meta) — so the decade record
+    * can name which phase carries `s14_index_build`'s residual
+    * above-linear ratio (VERDICT r17 next-4); empty when the memo
+    * short-circuits.
+    */
   private[graft] def writeKnnGraphIndexOf(s: SparkSession,
       corpus: DataFrame, numPlanes: Int, path: String,
-      key: String, cap: Int = GraphBuildCap): Unit = {
-    if (writtenGraphIdx.contains(key)) return
-    val (planesDf, pointsDf, pc) =
-      knnGraphIndexFrames(s, corpus, numPlanes, cap)
+      key: String, cap: Int = GraphBuildCap): Seq[(String, Double)] = {
+    if (writtenGraphIdx.contains(key)) return Seq.empty
+    val phases = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def timedPhase(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      phases += (name -> (System.nanoTime() - t0) / 1e9)
+    }
+    val (planesDf, pointsDf, pc, gmut) =
+      knnGraphIndexFrames(s, corpus, numPlanes, cap,
+        phase = (n, t) => phases += (n -> t))
     planesDf.coalesce(1).write.mode("overwrite").parquet(s"$path/planes")
-    pointsDf.write.mode("overwrite").parquet(s"$path/points")
-    pc.unpersist()
-    exportBucketedStore(s, path, cap)
+    timedPhase("points_write") {
+      pointsDf.write.mode("overwrite").parquet(s"$path/points")
+    }
+    pc.unpersist(); gmut.unpersist()
+    // a FULL rebuild re-labels everything as base: any append-time
+    // stitch map from the previous store generation names component
+    // ids from the OLD labeling (same id space — min point ids) and
+    // applying it to the fresh labels would corrupt them. Drop it.
+    val mapLoc = new org.apache.hadoop.fs.Path(s"$path/component_map")
+    mapLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(mapLoc, true)
+    phases ++= exportBucketedStore(s, path, cap)
     writtenGraphIdx.add(key)
+    phases.toSeq
   }
 
   /** The CAPPED serving projection of an exploded store: per
@@ -1205,20 +1270,25 @@ object Clustering {
     * prefix read from.
     */
   private[graft] def exportBucketedStore(s: SparkSession,
-      path: String, cap: Int = GraphBuildCap): Unit = {
+      path: String, cap: Int = GraphBuildCap): Seq[(String, Double)] = {
     val tbl = storeTableName(path)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val t0 = System.nanoTime()
     cappedServing(explodedStore(readPoints(s, path)), cap)
       .write.bucketBy(StoreBuckets, "tbl", "bucket")
       .sortBy("tbl", "bucket")
       .option("path", s"$path/points_bucketed")
       .mode("overwrite").saveAsTable(tbl)
+    val t1 = System.nanoTime()
     val nPlain = s.read.parquet(s"$path/points").count()
     val nBucketed = s.table(tbl).count()
     import s.implicits._
     Seq((cap, nPlain, nBucketed))
       .toDF("cap", "points_at_export", "bucketed_at_export")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/store_meta")
+    val t2 = System.nanoTime()
+    Seq("export_write" -> (t1 - t0) / 1e9,
+      "export_meta" -> (t2 - t1) / 1e9)
   }
 
   /** The store's export-time meta row: (serve cap, plain point count at
@@ -1232,13 +1302,57 @@ object Clustering {
       Some((r.getInt(0), r.getLong(1), r.getLong(2)))
     } else None
 
+  /** The store's append-time stitch map — (component, canon) rows for
+    * every component the stitch pass has merged into a smaller-id
+    * canonical ([[appendToGraphIndex]]); empty frame when no stitch
+    * has run (fresh build, or a store rebuilt since). GRAPH-sized:
+    * one row per merged component, never per point.
+    */
+  private[graft] def readComponentMap(s: SparkSession,
+      path: String): DataFrame =
+    if (storePathExists(s, s"$path/component_map"))
+      s.read.parquet(s"$path/component_map")
+    else {
+      import s.implicits._
+      Seq.empty[(Long, Long)].toDF("component", "canon")
+    }
+
+  /** Rewrites a frame's `component` column through the stitch map:
+    * merged labels read their canonical, untouched labels pass through.
+    * One left join against the graph-sized map (AQE broadcasts it at
+    * any realistic size) — the store's corpus-sized rows are NEVER
+    * rewritten; the map is the repair.
+    */
+  private[graft] def applyComponentMap(s: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    if (storePathExists(s, s"$path/component_map")) {
+      val m = s.read.parquet(s"$path/component_map")
+        .select(col("component").as("cm_from"), col("canon"))
+      val rest = df.columns.filterNot(_ == "component").map(col).toSeq
+      df.join(m, df("component") === col("cm_from"), "left")
+        .select(rest :+
+          coalesce(col("canon"), df("component")).as("component"): _*)
+        .select(df.columns.map(col): _*) // original column order
+    } else df
+
+  /** The store-wide component labeling in CANONICAL form: every
+    * point's stored component rewritten through the stitch map — the
+    * partition a consumer (the staleness protocol, a dedup cut)
+    * should read, since raw base labels predate any append-time
+    * repairs.
+    */
+  private[graft] def storeComponents(s: SparkSession,
+      path: String): DataFrame =
+    applyComponentMap(s, path,
+      readPoints(s, path).select(col("id"), col("component")))
+
   /** The production build face: the FULL corpus at the auto-derived
     * layout ([[lshPlanesFor]]) — build once, then serve arriving
     * vectors forever via [[assignFromGraphIndex]] /
     * [[serveGraphAssignStream]].
     */
   private[graft] def writeKnnGraphIndex(s: SparkSession, dir: String,
-      path: String): Unit = {
+      path: String): Seq[(String, Double)] = {
     val pts = Tables.labeledPoints(s, dir).select(col("id"), col("features"))
     writeKnnGraphIndexOf(s, pts, lshPlanesFor(pts.count()), path,
       s"$dir->$path->full")
@@ -1299,21 +1413,31 @@ object Clustering {
     */
   private[graft] def readPoints(s: SparkSession, path: String): DataFrame = {
     val df = s.read.option("mergeSchema", "true").parquet(s"$path/points")
-    if (df.columns.contains("tier"))
-      df.withColumn("tier", coalesce(col("tier"), lit(0)))
-    else df.withColumn("tier", lit(0))
+    val t =
+      if (df.columns.contains("tier"))
+        df.withColumn("tier", coalesce(col("tier"), lit(0)))
+      else df.withColumn("tier", lit(0))
+    // r2dist: the stitch threshold (absent on a pre-r18 store — reads
+    // NULL, which the stitch gate treats as "unknown, never merge
+    // through this point": conservative, serve-path-neutral)
+    if (t.columns.contains("r2dist")) t
+    else t.withColumn("r2dist", lit(null).cast("double"))
   }
 
   /** The exploded serving projection of a `points` frame (tier carried
     * through for [[cappedServing]]; feed it [[readPoints]], which
-    * normalizes the column across store generations).
+    * normalizes the tier/r2dist columns across store generations).
     */
   private def explodedStore(points: DataFrame): DataFrame = {
-    val p =
+    val p0 =
       if (points.columns.contains("tier")) points
       else points.withColumn("tier", lit(0))
+    val p =
+      if (p0.columns.contains("r2dist")) p0
+      else p0.withColumn("r2dist", lit(null).cast("double"))
     p.select(col("id").as("nid"), col("features").as("nv"),
-      col("component"), coalesce(col("tier"), lit(0)).as("tier"),
+      col("component"), col("r2dist"),
+      coalesce(col("tier"), lit(0)).as("tier"),
       posexplode(col("sigs")).as(Seq("tbl", "bucket")))
   }
 
@@ -1355,9 +1479,12 @@ object Clustering {
     if (useBucketed && capped && storePathExists(s, loc)) {
       val tbl = storeTableName(path)
       if (!s.catalog.tableExists(tbl))
+        // r2dist: parquet resolves by name, so a pre-r18 bucketed dir
+        // without the column reads NULL under this schema — exactly
+        // the conservative never-stitch value
         s.sql(s"""CREATE TABLE $tbl
           (nid BIGINT, nv ARRAY<DOUBLE>, component BIGINT,
-           tbl INT, bucket BIGINT)
+           r2dist DOUBLE, tbl INT, bucket BIGINT)
           USING parquet
           CLUSTERED BY (tbl, bucket) SORTED BY (tbl, bucket)
           INTO $StoreBuckets BUCKETS
@@ -1376,8 +1503,12 @@ object Clustering {
       path: String, useBucketed: Boolean = true,
       capped: Boolean = true): DataFrame = {
     val s = batch.sparkSession
-    assignFromGraphStore(batch, readPlanes(s, path),
-      graphStoreFrame(s, path, useBucketed, capped))
+    // the argmin inherits the store's RAW label, then the stitch map
+    // (if any) rewrites it to the canonical — so serving reflects
+    // every append-time repair without a store rewrite
+    applyComponentMap(s, path,
+      assignFromGraphStore(batch, readPlanes(s, path),
+        graphStoreFrame(s, path, useBucketed, capped)))
   }
 
   /** The serve core over an arbitrary EXPLODED store frame
@@ -1439,11 +1570,33 @@ object Clustering {
     * near-dup chains thread mutual-rank components as paths, and
     * every not-yet-arrived chain member breaks the path — expected
     * breaks ≈ chain_length × holdout_rate, which reproduces BOTH
-    * decades' component counts (SCALE.md §r17). The cadence rule:
-    * rebuild frequency must scale with the length of the duplication
-    * chains arriving, not just the append fraction — long-chain
-    * corpora (crawl re-fetches, template families) need a rebuild at
-    * a few % appended; short-chain corpora tolerate 12–50%.
+    * decades' component counts (SCALE.md §r17).
+    *
+    * THE STITCH (r18, VERDICT r17 next-1) repairs exactly that break
+    * class at append time: an arriving row that lands IN a severed
+    * gap co-candidates with both chain sides, and when both sides
+    * pass the incremental mutual-edge test (candidate in the row's
+    * top-[[S13MutualRank]]; row within the candidate's stored
+    * `r2dist` — see [[knnGraphIndexFrames]]) their components merge
+    * through the graph-sized `component_map/` side table. Stored
+    * rows are STILL never rewritten — the raw label plus the map IS
+    * the canonical labeling ([[applyComponentMap]], applied by every
+    * serve face and [[storeComponents]]); the closure input is map
+    * pairs + this batch's observed merges, so canonicals stay
+    * transitive across appends, and a full rebuild drops the map
+    * (fresh labels reuse the id space). Repair cost is append-scale:
+    * the stitch rides the serve probe's own candidate join plus one
+    * component-graph closure. Measured (`scale_s14stale_stitch_x*`):
+    * the x100 ARI collapse the frozen store suffers under long-chain
+    * arrivals recovers at stitch-on. The REVISED cadence rule:
+    * chain breaks — the dominant staleness term, scaling with
+    * arriving chain LENGTH — are repaired continuously; what remains
+    * frozen is the layout and the base neighborhoods themselves
+    * (planes never re-derive, base top-k lists never refine, stitch
+    * never SPLITS an over-merged base component), so rebuild
+    * frequency now follows layout drift and split-debt, not append
+    * fraction. `stitch = false` restores the frozen-base append
+    * verbatim (the measurement baseline).
     *
     * Appended rows carry tier 1: they are NEVER capped out of the
     * serving prefix (an appended row must stay findable, or the chain-
@@ -1466,7 +1619,7 @@ object Clustering {
     * source-of-truth points (spec-pinned).
     */
   private[graft] def appendToGraphIndex(batch: DataFrame,
-      path: String): Unit = {
+      path: String, stitch: Boolean = true): Unit = {
     val s = batch.sparkSession
     val planeRows = readPlanes(s, path)
     val numPlanes = planeRows.length / LshTables
@@ -1476,15 +1629,125 @@ object Clustering {
     val signed = batch
       .withColumn("sigs", lshSigsCol(planeRows, numPlanes, LshTables))
       .localCheckpoint(eager = true)
-    // materialize the labels BEFORE the append below: the probe plan
-    // reads $path/points, and an un-materialized plan re-executed after
-    // the append (retry, AQE re-listing, caller reuse) would read the
-    // store including its own output (ADVICE r14)
+    // ONE candidate join (the serve probe's shape, output bounded by
+    // batch-sigs × cap) feeds the argmin, the stitch gate, AND the
+    // appended rows' own r2dist — materialized BEFORE any append write
+    // so no downstream plan can read the store including its own
+    // output (ADVICE r14). Deduped on (id, nid): cross-table duplicate
+    // candidates carry identical (dist, component, r2dist), so the
+    // argmin is unchanged and the top-k rank becomes a rank over
+    // DISTINCT candidates — the build graph's convention. The
+    // repartition on id satisfies the dedup AND the two aggregates'
+    // distributions, so the batch-sized frame shuffles once.
+    val store0 = graphStoreFrame(s, path)
+    val store =
+      if (store0.columns.contains("r2dist")) store0
+      else store0.withColumn("r2dist", lit(null).cast("double"))
+    val cand = signed
+      .select(col("id"), col("features"),
+        posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+      .join(store, Seq("tbl", "bucket"))
+      .select(col("id"), col("nid"), col("component"), col("r2dist"),
+        Linalg.euclidCol(col("features"), col("nv")).as("dist"))
+      .repartition(col("id"))
+      .dropDuplicates("id", "nid")
+      .localCheckpoint(eager = true)
+    // the serve argmin (struct-min over candidates; no-collision rows
+    // mint their own id) — byte-identical to assignFromSignedGraphStore
+    // over the same store face
+    val best = cand.groupBy(col("id"))
+      .agg(min(struct(col("dist").as("dist"), col("nid").as("nid"),
+        col("component").as("component"))).as("b"))
+      .select(col("id"), col("b.component").as("component"))
+    val assignedRaw = signed.select(col("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+    // per batch row: its top-S13MutualRank DISTINCT candidates with
+    // the stitch gate inputs, via the bounded aggregate (never a
+    // window — the r16 discipline)
+    val topk = cand.groupBy(col("id"))
+      .agg(graft.functions.TopKAggregate.topKByKey(
+        struct(col("dist").as("dist"), col("nid").as("nid")),
+        struct(col("dist").as("dist"), col("component").as("component"),
+          col("r2dist").as("r2dist")),
+        S13MutualRank).as("ks"))
+      .localCheckpoint(eager = true) // consumers: stitch edges + r2dist
+    // THE STITCH (VERDICT r17 next-1): an appended row x whose gated
+    // top-2 candidates span ≥2 distinct store components is evidence
+    // the frozen base broke one duplication chain across those
+    // components (every x100 staleness excess component was a chain
+    // severed at a held-out gap). The gate is the mutual-edge test of
+    // the build, evaluated incrementally: c must be in x's
+    // top-S13MutualRank (the topk prefix) AND x must enter c's
+    // top-S13MutualRank (dist ≤ c's stored r2dist — exact for a
+    // single addition at the frozen layout; batch arrivals make it an
+    // upper bound, measured per decade). Merges flow through the
+    // component map, never a store rewrite; a NULL r2dist (pre-r18
+    // store rows) never merges.
+    val newPairs =
+      if (!stitch) None
+      else {
+        val p = topk
+          .select(col("id"), explode(col("ks")).as("k"))
+          .where(col("k.r2dist").isNotNull &&
+            col("k.dist") <= col("k.r2dist"))
+          .groupBy(col("id"))
+          .agg(collect_set(col("k.component")).as("cs"))
+          .where(size(col("cs")) >= 2)
+          .select(explode(col("cs")).as("doc_a"),
+            array_min(col("cs")).as("doc_b"))
+          .where(col("doc_a") =!= col("doc_b"))
+          .distinct()
+          .localCheckpoint(eager = true) // consumers: count + closure
+        if (p.isEmpty) None else Some(p)
+      }
+    // close the observed merges together with every EARLIER map pair
+    // (so canonicals stay transitive across appends) over the
+    // component graph — graph-sized input, the d6 closure; then
+    // persist only the non-identity rows. The batch's points append
+    // below lands FIRST: a crash between it and the map write loses
+    // only this batch's merge evidence (under-merged — the safe
+    // direction; a later batch or the rebuild cadence re-observes).
+    val newMap: Option[DataFrame] = newPairs.map { p =>
+      val edges = p.unionByName(
+        readComponentMap(s, path)
+          .select(col("component").as("doc_a"),
+            col("canon").as("doc_b")))
+      val verts = edges.select(explode(array(col("doc_a"),
+        col("doc_b"))).as("doc_id")).distinct()
+      graft.functions.Dedup
+        .connectedComponents(verts, edges, pointerDoubling = true)
+        .where(col("doc_id") =!= col("group_id"))
+        .select(col("doc_id").as("component"),
+          col("group_id").as("canon"))
+        .localCheckpoint(eager = true) // map dir is overwritten below
+    }
+    def canonical(df: DataFrame): DataFrame = newMap match {
+      case None => applyComponentMap(s, path, df)
+      case Some(m) =>
+        val rest = df.columns.filterNot(_ == "component").map(col).toSeq
+        df.join(m.select(col("component").as("cm_from"), col("canon")),
+            df("component") === col("cm_from"), "left")
+          .select(rest :+
+            coalesce(col("canon"), df("component")).as("component"): _*)
+          .select(df.columns.map(col): _*)
+    }
+    // appended rows: canonical component (so the store converges as it
+    // grows), their own serve-derived stitch threshold (dist of their
+    // rank-S13MutualRank candidate; +∞ below that degree — the build
+    // rule), tier 1 (never capped out of the serving prefix)
+    val r2 = topk.select(col("id"),
+      when(size(col("ks")) >= lit(S13MutualRank),
+        element_at(col("ks"), S13MutualRank).getField("dist"))
+        .otherwise(lit(Double.PositiveInfinity)).as("r2dist"))
     val rows = signed
-      .join(assignFromSignedGraphStore(signed, graphStoreFrame(s, path))
-        .select(col("id"), col("component")), "id")
+      .join(canonical(assignedRaw), "id")
+      .join(r2, Seq("id"), "left")
       .select(col("id"), col("features"), col("sigs"), col("component"),
-        lit(1).as("tier"))
+        lit(1).as("tier"),
+        coalesce(col("r2dist"), lit(Double.PositiveInfinity))
+          .as("r2dist"))
       .localCheckpoint(eager = true)
     rows.write.mode("append").parquet(s"$path/points")
     // keep the bucketed serving layout in sync (same rows, probe-key
@@ -1492,7 +1755,13 @@ object Clustering {
     val tbl = storeTableName(path)
     if (storePathExists(s, s"$path/points_bucketed")) {
       graphStoreFrame(s, path) // ensures tbl registered in this catalog
+      // align to the registered table's column set: a pre-r18 bucketed
+      // table has no r2dist column — drop it from the appended rows
+      // there (its serve is unaffected; only the stitch gate loses the
+      // thresholds, the conservative degrade)
+      val tcols = s.table(tbl).columns.toSeq
       explodedStore(rows).drop("tier")
+        .select(tcols.map(col): _*)
         .write.bucketBy(StoreBuckets, "tbl", "bucket")
         .sortBy("tbl", "bucket")
         .option("path", s"$path/points_bucketed")
@@ -1521,6 +1790,10 @@ object Clustering {
           meta.map(_._1).getOrElse(GraphBuildCap))
       }
     }
+    // the stitch map lands LAST (see the crash-direction note above);
+    // the new map subsumes the old one (its pairs were closure inputs)
+    newMap.foreach(_.write.mode("overwrite")
+      .parquet(s"$path/component_map"))
   }
 
   /** Streaming serving face (the p12 `serveClusterAssignStream`

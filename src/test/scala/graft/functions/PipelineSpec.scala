@@ -633,16 +633,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     Clustering.appendToGraphIndex(delta, path)
     val after = storeRows()
-    // immutability: every pre-append row kept its component verbatim
+    // immutability: every pre-append row kept its RAW component
+    // verbatim (the stitch never rewrites stored rows — merges live in
+    // the component_map side table alone)
     before.foreach { case (id, c) =>
       assert(after(id) === c, s"append mutated stored row $id") }
-    // the appended rows carry exactly their pre-append assignment
+    // the appended rows carry their pre-append assignment rewritten
+    // through the stitch map the append itself produced (the map is
+    // empty pre-append, so assignedPre IS the raw argmin)
+    val canon: Map[Long, Long] = Clustering
+      .readComponentMap(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
     assignedPre.foreach { case (id, c) =>
-      assert(after(id) === c, s"appended $id stored ${after(id)} != $c") }
+      val expect = canon.getOrElse(c, c)
+      assert(after(id) === expect,
+        s"appended $id stored ${after(id)} != canon($c) = $expect") }
+    // every stitch-map key is an existing store component, and every
+    // canonical target is itself unmapped (the closure is transitive)
+    val storeComps = before.values.toSet ++ assignedPre.values.toSet
+    canon.foreach { case (from, to) =>
+      assert(storeComps.contains(from), s"map key $from not a component")
+      assert(!canon.contains(to), s"canon $to is itself remapped") }
     // serving an appended id now self-matches its stored component
+    // (already canonical — the serve face applies the same map)
     val reServed = Clustering.assignFromGraphIndex(delta, path)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     reServed.foreach { case (id, c) => assert(c === after(id)) }
+    // storeComponents (the canonical partition) = raw labels ∘ map
+    Clustering.storeComponents(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (id, c) =>
+        assert(c === canon.getOrElse(after(id), after(id)),
+          s"storeComponents($id) = $c diverged from raw∘map") }
     // chain growth: an exact twin of an appended vector (new id) must
     // inherit THROUGH the appended row — dist 0 to it, and to nothing
     // else, since the twin's original is held out of the base store
@@ -656,6 +678,146 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "twin's nearest candidate must be the appended row itself")
     assert(twinServed.getLong(2) === after(seedId),
       "twin must inherit the appended row's component")
+  }
+
+  test("stitch rejoins a duplication chain severed by a held-out gap; " +
+      "the frozen append stays fragmented") {
+    // The x100 staleness mechanism in miniature (VERDICT r17 next-1):
+    // a 40-point chain v_i = base + i·δ whose mutual-rank-2 graph is
+    // the path 0—1—…—39. Holding out the middle {18..21} severs it
+    // into two base components; the arrivals land IN the gap, and the
+    // stitch must observe the co-candidacy and merge the sides —
+    // while the stitch-off twin reproduces the frozen fragmentation.
+    import graft.operators.Clustering
+    import spark.implicits._
+    val d = 0.01
+    val chain = (0 until 40).map(i =>
+      (i.toLong, Seq(5.0 + i * d, 5.0, 5.0, 5.0)))
+    val gap = Set(18L, 19L, 20L, 21L)
+    val base = chain.filterNot(p => gap(p._1)).toDF("id", "features")
+    val arrivals = chain.filter(p => gap(p._1))
+    def buildAndAppend(tag: String, stitch: Boolean): String = {
+      val path = java.nio.file.Files.createTempDirectory(tag)
+        .toString + "/graph"
+      Clustering.writeKnnGraphIndexOf(spark, base,
+        Clustering.LshPlanes, path, s"$tag->$path")
+      // base must actually be severed: two chain-side components
+      val baseComps = spark.read.parquet(s"$path/points")
+        .select(col("component")).distinct().count()
+      assert(baseComps === 2,
+        s"severed chain must build 2 base components, got $baseComps")
+      // the gap arrives ONE POINT PER BATCH (the staleness protocol's
+      // sequential-append shape — an intra-batch pair can't see each
+      // other, only the store)
+      arrivals.foreach { case (id, v) =>
+        Clustering.appendToGraphIndex(
+          Seq((id, v)).toDF("id", "features"), path, stitch = stitch)
+      }
+      path
+    }
+    val stitched = buildAndAppend("stitch_on", stitch = true)
+    val comps = Clustering.storeComponents(spark, stitched).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps.size === 40)
+    assert(comps.values.toSet === Set(0L),
+      s"stitched chain must be ONE canonical component, " +
+        s"got ${comps.values.toSet}")
+    // serving any chain member returns the canonical label
+    val served = Clustering.assignFromGraphIndex(
+      Seq((900L, Seq(5.0 + 39 * d, 5.0, 5.0, 5.0))).toDF("id", "features"),
+      stitched).collect()(0)
+    assert(served.getLong(2) === 0L,
+      "serve must return the canonical merged label")
+    // correctness of the merge: the closure over base+gap at the BASE
+    // layout is also one component (the stitch found a real chain, it
+    // did not invent one)
+    val full = chain.toDF("id", "features")
+      .select(col("id"), col("features"), lit(0).as("cluster"))
+    val planes = Clustering.planeRowsOf(base,
+      Clustering.LshPlanes, Clustering.LshTables)
+    val (g, orph) = Clustering.cappedGraphWithOrphans(full, planes,
+      Clustering.LshPlanes, Clustering.LshTables, Clustering.GraphBuildCap)
+    val freshComps = Clustering.mutualComponents(
+      chain.map(_._1).toDF("id"),
+      g.select(col("xi"), col("rnk").as("rank"), col("yi")),
+      orphans = Some(orph)).collect().map(_.getLong(1)).toSet
+    assert(freshComps === Set(0L),
+      "rebuild at the base layout must agree the chain is one component")
+    // the frozen twin: same arrivals, stitch off — the gap rows only
+    // inherit, so the severed sides stay separate components
+    val frozen = buildAndAppend("stitch_off", stitch = false)
+    val frozenComps = Clustering.storeComponents(spark, frozen)
+      .collect().map(_.getLong(1)).toSet
+    assert(frozenComps.size >= 2,
+      s"frozen append must stay fragmented, got $frozenComps")
+    assert(!new java.io.File(s"$frozen/component_map").exists(),
+      "stitch-off append must not write a component map")
+  }
+
+  test("stitch safety on fixture geometry: merges only what a rebuild " +
+      "at the base layout co-locates") {
+    // the no-overmerge law (VERDICT r17 next-1 'Done' clause): every
+    // component pair the stitch merges must be co-located by the
+    // mutual-kNN closure over base + arrivals at the SAME layout —
+    // fresh is computable at fixture scale
+    import graft.operators.Clustering
+    import spark.implicits._
+    val pts = graft.sources.Tables.labeledPoints(spark, sfDir)
+      .select(col("id"), col("features"))
+    val base = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) =!= lit(Clustering.S14Res))
+    val arrivals = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) === lit(Clustering.S14Res))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).take(8)
+    val path = java.nio.file.Files.createTempDirectory("stitch_safe")
+      .toString + "/graph"
+    Clustering.writeKnnGraphIndexOf(spark, base,
+      Clustering.LshPlanes, path, s"safespec->$path")
+    arrivals.foreach { case (id, v) =>
+      Clustering.appendToGraphIndex(
+        Seq((id, v)).toDF("id", "features"), path)
+    }
+    val canon = Clustering.readComponentMap(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(canon.nonEmpty,
+      "fixture arrivals must trigger at least one stitch merge " +
+        "(otherwise this spec is vacuous)")
+    // fresh closure over base + arrivals at the BASE planes
+    val planes = Clustering.planeRowsOf(base,
+      Clustering.LshPlanes, Clustering.LshTables)
+    val arrDf = arrivals.toSeq.toDF("id", "features")
+    val full = base.unionByName(arrDf)
+      .select(col("id"), col("features"), lit(0).as("cluster"))
+    val (g, orph) = Clustering.cappedGraphWithOrphans(full, planes,
+      Clustering.LshPlanes, Clustering.LshTables, Clustering.GraphBuildCap)
+    val fresh = Clustering.mutualComponents(
+      full.select(col("id")),
+      g.select(col("xi"), col("rnk").as("rank"), col("yi")),
+      orphans = Some(orph)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // raw store labels per point (pre-map), to find each merged
+    // component's members
+    val raw = spark.read.parquet(s"$path/points")
+      .select(col("id"), col("component")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val members = raw.groupBy(_._2).map { case (c, xs) =>
+      c -> xs.map(_._1).toSeq }
+    // the law, stated witness-wise: a stitch merge is evidence the
+    // chains CONNECT through the arrival region, so the rebuild must
+    // co-locate at least one member of each side (both reachable
+    // through the witness arrival). It is NOT "all members share one
+    // fresh label": the rebuild may itself SPLIT a base component
+    // (arrivals displace rank-2 edges, breaking old mutual pairs) —
+    // that is frozen-neighborhood drift, already measured by the
+    // staleness protocol, not a stitch defect.
+    canon.foreach { case (from, to) =>
+      val common = members(from).map(fresh).toSet
+        .intersect(members(to).map(fresh).toSet)
+      assert(common.nonEmpty,
+        s"stitch merged $from into $to but the rebuild keeps EVERY " +
+          "member pair separate — the merge had no valid witness")
+    }
   }
 
   test("s11 filtered ANN: predicate holds, pre-filter beats post-filter") {
