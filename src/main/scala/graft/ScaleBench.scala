@@ -1538,7 +1538,8 @@ object ScaleBench {
           Some(Set("documents"))
         else if (mode == "s14bucket" || mode == "s13rank" ||
             mode == "s14stale" || mode == "s14stitch" ||
-            mode == "graphrecall" || mode == "s14cap")
+            mode == "graphrecall" || mode == "s14cap" ||
+            mode == "m1part") // m1 reads labeledPoints = embeddings only
           Some(Set("embeddings"))
         // bpe30k / megabucket generate their own corpora — no fixture
         else if (mode == "bpe30k" || mode == "megabucket") Some(Set.empty)

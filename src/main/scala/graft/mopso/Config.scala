@@ -154,6 +154,16 @@ object MopsoConfig {
     * `avg(partitionsFor(df.count()))` when the input is not
     * fixture-sized; m1's driver contract deliberately keeps the
     * reference's pinned 8 for fidelity.
+    *
+    * Third decade (r18, `scale_m1part_x1000.json`, 2M points): the
+    * full seeded 10-iteration loop at `partitionsFor`-scaled 8,000
+    * partitions runs in **91.2 s** (4.1/12.7/91.2 across x10/x100/
+    * x1000 — the fitness scope that survives); the §7.4.6 sampled
+    * face at the reference-pinned 8 partitions
+    * (`fitnessSampleFraction = 0.1`) in 116.3 s. The pinned-8 FULL
+    * face is arithmetic-walled: Σ nᵤ² = n²/8 = 5·10¹¹ pair ops
+    * (recorded in the same file), ≈ 2.7 h at the x100-measured pair
+    * rate — SURVEY §7.4.6's flagged risk, measured rather than run.
     */
   def partitionsFor(totalPoints: Long,
       targetPerPartition: Long = TargetPointsPerPartition): Int = {
