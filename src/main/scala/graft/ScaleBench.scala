@@ -1389,7 +1389,15 @@ object ScaleBench {
     val fresh = spark.read.parquet(s"$freshPath/points")
       .select(col("id"), col("component").as("fresh_c"))
     val nFreshComp = fresh.select(col("fresh_c")).distinct().count()
-    val rows = Seq(12, 25, 50).flatMap { pct =>
+    // SPARK_GRAFT_STALE_PCTS: fraction subset for one process — at
+    // x1000 the whole protocol (two full builds + eight appends + the
+    // ARI contingency aggregates) exceeds a single 96 GB JVM's heap
+    // (two measured OOMs, SCALE.md §r18); per-fraction JVMs are also
+    // the production shape (an ingest wave is not a test harness)
+    val pcts = sys.env.get("SPARK_GRAFT_STALE_PCTS")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(12, 25, 50))
+    val rows = pcts.flatMap { pct =>
       val arrF = pmod(xxhash64(col("id"), lit("s14stale")), lit(100L)) <
         lit(pct.toLong)
       val base = pts.where(!arrF)

@@ -1621,14 +1621,36 @@ object Clustering {
   private[graft] def appendToGraphIndex(batch: DataFrame,
       path: String, stitch: Boolean = true): Unit = {
     val s = batch.sparkSession
+    // every intermediate is persisted through THIS tracked round-trip
+    // and released in the finally below — NOT Dataset.localCheckpoint,
+    // whose blocks linger until a driver GC lets the ContextCleaner
+    // run. A long-lived ingest (or the x1000 staleness protocol's two
+    // builds + eight appends in one JVM) accumulates those blocks
+    // until the MemoryStore saturates and execution memory starves —
+    // measured: the first x1000 s14stitch attempt died
+    // UNABLE_TO_ACQUIRE_MEMORY at a 96 GB heap with the store full of
+    // superseded append intermediates (SCALE.md §r18). The fourth
+    // third-decade lifetime defect, same family as the closure's
+    // explicit round unpersist (ADVICE r17).
+    val kept = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+    def tracked(df: DataFrame, eager: Boolean): DataFrame = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept += rdd
+      if (eager) rdd.count() // materialize BEFORE any store write below
+      s.createDataFrame(rdd, df.schema)
+    }
+    try {
     val planeRows = readPlanes(s, path)
     val numPlanes = planeRows.length / LshTables
     // sign ONCE and materialize: the one signing job feeds both the
     // assignment probe and the appended rows (r14 read planes twice and
-    // signed the batch twice — VERDICT r14 "What's wrong" #2)
-    val signed = batch
-      .withColumn("sigs", lshSigsCol(planeRows, numPlanes, LshTables))
-      .localCheckpoint(eager = true)
+    // signed the batch twice — VERDICT r14 "What's wrong" #2); lazy
+    // persist — cand's materialization below runs the signing job
+    val signed = tracked(batch
+      .withColumn("sigs", lshSigsCol(planeRows, numPlanes, LshTables)),
+      eager = false)
     // ONE candidate join (the serve probe's shape, output bounded by
     // batch-sigs × cap) feeds the argmin, the stitch gate, AND the
     // appended rows' own r2dist — materialized BEFORE any append write
@@ -1643,15 +1665,15 @@ object Clustering {
     val store =
       if (store0.columns.contains("r2dist")) store0
       else store0.withColumn("r2dist", lit(null).cast("double"))
-    val cand = signed
+    val cand = tracked(signed
       .select(col("id"), col("features"),
         posexplode(col("sigs")).as(Seq("tbl", "bucket")))
       .join(store, Seq("tbl", "bucket"))
       .select(col("id"), col("nid"), col("component"), col("r2dist"),
         Linalg.euclidCol(col("features"), col("nv")).as("dist"))
       .repartition(col("id"))
-      .dropDuplicates("id", "nid")
-      .localCheckpoint(eager = true)
+      .dropDuplicates("id", "nid"),
+      eager = true)
     // the serve argmin (struct-min over candidates; no-collision rows
     // mint their own id) — byte-identical to assignFromSignedGraphStore
     // over the same store face
@@ -1666,13 +1688,13 @@ object Clustering {
     // per batch row: its top-S13MutualRank DISTINCT candidates with
     // the stitch gate inputs, via the bounded aggregate (never a
     // window — the r16 discipline)
-    val topk = cand.groupBy(col("id"))
+    val topk = tracked(cand.groupBy(col("id"))
       .agg(graft.functions.TopKAggregate.topKByKey(
         struct(col("dist").as("dist"), col("nid").as("nid")),
         struct(col("dist").as("dist"), col("component").as("component"),
           col("r2dist").as("r2dist")),
-        S13MutualRank).as("ks"))
-      .localCheckpoint(eager = true) // consumers: stitch edges + r2dist
+        S13MutualRank).as("ks")),
+      eager = false) // consumers: stitch edges + r2dist, both pre-write
     // THE STITCH (VERDICT r17 next-1): an appended row x whose gated
     // top-2 candidates span ≥2 distinct store components is evidence
     // the frozen base broke one duplication chain across those
@@ -1688,7 +1710,7 @@ object Clustering {
     val newPairs =
       if (!stitch) None
       else {
-        val p = topk
+        val p = tracked(topk
           .select(col("id"), explode(col("ks")).as("k"))
           .where(col("k.r2dist").isNotNull &&
             col("k.dist") <= col("k.r2dist"))
@@ -1698,8 +1720,8 @@ object Clustering {
           .select(explode(col("cs")).as("doc_a"),
             array_min(col("cs")).as("doc_b"))
           .where(col("doc_a") =!= col("doc_b"))
-          .distinct()
-          .localCheckpoint(eager = true) // consumers: count + closure
+          .distinct(),
+          eager = true) // consumers: isEmpty + closure
         if (p.isEmpty) None else Some(p)
       }
     // close the observed merges together with every EARLIER map pair
@@ -1716,12 +1738,13 @@ object Clustering {
             col("canon").as("doc_b")))
       val verts = edges.select(explode(array(col("doc_a"),
         col("doc_b"))).as("doc_id")).distinct()
-      graft.functions.Dedup
+      tracked(graft.functions.Dedup
         .connectedComponents(verts, edges, pointerDoubling = true)
         .where(col("doc_id") =!= col("group_id"))
         .select(col("doc_id").as("component"),
-          col("group_id").as("canon"))
-        .localCheckpoint(eager = true) // map dir is overwritten below
+          col("group_id").as("canon")),
+        eager = true) // fully materialized: the map dir it reads from
+                      // is overwritten below
     }
     def canonical(df: DataFrame): DataFrame = newMap match {
       case None => applyComponentMap(s, path, df)
@@ -1741,14 +1764,14 @@ object Clustering {
       when(size(col("ks")) >= lit(S13MutualRank),
         element_at(col("ks"), S13MutualRank).getField("dist"))
         .otherwise(lit(Double.PositiveInfinity)).as("r2dist"))
-    val rows = signed
+    val rows = tracked(signed
       .join(canonical(assignedRaw), "id")
       .join(r2, Seq("id"), "left")
       .select(col("id"), col("features"), col("sigs"), col("component"),
         lit(1).as("tier"),
         coalesce(col("r2dist"), lit(Double.PositiveInfinity))
-          .as("r2dist"))
-      .localCheckpoint(eager = true)
+          .as("r2dist")),
+      eager = true)
     rows.write.mode("append").parquet(s"$path/points")
     // keep the bucketed serving layout in sync (same rows, probe-key
     // bucketed); Spark validates the spec matches the existing table
@@ -1794,6 +1817,7 @@ object Clustering {
     // the new map subsumes the old one (its pairs were closure inputs)
     newMap.foreach(_.write.mode("overwrite")
       .parquet(s"$path/component_map"))
+    } finally kept.foreach(_.unpersist(blocking = false))
   }
 
   /** Streaming serving face (the p12 `serveClusterAssignStream`

@@ -723,9 +723,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"stitched chain must be ONE canonical component, " +
         s"got ${comps.values.toSet}")
     // serving any chain member returns the canonical label
-    val served = Clustering.assignFromGraphIndex(
+    val serveDf = Clustering.assignFromGraphIndex(
       Seq((900L, Seq(5.0 + 39 * d, 5.0, 5.0, 5.0))).toDF("id", "features"),
-      stitched).collect()(0)
+      stitched)
+    // the map-applying serve stays clean: no window, no cartesian —
+    // the remap is one (broadcastable) left join over the graph-sized
+    // map, never a store-shaped plan change
+    val physical = serveDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"stitched serve plan grew a cartesian-shaped join:\n$physical")
+    assert(serveDf.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "stitched serve plan must carry no window")
+    val served = serveDf.collect()(0)
     assert(served.getLong(2) === 0L,
       "serve must return the canonical merged label")
     // correctness of the merge: the closure over base+gap at the BASE
