@@ -1381,11 +1381,22 @@ object ScaleBench {
       df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
         .agg(coalesce(sum(c2(col("m"))), lit(0.0))).collect()(0).getDouble(0)
     // the fresh baseline: ONE full-corpus rebuild shared by every
-    // fraction (planes re-derived from the whole corpus)
+    // fraction (planes re-derived from the whole corpus).
+    // SPARK_GRAFT_STALE_REUSE=1 reuses an EXISTING fresh store on disk
+    // (store_meta present) instead of rebuilding — the per-phase-JVM
+    // protocol shape for multipliers where one JVM cannot carry both
+    // builds' shuffle lifetimes (SCALE.md §r18); the record then shows
+    // fresh_build_sec = 0, the honesty flag that this process did not
+    // pay the build. The fresh store is never appended to, so reuse is
+    // safe; stale stores are always rebuilt (appends mutate them).
     Clustering.invalidateKnnGraphIndex(work)
     val freshPath = s"${Similarity.artifactRoot(work)}/s14_stale_fresh"
-    val (tFresh, _) = timed(Clustering.writeKnnGraphIndexOf(spark, pts,
-      Clustering.lshPlanesFor(n), freshPath, s"$work->stale_fresh"))
+    val reuseFresh = sys.env.get("SPARK_GRAFT_STALE_REUSE").contains("1") &&
+      new java.io.File(s"$freshPath/store_meta").exists()
+    val (tFresh, _) =
+      if (reuseFresh) (0.0, ())
+      else timed(Clustering.writeKnnGraphIndexOf(spark, pts,
+        Clustering.lshPlanesFor(n), freshPath, s"$work->stale_fresh"))
     val fresh = spark.read.parquet(s"$freshPath/points")
       .select(col("id"), col("component").as("fresh_c"))
     val nFreshComp = fresh.select(col("fresh_c")).distinct().count()
