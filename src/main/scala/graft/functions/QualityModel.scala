@@ -150,11 +150,54 @@ object QualityModel {
       : org.apache.spark.ml.classification.LogisticRegressionModel =
     modelCache.synchronized {
       modelCache.getOrElseUpdate(dir, {
-        new LogisticRegression()
-          .setMaxIter(500).setRegParam(1e-6).setTol(1e-9)
+        // regParam 1e-3 / tol 1e-6, not the old 1e-6 / 1e-9 (VERDICT
+        // r18 next-5): the teacher label is a DETERMINISTIC function
+        // of the tokens, so the training set is (near-)separable and
+        // the near-unregularized logistic loss has no finite
+        // minimizer — LBFGS walked the weights outward until its line
+        // search failed ("ERROR LBFGS: Failure! ... Giving up" in the
+        // sf0.1 bench tail). 1e-3 gives the objective a finite
+        // optimum; tol 1e-6 stops BEFORE the fp noise floor, where
+        // the measured failure mode lives (a 1e-8 tolerance made the
+        // strong-Wolfe zoom hunt for descent below summation-order
+        // noise — the same fit flipped between clean and "Giving up"
+        // with nothing changed but input partitioning). Standardization
+        // stays at the MLlib default (true). The served artifact is
+        // re-derived from whatever this fit produces, so the p7 oracle
+        // (which replays the artifact) is parameter-agnostic; the
+        // teacher-accuracy floor is spec-pinned and re-verified under
+        // these values.
+        val m = new LogisticRegression()
+          .setMaxIter(200).setRegParam(1e-3).setTol(1e-6)
           .fit(featurized(s, dir))
+        assertConverged(m)
+        m
       })
     }
+
+  /** Clean-convergence gate on the fit of record (VERDICT r18 next-5):
+    * every objective value finite, the history never resets upward
+    * (a breeze line-search failure retries from the same point — the
+    * loss stalls or bounces instead of descending), and the tolerance
+    * was reached before the iteration cap. Runs inside [[fitModel]] so
+    * the bench's `p7_model_build` row — and any other trainer — fails
+    * loudly instead of silently serving a gave-up optimizer's weights.
+    */
+  private[graft] def assertConverged(
+      m: org.apache.spark.ml.classification.LogisticRegressionModel): Unit = {
+    val h = m.summary.objectiveHistory
+    require(h.nonEmpty && h.forall(v => !v.isNaN && !v.isInfinite),
+      s"p7 training objective not finite: ${h.take(5).mkString(",")}…")
+    h.sliding(2).foreach {
+      case Array(a, b) => require(b <= a + 1e-12,
+        s"p7 training objective reset upward ($a -> $b) — line-search " +
+          "failure territory")
+      case _ => ()
+    }
+    require(m.summary.totalIterations < 200,
+      s"p7 training hit the iteration cap (${m.summary.totalIterations})" +
+        " without reaching tolerance")
+  }
 
   private val modelCache = scala.collection.mutable.Map[String,
     org.apache.spark.ml.classification.LogisticRegressionModel]()

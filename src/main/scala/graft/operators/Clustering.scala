@@ -1191,10 +1191,13 @@ object Clustering {
     // a FULL rebuild re-labels everything as base: any append-time
     // stitch map from the previous store generation names component
     // ids from the OLD labeling (same id space — min point ids) and
-    // applying it to the fresh labels would corrupt them. Drop it.
+    // applying it to the fresh labels would corrupt them. Drop it —
+    // the staged dir too, or componentMapDir would resurrect it.
     val mapLoc = new org.apache.hadoop.fs.Path(s"$path/component_map")
-    mapLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .delete(mapLoc, true)
+    val fsMap = mapLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsMap.delete(mapLoc, true)
+    fsMap.delete(
+      new org.apache.hadoop.fs.Path(s"$path/component_map_staged"), true)
     phases ++= exportBucketedStore(s, path, cap)
     writtenGraphIdx.add(key)
     phases.toSeq
@@ -1308,11 +1311,39 @@ object Clustering {
     * has run (fresh build, or a store rebuilt since). GRAPH-sized:
     * one row per merged component, never per point.
     */
+  /** The live component-map directory, staged-crash tolerant: the
+    * committed map, or the COMPLETE staged map an append crash left
+    * between its two swap renames (the staged parquet commits fully
+    * before the live dir is touched, so staged-without-live is always
+    * a complete, strictly newer map — an incomplete staged write
+    * leaves the live dir intact and is ignored here).
+    */
+  private def componentMapDir(s: SparkSession,
+      path: String): Option[String] =
+    if (storePathExists(s, s"$path/component_map"))
+      Some(s"$path/component_map")
+    else if (storePathExists(s, s"$path/component_map_staged"))
+      Some(s"$path/component_map_staged")
+    else None
+
+  /** Promote a dangling staged map (crash between the swap renames) to
+    * live before an append writes a NEW staged dir over it — without
+    * this, the next append's staged overwrite would delete the only
+    * surviving copy. Appends are single-writer (the dual-write guard's
+    * own assumption), so the rename is unracy.
+    */
+  private def repairStagedMap(s: SparkSession, path: String): Unit =
+    if (!storePathExists(s, s"$path/component_map") &&
+        storePathExists(s, s"$path/component_map_staged")) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/component_map_staged"),
+        new org.apache.hadoop.fs.Path(s"$path/component_map"))
+    }
+
   private[graft] def readComponentMap(s: SparkSession,
       path: String): DataFrame =
-    if (storePathExists(s, s"$path/component_map"))
-      s.read.parquet(s"$path/component_map")
-    else {
+    componentMapDir(s, path).map(s.read.parquet(_)).getOrElse {
       import s.implicits._
       Seq.empty[(Long, Long)].toDF("component", "canon")
     }
@@ -1325,15 +1356,15 @@ object Clustering {
     */
   private[graft] def applyComponentMap(s: SparkSession, path: String,
       df: DataFrame): DataFrame =
-    if (storePathExists(s, s"$path/component_map")) {
-      val m = s.read.parquet(s"$path/component_map")
+    componentMapDir(s, path).map { mapDir =>
+      val m = s.read.parquet(mapDir)
         .select(col("component").as("cm_from"), col("canon"))
       val rest = df.columns.filterNot(_ == "component").map(col).toSeq
       df.join(m, df("component") === col("cm_from"), "left")
         .select(rest :+
           coalesce(col("canon"), df("component")).as("component"): _*)
         .select(df.columns.map(col): _*) // original column order
-    } else df
+    }.getOrElse(df)
 
   /** The store-wide component labeling in CANONICAL form: every
     * point's stored component rewritten through the stitch map — the
@@ -1642,6 +1673,9 @@ object Clustering {
       s.createDataFrame(rdd, df.schema)
     }
     try {
+    // promote a crash-dangled staged map BEFORE this append reads any
+    // component state or writes its own staged dir over it
+    repairStagedMap(s, path)
     val planeRows = readPlanes(s, path)
     val numPlanes = planeRows.length / LshTables
     // sign ONCE and materialize: the one signing job feeds both the
@@ -1702,18 +1736,25 @@ object Clustering {
     // severed at a held-out gap). The gate is the mutual-edge test of
     // the build, evaluated incrementally: c must be in x's
     // top-S13MutualRank (the topk prefix) AND x must enter c's
-    // top-S13MutualRank (dist ≤ c's stored r2dist — exact for a
+    // top-S13MutualRank (dist < c's stored r2dist — exact for a
     // single addition at the frozen layout; batch arrivals make it an
     // upper bound, measured per decade). Merges flow through the
     // component map, never a store rewrite; a NULL r2dist (pre-r18
-    // store rows) never merges.
+    // store rows) never merges. STRICT < (ADVICE r18): the build ranks
+    // by (dist, yi), so at dist == r2dist the arrival displaces c's
+    // rank-2 edge only if its id wins the tie-break — which the store
+    // doesn't record (r2dist carries the distance, not the rank-2
+    // id). ≤ would over-admit exact ties, merging what a rebuild may
+    // keep separate (against the safety law); < under-admits only the
+    // id-winning half of a measure-zero tie case — the same safe
+    // direction as the crash-ordering convention below.
     val newPairs =
       if (!stitch) None
       else {
         val p = tracked(topk
           .select(col("id"), explode(col("ks")).as("k"))
           .where(col("k.r2dist").isNotNull &&
-            col("k.dist") <= col("k.r2dist"))
+            col("k.dist") < col("k.r2dist"))
           .groupBy(col("id"))
           .agg(collect_set(col("k.component")).as("cs"))
           .where(size(col("cs")) >= 2)
@@ -1781,8 +1822,16 @@ object Clustering {
       // align to the registered table's column set: a pre-r18 bucketed
       // table has no r2dist column — drop it from the appended rows
       // there (its serve is unaffected; only the stitch gate loses the
-      // thresholds, the conservative degrade)
+      // thresholds, the conservative degrade). Logged (ADVICE r18):
+      // the PLAIN points keep their r2dist, so the two serve faces
+      // silently diverge in stitch behavior on such a store until a
+      // full rebuild — a face-parity measurement must know.
       val tcols = s.table(tbl).columns.toSeq
+      if (!tcols.contains("r2dist"))
+        System.err.println(s"[graft] bucketed graph store at $path " +
+          "predates r2dist: appended rows carry no stitch threshold " +
+          "on the bucketed face (plain points keep theirs) — the two " +
+          "serve faces diverge in stitch behavior until a full rebuild")
       explodedStore(rows).drop("tier")
         .select(tcols.map(col): _*)
         .write.bucketBy(StoreBuckets, "tbl", "bucket")
@@ -1814,9 +1863,25 @@ object Clustering {
       }
     }
     // the stitch map lands LAST (see the crash-direction note above);
-    // the new map subsumes the old one (its pairs were closure inputs)
-    newMap.foreach(_.write.mode("overwrite")
-      .parquet(s"$path/component_map"))
+    // the new map subsumes the old one (its pairs were closure inputs).
+    // STAGED, never overwritten in place (ADVICE r18): mode("overwrite")
+    // deletes the live map before the new files commit, and newMap's
+    // lineage READ that very directory — a crash mid-write, or a
+    // lost-block recompute after executor loss on a real cluster,
+    // would lose every PRIOR batch's merges, not just this one's. The
+    // staged parquet commits fully first; then two metadata renames
+    // swap it live. A crash between them leaves the COMPLETE staged
+    // map, which componentMapDir falls back to (and the next append's
+    // repairStagedMap promotes).
+    newMap.foreach { m =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staged = new org.apache.hadoop.fs.Path(s"$path/component_map_staged")
+      val live = new org.apache.hadoop.fs.Path(s"$path/component_map")
+      m.write.mode("overwrite").parquet(staged.toString)
+      fs.delete(live, true)
+      fs.rename(staged, live)
+    }
     } finally kept.foreach(_.unpersist(blocking = false))
   }
 
