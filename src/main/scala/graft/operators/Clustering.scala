@@ -701,20 +701,45 @@ object Clustering {
       .where(col("rn") <= cap)
       .select(col("tbl"), col("bucket"), col("id").as("yi"),
         col("features").as("yv"), col("cluster").as("cy"))
-    // ONE exchange serves both tails: hash(xi) co-locates every
-    // (xi, yi) duplicate for the dedup (a subset of the clustering
-    // keys satisfies it) AND satisfies the ranking aggregate's
-    // distribution, so the TopKByKey partial holds only its task's
-    // n/parts keys. Without this the partial object aggregate reads
-    // the (xi, yi)-partitioned dedup output with the FULL xi key
-    // space per task — 2M bounded-TopK buffers × 32 tasks OOM'd the
-    // x1000 build at 48 GB (SCALE.md §r16)
+    // PRE-RANK per (tbl, bucket, xi) BEFORE anything crosses the wire
+    // (VERDICT r18 next-1): the bucket join's output is already
+    // hash-partitioned on (tbl, bucket) — a subset of the grouping
+    // keys — so this bounded aggregate runs WITHOUT an exchange, and
+    // the raw candidate mass (~1B 28-byte rows ≈ 30 GB at x1000, the
+    // measured 26.6×/decade disk-bandwidth wall in the chain phase)
+    // never shuffles. Exact, not approximate: ranking is globally
+    // consistent by (dist, yi), so any pair in the final distinct
+    // top-L has < L candidates above it in EVERY bucket containing it
+    // — each bucket's top-L therefore covers the global top-L, and
+    // the downstream dedup + final ranking see exactly the winners
+    // they would have seen from the raw stream (spec-pinned
+    // byte-equality, capped and uncapped).
+    val pre = x.join(y, Seq("tbl", "bucket"))
+      .where(col("xi") =!= col("yi"))
+      .select(col("tbl"), col("bucket"), col("xi"), col("yi"),
+        Linalg.euclidCol(col("xv"), col("yv")).as("dist"),
+        (col("cx") === col("cy")).as("same"))
+      .groupBy(col("tbl"), col("bucket"), col("xi"))
+      .agg(graft.functions.TopKAggregate.topKByKey(
+        struct(col("dist").as("dist"), col("yi").as("yi")),
+        struct(col("yi").as("yi"), col("same").as("same"),
+          col("dist").as("dist")), L).as("vs"))
+      .select(col("xi"), explode(col("vs")).as("v"))
+      .select(col("xi"), col("v.yi").as("yi"), col("v.dist").as("dist"),
+        col("v.same").as("same"))
+    // ONE exchange serves both tails — and since the pre-rank it
+    // carries ≤ n·tables·L combined rows, not the raw pair mass:
+    // hash(xi) co-locates every (xi, yi) duplicate for the dedup (a
+    // subset of the clustering keys satisfies it) AND satisfies the
+    // final ranking aggregate's distribution, so the TopKByKey partial
+    // holds only its task's n/parts keys. Without this the partial
+    // object aggregate reads the (xi, yi)-partitioned dedup output
+    // with the FULL xi key space per task — 2M bounded-TopK buffers ×
+    // 32 tasks OOM'd the x1000 build at 48 GB (SCALE.md §r16). The
+    // dedup itself is unchanged: cross-table duplicates carry
+    // identical (dist, same), so which copy survives is immaterial.
     val graph = topRankedPairsPre(
-      x.join(y, Seq("tbl", "bucket"))
-        .where(col("xi") =!= col("yi"))
-        .select(col("xi"), col("yi"),
-          Linalg.euclidCol(col("xv"), col("yv")).as("dist"),
-          (col("cx") === col("cy")).as("same"))
+      pre
         .repartition(col("xi"))
         .dropDuplicates("xi", "yi"))
     val slim = pc
@@ -1176,7 +1201,29 @@ object Clustering {
     val gmut = graphRaw.where(col("rnk") <= lit(S13MutualRank))
       .select(col("xi"), col("rnk").as("rank"), col("yi"), col("dist"))
       .persist()
-    timedPhase("chain") { gmut.count() } // candidate chain + ranking
+    // shuffle bytes WRITTEN during the chain action, into the phase
+    // record (VERDICT r18 next-1's "done" clause): the chain's decade
+    // residual was a disk-bandwidth wall on its one result-sized
+    // exchange, so the record must carry the exchange mass, not just
+    // wall clock. JVM-wide task metrics — exact while phases run
+    // sequentially (ScaleBench's shape); the bus is drained before
+    // reading so late task-end events aren't undercounted.
+    val chainBytes = new java.util.concurrent.atomic.AtomicLong()
+    val chainListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          chainBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    s.sparkContext.addSparkListener(chainListener)
+    try timedPhase("chain") { gmut.count() } // candidate chain + ranking
+    finally {
+      org.apache.spark.sql.graft.Bridge.drainListenerBus(s.sparkContext)
+      s.sparkContext.removeSparkListener(chainListener)
+    }
+    phase("chain_shuffle_write_gb", chainBytes.get / 1e9)
     val comp = timedPhase("closure") { // mutual join + propagation
       mutualComponents(pc, gmut.drop("dist"), orphans = Some(orphans))
     }

@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the listener bus (private[spark]) — ScaleBench's per-phase
+    * shuffle-byte accounting reads listener-accumulated task metrics
+    * right after an action returns, when end-of-task events may still
+    * be queued; without the drain the recorded bytes undercount by
+    * whatever the bus hadn't delivered yet.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext,
+      timeoutMillis: Long = 10000L): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMillis)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }
