@@ -1329,34 +1329,75 @@ object ScaleBench {
     def run(capped: Boolean): Long =
       Clustering.assignFromGraphIndex(delta, path,
         useBucketed = capped, capped = capped).count()
+    // one joined pass: capped-vs-uncapped assignment deltas on `batch`
+    // — factored so the r2dist-ordered export and the stitched
+    // deployment re-measure the identical quantity
+    def diffs(batch: DataFrame): (Long, Long, Long, Long) = {
+      val c = Clustering.assignFromGraphIndex(batch, path)
+        .select(col("id"), col("neighbor").as("cn"),
+          col("component").as("cc"))
+      val u = Clustering.assignFromGraphIndex(batch, path,
+          useBucketed = false, capped = false)
+        .select(col("id"), col("neighbor").as("un"),
+          col("component").as("uc"))
+      val r = c.join(u, "id").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("cc") =!= col("uc"), 1L).otherwise(0L)).as("cdiff"),
+        sum(when(!(col("cn") <=> col("un")), 1L).otherwise(0L)).as("ndiff"),
+        sum(when(col("cn").isNull =!= col("un").isNull, 1L).otherwise(0L))
+          .as("singdiff")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
     run(capped = true); run(capped = false) // warm: JIT + page cache
     val cs = (1 to 3).map(_ => timed(run(capped = true)))
     val us = (1 to 3).map(_ => timed(run(capped = false)))
-    val c = Clustering.assignFromGraphIndex(delta, path)
-      .select(col("id"), col("neighbor").as("cn"),
-        col("component").as("cc"))
-    val u = Clustering.assignFromGraphIndex(delta, path,
-        useBucketed = false, capped = false)
-      .select(col("id"), col("neighbor").as("un"),
-        col("component").as("uc"))
-    val r = c.join(u, "id").agg(
-      count(lit(1)).as("n"),
-      sum(when(col("cc") =!= col("uc"), 1L).otherwise(0L)).as("cdiff"),
-      sum(when(!(col("cn") <=> col("un")), 1L).otherwise(0L)).as("ndiff"),
-      sum(when(col("cn").isNull =!= col("un").isNull, 1L).otherwise(0L))
-        .as("singdiff")).collect()(0)
-    require(r.getLong(3) == 0L,
-      s"capped serve changed the singleton set (${r.getLong(3)} rows) — " +
+    val (n0, cd0, nd0, sd0) = diffs(delta)
+    require(sd0 == 0L,
+      s"capped serve changed the singleton set ($sd0 rows) — " +
         "a non-empty bucket must keep a non-empty prefix")
+    // phase 2 (VERDICT r18 next-2, the re-opened r16-#8 swap): rebuild
+    // the serving export with the (r2dist, nid) prefix — keep the rows
+    // whose own rank-2 distance is smallest, i.e. the dense-mass
+    // members — and re-measure the SAME parity against the SAME
+    // uncapped baseline (order-independent by construction)
+    Clustering.exportBucketedStore(spark, path, Clustering.GraphBuildCap,
+      orderByR2 = true)
+    run(capped = true) // warm the re-exported table
+    val cs2 = (1 to 3).map(_ => timed(run(capped = true)))
+    val (n2, cd2, nd2, sd2) = diffs(delta)
+    require(sd2 == 0L, s"r2dist-ordered serve changed the singleton set")
+    // phase 3 (VERDICT r18 next-7): the parity a STITCHED deployment
+    // sees. Restore the id-order export, append HALF the delta with
+    // stitch on (the map repairs the chain breaks the holdout build
+    // severed), then measure capped-vs-uncapped on the OTHER half —
+    // novel points, both faces canonicalized through the map — to test
+    // the r18 claim that the component-level delta largely collapses
+    // into the merges the map repairs.
+    Clustering.exportBucketedStore(spark, path, Clustering.GraphBuildCap)
+    val half = pmod(xxhash64(col("id"), lit("s14caphalf")), lit(2L))
+    val halfA = delta.where(half === 0L)
+    val halfB = delta.where(half === 1L)
+    (0 until 2).foreach { b =>
+      Clustering.appendToGraphIndex(
+        halfA.where(pmod(xxhash64(col("id"), lit("s14batch")), lit(2L))
+          === lit(b.toLong)), path, stitch = true)
+    }
+    val mapRows = Clustering.readComponentMap(spark, path).count()
+    val (n3, cd3, nd3, _) = diffs(halfB)
     Seq(
       "s14cap_index_build" -> tBuild,
       "s14cap_serve_capped" -> cs.map(_._1).sorted.apply(1),
       "s14cap_serve_uncapped" -> us.map(_._1).sorted.apply(1),
-      "s14cap_n_batch" -> r.getLong(0).toDouble,
-      "s14cap_component_diff_frac" ->
-        (r.getLong(1).toDouble / r.getLong(0)),
-      "s14cap_neighbor_diff_frac" ->
-        (r.getLong(2).toDouble / r.getLong(0)))
+      "s14cap_n_batch" -> n0.toDouble,
+      "s14cap_component_diff_frac" -> (cd0.toDouble / n0),
+      "s14cap_neighbor_diff_frac" -> (nd0.toDouble / n0),
+      "s14cap_serve_capped_r2" -> cs2.map(_._1).sorted.apply(1),
+      "s14cap_component_diff_frac_r2" -> (cd2.toDouble / n2),
+      "s14cap_neighbor_diff_frac_r2" -> (nd2.toDouble / n2),
+      "s14cap_stitch_map_rows" -> mapRows.toDouble,
+      "s14cap_n_batch_stitched" -> n3.toDouble,
+      "s14cap_component_diff_frac_stitched" -> (cd3.toDouble / n3),
+      "s14cap_neighbor_diff_frac_stitched" -> (nd3.toDouble / n3))
   }
 
   /** `stitch = false` is the frozen-base staleness protocol (the r15–17
@@ -1368,6 +1409,88 @@ object ScaleBench {
     * [[Clustering.storeComponents]] (raw labels ∘ stitch map; the
     * identity when no map exists, so the frozen numbers are unchanged).
     */
+  /** (rand, ari) agreement of two labelings joined as (`a`, `b`)
+    * columns — contingency COUNTS only (three grouped aggregates),
+    * never a pair enumeration.
+    */
+  private def randAri(joint: DataFrame, a: String,
+      b: String): (Double, Double) = {
+    def c2(cnt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (cnt * (cnt - 1) / 2).cast("double")
+    def sumPairs(keys: String*): Double =
+      joint.groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(c2(col("m"))), lit(0.0)))
+        .collect()(0).getDouble(0)
+    val nTot = joint.count().toDouble
+    val sumAb = sumPairs(a, b)
+    val sumA = sumPairs(a)
+    val sumB = sumPairs(b)
+    val totPairs = nTot * (nTot - 1) / 2
+    val rand = (totPairs + 2 * sumAb - sumA - sumB) / totPairs
+    val expAb = sumA * sumB / totPairs
+    val ari = if ((sumA + sumB) / 2 == expAb) 1.0
+      else (sumAb - expAb) / ((sumA + sumB) / 2 - expAb)
+    (rand, ari)
+  }
+
+  /** d11 lexical-store staleness (VERDICT r18 next-6 — the s14stale
+    * protocol shape on the signature store). The store is build-once /
+    * serve-forever and serving never mutates it, so the lexical
+    * analogue of the graph family's chain breaks is arrival↔arrival
+    * duplication the frozen base cannot link: two arriving near-dups
+    * of each other with no base-side member each label themselves, and
+    * a duplication chain threaded through arrivals fragments at every
+    * missing link. Per fraction: build the store on the (100−pct)%
+    * hash-holdout base, serve the arriving pct in ONE pass (batches
+    * compose exactly over an immutable store — the spec-pinned
+    * store-stability law — so sequential batching cannot change the
+    * answer, unlike the graph store's state-mutating appends), then
+    * compare [base groups ∪ arrival labels] against the full-corpus
+    * closure a fresh rebuild would store.
+    */
+  private def d11StaleCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.functions.{Dedup, Similarity}
+    val docs = Tables.documents(spark, work)
+      .select(col("doc_id"), col("text"))
+    val freshPath = s"${Similarity.artifactRoot(work)}/d11_stale_fresh"
+    val (tFresh, _) = timed {
+      Dedup.dedupGroupsOf(docs).write.mode("overwrite").parquet(freshPath)
+    }
+    val fresh = spark.read.parquet(freshPath)
+      .select(col("doc_id"), col("group_id").as("fresh_g"))
+    val nFreshComp = fresh.select(col("fresh_g")).distinct().count()
+    val pcts = sys.env.get("SPARK_GRAFT_STALE_PCTS")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(12, 25, 50))
+    val rows = pcts.flatMap { pct =>
+      val arrF = pmod(xxhash64(col("doc_id"), lit("d11stale")),
+        lit(100L)) < lit(pct.toLong)
+      val path = s"${Similarity.artifactRoot(work)}/d11_stale$pct"
+      val (tBuild, _) = timed(
+        Dedup.writeDedupIndexOf(spark, docs.where(!arrF), path))
+      val arrivals = docs.where(arrF)
+      val served = Dedup.assignAgainstIndex(spark, work, path, arrivals)
+        .select(col("doc_id"), col("group_id")).persist()
+      val (tServe, _) = timed(served.count())
+      val stale = spark.read.parquet(s"$path/groups")
+        .select(col("doc_id"), col("group_id"))
+        .unionByName(served)
+        .select(col("doc_id"), col("group_id").as("stale_g"))
+      val joint = stale.join(fresh, "doc_id").persist()
+      val (rand, ari) = randAri(joint, "stale_g", "fresh_g")
+      val nStaleComp = joint.select(col("stale_g")).distinct().count()
+      joint.unpersist(); served.unpersist()
+      Seq(s"d11stale${pct}_rand" -> rand,
+        s"d11stale${pct}_ari" -> ari,
+        s"d11stale${pct}_components" -> nStaleComp.toDouble,
+        s"d11stale${pct}_base_build_sec" -> tBuild,
+        s"d11stale${pct}_serve_sec" -> tServe)
+    }
+    Seq("d11stale_fresh_build_sec" -> tFresh,
+      "d11stale_fresh_components" -> nFreshComp.toDouble) ++ rows
+  }
+
   private def s14StaleCompare(spark: SparkSession,
       work: String, stitch: Boolean = false): Seq[(String, Double)] = {
     import graft.operators.Clustering
@@ -1380,12 +1503,24 @@ object ScaleBench {
     def sumPairs(df: DataFrame, keys: Seq[String]): Double =
       df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
         .agg(coalesce(sum(c2(col("m"))), lit(0.0))).collect()(0).getDouble(0)
+    // SPARK_GRAFT_STALE_PHASE (VERDICT r18 next-4): run ONE protocol
+    // phase in THIS JVM against on-disk state — `fresh` (full-corpus
+    // baseline build), `base` (holdout store build), `append` (the
+    // arrival waves; SPARK_GRAFT_STALE_BATCHES subsets them for
+    // one-JVM-per-wave, the production ingest shape), `ari` (the
+    // contingency aggregates over the two persisted stores), or `all`
+    // (default — the single-JVM protocol, fine through x100). The
+    // x1000 protocol exceeds ANY single JVM by measured lifetime walls
+    // (block-manager, driver heap, disk — SCALE.md §r18); per-phase
+    // JVMs are both the mitigation and how a real deployment ingests.
+    val phase = sys.env.getOrElse("SPARK_GRAFT_STALE_PHASE", "all")
+    require(Set("all", "fresh", "base", "append", "ari")(phase),
+      s"unknown SPARK_GRAFT_STALE_PHASE $phase")
+    def in(p: String) = phase == "all" || phase == p
     // the fresh baseline: ONE full-corpus rebuild shared by every
     // fraction (planes re-derived from the whole corpus).
     // SPARK_GRAFT_STALE_REUSE=1 reuses an EXISTING fresh store on disk
-    // (store_meta present) instead of rebuilding — the per-phase-JVM
-    // protocol shape for multipliers where one JVM cannot carry both
-    // builds' shuffle lifetimes (SCALE.md §r18); the record then shows
+    // (store_meta present) instead of rebuilding; the record then shows
     // fresh_build_sec = 0, the honesty flag that this process did not
     // pay the build. The fresh store is never appended to, so reuse is
     // safe; stale stores are always rebuilt (appends mutate them).
@@ -1394,65 +1529,85 @@ object ScaleBench {
     val reuseFresh = sys.env.get("SPARK_GRAFT_STALE_REUSE").contains("1") &&
       new java.io.File(s"$freshPath/store_meta").exists()
     val (tFresh, _) =
-      if (reuseFresh) (0.0, ())
+      if (!in("fresh") || reuseFresh) (0.0, ())
       else timed(Clustering.writeKnnGraphIndexOf(spark, pts,
         Clustering.lshPlanesFor(n), freshPath, s"$work->stale_fresh"))
-    val fresh = spark.read.parquet(s"$freshPath/points")
-      .select(col("id"), col("component").as("fresh_c"))
-    val nFreshComp = fresh.select(col("fresh_c")).distinct().count()
-    // SPARK_GRAFT_STALE_PCTS: fraction subset for one process — at
-    // x1000 the whole protocol (two full builds + eight appends + the
-    // ARI contingency aggregates) exceeds a single 96 GB JVM's heap
-    // (two measured OOMs, SCALE.md §r18); per-fraction JVMs are also
-    // the production shape (an ingest wave is not a test harness)
+    if (phase == "fresh")
+      return Seq("s14stale_fresh_build_sec" -> tFresh,
+        "s14stale_fresh_components" ->
+          spark.read.parquet(s"$freshPath/points")
+            .select(col("component")).distinct().count().toDouble)
     val pcts = sys.env.get("SPARK_GRAFT_STALE_PCTS")
       .map(_.split(",").toSeq.map(_.trim.toInt))
       .getOrElse(Seq(12, 25, 50))
+    val batches = sys.env.get("SPARK_GRAFT_STALE_BATCHES")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(0 until 4)
     val rows = pcts.flatMap { pct =>
       val arrF = pmod(xxhash64(col("id"), lit("s14stale")), lit(100L)) <
         lit(pct.toLong)
       val base = pts.where(!arrF)
       val stalePath = s"${Similarity.artifactRoot(work)}/s14_stale$pct" +
         (if (stitch) "st" else "")
-      val (tBuild, _) = timed(Clustering.writeKnnGraphIndexOf(spark, base,
-        Clustering.lshPlanesFor(base.count()), stalePath,
-        s"$work->stale$pct->stitch=$stitch"))
+      val (tBuild, _) =
+        if (!in("base")) (0.0, ())
+        else timed(Clustering.writeKnnGraphIndexOf(spark, base,
+          Clustering.lshPlanesFor(base.count()), stalePath,
+          s"$work->stale$pct->stitch=$stitch"))
       val arrivals = pts.where(arrF)
-      val (tAppend, _) = timed {
-        (0 until 4).foreach { b =>
-          Clustering.appendToGraphIndex(
-            arrivals.where(pmod(xxhash64(col("id"), lit("s14batch")),
-              lit(4L)) === lit(b.toLong)), stalePath, stitch = stitch)
+      val (tAppend, _) =
+        if (!in("append")) (0.0, ())
+        else timed {
+          batches.foreach { b =>
+            Clustering.appendToGraphIndex(
+              arrivals.where(pmod(xxhash64(col("id"), lit("s14batch")),
+                lit(4L)) === lit(b.toLong)), stalePath, stitch = stitch)
+          }
         }
+      val buildRows =
+        Seq(s"s14stale${pct}_base_build_sec" -> tBuild,
+          s"s14stale${pct}_append_sec" -> tAppend)
+      if (!in("ari")) buildRows
+      else {
+        val fresh = spark.read.parquet(s"$freshPath/points")
+          .select(col("id"), col("component").as("fresh_c"))
+        val mapRows =
+          if (stitch)
+            Clustering.readComponentMap(spark, stalePath).count()
+          else 0L
+        val joint = Clustering.storeComponents(spark, stalePath)
+          .select(col("id"), col("component").as("stale_c"))
+          .join(fresh, "id").persist()
+        val nTot = joint.count().toDouble
+        val sumAb = sumPairs(joint, Seq("stale_c", "fresh_c"))
+        val sumA = sumPairs(joint, Seq("stale_c"))
+        val sumB = sumPairs(joint, Seq("fresh_c"))
+        val nStaleComp = joint.select(col("stale_c")).distinct().count()
+        joint.unpersist()
+        val totPairs = nTot * (nTot - 1) / 2
+        val rand = (totPairs + 2 * sumAb - sumA - sumB) / totPairs
+        val expAb = sumA * sumB / totPairs
+        val ari = if ((sumA + sumB) / 2 == expAb) 1.0
+          else (sumAb - expAb) / ((sumA + sumB) / 2 - expAb)
+        buildRows ++
+          Seq(s"s14stale${pct}_rand" -> rand,
+            s"s14stale${pct}_ari" -> ari,
+            s"s14stale${pct}_components" -> nStaleComp.toDouble) ++
+          (if (stitch) Seq(s"s14stale${pct}_map_rows" -> mapRows.toDouble)
+          else Seq.empty)
       }
-      val mapRows =
-        if (stitch)
-          Clustering.readComponentMap(spark, stalePath).count()
-        else 0L
-      val joint = Clustering.storeComponents(spark, stalePath)
-        .select(col("id"), col("component").as("stale_c"))
-        .join(fresh, "id").persist()
-      val nTot = joint.count().toDouble
-      val sumAb = sumPairs(joint, Seq("stale_c", "fresh_c"))
-      val sumA = sumPairs(joint, Seq("stale_c"))
-      val sumB = sumPairs(joint, Seq("fresh_c"))
-      val nStaleComp = joint.select(col("stale_c")).distinct().count()
-      joint.unpersist()
-      val totPairs = nTot * (nTot - 1) / 2
-      val rand = (totPairs + 2 * sumAb - sumA - sumB) / totPairs
-      val expAb = sumA * sumB / totPairs
-      val ari = if ((sumA + sumB) / 2 == expAb) 1.0
-        else (sumAb - expAb) / ((sumA + sumB) / 2 - expAb)
-      Seq(s"s14stale${pct}_rand" -> rand,
-        s"s14stale${pct}_ari" -> ari,
-        s"s14stale${pct}_components" -> nStaleComp.toDouble,
-        s"s14stale${pct}_base_build_sec" -> tBuild,
-        s"s14stale${pct}_append_sec" -> tAppend) ++
-        (if (stitch) Seq(s"s14stale${pct}_map_rows" -> mapRows.toDouble)
-        else Seq.empty)
     }
-    Seq("s14stale_fresh_build_sec" -> tFresh,
-      "s14stale_fresh_components" -> nFreshComp.toDouble) ++ rows
+    // the ari phase re-emits the fresh component count (its record is
+    // the one the staleness table reads); build seconds only when this
+    // JVM actually built
+    val freshRows =
+      if (phase == "all" || phase == "ari")
+        Seq("s14stale_fresh_build_sec" -> tFresh,
+          "s14stale_fresh_components" ->
+            spark.read.parquet(s"$freshPath/points")
+              .select(col("component")).distinct().count().toDouble)
+      else Seq.empty
+    freshRows ++ rows
   }
 
   private def layeredCompare(spark: SparkSession,
@@ -1553,7 +1708,8 @@ object ScaleBench {
           Some(Set("embeddings"))
         else if (mode == "layered" || mode.startsWith("onlye:"))
           Some(Set("documents", "embeddings"))
-        else if (mode == "d11deep" || mode == "d11bucket")
+        else if (mode == "d11deep" || mode == "d11bucket" ||
+            mode == "d11stale")
           Some(Set("documents"))
         else if (mode == "s14bucket" || mode == "s13rank" ||
             mode == "s14stale" || mode == "s14stitch" ||
@@ -1570,6 +1726,7 @@ object ScaleBench {
         mode == "ivfauto" || mode == "layout" || mode == "pq" ||
         mode == "d9border" || mode == "pqdisk" || mode == "layered" ||
         mode == "d11deep" || mode == "d11bucket" || mode == "trunc" ||
+        mode == "d11stale" ||
         mode == "s14bucket" || mode == "s13rank" || mode == "s14stale" ||
         mode == "s14stitch" || mode == "graphrecall" ||
         mode == "megabucket" || mode == "s14cap") {
@@ -1614,6 +1771,9 @@ object ScaleBench {
         else if (mode == "d11bucket")
           ("d11_bucket_compare", d11BucketCompare(spark, work),
             "scale_d11bucket.json")
+        else if (mode == "d11stale")
+          ("d11_staleness", d11StaleCompare(spark, work),
+            "scale_d11stale.json")
         else if (mode == "s14bucket")
           ("s14_bucket_compare", s14BucketCompare(spark, work),
             "scale_s14bucket.json")

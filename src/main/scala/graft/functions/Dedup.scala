@@ -765,9 +765,11 @@ object Dedup {
   }
 
   /** Transitive near-dup groups of a curated (doc_id, text) frame —
-    * the p1 bucket build + rep-seeded propagation, factored for p10.
+    * the p1 bucket build + rep-seeded propagation, factored for p10
+    * (`private[graft]`: ScaleBench's d11 staleness protocol computes
+    * the fresh-rebuild baseline through this exact closure).
     */
-  private def dedupGroupsOf(curated: DataFrame): DataFrame = {
+  private[graft] def dedupGroupsOf(curated: DataFrame): DataFrame = {
     val buckets = bucketArrays(bandRowsOf(minhashSigsOf(
       curated.select(col("doc_id"), col("text"))))).persist()
     val groups = connectedComponents(
@@ -1102,9 +1104,19 @@ object Dedup {
       force: Boolean = false): Unit = {
     val key = s"$dir->$path"
     if (!force && writtenDedupIndexes.contains(key)) return
-    val base = Tables.documents(s, dir)
+    writeDedupIndexOf(s, Tables.documents(s, dir)
       .where(pmod(col("doc_id"), lit(DeltaMod)) =!= DeltaResidue)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text")), path)
+    writtenDedupIndexes.add(key)
+  }
+
+  /** [[writeDedupIndex]] over an EXPLICIT base corpus — the staleness
+    * protocol's face (ScaleBench builds the store on a hash-holdout
+    * split and serves the held-out fraction against it); unmemoized,
+    * the caller owns idempotence.
+    */
+  private[graft] def writeDedupIndexOf(s: SparkSession, base: DataFrame,
+      path: String): Unit = {
     val bands = bandRowsOf(minhashSigsOf(base))
     bands
       .withColumn("rn", row_number().over(
@@ -1112,7 +1124,6 @@ object Dedup {
           .orderBy(col("doc_id"))))
       .write.mode("overwrite").parquet(s"$path/bands")
     dedupGroupsOf(base).write.mode("overwrite").parquet(s"$path/groups")
-    writtenDedupIndexes.add(key)
   }
 
   private val writtenDedupIndexes =

@@ -1337,44 +1337,75 @@ object Clustering {
     * duplication mass — and spilled the disk to death at x1000; the
     * prefix bounds the store side at `cap` rows per (tbl, bucket).
     */
-  private[graft] def cappedServing(exploded: DataFrame, cap: Int): DataFrame = {
+  /** The serving-prefix ORDER key (VERDICT r18 next-2): `nid` —
+    * insertion order, the build's own candidate-prefix convention —
+    * or, under `orderByR2`, `(r2dist, nid)`: densest-neighborhood
+    * rows first. The r18 novel-point parity re-measure showed the
+    * id-ordered prefix moves ~5%/12% of novel assignments at x100
+    * (indep/clone geometry); r2dist is the one per-row quantity the
+    * build exports that correlates with "is this row a plausible
+    * nearest neighbor of a novel probe" (small r2dist = inside a
+    * dense mass, exactly the rows the cap exists to thin). A NULL
+    * r2dist (pre-r18 rows) coalesces to +∞ — sorts last, and on an
+    * all-legacy store the nid tie-break makes the two orders
+    * identical. The struct key is unique (nid is), which is what
+    * keeps the threshold-filter formulation exact.
+    */
+  private def serveCapKey(orderByR2: Boolean): Column =
+    if (orderByR2)
+      struct(coalesce(col("r2dist"), lit(Double.PositiveInfinity))
+        .as("r2"), col("nid").as("nid"))
+    else struct(col("nid").as("nid"))
+
+  /** Ensures the serving-order column exists (synthetic spec frames
+    * and pre-r18 explodes may lack it; NULL = +∞ under the key).
+    */
+  private def withR2(df: DataFrame): DataFrame =
+    if (df.columns.contains("r2dist")) df
+    else df.withColumn("r2dist", lit(null).cast("double"))
+
+  private[graft] def cappedServing(exploded0: DataFrame, cap: Int,
+      orderByR2: Boolean = false): DataFrame = {
     // threshold filter, not a row_number window (r17 export-cost fix):
     // the window formulation shuffles AND sorts the full
     // feature-carrying exploded store (~560-byte rows) just to rank by
-    // nid, and the bucketed write re-shuffles it again — the one
-    // above-linear decade row in `scale_graph_x1000.json`. nid is
-    // unique, so "rank ≤ cap by nid" ≡ "nid ≤ cap-th smallest nid in
-    // the bucket": compute the per-(tbl, bucket) threshold with the
-    // bounded TopKByKey aggregate over SLIM (tbl, bucket, nid) rows
-    // (24-byte shuffle; pre-repartitioned on the group key so partial
-    // state is groups/task, the r16 OOM discipline), then filter the
-    // feature rows with one join — AQE broadcasts the bucket-sized
-    // threshold table at any realistic layout, so the big side never
-    // shuffles before the write's own bucketBy exchange. The window
-    // twin below stays as the spec cross-check.
+    // the prefix key, and the bucketed write re-shuffles it again —
+    // the one above-linear decade row in `scale_graph_x1000.json`. The
+    // key is unique, so "rank ≤ cap by key" ≡ "key ≤ cap-th smallest
+    // key in the bucket": compute the per-(tbl, bucket) threshold with
+    // the bounded TopKByKey aggregate over SLIM (tbl, bucket, key)
+    // rows (pre-repartitioned on the group key so partial state is
+    // groups/task, the r16 OOM discipline), then filter the feature
+    // rows with one join — AQE broadcasts the bucket-sized threshold
+    // table at any realistic layout, so the big side never shuffles
+    // before the write's own bucketBy exchange. The window twin below
+    // stays as the spec cross-check.
+    val exploded = withR2(exploded0)
+    val key = serveCapKey(orderByR2)
     val thr = exploded.where(col("tier") === 0)
-      .select(col("tbl"), col("bucket"), col("nid"))
+      .select(col("tbl"), col("bucket"), key.as("k"))
       .repartition(col("tbl"), col("bucket"))
       .groupBy(col("tbl"), col("bucket"))
       .agg(graft.functions.TopKAggregate
-        .topKByKey(col("nid"), col("nid"), cap).as("ks"))
+        .topKByKey(col("k"), col("k"), cap).as("ks"))
       .select(col("tbl"), col("bucket"),
-        element_at(col("ks"), size(col("ks"))).as("nid_cap"))
+        element_at(col("ks"), size(col("ks"))).as("key_cap"))
     exploded.where(col("tier") === 0)
       .join(thr, Seq("tbl", "bucket"))
-      .where(col("nid") <= col("nid_cap"))
-      .drop("nid_cap", "tier")
-      .unionByName(exploded.where(col("tier") === 1).drop("tier"))
+      .where(key <= col("key_cap"))
+      .drop("key_cap", "tier")
+      .unionByName(withR2(exploded0).where(col("tier") === 1).drop("tier"))
   }
 
   /** The row_number formulation of [[cappedServing]] — kept as the
-    * independent cross-check twin (spec-pinned byte-equal; nid
+    * independent cross-check twin (spec-pinned byte-equal; key
     * uniqueness is what makes the threshold filter exact).
     */
-  private[graft] def cappedServingWindow(exploded: DataFrame,
-      cap: Int): DataFrame = {
+  private[graft] def cappedServingWindow(exploded0: DataFrame,
+      cap: Int, orderByR2: Boolean = false): DataFrame = {
+    val exploded = withR2(exploded0)
     val wB = Window.partitionBy(col("tbl"), col("bucket"))
-      .orderBy(col("nid"))
+      .orderBy(serveCapKey(orderByR2))
     exploded.where(col("tier") === 0)
       .withColumn("rn", row_number().over(wB))
       .where(col("rn") <= cap)
@@ -1393,11 +1424,12 @@ object Clustering {
     * prefix read from.
     */
   private[graft] def exportBucketedStore(s: SparkSession,
-      path: String, cap: Int = GraphBuildCap): Seq[(String, Double)] = {
+      path: String, cap: Int = GraphBuildCap,
+      orderByR2: Boolean = false): Seq[(String, Double)] = {
     val tbl = storeTableName(path)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val t0 = System.nanoTime()
-    cappedServing(explodedStore(readPoints(s, path)), cap)
+    cappedServing(explodedStore(readPoints(s, path)), cap, orderByR2)
       .write.bucketBy(StoreBuckets, "tbl", "bucket")
       .sortBy("tbl", "bucket")
       .option("path", s"$path/points_bucketed")
@@ -1406,8 +1438,12 @@ object Clustering {
     val nPlain = s.read.parquet(s"$path/points").count()
     val nBucketed = s.table(tbl).count()
     import s.implicits._
-    Seq((cap, nPlain, nBucketed))
-      .toDF("cap", "points_at_export", "bucketed_at_export")
+    // export_order is part of the meta row so the PLAIN read-time
+    // fallback applies the same prefix the bucketed export
+    // materialized — the two faces must never diverge on order
+    Seq((cap, nPlain, nBucketed, if (orderByR2) "r2dist" else "nid"))
+      .toDF("cap", "points_at_export", "bucketed_at_export",
+        "export_order")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/store_meta")
     val t2 = System.nanoTime()
     Seq("export_write" -> (t1 - t0) / 1e9,
@@ -1415,14 +1451,21 @@ object Clustering {
   }
 
   /** The store's export-time meta row: (serve cap, plain point count at
-    * export, bucketed row count at export) — absent on a pre-r17 store,
-    * which the guard treats as divergence (rebuild re-creates it).
+    * export, bucketed row count at export, prefix order) — absent on a
+    * pre-r17 store, which the guard treats as divergence (rebuild
+    * re-creates it); a pre-r19 meta lacks the order column and reads
+    * "nid" (the only order that existed).
     */
   private def readStoreMeta(s: SparkSession,
-      path: String): Option[(Int, Long, Long)] =
+      path: String): Option[(Int, Long, Long, String)] =
     if (storePathExists(s, s"$path/store_meta")) {
-      val r = s.read.parquet(s"$path/store_meta").collect()(0)
-      Some((r.getInt(0), r.getLong(1), r.getLong(2)))
+      val df = s.read.parquet(s"$path/store_meta")
+      val r = df.collect()(0)
+      val order =
+        if (df.columns.contains("export_order"))
+          r.getString(df.columns.indexOf("export_order"))
+        else "nid"
+      Some((r.getInt(0), r.getLong(1), r.getLong(2), order))
     } else None
 
   /** The store's append-time stitch map — (component, canon) rows for
@@ -1643,10 +1686,11 @@ object Clustering {
       s.table(tbl)
     } else {
       val exploded = explodedStore(readPoints(s, path))
-      if (capped)
-        cappedServing(exploded,
-          readStoreMeta(s, path).map(_._1).getOrElse(GraphBuildCap))
-      else exploded.drop("tier")
+      if (capped) {
+        val meta = readStoreMeta(s, path)
+        cappedServing(exploded, meta.map(_._1).getOrElse(GraphBuildCap),
+          orderByR2 = meta.exists(_._4 == "r2dist"))
+      } else exploded.drop("tier")
     }
   }
 
@@ -1971,7 +2015,7 @@ object Clustering {
       val meta = readStoreMeta(s, path)
       val nPlain = s.read.parquet(s"$path/points").count()
       val nBucketed = s.table(tbl).count()
-      val expected = meta.map { case (_, p0, b0) =>
+      val expected = meta.map { case (_, p0, b0, _) =>
         b0 + (nPlain - p0) * LshTables }
       if (!expected.contains(nBucketed)) {
         System.err.println(s"[graft] bucketed graph store at $path " +
@@ -1979,7 +2023,8 @@ object Clustering {
           s"${expected.getOrElse("<no meta>")} = export base + " +
           s"appends x $LshTables) — rebuilding from points")
         exportBucketedStore(s, path,
-          meta.map(_._1).getOrElse(GraphBuildCap))
+          meta.map(_._1).getOrElse(GraphBuildCap),
+          orderByR2 = meta.exists(_._4 == "r2dist"))
       }
     }
     // the stitch map lands LAST (see the crash-direction note above);

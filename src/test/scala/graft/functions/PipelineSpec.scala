@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.functions.{col, length, lit, pmod, size}
+import org.apache.spark.sql.functions.{col, length, lit, pmod, size, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -1204,6 +1204,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(fast.count(_._4 == 11L) === 16)
     assert(fast.count(_._4 == 22L) === 5)
     assert(fast.count(_._4 == 33L) === 3 + 30)
+    // r2dist-ordered prefix (VERDICT r18 next-2): smallest rank-2
+    // distance wins the prefix slot regardless of nid; threshold and
+    // window formulations stay byte-equal under the struct key; a
+    // frame with NO r2dist column (this one) must reduce to nid order
+    val fastR2NoCol = collect(Clustering.cappedServing(rows, 16,
+      orderByR2 = true))
+    assert(fastR2NoCol === fast,
+      "all-null r2dist must fall back to the nid order")
+    // give the saturating bucket r2dist = DESCENDING in nid, so the
+    // r2dist prefix is exactly the REVERSE-nid prefix — disjoint from
+    // the nid prefix beyond the overlap, a real reorder
+    val withR2 = rows.withColumn("r2dist",
+      when(col("bucket") === 11L, -col("nid").cast("double"))
+        .otherwise(lit(null).cast("double")))
+    val fastR2 = collect(Clustering.cappedServing(withR2, 16,
+      orderByR2 = true))
+    val twinR2 = collect(Clustering.cappedServingWindow(withR2, 16,
+      orderByR2 = true))
+    assert(fastR2 === twinR2,
+      "r2dist threshold serving diverged from its window twin")
+    val bucket11Nids = rows.where(col("bucket") === 11L)
+      .select(col("nid")).collect().map(_.getLong(0)).sorted
+    assert(fastR2.filter(_._4 == 11L).map(_._1).sorted.toSeq ===
+      bucket11Nids.takeRight(16).toSeq,
+      "r2dist order must keep the smallest-r2dist (here largest-nid) rows")
+    assert(fastR2.count(_._4 == 22L) === 5)
+    assert(fastR2.count(_._4 == 33L) === 3 + 30)
   }
 
   test("graph chain fails loudly on a dimension-mismatched vector " +

@@ -12,8 +12,12 @@ OPENS=(java.lang java.lang.invoke java.lang.reflect java.io java.net \
   sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar)
 ARGS=()
 for p in "${OPENS[@]}"; do ARGS+=(--add-opens "java.base/$p=ALL-UNNAMED"); done
+# GRAFT_CLASSES: override the classes dir (e.g. a frozen snapshot copy,
+# so a long run never races a live sbt recompile — NoClassDefFoundError
+# mid-run otherwise; SCALE.md §r18)
+CLASSES="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}"
 exec java "${ARGS[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"$MEM" \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$CLASSES:/opt/spark/jars/*" \
   "$MAIN" "$@"
