@@ -1470,7 +1470,15 @@ object ScaleBench {
       val (tBuild, _) = timed(
         Dedup.writeDedupIndexOf(spark, docs.where(!arrF), path))
       val arrivals = docs.where(arrF)
-      val served = Dedup.assignAgainstIndex(spark, work, path, arrivals)
+      // the BACKFILL serve plan (broadcastDelta = false): a 12–50%
+      // arrival fraction is corpus-scaled, and the daily-batch plan's
+      // forced delta broadcasts die at spark.driver.maxResultSize
+      // collecting it (measured at x1000) — exactly the backfill
+      // boundary `scale_d11bucket.json` §r14 priced
+      val served = Dedup.assignFrom(spark, work,
+          spark.read.parquet(s"$path/bands"),
+          spark.read.parquet(s"$path/groups"), arrivals,
+          broadcastDelta = false)
         .select(col("doc_id"), col("group_id")).persist()
       val (tServe, _) = timed(served.count())
       val stale = spark.read.parquet(s"$path/groups")

@@ -1197,17 +1197,26 @@ object Dedup {
   private[graft] def assignFrom(s: SparkSession, dir: String,
       baseBands: DataFrame, groups: DataFrame, delta: DataFrame,
       broadcastDelta: Boolean): DataFrame = {
-    val deltaBands0 = bandRowsOf(minhashSigsOf(delta))
-      .select(col("doc_id").as("delta_id"), col("band"), col("key"))
-    val deltaBands =
-      if (broadcastDelta) broadcast(deltaBands0) else deltaBands0
+    // `broadcastDelta = true` FORCES the daily-batch plan: every
+    // delta-scaled frame (band rows, token arrays, the verified match
+    // set) rides a broadcast hint, so the corpus-scaled side never
+    // shuffles — correct exactly while a batch ≪ the corpus. The
+    // backfill face (`false`) hints NOTHING and lets AQE pick: a
+    // 12–50% backfill's "delta-scaled" frames are corpus-scaled (a
+    // forced broadcast dies at spark.driver.maxResultSize collecting
+    // them — measured at x1000, SCALE.md §r19), while whatever is
+    // genuinely small at runtime still broadcasts adaptively.
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastDelta) broadcast(df) else df
+    val deltaBands = hinted(bandRowsOf(minhashSigsOf(delta))
+      .select(col("doc_id").as("delta_id"), col("band"), col("key")))
     val cand = baseBands
       .where(col("rn") <= MaxBucket)
       .join(deltaBands, Seq("band", "key"))
       .select(col("delta_id"), col("doc_id").as("base_id"))
       .distinct()
     val baseToks = Tables.documents(s, dir)
-      .join(broadcast(cand.select(col("base_id")).distinct()),
+      .join(hinted(cand.select(col("base_id")).distinct()),
         col("doc_id") === col("base_id"), "left_semi")
       .select(col("doc_id").as("base_id"),
         array_distinct(tokensCol(col("text"))).as("toks_b"))
@@ -1219,18 +1228,19 @@ object Dedup {
     val union = size(col("toks_d")) + size(col("toks_b")) - inter
     val ver = cand
       .join(baseToks, Seq("base_id"))
-      .join(broadcast(deltaToks), Seq("delta_id"))
+      .join(hinted(deltaToks), Seq("delta_id"))
       .where(inter.cast("double") / union >= IncrementalJaccard)
       .select(col("delta_id"), col("base_id"))
-    // groups is corpus-sized, the verified set tiny: broadcast the
-    // verified side so the label fetch is one corpus scan, no shuffle
+    // groups is corpus-sized; under the daily-batch plan the verified
+    // set is tiny, so broadcasting it makes the label fetch one corpus
+    // scan with no shuffle
     val matched = groups
       .withColumnRenamed("doc_id", "base_id")
-      .join(broadcast(ver), Seq("base_id"))
+      .join(hinted(ver), Seq("base_id"))
       .groupBy(col("delta_id"))
       .agg(min(col("group_id")).as("mg"), count(lit(1)).as("nm"))
     delta.select(col("doc_id"))
-      .join(broadcast(matched), col("doc_id") === col("delta_id"), "left")
+      .join(hinted(matched), col("doc_id") === col("delta_id"), "left")
       .select(col("doc_id"),
         coalesce(col("mg"), col("doc_id")).as("group_id"),
         coalesce(col("nm"), lit(0L)).as("n_matches"))

@@ -640,6 +640,16 @@ object Clustering {
     */
   val OracleGraphCap = 16
 
+  /** Stitch certification bound: the append-time stitch runs only on
+    * stores whose SAMPLED capped-vs-true rank-2 inflation (the
+    * `stitch_fidelity` certificate [[writeKnnGraphIndexOf]] exports)
+    * is ≤ this. Faithful stores measure ≈ 1.0 (x10/x100: 1.0 exactly —
+    * the near mass survives the prefix); 2 allows the tight mode's own
+    * observed spread (the x100 tier-0 p90/p10 = 2.0) and excludes the
+    * starved regime by orders of magnitude (x1000 measured ~255).
+    */
+  val StitchFidelityMax = 2.0
+
   /** [[lshRankedNeighborsOf]] with the CANDIDATE side of every
     * (tbl, bucket) capped to its first `cap` members by id (the d3
     * `MaxBucket` convention): every point still queries (the x side is
@@ -1307,6 +1317,54 @@ object Clustering {
     timedPhase("points_write") {
       pointsDf.write.mode("overwrite").parquet(s"$path/points")
     }
+    // THRESHOLD-FIDELITY CERTIFICATE (round 19 — the x1000 staleness
+    // measurement's finding): the stored r2dist is the CAPPED view's
+    // rank-2 distance, an upper bound on the truth. On duplication-
+    // heavy corpora whose clusters smear across the grown layout's
+    // sign sub-buckets, the id-ordered cap can hide a point's entire
+    // near mass — half the x1000 base rows carried thresholds ~255×
+    // the true near-dup scale, and the stitch gate percolated 21k
+    // components into one 1.47M-point blob through them (ARI vs fresh
+    // 0.005, `scale_s14stitch_x1000_r19_*`). The store cannot tell an
+    // honestly isolated point from a starved clone by looking at one
+    // threshold — but it can SAMPLE its own blindness: for a hash
+    // sample of rows, rank against the UNCAPPED bucket membership
+    // (the existing xiFilter probe — O(sample · occupancy), the
+    // sampled-recall shape) and compare the true rank-2 with the
+    // stored one. Faithful stores (cap not binding, or near mass
+    // surviving the prefix: x10/x100 measured 1.0) certify ≈ 1;
+    // the x1000 store certifies ~255 — and [[appendToGraphIndex]]
+    // REFUSES to stitch above [[StitchFidelityMax]], falling back to
+    // the frozen append whose staleness the rebuild cadence owns.
+    timedPhase("fidelity") {
+      val step = math.max(1L, pc.count() / 512L)
+      val sampled = lshRankedNeighborsOf(pc,
+        readPlanes(s, path), numPlanes, LshTables,
+        xiFilter = Some(pmod(xxhash64(col("xi")), lit(step)) === 0L))
+        .where(col("rnk") <= lit(S13MutualRank))
+        .groupBy(col("xi"))
+        .agg(count(lit(1)).as("deg"), max(col("dist")).as("d2"))
+        .select(col("xi").as("id"),
+          when(col("deg") >= lit(S13MutualRank), col("d2"))
+            .otherwise(lit(Double.PositiveInfinity)).as("true_r2"))
+      val stored = s.read.parquet(s"$path/points")
+        .select(col("id"), col("r2dist"))
+        .where(pmod(xxhash64(col("id")), lit(step)) === 0L)
+      val ratios = stored.join(sampled, Seq("id"))
+        .select(col("r2dist"), col("true_r2")).collect()
+        .map { r =>
+          val st = r.getDouble(0); val tr = r.getDouble(1)
+          if (tr.isPosInfinity || st.isPosInfinity) 1.0
+          else if (tr == 0.0) { if (st == 0.0) 1.0 else 999.0 }
+          else st / tr
+        }.sorted
+      val p50 = if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
+      import s.implicits._
+      Seq((p50, ratios.length.toLong))
+        .toDF("inflation_p50", "n_sample")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/stitch_fidelity")
+    }
     pc.unpersist(); gmut.unpersist()
     // a FULL rebuild re-labels everything as base: any append-time
     // stitch map from the previous store generation names component
@@ -1840,59 +1898,92 @@ object Clustering {
     // promote a crash-dangled staged map BEFORE this append reads any
     // component state or writes its own staged dir over it
     repairStagedMap(s, path)
+    // the build-time blindness certificate gates the stitch (see the
+    // fidelity block in [[writeKnnGraphIndexOf]]): a store whose
+    // sampled threshold inflation exceeds [[StitchFidelityMax]] cannot
+    // certify its merge evidence, and stitching on it percolates
+    // cross-cluster merges (x1000: ARI vs fresh 0.005). The append
+    // DEGRADES to the frozen form — loudly — and staleness reverts to
+    // the rebuild cadence. A pre-r19 store carries no certificate and
+    // keeps the x10/x100-validated behavior.
+    val stitchOk = stitch && {
+      if (!storePathExists(s, s"$path/stitch_fidelity")) true
+      else {
+        val r = s.read.parquet(s"$path/stitch_fidelity").collect()(0)
+        val infl = r.getDouble(0)
+        if (infl > StitchFidelityMax) {
+          System.err.println(f"[graft] graph store at $path cannot " +
+            f"certify its stitch thresholds (sampled capped-vs-true " +
+            f"rank-2 inflation $infl%.1f > $StitchFidelityMax): " +
+            "appending FROZEN (no stitch); repair staleness by " +
+            "rebuild cadence at this layout")
+          false
+        } else true
+      }
+    }
     val planeRows = readPlanes(s, path)
     val numPlanes = planeRows.length / LshTables
     // sign ONCE and materialize: the one signing job feeds both the
     // assignment probe and the appended rows (r14 read planes twice and
     // signed the batch twice — VERDICT r14 "What's wrong" #2); lazy
-    // persist — cand's materialization below runs the signing job
+    // persist — topk's materialization below runs the signing job
     val signed = tracked(batch
       .withColumn("sigs", lshSigsCol(planeRows, numPlanes, LshTables)),
       eager = false)
-    // ONE candidate join (the serve probe's shape, output bounded by
-    // batch-sigs × cap) feeds the argmin, the stitch gate, AND the
-    // appended rows' own r2dist — materialized BEFORE any append write
-    // so no downstream plan can read the store including its own
-    // output (ADVICE r14). Deduped on (id, nid): cross-table duplicate
-    // candidates carry identical (dist, component, r2dist), so the
-    // argmin is unchanged and the top-k rank becomes a rank over
-    // DISTINCT candidates — the build graph's convention. The
-    // repartition on id satisfies the dedup AND the two aggregates'
-    // distributions, so the batch-sized frame shuffles once.
+    // ONE candidate join (the serve probe's shape) feeds the argmin,
+    // the stitch gate, AND the appended rows' own r2dist — but it is
+    // NEVER materialized: tier-1 store rows are exempt from the
+    // serving cap (the chain-growth contract), so on clone-mass
+    // geometry the appended rows concentrate in mega-buckets and the
+    // join's output grows with every prior wave — measured 732M rows
+    // (577M distinct pairs) for the SECOND 60k-row wave at x1000,
+    // where the old persisted+deduped candidate frame OOM'd a 96 GB
+    // heap (SCALE.md §r19). Instead the stream flows straight into
+    // ONE bounded per-id aggregate: top-(S13MutualRank·LshTables) by
+    // (dist, nid). Cross-table duplicates carry IDENTICAL keys and
+    // values, so each distinct candidate occupies ≤ LshTables buffer
+    // slots and the buffer provably contains the top-S13MutualRank
+    // DISTINCT candidates — array_distinct + slice at eval reproduces
+    // the old dedup-then-rank BYTE-EXACTLY, with batch-sized state
+    // instead of a join-sized shuffle. Materialized (tracked, eager)
+    // BEFORE any append write so no downstream plan can read the
+    // store including its own output (ADVICE r14).
     val store0 = graphStoreFrame(s, path)
     val store =
       if (store0.columns.contains("r2dist")) store0
       else store0.withColumn("r2dist", lit(null).cast("double"))
-    val cand = tracked(signed
+    val topk = tracked(signed
       .select(col("id"), col("features"),
         posexplode(col("sigs")).as(Seq("tbl", "bucket")))
       .join(store, Seq("tbl", "bucket"))
       .select(col("id"), col("nid"), col("component"), col("r2dist"),
         Linalg.euclidCol(col("features"), col("nv")).as("dist"))
-      .repartition(col("id"))
-      .dropDuplicates("id", "nid"),
-      eager = true)
-    // the serve argmin (struct-min over candidates; no-collision rows
-    // mint their own id) — byte-identical to assignFromSignedGraphStore
-    // over the same store face
-    val best = cand.groupBy(col("id"))
-      .agg(min(struct(col("dist").as("dist"), col("nid").as("nid"),
-        col("component").as("component"))).as("b"))
-      .select(col("id"), col("b.component").as("component"))
-    val assignedRaw = signed.select(col("id"))
-      .join(best, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("component"), col("id")).as("component"))
-    // per batch row: its top-S13MutualRank DISTINCT candidates with
-    // the stitch gate inputs, via the bounded aggregate (never a
-    // window — the r16 discipline)
-    val topk = tracked(cand.groupBy(col("id"))
+      .groupBy(col("id"))
       .agg(graft.functions.TopKAggregate.topKByKey(
         struct(col("dist").as("dist"), col("nid").as("nid")),
-        struct(col("dist").as("dist"), col("component").as("component"),
+        // nid rides in the VALUE too so array_distinct collapses
+        // exactly the cross-table duplicates (identical (dist, nid))
+        // and never two distinct nids with coincidentally equal
+        // (dist, component, r2dist)
+        struct(col("dist").as("dist"), col("nid").as("nid"),
+          col("component").as("component"),
           col("r2dist").as("r2dist")),
-        S13MutualRank).as("ks")),
-      eager = false) // consumers: stitch edges + r2dist, both pre-write
+        S13MutualRank * LshTables).as("ks_raw"))
+      .select(col("id"),
+        slice(array_distinct(col("ks_raw")), 1, S13MutualRank).as("ks")),
+      eager = true)
+    // the serve argmin = the distinct prefix's rank-1 (ks is sorted by
+    // (dist, nid), the same lexicographic order as the struct-min in
+    // assignFromSignedGraphStore — byte-identical over the same store
+    // face); no-collision rows mint their own id
+    val assignedRaw = signed.select(col("id"))
+      .join(topk.where(size(col("ks")) >= 1)
+          .select(col("id"),
+            element_at(col("ks"), 1).getField("component")
+              .as("component")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
     // THE STITCH (VERDICT r17 next-1): an appended row x whose gated
     // top-2 candidates span ≥2 distinct store components is evidence
     // the frozen base broke one duplication chain across those
@@ -1912,13 +2003,35 @@ object Clustering {
     // keep separate (against the safety law); < under-admits only the
     // id-winning half of a measure-zero tie case — the same safe
     // direction as the crash-ordering convention below.
+    // THE WITNESS SCALE-GATE (round 19 — found by the FIRST x1000
+    // staleness measurement): the c-side threshold alone is unsound at
+    // mega-bucket scale. Half the x1000 base rows carry O(1)-scale
+    // r2dist (their capped in-bucket view held no near neighbor —
+    // measured median 1.02 vs the 0.036 intra-dup scale), and every
+    // arrival within such an inflated threshold relayed a merge:
+    // 45k transitive merges snowballed 21k components into one
+    // 1.47M-point blob (ARI vs fresh 0.005, `scale_s14stitch_x1000_*`).
+    // The missing half of the mutual test is the X side: "c stays in
+    // x's top-2 in a REBUILD" — unknowable directly (x's future
+    // co-arrivals), but certified through x's nearest witness: c₁'s
+    // own r2dist measures the density of exactly the neighborhood x
+    // sits in, so any c farther than r2dist(c₁) would be displaced
+    // from x's rebuild top-2 by c₁'s near mass. Hence every gated
+    // candidate must ALSO satisfy dist < r2dist(rank-1 candidate) —
+    // same threshold semantics, same strict-< tie law, no constants.
+    // Where thresholds are honest (the x10/x100 chain-gap repairs:
+    // c₁ = a chain neighbor with r2dist ≈ 2·step) the gate is
+    // unchanged; where they are starvation-inflated, the tight witness
+    // blocks the relay.
     val newPairs =
-      if (!stitch) None
+      if (!stitchOk) None
       else {
         val p = tracked(topk
-          .select(col("id"), explode(col("ks")).as("k"))
+          .select(col("id"), explode(col("ks")).as("k"),
+            element_at(col("ks"), 1).getField("r2dist").as("thr1"))
           .where(col("k.r2dist").isNotNull &&
-            col("k.dist") < col("k.r2dist"))
+            col("k.dist") < col("k.r2dist") &&
+            col("thr1").isNotNull && col("k.dist") < col("thr1"))
           .groupBy(col("id"))
           .agg(collect_set(col("k.component")).as("cs"))
           .where(size(col("cs")) >= 2)

@@ -766,6 +766,47 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "stitch-off append must not write a component map")
   }
 
+  test("stitch refuses on an uncertified store: inflated threshold " +
+      "fidelity degrades the append to frozen form") {
+    // the x1000 finding (SCALE.md §r19): a store whose capped view
+    // hides its near mass carries inflated r2dist thresholds, and
+    // stitching through them percolates cross-cluster merges. The
+    // build samples its own blindness into stitch_fidelity/; above
+    // StitchFidelityMax the append must NOT write a map — even when
+    // the arrivals would legitimately gate on a faithful store.
+    import graft.operators.Clustering
+    import spark.implicits._
+    val d = 0.01
+    val chain = (0 until 40).map(i =>
+      (i.toLong, Seq(5.0 + i * d, 5.0, 5.0, 5.0)))
+    val gap = Set(18L, 19L, 20L, 21L)
+    val base = chain.filterNot(p => gap(p._1)).toDF("id", "features")
+    val path = java.nio.file.Files.createTempDirectory("stitch_refuse")
+      .toString + "/graph"
+    Clustering.writeKnnGraphIndexOf(spark, base,
+      Clustering.LshPlanes, path, s"refusespec->$path")
+    // the real certificate on this faithful fixture must be ~1 (the
+    // cap never binds, so stored == true by construction)
+    val cert = spark.read.parquet(s"$path/stitch_fidelity").collect()(0)
+    assert(cert.getDouble(0) <= Clustering.StitchFidelityMax,
+      s"faithful fixture certified ${cert.getDouble(0)} — the chain " +
+        "spec's stitch would be spuriously disabled")
+    // forge a blind certificate and append the gap: no map may appear
+    Seq((10.0, 512L)).toDF("inflation_p50", "n_sample")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/stitch_fidelity")
+    chain.filter(p => gap(p._1)).foreach { case (id, v) =>
+      Clustering.appendToGraphIndex(
+        Seq((id, v)).toDF("id", "features"), path, stitch = true)
+    }
+    assert(!new java.io.File(s"$path/component_map").exists(),
+      "an uncertified store must not stitch")
+    // and the frozen chain stays fragmented, as stitch-off semantics say
+    val comps = Clustering.storeComponents(spark, path)
+      .collect().map(_.getLong(1)).toSet
+    assert(comps.size >= 2)
+  }
+
   test("stitch safety on fixture geometry: merges only what a rebuild " +
       "at the base layout co-locates") {
     // the no-overmerge law (VERDICT r17 next-1 'Done' clause): every

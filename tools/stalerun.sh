@@ -22,11 +22,14 @@ cd "$(dirname "$0")/.."
 phase() { # phase <name> [batches]
   local ph=$1 out="scale_${MODE}_${TAG}_p${1}${2:+b$2}.json"
   echo "[stalerun] phase=$ph batches=${2:-all} -> $out"
-  SPARK_DRIVER_MEM="$MEM" SPARK_GRAFT_STALE_PHASE="$ph" \
-  SPARK_GRAFT_STALE_PCTS="$PCT" SPARK_GRAFT_STALE_REUSE=1 \
-  ${2:+SPARK_GRAFT_STALE_BATCHES=$2} \
-  SPARK_GRAFT_SCALE_OUT="$out" \
-  tools/scalerun.sh graft.ScaleBench "$SRC" "$MULT" "$WORK" "$MODE"
+  # via env, not prefix assignments: the optional ${2:+...} word is not
+  # syntactically an assignment, which would end bash's prefix scan and
+  # turn the next VAR=val into a "command not found"
+  env SPARK_DRIVER_MEM="$MEM" SPARK_GRAFT_STALE_PHASE="$ph" \
+    SPARK_GRAFT_STALE_PCTS="$PCT" SPARK_GRAFT_STALE_REUSE=1 \
+    ${2:+SPARK_GRAFT_STALE_BATCHES="$2"} \
+    SPARK_GRAFT_SCALE_OUT="$out" \
+    tools/scalerun.sh graft.ScaleBench "$SRC" "$MULT" "$WORK" "$MODE"
 }
 phase fresh
 phase base
