@@ -1384,20 +1384,24 @@ object ScaleBench {
     }
     val mapRows = Clustering.readComponentMap(spark, path).count()
     val (n3, cd3, nd3, _) = diffs(halfB)
+    // a tiny delta can leave a half/batch empty — 0/0 would land NaN
+    // in the JSON record and break downstream parsing (ADVICE r19)
+    def frac(c: Long, n: Long): Double =
+      if (n == 0L) 0.0 else c.toDouble / n
     Seq(
       "s14cap_index_build" -> tBuild,
       "s14cap_serve_capped" -> cs.map(_._1).sorted.apply(1),
       "s14cap_serve_uncapped" -> us.map(_._1).sorted.apply(1),
       "s14cap_n_batch" -> n0.toDouble,
-      "s14cap_component_diff_frac" -> (cd0.toDouble / n0),
-      "s14cap_neighbor_diff_frac" -> (nd0.toDouble / n0),
+      "s14cap_component_diff_frac" -> frac(cd0, n0),
+      "s14cap_neighbor_diff_frac" -> frac(nd0, n0),
       "s14cap_serve_capped_r2" -> cs2.map(_._1).sorted.apply(1),
-      "s14cap_component_diff_frac_r2" -> (cd2.toDouble / n2),
-      "s14cap_neighbor_diff_frac_r2" -> (nd2.toDouble / n2),
+      "s14cap_component_diff_frac_r2" -> frac(cd2, n2),
+      "s14cap_neighbor_diff_frac_r2" -> frac(nd2, n2),
       "s14cap_stitch_map_rows" -> mapRows.toDouble,
       "s14cap_n_batch_stitched" -> n3.toDouble,
-      "s14cap_component_diff_frac_stitched" -> (cd3.toDouble / n3),
-      "s14cap_neighbor_diff_frac_stitched" -> (nd3.toDouble / n3))
+      "s14cap_component_diff_frac_stitched" -> frac(cd3, n3),
+      "s14cap_neighbor_diff_frac_stitched" -> frac(nd3, n3))
   }
 
   /** `stitch = false` is the frozen-base staleness protocol (the r15–17

@@ -188,15 +188,36 @@ object QualityModel {
     val h = m.summary.objectiveHistory
     require(h.nonEmpty && h.forall(v => !v.isNaN && !v.isInfinite),
       s"p7 training objective not finite: ${h.take(5).mkString(",")}…")
+    // RELATIVE monotonicity tolerance (ADVICE r19): the objective is
+    // O(1)-scale, and benign fp summation wobble under a different
+    // partitioning can exceed an absolute 1e-12 — a real line-search
+    // failure bounces by orders of magnitude more than 1e-9·|obj|
     h.sliding(2).foreach {
-      case Array(a, b) => require(b <= a + 1e-12,
+      case Array(a, b) => require(b <= a + 1e-9 * math.abs(a),
         s"p7 training objective reset upward ($a -> $b) — line-search " +
           "failure territory")
       case _ => ()
     }
-    require(m.summary.totalIterations < 200,
-      s"p7 training hit the iteration cap (${m.summary.totalIterations})" +
-        " without reaching tolerance")
+    // ==maxIter alone is a WARNING, not a crash (ADVICE r19): a fit
+    // that is still strictly descending at the cap genuinely failed to
+    // reach tolerance, but one whose tail has flattened to relative
+    // noise converged in every sense that matters — crashing there
+    // turns a usable model into an outage on corpora that merely
+    // iterate longer. "Flat" = the last step's relative improvement
+    // is below the configured tol (1e-6).
+    if (m.summary.totalIterations >= 200) {
+      val tailImprove =
+        if (h.length < 2) 0.0
+        else (h(h.length - 2) - h.last) /
+          math.max(math.abs(h(h.length - 2)), 1e-12)
+      require(tailImprove <= 1e-6,
+        s"p7 training hit the iteration cap (${m.summary.totalIterations})" +
+          s" while still descending (last relative step $tailImprove)" +
+          " — did not reach tolerance")
+      System.err.println("[graft] p7 training reached the iteration cap " +
+        "with a flat tail (relative step " + tailImprove +
+        ") — treating as converged")
+    }
   }
 
   private val modelCache = scala.collection.mutable.Map[String,

@@ -303,6 +303,22 @@ object Clustering {
       .select(col("vec_id"), col("features"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // fail LOUDLY and identically to the oracle's failure mode (ADVICE
+    // r19): the tabulate below indexes byId at (p·K+k) % n, which is
+    // only total when vec_ids are dense 0..min(P·K,n)-1 — on a sparse
+    // fixture the driver would throw a bare NoSuchElementException
+    // while DuckDB's inner join silently DROPS the missing centroid,
+    // so the two engines would diverge in failure mode instead of
+    // failing the hash compare together
+    (0 until M2Particles).foreach { p =>
+      (0 until K).foreach { k =>
+        val idx = (p.toLong * K + k) % n
+        require(byId.contains(idx),
+          s"m2_mopso_iteration: embeddings table has no vec_id $idx " +
+            s"(needed for particle $p centroid $k) — the fixture's " +
+            "vec_ids must be dense 0..n-1")
+      }
+    }
     val swarm: Array[Array[Array[Double]]] =
       Array.tabulate(M2Particles)(p =>
         Array.tabulate(K)(k => byId((p.toLong * K + k) % n)))
@@ -643,12 +659,162 @@ object Clustering {
   /** Stitch certification bound: the append-time stitch runs only on
     * stores whose SAMPLED capped-vs-true rank-2 inflation (the
     * `stitch_fidelity` certificate [[writeKnnGraphIndexOf]] exports)
-    * is ≤ this. Faithful stores measure ≈ 1.0 (x10/x100: 1.0 exactly —
-    * the near mass survives the prefix); 2 allows the tight mode's own
-    * observed spread (the x100 tier-0 p90/p10 = 2.0) and excludes the
-    * starved regime by orders of magnitude (x1000 measured ~255).
+    * is ≤ this — at BOTH the median and the p90 (VERDICT r19 next-3:
+    * starvation needs only a minority of blind rows to percolate
+    * merges, and the x1000 evidence itself read p50 1.02 / p90 2.82 —
+    * the tail is the signal, so a half-starved store must refuse even
+    * when its median certifies). Faithful stores measure ≈ 1.0 at any
+    * quantile (x10/x100: 1.0 exactly — the near mass survives the
+    * prefix); 2 allows the tight mode's own observed spread (the x100
+    * tier-0 p90/p10 = 2.0) and excludes the starved regime by orders
+    * of magnitude (x1000 measured ~255 at the auto layout). The
+    * r20 synthetic starvation sweep (`scale_fidelsweep_x100.json`,
+    * ScaleBench mode `fidelsweep`) calibrates the constant between
+    * those endpoints: controlled threshold inflation ×2 on half the
+    * rows leaves stitched ARI in the faithful band, ×8 and ×32
+    * degrade it monotonically — see SCALE.md §r20.
     */
   val StitchFidelityMax = 2.0
+
+  /** How far below the auto layout ([[lshPlanesFor]]) the build-time
+    * fidelity steer ([[writeKnnGraphIndexOf]]) may walk. Each removed
+    * plane roughly doubles per-bucket occupancy — less sub-bucket
+    * smear (the x1000 starvation mechanism, SCALE.md §r19) at the
+    * price of coarser candidate pruning — and doubles the sampled
+    * probe's per-row cost, which the walk offsets by halving the
+    * sample (floor 64 rows). The capped chain's COMPUTE is insensitive
+    * to the walk (Σ (m−1)·min(m, cap) is already cap-saturated at the
+    * decades that steer: 997M of the 1.02B ceiling at x1000), so the
+    * bound exists to keep the probe cost and the pruning loss bounded,
+    * not the build.
+    */
+  val MaxSteerDrop = 6
+
+  /** The sampled stitch-fidelity statistics of one layout: quantiles
+    * and tail fraction of stored-vs-true rank-2 inflation. A layout
+    * certifies only when BOTH the median and the p90 are within
+    * [[StitchFidelityMax]] (the tail rule — see the constant's note).
+    */
+  private[graft] case class StitchFidelity(p50: Double, p90: Double,
+      fracAbove: Double, n: Long) {
+    def certifies: Boolean = math.max(p50, p90) <= StitchFidelityMax
+  }
+
+  /** One layout's sampled threshold-fidelity probe: for a hash sample
+    * of ~`sampleTarget` query rows, the CAPPED chain's rank-2 distance
+    * (exactly the r2dist a build at this layout would store — same
+    * candidate prefix, same ranking) against the UNCAPPED within-bucket
+    * truth, both through the existing xiFilter path (O(sample ·
+    * occupancy) each — the sampled-recall shape; the raw bucket mass
+    * never materializes). Ratio conventions match the r19 certificate:
+    * +∞ on either side reads 1.0 (a below-degree row never stitches
+    * through a finite threshold), true == 0 with stored > 0 reads 999
+    * (starved exact-duplicate mass).
+    */
+  private def stitchFidelityProbe(s: SparkSession, pc: DataFrame,
+      planes: Seq[Array[Double]], numPlanes: Int, cap: Int,
+      n: Long, sampleTarget: Long): StitchFidelity = {
+    val step = math.max(1L, n / sampleTarget)
+    val f = pmod(xxhash64(col("xi")), lit(step)) === 0L
+    def rank2(df: DataFrame, out: String): DataFrame = df
+      .where(col("rnk") <= lit(S13MutualRank))
+      .groupBy(col("xi"))
+      .agg(count(lit(1)).as("deg"), max(col("dist")).as("d2"))
+      .select(col("xi").as("id"),
+        when(col("deg") >= lit(S13MutualRank), col("d2"))
+          .otherwise(lit(Double.PositiveInfinity)).as(out))
+    val truth = rank2(lshRankedNeighborsOf(pc, planes, numPlanes,
+      LshTables, xiFilter = Some(f)), "true_r2")
+    val capped = rank2(lshRankedNeighborsCapped(pc, planes, numPlanes,
+      LshTables, cap, xiFilter = Some(f)), "stored_r2")
+    val ratios = capped.join(truth, Seq("id"))
+      .select(col("stored_r2"), col("true_r2")).collect()
+      .map { r =>
+        val st = r.getDouble(0); val tr = r.getDouble(1)
+        if (tr.isPosInfinity || st.isPosInfinity) 1.0
+        else if (tr == 0.0) { if (st == 0.0) 1.0 else 999.0 }
+        else st / tr
+      }.sorted
+    val nS = ratios.length
+    def q(p: Double): Double =
+      if (nS == 0) 1.0 else ratios(math.min(nS - 1, (p * nS).toInt))
+    StitchFidelity(q(0.5), q(0.9),
+      if (nS == 0) 0.0
+      else ratios.count(_ > StitchFidelityMax).toDouble / nS, nS.toLong)
+  }
+
+  /** Capped candidate-row mass of a layout over an arbitrary corpus
+    * frame — Σ (m−1)·min(m, cap) from the bucket histogram, the
+    * [[lshCappedCandidatePairCount]] arithmetic without the dir
+    * plumbing. Prices the steer's pruning trade in the build record.
+    */
+  private def cappedPairMassOf(pc: DataFrame,
+      planes: Seq[Array[Double]], numPlanes: Int, cap: Int): Long =
+    pc.select(posexplode(lshSigsCol(planes, numPlanes, LshTables))
+        .as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c") - lit(1L)) *
+          least(col("c"), lit(cap.toLong))), lit(0L)).as("pairs"))
+      .head().getLong(0)
+
+  /** Build-time layout steer (VERDICT r19 next-1): the certificate no
+    * longer only refuses — it picks the layout. Walk the plane count
+    * DOWN from the auto layout (fewer planes = less sub-bucket smear,
+    * the starvation mechanism SCALE.md §r19 measured; the capped
+    * chain's compute is already cap-saturated so the walk is nearly
+    * free at build time) until the sampled certificate passes at both
+    * gated quantiles, bounded by [[MaxSteerDrop]] and the [[LshPlanes]]
+    * floor. Probe cost stays bounded: each removed plane doubles
+    * occupancy and the walk halves the sample (floor 64). If no
+    * candidate certifies, the AUTO layout is kept (best pruning) with
+    * its refusing certificate — appends then degrade to frozen form
+    * and staleness belongs to the rebuild cadence, exactly the r19
+    * behavior. When the steer moves the layout, the capped pair mass
+    * of both layouts lands in the phase record (`steer_pairs_*`) so
+    * the pruning price is part of the build's own evidence.
+    */
+  private def steerCertifiedPlanes(s: SparkSession, corpus: DataFrame,
+      autoPlanes: Int, cap: Int,
+      phase: (String, Double) => Unit): (Int, StitchFidelity) = {
+    val pc = corpus.select(col("id"), col("features"),
+      lit(0).as("cluster")).persist()
+    try {
+      val n = pc.count()
+      val floor = math.max(LshPlanes, autoPlanes - MaxSteerDrop)
+      var p = autoPlanes
+      var autoCert: StitchFidelity = null
+      var result: (Int, StitchFidelity) = null
+      while (result == null) {
+        val drop = autoPlanes - p
+        val sampleTarget = math.max(64L, 512L >> drop)
+        val t0 = System.nanoTime()
+        val cert = stitchFidelityProbe(s, pc,
+          planeRowsOf(corpus, p, LshTables), p, cap, n, sampleTarget)
+        phase(s"steer_probe_p$p", (System.nanoTime() - t0) / 1e9)
+        if (autoCert == null) autoCert = cert
+        if (cert.certifies) result = (p, cert)
+        else if (p <= floor) {
+          System.err.println(f"[graft] fidelity steer: no layout in " +
+            f"[$floor, $autoPlanes] planes certifies ≤ " +
+            f"$StitchFidelityMax (auto p50 ${autoCert.p50}%.1f / p90 " +
+            f"${autoCert.p90}%.1f) — keeping the auto layout; appends " +
+            "will refuse to stitch and staleness belongs to the " +
+            "rebuild cadence")
+          result = (autoPlanes, autoCert)
+        } else p -= 1
+      }
+      val (chosen, cert) = result
+      if (chosen != autoPlanes && cert.certifies) {
+        phase("steer_pairs_auto", cappedPairMassOf(pc,
+          planeRowsOf(corpus, autoPlanes, LshTables), autoPlanes,
+          cap).toDouble)
+        phase("steer_pairs_chosen", cappedPairMassOf(pc,
+          planeRowsOf(corpus, chosen, LshTables), chosen, cap).toDouble)
+      }
+      result
+    } finally pc.unpersist()
+  }
 
   /** [[lshRankedNeighborsOf]] with the CANDIDATE side of every
     * (tbl, bucket) capped to its first `cap` members by id (the d3
@@ -1305,63 +1471,51 @@ object Clustering {
       key: String, cap: Int = GraphBuildCap): Seq[(String, Double)] = {
     if (writtenGraphIdx.contains(key)) return Seq.empty
     val phases = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    def timedPhase(name: String)(f: => Unit): Unit = {
+    def timedPhase[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      f
+      val a = f
       phases += (name -> (System.nanoTime() - t0) / 1e9)
+      a
     }
+    // THRESHOLD-FIDELITY CERTIFICATE, now STEERING the build (round
+    // 19's finding, round 20's close): the stored r2dist is the CAPPED
+    // view's rank-2 distance, an upper bound on the truth. On
+    // duplication-heavy corpora whose clusters smear across the grown
+    // layout's sign sub-buckets, the id-ordered cap can hide a point's
+    // entire near mass — half the x1000 base rows carried thresholds
+    // ~255× the true near-dup scale, and the stitch gate percolated
+    // 21k components into one 1.47M-point blob through them (ARI vs
+    // fresh 0.005, `scale_s14stitch_x1000_r19_*`). The store cannot
+    // tell an honestly isolated point from a starved clone by looking
+    // at one threshold — but it can SAMPLE its own blindness BEFORE
+    // building ([[stitchFidelityProbe]]): the capped chain's rank-2
+    // (byte-equal to what the build would store — same prefix, same
+    // ranking) vs the uncapped within-bucket truth, both through the
+    // xiFilter probe. [[steerCertifiedPlanes]] walks the plane count
+    // down until the store can certify at both gated quantiles and the
+    // build lands on THAT layout; if nothing in the walk certifies,
+    // the auto layout is kept and [[appendToGraphIndex]] REFUSES to
+    // stitch (the r19 behavior) — staleness then belongs to the
+    // rebuild cadence.
+    val (chosenPlanes, cert) = timedPhase("fidelity") {
+      steerCertifiedPlanes(s, corpus, numPlanes, cap,
+        phase = (n, t) => phases += (n -> t))
+    }
+    phases += ("steer_planes" -> chosenPlanes.toDouble)
+    phases += ("steer_planes_auto" -> numPlanes.toDouble)
     val (planesDf, pointsDf, pc, gmut) =
-      knnGraphIndexFrames(s, corpus, numPlanes, cap,
+      knnGraphIndexFrames(s, corpus, chosenPlanes, cap,
         phase = (n, t) => phases += (n -> t))
     planesDf.coalesce(1).write.mode("overwrite").parquet(s"$path/planes")
     timedPhase("points_write") {
       pointsDf.write.mode("overwrite").parquet(s"$path/points")
     }
-    // THRESHOLD-FIDELITY CERTIFICATE (round 19 — the x1000 staleness
-    // measurement's finding): the stored r2dist is the CAPPED view's
-    // rank-2 distance, an upper bound on the truth. On duplication-
-    // heavy corpora whose clusters smear across the grown layout's
-    // sign sub-buckets, the id-ordered cap can hide a point's entire
-    // near mass — half the x1000 base rows carried thresholds ~255×
-    // the true near-dup scale, and the stitch gate percolated 21k
-    // components into one 1.47M-point blob through them (ARI vs fresh
-    // 0.005, `scale_s14stitch_x1000_r19_*`). The store cannot tell an
-    // honestly isolated point from a starved clone by looking at one
-    // threshold — but it can SAMPLE its own blindness: for a hash
-    // sample of rows, rank against the UNCAPPED bucket membership
-    // (the existing xiFilter probe — O(sample · occupancy), the
-    // sampled-recall shape) and compare the true rank-2 with the
-    // stored one. Faithful stores (cap not binding, or near mass
-    // surviving the prefix: x10/x100 measured 1.0) certify ≈ 1;
-    // the x1000 store certifies ~255 — and [[appendToGraphIndex]]
-    // REFUSES to stitch above [[StitchFidelityMax]], falling back to
-    // the frozen append whose staleness the rebuild cadence owns.
-    timedPhase("fidelity") {
-      val step = math.max(1L, pc.count() / 512L)
-      val sampled = lshRankedNeighborsOf(pc,
-        readPlanes(s, path), numPlanes, LshTables,
-        xiFilter = Some(pmod(xxhash64(col("xi")), lit(step)) === 0L))
-        .where(col("rnk") <= lit(S13MutualRank))
-        .groupBy(col("xi"))
-        .agg(count(lit(1)).as("deg"), max(col("dist")).as("d2"))
-        .select(col("xi").as("id"),
-          when(col("deg") >= lit(S13MutualRank), col("d2"))
-            .otherwise(lit(Double.PositiveInfinity)).as("true_r2"))
-      val stored = s.read.parquet(s"$path/points")
-        .select(col("id"), col("r2dist"))
-        .where(pmod(xxhash64(col("id")), lit(step)) === 0L)
-      val ratios = stored.join(sampled, Seq("id"))
-        .select(col("r2dist"), col("true_r2")).collect()
-        .map { r =>
-          val st = r.getDouble(0); val tr = r.getDouble(1)
-          if (tr.isPosInfinity || st.isPosInfinity) 1.0
-          else if (tr == 0.0) { if (st == 0.0) 1.0 else 999.0 }
-          else st / tr
-        }.sorted
-      val p50 = if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
+    locally {
       import s.implicits._
-      Seq((p50, ratios.length.toLong))
-        .toDF("inflation_p50", "n_sample")
+      Seq((cert.p50, cert.p90, cert.fracAbove, cert.n,
+          chosenPlanes, numPlanes, chosenPlanes != numPlanes))
+        .toDF("inflation_p50", "inflation_p90", "frac_above",
+          "n_sample", "planes", "planes_auto", "steered")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/stitch_fidelity")
     }
@@ -1498,10 +1652,17 @@ object Clustering {
     import s.implicits._
     // export_order is part of the meta row so the PLAIN read-time
     // fallback applies the same prefix the bucketed export
-    // materialized — the two faces must never diverge on order
-    Seq((cap, nPlain, nBucketed, if (orderByR2) "r2dist" else "nid"))
+    // materialized — the two faces must never diverge on order.
+    // `planes` records the layout the store actually serves (the
+    // steered count when the fidelity walk moved it — VERDICT r19
+    // next-1's store_meta clause), read back from the planes table so
+    // a standalone re-export can never desynchronize it.
+    val nPlanesStore =
+      (s.read.parquet(s"$path/planes").count() / LshTables).toInt
+    Seq((cap, nPlain, nBucketed, if (orderByR2) "r2dist" else "nid",
+        nPlanesStore))
       .toDF("cap", "points_at_export", "bucketed_at_export",
-        "export_order")
+        "export_order", "planes")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/store_meta")
     val t2 = System.nanoTime()
     Seq("export_write" -> (t1 - t0) / 1e9,
@@ -1534,23 +1695,32 @@ object Clustering {
     */
   /** The live component-map directory, staged-crash tolerant: the
     * committed map, or the COMPLETE staged map an append crash left
-    * between its two swap renames (the staged parquet commits fully
-    * before the live dir is touched, so staged-without-live is always
-    * a complete, strictly newer map — an incomplete staged write
-    * leaves the live dir intact and is ignored here).
+    * between its two swap renames. "Complete" is the parquet job's own
+    * `_SUCCESS` marker (ADVICE r19): on every LATER append a crash
+    * mid-staged-write leaves the live dir intact, but on the FIRST
+    * stitching append no live map has ever existed — an uncommitted
+    * staged dir would otherwise be read (or promoted) as if it were
+    * the whole map, silently dropping that batch's merges.
     */
+  private def stagedMapCommitted(s: SparkSession, path: String): Boolean =
+    storePathExists(s, s"$path/component_map_staged/_SUCCESS")
+
   private def componentMapDir(s: SparkSession,
       path: String): Option[String] =
     if (storePathExists(s, s"$path/component_map"))
       Some(s"$path/component_map")
-    else if (storePathExists(s, s"$path/component_map_staged"))
+    else if (stagedMapCommitted(s, path))
       Some(s"$path/component_map_staged")
     else None
 
   /** Promote a dangling staged map (crash between the swap renames) to
     * live before an append writes a NEW staged dir over it — without
     * this, the next append's staged overwrite would delete the only
-    * surviving copy. Appends are single-writer (the dual-write guard's
+    * surviving copy. An UNCOMMITTED staged dir (no `_SUCCESS` — a
+    * crash mid-write with no live map to protect it) is deleted
+    * instead: its merges were never durable, and the safe direction
+    * is under-merged (a later batch or the rebuild cadence
+    * re-observes). Appends are single-writer (the dual-write guard's
     * own assumption), so the rename is unracy.
     */
   private def repairStagedMap(s: SparkSession, path: String): Unit =
@@ -1558,8 +1728,19 @@ object Clustering {
         storePathExists(s, s"$path/component_map_staged")) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/component_map_staged"),
-        new org.apache.hadoop.fs.Path(s"$path/component_map"))
+      if (stagedMapCommitted(s, path))
+        fs.rename(
+          new org.apache.hadoop.fs.Path(s"$path/component_map_staged"),
+          new org.apache.hadoop.fs.Path(s"$path/component_map"))
+      else {
+        System.err.println(s"[graft] graph store at $path carries an " +
+          "UNCOMMITTED staged stitch map (crash mid-write before any " +
+          "live map existed) — discarding it; its batch's merges were " +
+          "never durable and will be re-observed")
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/component_map_staged"),
+          true)
+      }
     }
 
   private[graft] def readComponentMap(s: SparkSession,
@@ -1909,14 +2090,28 @@ object Clustering {
     val stitchOk = stitch && {
       if (!storePathExists(s, s"$path/stitch_fidelity")) true
       else {
-        val r = s.read.parquet(s"$path/stitch_fidelity").collect()(0)
-        val infl = r.getDouble(0)
+        // gate on the TAIL as well as the median (VERDICT r19 next-3 /
+        // ADVICE r19): a half-starved store certifies p50 ≈ 1 while
+        // its starved minority still percolates transitive merges —
+        // the x1000 evidence was p50 1.02 / p90 2.82. A pre-r20
+        // certificate carries only the median; its p90 defaults to it
+        // (the old gate, unchanged for old stores).
+        val df = s.read.parquet(s"$path/stitch_fidelity")
+        val r = df.collect()(0)
+        def d(name: String, dflt: Double): Double =
+          if (df.columns.contains(name))
+            r.getDouble(df.columns.indexOf(name))
+          else dflt
+        val p50 = d("inflation_p50", 1.0)
+        val p90 = d("inflation_p90", p50)
+        val infl = math.max(p50, p90)
         if (infl > StitchFidelityMax) {
           System.err.println(f"[graft] graph store at $path cannot " +
             f"certify its stitch thresholds (sampled capped-vs-true " +
-            f"rank-2 inflation $infl%.1f > $StitchFidelityMax): " +
-            "appending FROZEN (no stitch); repair staleness by " +
-            "rebuild cadence at this layout")
+            f"rank-2 inflation p50 $p50%.1f / p90 $p90%.1f, gate " +
+            f"$StitchFidelityMax on both): appending FROZEN (no " +
+            "stitch); repair staleness by rebuild cadence at this " +
+            "layout")
           false
         } else true
       }

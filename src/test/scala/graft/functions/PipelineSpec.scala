@@ -873,6 +873,101 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("fidelity certificate catches a half-starved store by its TAIL: " +
+      "p50 certifies, p90 refuses, append degrades to frozen") {
+    // VERDICT r19 next-3 / ADVICE r19: starvation needs only a
+    // minority of blind rows, and the x1000 evidence was p50 1.02 /
+    // p90 2.82 — a median-only gate stitches a store whose starved
+    // tail percolates merges. Fixture: ONE sign bucket (all-positive
+    // features make every data-derived dot positive at any plane
+    // count, so the fidelity walk cannot steer it faithful either),
+    // serve cap 8. The capped prefix (ids 0..7) holds four DOUBLED
+    // locations A,B,C,D — a faithful row is another copy of one of
+    // them, so capped rank-2 = 0 = truth (ratio 1). The starved
+    // minority (copies of far location Z, ids ≥ 100) has true rank-2
+    // 0 (its own twins) but capped rank-2 = dist(Z, prefix): exactly
+    // the blindness the id-ordered cap hides. ~43% starved: the
+    // median certifies, the tail must refuse.
+    import graft.operators.Clustering
+    import spark.implicits._
+    val locs = Seq(
+      Seq(5.0, 5.0, 5.0, 5.0), Seq(6.0, 5.0, 5.0, 5.0),
+      Seq(5.0, 6.0, 5.0, 5.0), Seq(7.0, 7.0, 5.0, 5.0))
+    val prefix = (0 until 8).map(i => (i.toLong, locs(i / 2)))
+    val faithful = (8 until 58).map(i => (i.toLong, locs(i % 4)))
+    val z = Seq(50.0, 50.0, 50.0, 50.0)
+    val starved = (100 until 130).map(i => (i.toLong, z))
+    val corpus = (prefix ++ faithful ++ starved).toDF("id", "features")
+    val path = java.nio.file.Files.createTempDirectory("halfstarved")
+      .toString + "/graph"
+    Clustering.writeKnnGraphIndexOf(spark, corpus,
+      Clustering.LshPlanes, path, s"halfstarved->$path", cap = 8)
+    val df = spark.read.parquet(s"$path/stitch_fidelity")
+    val r = df.collect()(0)
+    def d(n: String): Double = r.getDouble(df.columns.indexOf(n))
+    assert(d("inflation_p50") <= Clustering.StitchFidelityMax,
+      s"faithful majority must certify the median, got " +
+        s"${d("inflation_p50")}")
+    assert(d("inflation_p90") > Clustering.StitchFidelityMax,
+      s"starved tail must blow the p90, got ${d("inflation_p90")}")
+    assert(d("frac_above") > 0.2 && d("frac_above") < 0.6,
+      s"frac_above must see the ~43% starved mass, got " +
+        s"${d("frac_above")}")
+    assert(!r.getBoolean(df.columns.indexOf("steered")),
+      "single-bucket geometry admits no faithful layout — the walk " +
+        "must exhaust and keep the auto plane count")
+    assert(r.getInt(df.columns.indexOf("planes")) ===
+      r.getInt(df.columns.indexOf("planes_auto")))
+    // the append must refuse the stitch on the tail alone
+    Clustering.appendToGraphIndex(
+      Seq((500L, z)).toDF("id", "features"), path, stitch = true)
+    assert(!new java.io.File(s"$path/component_map").exists(),
+      "a p90-blind store must not stitch even when its median " +
+        "certifies")
+  }
+
+  test("stitch gate reads the certificate TAIL: forged p90-blind cert " +
+      "refuses where its p90-faithful control stitches") {
+    // sharpness twin of the half-starved spec: IDENTICAL store and
+    // arrivals (the severed chain, which carries real merge
+    // evidence); the only variable is the certificate's p90 column.
+    import graft.operators.Clustering
+    import spark.implicits._
+    val d = 0.01
+    val chain = (0 until 40).map(i =>
+      (i.toLong, Seq(5.0 + i * d, 5.0, 5.0, 5.0)))
+    val gap = Set(18L, 19L, 20L, 21L)
+    val base = chain.filterNot(p => gap(p._1)).toDF("id", "features")
+    def buildWithCert(tag: String, p90: Double): String = {
+      val path = java.nio.file.Files.createTempDirectory(tag)
+        .toString + "/graph"
+      Clustering.writeKnnGraphIndexOf(spark, base,
+        Clustering.LshPlanes, path, s"$tag->$path")
+      Seq((1.0, p90, 512L))
+        .toDF("inflation_p50", "inflation_p90", "n_sample")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/stitch_fidelity")
+      chain.filter(p => gap(p._1)).foreach { case (id, v) =>
+        Clustering.appendToGraphIndex(
+          Seq((id, v)).toDF("id", "features"), path, stitch = true)
+      }
+      path
+    }
+    val refused = buildWithCert("tailforge", p90 = 10.0)
+    assert(!new java.io.File(s"$refused/component_map").exists(),
+      "a forged p90 > StitchFidelityMax must refuse the stitch")
+    assert(Clustering.storeComponents(spark, refused)
+      .select(col("component")).distinct().count() >= 2,
+      "refused chain must stay fragmented (frozen semantics)")
+    val stitched = buildWithCert("tailok", p90 = 1.0)
+    assert(new java.io.File(s"$stitched/component_map").exists(),
+      "the p90-faithful control must stitch — otherwise the refusal " +
+        "spec above is vacuous")
+    assert(Clustering.storeComponents(spark, stitched)
+      .select(col("component")).distinct().count() === 1,
+      "control chain must re-merge to one canonical component")
+  }
+
   test("s11 filtered ANN: predicate holds, pre-filter beats post-filter") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val lab = e.select(col("vec_id"), col("label")).collect()
