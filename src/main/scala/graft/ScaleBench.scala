@@ -1493,14 +1493,131 @@ object ScaleBench {
       val (rand, ari) = randAri(joint, "stale_g", "fresh_g")
       val nStaleComp = joint.select(col("stale_g")).distinct().count()
       joint.unpersist(); served.unpersist()
+      // the backfill-vs-rebuild comparison, printed per run (VERDICT
+      // r19 next-4): serving this fraction through the frozen store
+      // vs the fresh full-corpus rebuild measured above. > 1 means
+      // the store operator is past the cadence crossover (the
+      // assignFrom scaladoc rule: ≈ 15% of corpus mass) and should
+      // rebuild instead of serving the backlog.
+      val serveOverRebuild = if (tFresh > 0.0) tServe / tFresh else 0.0
+      if (serveOverRebuild > 1.0)
+        System.err.println(f"[graft] d11stale$pct: serving the " +
+          f"backlog cost $tServe%.1f s vs $tFresh%.1f s for a fresh " +
+          "rebuild — past the backfill-vs-rebuild crossover, " +
+          "REBUILD NOW")
       Seq(s"d11stale${pct}_rand" -> rand,
         s"d11stale${pct}_ari" -> ari,
         s"d11stale${pct}_components" -> nStaleComp.toDouble,
         s"d11stale${pct}_base_build_sec" -> tBuild,
-        s"d11stale${pct}_serve_sec" -> tServe)
+        s"d11stale${pct}_serve_sec" -> tServe,
+        s"d11stale${pct}_serve_over_rebuild" -> serveOverRebuild)
     }
     Seq("d11stale_fresh_build_sec" -> tFresh,
       "d11stale_fresh_components" -> nFreshComp.toDouble) ++ rows
+  }
+
+  /** [[graft.operators.Clustering.StitchFidelityMax]] calibration
+    * sweep (VERDICT r19 next-5): the refusal bound today rests on two
+    * endpoints — faithful stores certify ≈ 1.0 and stitch soundly, the
+    * x1000 catastrophe certifies ~255 and percolates (ARI 0.005). This
+    * mode fills the curve between them with CONTROLLED starvation:
+    * build the 12%-holdout base store at a decade that certifies
+    * faithful (x100 measures 1.0), then per inflation factor copy the
+    * store, multiply the stored r2dist of a hash-chosen HALF of the
+    * tier-0 rows by the factor (exactly the starved shape — thresholds
+    * wider than their true neighborhoods, read by BOTH gate legs:
+    * the c-side threshold and the rank-1 witness), re-derive the
+    * serving face from the rewritten points, DELETE the certificate
+    * (the sweep measures what stitching WOULD do at that inflation —
+    * the production gate refuses ≥ 2), append the arrivals in four
+    * stitched waves, and measure ARI vs the fresh full-corpus rebuild.
+    * Factor 1 is the control: byte-identical protocol, no inflation —
+    * it must reproduce the validated stitched band.
+    */
+  private def fidelSweepCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.operators.Clustering
+    import graft.functions.Similarity
+    val pts = Tables.labeledPoints(spark, work)
+      .select(col("id"), col("features"))
+    val n = pts.count()
+    Clustering.invalidateKnnGraphIndex(work)
+    val freshPath = s"${Similarity.artifactRoot(work)}/s14_stale_fresh"
+    val reuseFresh = sys.env.get("SPARK_GRAFT_STALE_REUSE").contains("1") &&
+      new java.io.File(s"$freshPath/store_meta").exists()
+    val (tFresh, _) =
+      if (reuseFresh) (0.0, ())
+      else timed(Clustering.writeKnnGraphIndexOf(spark, pts,
+        Clustering.lshPlanesFor(n), freshPath, s"$work->stale_fresh"))
+    val fresh = spark.read.parquet(s"$freshPath/points")
+      .select(col("id"), col("component").as("fresh_c"))
+    val pct = 12
+    val arrF = pmod(xxhash64(col("id"), lit("s14stale")), lit(100L)) <
+      lit(pct.toLong)
+    val base = pts.where(!arrF)
+    val basePath = s"${Similarity.artifactRoot(work)}/s14_fidel_base"
+    val (tBase, _) = timed(Clustering.writeKnnGraphIndexOf(spark, base,
+      Clustering.lshPlanesFor(base.count()), basePath,
+      s"$work->fidel_base"))
+    val baseCert = spark.read
+      .parquet(s"$basePath/stitch_fidelity").collect()(0)
+    val arrivals = pts.where(arrF)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(basePath).getFileSystem(conf)
+    val factors = Seq(1.0, 2.0, 8.0, 32.0)
+    val rows = factors.flatMap { f =>
+      val tag = f.toInt
+      val path = s"${Similarity.artifactRoot(work)}/s14_fidel_x$tag"
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(basePath), fs,
+        new org.apache.hadoop.fs.Path(path), false, conf)
+      if (f != 1.0) {
+        // ×f on a hash-half of the tier-0 thresholds (+∞ and NULL pass
+        // through arithmetic unchanged); points/ is the source of
+        // truth, so the serving face is re-derived from it afterwards
+        val inflated = spark.read.parquet(s"$path/points")
+          .withColumn("r2dist",
+            when(pmod(xxhash64(col("id"), lit("fidelsweep")), lit(2L))
+                === lit(0L) && col("tier") === lit(0),
+              col("r2dist") * lit(f))
+            .otherwise(col("r2dist")))
+        inflated.write.mode("overwrite")
+          .parquet(s"$path/points_inflated")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/points"), true)
+        fs.rename(
+          new org.apache.hadoop.fs.Path(s"$path/points_inflated"),
+          new org.apache.hadoop.fs.Path(s"$path/points"))
+        Clustering.exportBucketedStore(spark, path)
+      }
+      // the sweep bypasses the production gate on purpose: it measures
+      // what the stitch WOULD do at this inflation
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/stitch_fidelity"),
+        true)
+      val (tApp, _) = timed {
+        (0 until 4).foreach { b =>
+          Clustering.appendToGraphIndex(
+            arrivals.where(pmod(xxhash64(col("id"), lit("s14batch")),
+              lit(4L)) === lit(b.toLong)), path, stitch = true)
+        }
+      }
+      val mapRows = Clustering.readComponentMap(spark, path).count()
+      val joint = Clustering.storeComponents(spark, path)
+        .select(col("id"), col("component").as("stale_c"))
+        .join(fresh, "id").persist()
+      val (rand, ari) = randAri(joint, "stale_c", "fresh_c")
+      val nComp = joint.select(col("stale_c")).distinct().count()
+      joint.unpersist()
+      Seq(s"fidelsweep_x${tag}_ari" -> ari,
+        s"fidelsweep_x${tag}_rand" -> rand,
+        s"fidelsweep_x${tag}_components" -> nComp.toDouble,
+        s"fidelsweep_x${tag}_map_rows" -> mapRows.toDouble,
+        s"fidelsweep_x${tag}_append_sec" -> tApp)
+    }
+    Seq("fidelsweep_fresh_build_sec" -> tFresh,
+      "fidelsweep_base_build_sec" -> tBase,
+      "fidelsweep_base_cert_p50" -> baseCert.getDouble(0),
+      "fidelsweep_base_cert_p90" -> baseCert.getDouble(1)) ++ rows
   }
 
   private def s14StaleCompare(spark: SparkSession,
@@ -1726,6 +1843,7 @@ object ScaleBench {
         else if (mode == "s14bucket" || mode == "s13rank" ||
             mode == "s14stale" || mode == "s14stitch" ||
             mode == "graphrecall" || mode == "s14cap" ||
+            mode == "fidelsweep" ||
             mode == "m1part") // m1 reads labeledPoints = embeddings only
           Some(Set("embeddings"))
         // bpe30k / megabucket generate their own corpora — no fixture
@@ -1741,7 +1859,8 @@ object ScaleBench {
         mode == "d11stale" ||
         mode == "s14bucket" || mode == "s13rank" || mode == "s14stale" ||
         mode == "s14stitch" || mode == "graphrecall" ||
-        mode == "megabucket" || mode == "s14cap") {
+        mode == "megabucket" || mode == "s14cap" ||
+        mode == "fidelsweep") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -1808,6 +1927,9 @@ object ScaleBench {
         else if (mode == "s14cap")
           ("s14_cap_parity", s14CapCompare(spark, work),
             "scale_s14cap.json")
+        else if (mode == "fidelsweep")
+          ("fidelity_sweep", fidelSweepCompare(spark, work),
+            "scale_fidelsweep.json")
         else if (mode == "trunc")
           ("trunc_curve", truncCompare(spark, work),
             "scale_trunc.json")

@@ -1193,6 +1193,20 @@ object Dedup {
     * `scale_d11bucket.json`; the q3 bucketing pattern). The downstream
     * candidate/verify joins stay broadcast in both forms — they are
     * sized by the capped candidate set, not the corpus.
+    *
+    * CADENCE RULE (VERDICT r19 next-4 — this method chooses a PLAN,
+    * an operator must also choose WHEN TO STOP SERVING): backfill
+    * serve cost grows near-linearly with the arrival fraction while a
+    * fresh rebuild is flat — measured at x1000 (5M docs,
+    * `scale_d11stale_x1000.json`): serve 53/138/348 s at 12/25/50%
+    * vs 71 s rebuild, a ~5× overpay at the half-corpus point. The
+    * crossover sits between 12% and 25%, ≈ 15% of corpus mass:
+    * **once accumulated un-indexed arrivals exceed ~15% of the
+    * store, rebuild the index instead of serving the backlog through
+    * it** — the rebuild is also the only operation that repairs
+    * arrival↔arrival staleness (ARI 0.999→0.990 over 12→50%, same
+    * record). ScaleBench's d11stale mode prints this comparison per
+    * run (`d11stale{pct}_serve_over_rebuild`).
     */
   private[graft] def assignFrom(s: SparkSession, dir: String,
       baseBands: DataFrame, groups: DataFrame, delta: DataFrame,

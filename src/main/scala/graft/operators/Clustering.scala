@@ -1530,10 +1530,65 @@ object Clustering {
     fsMap.delete(mapLoc, true)
     fsMap.delete(
       new org.apache.hadoop.fs.Path(s"$path/component_map_staged"), true)
+    // a rebuild resets the append-wave ledger too: its wave costs and
+    // the build cost it projects against belong to the OLD store
+    fsMap.delete(new org.apache.hadoop.fs.Path(s"$path/appends_log"), true)
     phases ++= exportBucketedStore(s, path, cap)
+    // BUILD-COST LEDGER (VERDICT r19 next-2): the one number the
+    // append-wave budget projects against. Wave compute grows with
+    // accumulated cap-exempt tier-1 bucket mass (32→159 s over four
+    // x1000 waves), so past some point serving another wave costs more
+    // than rebuilding the store outright — the budget rule
+    // ([[appendWaveBudget]]) needs the rebuild price recorded where
+    // the appends can see it.
+    locally {
+      import s.implicits._
+      val buildSec = phases.collect {
+        case (n, v) if !n.startsWith("steer_") &&
+          n != "chain_shuffle_write_gb" => v
+      }.sum
+      val nAtBuild = s.read.parquet(s"$path/points").count()
+      Seq((buildSec, nAtBuild))
+        .toDF("build_sec", "points_at_build")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/build_meta")
+    }
     writtenGraphIdx.add(key)
     phases.toSeq
   }
+
+  /** The append-wave budget (VERDICT r19 next-2): projected cost of
+    * the NEXT append wave (linear extrapolation over the last two
+    * ledger rows — wave cost grows with accumulated tier-1 mass, and
+    * the x1000 measurement is close to linear: 32/77/122/159 s) vs
+    * the projected cost of a full REBUILD at the store's current size
+    * (the recorded build cost scaled by corpus growth — the build is
+    * measured linear per decade). Returns (projected next wave sec,
+    * projected rebuild sec) when both ledgers exist with ≥ 2 waves;
+    * the store flags "rebuild now" when the former exceeds the
+    * latter. The crossover this rule encodes at x1000: waves cost
+    * 32 + ~43·w seconds, so a 392 s build wins after ~8 waves of 60k
+    * rows (~24% appended mass) — see SCALE.md §r20.
+    */
+  private[graft] def appendWaveBudget(s: SparkSession,
+      path: String): Option[(Double, Double)] =
+    if (!storePathExists(s, s"$path/appends_log") ||
+        !storePathExists(s, s"$path/build_meta")) None
+    else {
+      val log = s.read.parquet(s"$path/appends_log")
+        .orderBy(col("wave")).collect()
+      if (log.length < 2) None
+      else {
+        val last = log(log.length - 1).getDouble(2)
+        val prev = log(log.length - 2).getDouble(2)
+        val projectedWave = math.max(last, 2 * last - prev)
+        val bm = s.read.parquet(s"$path/build_meta").collect()(0)
+        val buildSec = bm.getDouble(0)
+        val nAtBuild = math.max(1L, bm.getLong(1))
+        val nNow = s.read.parquet(s"$path/points").count()
+        val projectedRebuild = buildSec * (nNow.toDouble / nAtBuild)
+        Some((projectedWave, projectedRebuild))
+      }
+    }
 
   /** The CAPPED serving projection of an exploded store: per
     * (tbl, bucket), the first `cap` tier-0 rows by nid — the BUILD's
@@ -2055,6 +2110,7 @@ object Clustering {
   private[graft] def appendToGraphIndex(batch: DataFrame,
       path: String, stitch: Boolean = true): Unit = {
     val s = batch.sparkSession
+    val tWave0 = System.nanoTime()
     // every intermediate is persisted through THIS tracked round-trip
     // and released in the finally below — NOT Dataset.localCheckpoint,
     // whose blocks linger until a driver GC lets the ContextCleaner
@@ -2326,13 +2382,28 @@ object Clustering {
       val expected = meta.map { case (_, p0, b0, _) =>
         b0 + (nPlain - p0) * LshTables }
       if (!expected.contains(nBucketed)) {
-        System.err.println(s"[graft] bucketed graph store at $path " +
-          s"diverged ($nBucketed exploded rows vs expected " +
-          s"${expected.getOrElse("<no meta>")} = export base + " +
-          s"appends x $LshTables) — rebuilding from points")
+        // the rebuild is the right repair but it is a LATENCY CLIFF on
+        // an ingest path sized for per-wave cost — surface it as a
+        // metric row (VERDICT r19 next-6), not just a log line, so a
+        // store operator can count occurrences and price the wall
+        val tDiv0 = System.nanoTime()
         exportBucketedStore(s, path,
           meta.map(_._1).getOrElse(GraphBuildCap),
           orderByR2 = meta.exists(_._4 == "r2dist"))
+        val rebuildSec = (System.nanoTime() - tDiv0) / 1e9
+        System.err.println(f"[graft] bucketed graph store at $path " +
+          f"diverged ($nBucketed exploded rows vs expected " +
+          f"${expected.getOrElse("<no meta>")} = export base + " +
+          f"appends x $LshTables) — rebuilt from points in " +
+          f"$rebuildSec%.1f s (divergence_log row appended)")
+        locally {
+          import s.implicits._
+          Seq((nBucketed, expected.getOrElse(-1L), nPlain, rebuildSec))
+            .toDF("bucketed_rows", "expected_rows", "points_rows",
+              "rebuild_sec")
+            .coalesce(1).write.mode("append")
+            .parquet(s"$path/divergence_log")
+        }
       }
     }
     // the stitch map lands LAST (see the crash-direction note above);
@@ -2354,6 +2425,32 @@ object Clustering {
       m.write.mode("overwrite").parquet(staged.toString)
       fs.delete(live, true)
       fs.rename(staged, live)
+    }
+    // APPEND-WAVE LEDGER + BUDGET (VERDICT r19 next-2): wave compute
+    // grows with the cap-exempt tier-1 mass earlier waves accumulated
+    // in the store's buckets (bounded MEMORY since the r19 per-id
+    // aggregate; the GROWTH is the contract's real price). Record
+    // this wave's cost, then project: when the NEXT wave is expected
+    // to cost more than a full rebuild at the store's current size,
+    // say so loudly — the rebuild cadence owns staleness anyway, and
+    // past the crossover it owns ingest cost too.
+    locally {
+      import s.implicits._
+      val waveIdx =
+        if (!storePathExists(s, s"$path/appends_log")) 0L
+        else s.read.parquet(s"$path/appends_log").count()
+      val waveSec = (System.nanoTime() - tWave0) / 1e9
+      Seq((waveIdx, batch.count(), waveSec))
+        .toDF("wave", "batch_rows", "wall_sec")
+        .coalesce(1).write.mode("append").parquet(s"$path/appends_log")
+      appendWaveBudget(s, path).foreach { case (nextWave, rebuild) =>
+        if (nextWave > rebuild)
+          System.err.println(f"[graft] append budget at $path: " +
+            f"projected next wave $nextWave%.1f s exceeds projected " +
+            f"rebuild $rebuild%.1f s (wave $waveIdx cost $waveSec%.1f " +
+            "s) — REBUILD NOW; accumulated tier-1 mass has crossed " +
+            "the ingest-cost crossover")
+      }
     }
     } finally kept.foreach(_.unpersist(blocking = false))
   }

@@ -1126,6 +1126,75 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "dual-write guard failed to rebuild the diverged bucketed store")
     assert(served(true) === served(false),
       "faces diverged after the guard rebuild")
+    // VERDICT r19 next-6: the guard's rebuild is a latency cliff on an
+    // ingest path sized for per-wave cost — it must leave a METRIC row
+    // (counts + wall) behind, not just a stderr line
+    assert(new java.io.File(s"$path/divergence_log").exists,
+      "divergence rebuild must append a divergence_log metric row")
+    val dl = spark.read.parquet(s"$path/divergence_log").collect()
+    assert(dl.length === 1, s"expected one divergence row, got ${dl.length}")
+    assert(dl(0).getDouble(3) > 0.0, "rebuild wall must be recorded")
+    assert(dl(0).getLong(0) !== dl(0).getLong(1),
+      "the recorded divergence must show bucketed != expected")
+  }
+
+  test("append-wave budget: the ledger accumulates per wave, a rebuild " +
+      "clears it, and the projection flags the crossover") {
+    // VERDICT r19 next-2: wave compute grows with accumulated tier-1
+    // mass (x1000: 32/77/122/159 s) — the store must know when the
+    // NEXT wave is projected to cost more than rebuilding outright.
+    import graft.operators.Clustering
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("s14_budget")
+      .toString + "/graph"
+    val pts = graft.sources.Tables.labeledPoints(spark, sfDir)
+      .select(col("id"), col("features"))
+    val base = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) =!= lit(Clustering.S14Res))
+    Clustering.writeKnnGraphIndexOf(spark, base,
+      Clustering.LshPlanes, path, s"budgetspec->$path")
+    // the build records its own cost for the projection to scale
+    val bm = spark.read.parquet(s"$path/build_meta").collect()(0)
+    assert(bm.getDouble(0) > 0.0, "build_meta must carry build_sec")
+    assert(bm.getLong(1) ===
+      spark.read.parquet(s"$path/points").count())
+    val delta = pts.where(
+      pmod(col("id"), lit(Clustering.S14Mod)) === lit(Clustering.S14Res))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(Clustering.appendWaveBudget(spark, path).isEmpty,
+      "no ledger yet — the budget must not project from nothing")
+    val (w0, w1) = (delta.take(4).toSeq, delta.drop(4).take(4).toSeq)
+    Clustering.appendToGraphIndex(w0.toDF("id", "features"), path)
+    assert(Clustering.appendWaveBudget(spark, path).isEmpty,
+      "one wave cannot support a linear projection")
+    Clustering.appendToGraphIndex(w1.toDF("id", "features"), path)
+    val log = spark.read.parquet(s"$path/appends_log")
+      .orderBy(col("wave")).collect()
+    assert(log.length === 2)
+    assert(log.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(log(0).getLong(1) === w0.length.toLong)
+    assert(log.forall(_.getDouble(2) > 0.0), "wave wall must be timed")
+    val Some((nextWave, rebuild)) = Clustering.appendWaveBudget(spark, path)
+    assert(nextWave > 0.0 && rebuild > 0.0)
+    // synthetic crossover: waves costing 10 then 50 s against a 1 s
+    // build project 90 s > ~1 s — the budget must flag rebuild-now
+    Seq((0L, 100L, 10.0), (1L, 100L, 50.0))
+      .toDF("wave", "batch_rows", "wall_sec")
+      .write.mode("overwrite").parquet(s"$path/appends_log")
+    Seq((1.0, spark.read.parquet(s"$path/points").count()))
+      .toDF("build_sec", "points_at_build")
+      .write.mode("overwrite").parquet(s"$path/build_meta")
+    val Some((pw, pr)) = Clustering.appendWaveBudget(spark, path)
+    assert(math.abs(pw - 90.0) < 1e-9,
+      s"linear extrapolation of 10,50 must project 90, got $pw")
+    assert(pw > pr, "crossover fixture must flag rebuild-now")
+    // a full rebuild resets the ledger (its costs belong to the old
+    // store generation)
+    Clustering.invalidateKnnGraphIndex("budgetspec")
+    Clustering.writeKnnGraphIndexOf(spark, base,
+      Clustering.LshPlanes, path, s"budgetspec2->$path")
+    assert(!new java.io.File(s"$path/appends_log").exists,
+      "rebuild must clear the append-wave ledger")
   }
 
   test("mixed-generation store: a pre-r17 points dir (no tier column) " +
