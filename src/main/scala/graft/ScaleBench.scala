@@ -1361,13 +1361,14 @@ object ScaleBench {
     // members — and re-measure the SAME parity against the SAME
     // uncapped baseline (order-independent by construction)
     Clustering.exportBucketedStore(spark, path, Clustering.GraphBuildCap,
-      orderByR2 = true)
+      order = "r2dist")
     run(capped = true) // warm the re-exported table
     val cs2 = (1 to 3).map(_ => timed(run(capped = true)))
     val (n2, cd2, nd2, sd2) = diffs(delta)
     require(sd2 == 0L, s"r2dist-ordered serve changed the singleton set")
     // phase 3 (VERDICT r18 next-7): the parity a STITCHED deployment
-    // sees. Restore the id-order export, append HALF the delta with
+    // sees. Restore the build's hash-order export, append HALF the
+    // delta with
     // stitch on (the map repairs the chain breaks the holdout build
     // severed), then measure capped-vs-uncapped on the OTHER half —
     // novel points, both faces canonicalized through the map — to test

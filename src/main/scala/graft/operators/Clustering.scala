@@ -676,19 +676,35 @@ object Clustering {
     */
   val StitchFidelityMax = 2.0
 
-  /** How far below the auto layout ([[lshPlanesFor]]) the build-time
-    * fidelity steer ([[writeKnnGraphIndexOf]]) may walk. Each removed
-    * plane roughly doubles per-bucket occupancy — less sub-bucket
-    * smear (the x1000 starvation mechanism, SCALE.md §r19) at the
-    * price of coarser candidate pruning — and doubles the sampled
-    * probe's per-row cost, which the walk offsets by halving the
-    * sample (floor 64 rows). The capped chain's COMPUTE is insensitive
-    * to the walk (Σ (m−1)·min(m, cap) is already cap-saturated at the
-    * decades that steer: 997M of the 1.02B ceiling at x1000), so the
-    * bound exists to keep the probe cost and the pruning loss bounded,
-    * not the build.
+  /** How far ABOVE the auto layout ([[lshPlanesFor]]) the build-time
+    * fidelity steer ([[writeKnnGraphIndexOf]]) may walk. The steer
+    * walks UP: the r20 x1000 measurement REFUTED SCALE.md §r19's
+    * fewer-planes hypothesis — sampled fidelity got monotonically
+    * WORSE walking down (p50 212 → 494 over 16 → 10 planes, p90
+    * 685 → 809; the full curve is in the steer log and SCALE.md §r20)
+    * because starvation is driven by inter-cluster MIXING inside
+    * mega-buckets, which bigger buckets aggravate, not by sub-bucket
+    * smear. Each ADDED plane halves expected occupancy, splitting
+    * mixed mega-buckets until the id-ordered prefix sees every
+    * resident cluster — in the limit every bucket ≤ cap, where capped
+    * ≡ uncapped and fidelity is exactly 1.0, so the up-walk certifies
+    * by construction once mixing is resolved. Probes get CHEAPER going
+    * up (cost ∝ occupancy), so the bound exists to cap the RECALL
+    * price (each added plane prunes candidates; the steer takes the
+    * NEAREST certifying layout and the build record prices the pair
+    * mass of both).
     */
-  val MaxSteerDrop = 6
+  val MaxSteerRise = 8
+
+  /** Fallback walk below the auto layout after the up-walk fails —
+    * kept short: downward probes double in cost per step (the walk
+    * halves the sample to compensate, floor 64 rows) and the x1000
+    * evidence says down is the wrong direction on clone-mass
+    * geometry; the fallback exists for geometries where occupancy is
+    * so low the auto layout under-collides (then fewer planes both
+    * certify and help recall).
+    */
+  val MaxSteerDrop = 2
 
   /** The sampled stitch-fidelity statistics of one layout: quantiles
     * and tail fraction of stored-vs-true rank-2 inflation. A layout
@@ -713,7 +729,8 @@ object Clustering {
     */
   private def stitchFidelityProbe(s: SparkSession, pc: DataFrame,
       planes: Seq[Array[Double]], numPlanes: Int, cap: Int,
-      n: Long, sampleTarget: Long): StitchFidelity = {
+      n: Long, sampleTarget: Long,
+      hashOrder: Boolean = true): StitchFidelity = {
     val step = math.max(1L, n / sampleTarget)
     val f = pmod(xxhash64(col("xi")), lit(step)) === 0L
     def rank2(df: DataFrame, out: String): DataFrame = df
@@ -726,7 +743,8 @@ object Clustering {
     val truth = rank2(lshRankedNeighborsOf(pc, planes, numPlanes,
       LshTables, xiFilter = Some(f)), "true_r2")
     val capped = rank2(lshRankedNeighborsCapped(pc, planes, numPlanes,
-      LshTables, cap, xiFilter = Some(f)), "stored_r2")
+      LshTables, cap, xiFilter = Some(f), hashOrder = hashOrder),
+      "stored_r2")
     val ratios = capped.join(truth, Seq("id"))
       .select(col("stored_r2"), col("true_r2")).collect()
       .map { r =>
@@ -760,13 +778,14 @@ object Clustering {
 
   /** Build-time layout steer (VERDICT r19 next-1): the certificate no
     * longer only refuses — it picks the layout. Walk the plane count
-    * DOWN from the auto layout (fewer planes = less sub-bucket smear,
-    * the starvation mechanism SCALE.md §r19 measured; the capped
-    * chain's compute is already cap-saturated so the walk is nearly
-    * free at build time) until the sampled certificate passes at both
-    * gated quantiles, bounded by [[MaxSteerDrop]] and the [[LshPlanes]]
-    * floor. Probe cost stays bounded: each removed plane doubles
-    * occupancy and the walk halves the sample (floor 64). If no
+    * UP from the auto layout (each added plane splits the mixed
+    * mega-buckets that starve the id-ordered prefix — the measured
+    * direction of the cure, [[MaxSteerRise]]; the down-walk SCALE.md
+    * §r19 hypothesized was probed first at x1000 and made fidelity
+    * monotonically worse) until the sampled certificate passes at
+    * both gated quantiles, with a short down-walk fallback
+    * ([[MaxSteerDrop]]) for under-colliding geometries. The NEAREST
+    * certifying layout wins — minimal pruning/recall price. If no
     * candidate certifies, the AUTO layout is kept (best pruning) with
     * its refusing certificate — appends then degrade to frozen form
     * and staleness belongs to the rebuild cadence, exactly the r19
@@ -781,29 +800,44 @@ object Clustering {
       lit(0).as("cluster")).persist()
     try {
       val n = pc.count()
-      val floor = math.max(LshPlanes, autoPlanes - MaxSteerDrop)
-      var p = autoPlanes
-      var autoCert: StitchFidelity = null
-      var result: (Int, StitchFidelity) = null
-      while (result == null) {
-        val drop = autoPlanes - p
+      def probe(p: Int): StitchFidelity = {
+        // downward candidates double per-bucket occupancy per step —
+        // halve the sample to keep probe cost bounded; upward probes
+        // get cheaper on their own, so the full sample stays
+        val drop = math.max(0, autoPlanes - p)
         val sampleTarget = math.max(64L, 512L >> drop)
         val t0 = System.nanoTime()
         val cert = stitchFidelityProbe(s, pc,
           planeRowsOf(corpus, p, LshTables), p, cap, n, sampleTarget)
         phase(s"steer_probe_p$p", (System.nanoTime() - t0) / 1e9)
-        if (autoCert == null) autoCert = cert
-        if (cert.certifies) result = (p, cert)
-        else if (p <= floor) {
-          System.err.println(f"[graft] fidelity steer: no layout in " +
-            f"[$floor, $autoPlanes] planes certifies ≤ " +
-            f"$StitchFidelityMax (auto p50 ${autoCert.p50}%.1f / p90 " +
-            f"${autoCert.p90}%.1f) — keeping the auto layout; appends " +
-            "will refuse to stitch and staleness belongs to the " +
-            "rebuild cadence")
-          result = (autoPlanes, autoCert)
-        } else p -= 1
+        phase(s"steer_p50_p$p", cert.p50)
+        phase(s"steer_p90_p$p", cert.p90)
+        System.err.println(f"[graft] fidelity steer: $p planes -> " +
+          f"p50 ${cert.p50}%.2f p90 ${cert.p90}%.2f frac_above " +
+          f"${cert.fracAbove}%.2f (n=${cert.n}, " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        cert
       }
+      val autoCert = probe(autoPlanes)
+      // NEAREST certifying layout, up-walk first (measured direction
+      // of the cure — see [[MaxSteerRise]]), short down-walk fallback
+      val candidates =
+        ((autoPlanes + 1) to (autoPlanes + MaxSteerRise)) ++
+          ((autoPlanes - 1) to
+            math.max(LshPlanes, autoPlanes - MaxSteerDrop) by -1)
+      val result: (Int, StitchFidelity) =
+        if (autoCert.certifies) (autoPlanes, autoCert)
+        else candidates.iterator.map(p => (p, probe(p)))
+          .find(_._2.certifies)
+          .getOrElse {
+            System.err.println(f"[graft] fidelity steer: no layout " +
+              f"within [-$MaxSteerDrop, +$MaxSteerRise] planes of the " +
+              f"auto $autoPlanes certifies ≤ $StitchFidelityMax (auto " +
+              f"p50 ${autoCert.p50}%.1f / p90 ${autoCert.p90}%.1f) — " +
+              "keeping the auto layout; appends will refuse to stitch " +
+              "and staleness belongs to the rebuild cadence")
+            (autoPlanes, autoCert)
+          }
       val (chosen, cert) = result
       if (chosen != autoPlanes && cert.certifies) {
         phase("steer_pairs_auto", cappedPairMassOf(pc,
@@ -839,9 +873,10 @@ object Clustering {
     */
   private[graft] def lshRankedNeighborsCapped(pc: DataFrame,
       planes: Seq[Array[Double]], numPlanes: Int, numTables: Int,
-      cap: Int, xiFilter: Option[Column] = None): DataFrame =
+      cap: Int, xiFilter: Option[Column] = None,
+      hashOrder: Boolean = false): DataFrame =
     cappedGraphWithOrphans(pc, planes, numPlanes, numTables, cap,
-      xiFilter)._1
+      xiFilter, hashOrder)._1
 
   /** The capped candidate chain plus its ORPHAN set — the ids capped
     * out of every table's candidate prefix. An orphan receives no
@@ -855,9 +890,37 @@ object Clustering {
     * frame is never shuffled twice; at a saturating cap the orphan set
     * is empty by construction, which is the fixed point the specs pin.
     */
+  /** The HASH-ordered capped-prefix key (round 20): a golden-ratio
+    * multiplicative hash of the id — ((id mod 2³¹)·2654435761) mod 2³¹
+    * — pure integer arithmetic with no 64-bit overflow, so DuckDB
+    * replays it bit-identically and the s14/s14b oracle rows keep
+    * hash-checking the LIVE production prefix. An id-ordered prefix is
+    * systematically BIASED — on duplication-chain geometry ids order
+    * by copy index, so the prefix keeps one END of every chain and
+    * starves every mid-chain row by hundreds of true-neighbor steps
+    * (the x1000 steer walk measured it: NO plane count fixes an order
+    * bias — p50 212→494 walking down, p90 stuck ~600 walking up 8
+    * planes). The multiplicative key is a low-discrepancy scramble
+    * (2654435761/2³² ≈ the golden ratio): the cap smallest keys of a
+    * bucket are a near-uniform stride over every resident
+    * cluster/chain, so prefix mass is ∝ bucket mass and the
+    * certificate becomes a function of bucket MASS alone — which the
+    * plane steer CAN fix. Ties (ids ≡ mod 2³¹) break by id.
+    */
+  private[graft] def hashPrefixKey(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L),
+      lit(2147483648L))
+
+  /** [[hashPrefixKey]] as DuckDB SQL over a column expression — the
+    * oracle-side twin ([[s14AssignSql]]).
+    */
+  private def hashPrefixSql(id: String): String =
+    s"(($id % 2147483648) * 2654435761) % 2147483648"
+
   private[graft] def cappedGraphWithOrphans(pc: DataFrame,
       planes: Seq[Array[Double]], numPlanes: Int, numTables: Int,
-      cap: Int, xiFilter: Option[Column] = None)
+      cap: Int, xiFilter: Option[Column] = None,
+      hashOrder: Boolean = false)
       : (DataFrame, DataFrame) = {
     val b = pc.withColumn("sigs", lshSigsCol(planes, numPlanes, numTables))
       .select(col("id"), col("features"), col("cluster"),
@@ -867,8 +930,13 @@ object Clustering {
     // the optional xi filter (a sampled-recall probe) prunes the query
     // side BEFORE the bucket join — same contract as the uncapped face
     val x = xiFilter.map(x0.where).getOrElse(x0)
+    // id order is the d3 MaxBucket convention the oracle faces pin;
+    // the PRODUCTION graph store orders by [[hashPrefixKey]] (unbiased
+    // prefix — see its note), with id as the tie-break
     val wB = Window.partitionBy(col("tbl"), col("bucket"))
-      .orderBy(col("id"))
+      .orderBy(
+        (if (hashOrder) Seq(hashPrefixKey(col("id")), col("id"))
+        else Seq(col("id"))): _*)
     // the in-cap window keeps the (tbl, bucket) partitioning, which is
     // also the join key — Catalyst reuses the exchange, so the y side
     // moves exactly once
@@ -1373,7 +1441,8 @@ object Clustering {
     // ONCE into this slim persisted prefix instead of running per
     // consumer.
     val (graphRaw, orphans) =
-      cappedGraphWithOrphans(pc, planes, numPlanes, LshTables, cap)
+      cappedGraphWithOrphans(pc, planes, numPlanes, LshTables, cap,
+        hashOrder = true)
     val gmut = graphRaw.where(col("rnk") <= lit(S13MutualRank))
       .select(col("xi"), col("rnk").as("rank"), col("yi"), col("dist"))
       .persist()
@@ -1591,10 +1660,11 @@ object Clustering {
     }
 
   /** The CAPPED serving projection of an exploded store: per
-    * (tbl, bucket), the first `cap` tier-0 rows by nid — the BUILD's
-    * own candidate-prefix convention (`cappedGraphWithOrphans`' in-cap
-    * window: same keys, same id order) — plus every tier-1 (appended)
-    * row uncapped. Serve candidates over this projection are EXACTLY
+    * (tbl, bucket), the first `cap` tier-0 rows by the serving-prefix
+    * key — the BUILD's own candidate-prefix convention
+    * (`cappedGraphWithOrphans`' in-cap window: same keys, same order —
+    * [[hashPrefixKey]] for the production store since r20, nid for
+    * pre-r20 exports) — plus every tier-1 (appended) row uncapped. Serve candidates over this projection are EXACTLY
     * the build's candidate set, so the self-serve fixed point survives
     * capping by construction; appended rows are never capped out, so a
     * later batch still inherits through an earlier append (the chain-
@@ -1604,25 +1674,28 @@ object Clustering {
     * duplication mass — and spilled the disk to death at x1000; the
     * prefix bounds the store side at `cap` rows per (tbl, bucket).
     */
-  /** The serving-prefix ORDER key (VERDICT r18 next-2): `nid` —
-    * insertion order, the build's own candidate-prefix convention —
-    * or, under `orderByR2`, `(r2dist, nid)`: densest-neighborhood
-    * rows first. The r18 novel-point parity re-measure showed the
-    * id-ordered prefix moves ~5%/12% of novel assignments at x100
-    * (indep/clone geometry); r2dist is the one per-row quantity the
-    * build exports that correlates with "is this row a plausible
-    * nearest neighbor of a novel probe" (small r2dist = inside a
-    * dense mass, exactly the rows the cap exists to thin). A NULL
-    * r2dist (pre-r18 rows) coalesces to +∞ — sorts last, and on an
-    * all-legacy store the nid tie-break makes the two orders
-    * identical. The struct key is unique (nid is), which is what
-    * keeps the threshold-filter formulation exact.
+  /** The serving-prefix ORDER key. `"hash"` — [[hashPrefixKey]] of the
+    * nid, the PRODUCTION build's own candidate-prefix convention since
+    * round 20 (unbiased bucket sample; see the key's note for the
+    * measured id-order starvation it replaces) — `"nid"` — insertion
+    * order, the pre-r20 convention and the oracle faces' d3 rule — or
+    * `"r2dist"` — `(r2dist, nid)`, densest-neighborhood rows first
+    * (the r18 novel-point parity probe; measured and declined as the
+    * default in r19). A NULL r2dist (pre-r18 rows) coalesces to +∞ —
+    * sorts last, and on an all-legacy store the nid tie-break makes
+    * nid and r2dist orders identical. Every struct key is unique (nid
+    * is), which is what keeps the threshold-filter formulation exact.
     */
-  private def serveCapKey(orderByR2: Boolean): Column =
-    if (orderByR2)
+  private def serveCapKey(order: String): Column = order match {
+    case "r2dist" =>
       struct(coalesce(col("r2dist"), lit(Double.PositiveInfinity))
         .as("r2"), col("nid").as("nid"))
-    else struct(col("nid").as("nid"))
+    case "hash" =>
+      struct(hashPrefixKey(col("nid")).as("h"), col("nid").as("nid"))
+    case "nid" => struct(col("nid").as("nid"))
+    case other => throw new IllegalArgumentException(
+      s"unknown serving-prefix order $other (nid | r2dist | hash)")
+  }
 
   /** Ensures the serving-order column exists (synthetic spec frames
     * and pre-r18 explodes may lack it; NULL = +∞ under the key).
@@ -1632,7 +1705,7 @@ object Clustering {
     else df.withColumn("r2dist", lit(null).cast("double"))
 
   private[graft] def cappedServing(exploded0: DataFrame, cap: Int,
-      orderByR2: Boolean = false): DataFrame = {
+      order: String = "nid"): DataFrame = {
     // threshold filter, not a row_number window (r17 export-cost fix):
     // the window formulation shuffles AND sorts the full
     // feature-carrying exploded store (~560-byte rows) just to rank by
@@ -1648,7 +1721,7 @@ object Clustering {
     // before the write's own bucketBy exchange. The window twin below
     // stays as the spec cross-check.
     val exploded = withR2(exploded0)
-    val key = serveCapKey(orderByR2)
+    val key = serveCapKey(order)
     val thr = exploded.where(col("tier") === 0)
       .select(col("tbl"), col("bucket"), key.as("k"))
       .repartition(col("tbl"), col("bucket"))
@@ -1669,10 +1742,10 @@ object Clustering {
     * uniqueness is what makes the threshold filter exact).
     */
   private[graft] def cappedServingWindow(exploded0: DataFrame,
-      cap: Int, orderByR2: Boolean = false): DataFrame = {
+      cap: Int, order: String = "nid"): DataFrame = {
     val exploded = withR2(exploded0)
     val wB = Window.partitionBy(col("tbl"), col("bucket"))
-      .orderBy(serveCapKey(orderByR2))
+      .orderBy(serveCapKey(order))
     exploded.where(col("tier") === 0)
       .withColumn("rn", row_number().over(wB))
       .where(col("rn") <= cap)
@@ -1692,11 +1765,11 @@ object Clustering {
     */
   private[graft] def exportBucketedStore(s: SparkSession,
       path: String, cap: Int = GraphBuildCap,
-      orderByR2: Boolean = false): Seq[(String, Double)] = {
+      order: String = "hash"): Seq[(String, Double)] = {
     val tbl = storeTableName(path)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val t0 = System.nanoTime()
-    cappedServing(explodedStore(readPoints(s, path)), cap, orderByR2)
+    cappedServing(explodedStore(readPoints(s, path)), cap, order)
       .write.bucketBy(StoreBuckets, "tbl", "bucket")
       .sortBy("tbl", "bucket")
       .option("path", s"$path/points_bucketed")
@@ -1714,7 +1787,7 @@ object Clustering {
     // a standalone re-export can never desynchronize it.
     val nPlanesStore =
       (s.read.parquet(s"$path/planes").count() / LshTables).toInt
-    Seq((cap, nPlain, nBucketed, if (orderByR2) "r2dist" else "nid",
+    Seq((cap, nPlain, nBucketed, order,
         nPlanesStore))
       .toDF("cap", "points_at_export", "bucketed_at_export",
         "export_order", "planes")
@@ -1983,7 +2056,7 @@ object Clustering {
       if (capped) {
         val meta = readStoreMeta(s, path)
         cappedServing(exploded, meta.map(_._1).getOrElse(GraphBuildCap),
-          orderByR2 = meta.exists(_._4 == "r2dist"))
+          order = meta.map(_._4).getOrElse("nid"))
       } else exploded.drop("tier")
     }
   }
@@ -2389,7 +2462,7 @@ object Clustering {
         val tDiv0 = System.nanoTime()
         exportBucketedStore(s, path,
           meta.map(_._1).getOrElse(GraphBuildCap),
-          orderByR2 = meta.exists(_._4 == "r2dist"))
+          order = meta.map(_._4).getOrElse("hash"))
         val rebuildSec = (System.nanoTime() - tDiv0) / 1e9
         System.err.println(f"[graft] bucketed graph store at $path " +
           f"diverged ($nBucketed exploded rows vs expected " +
@@ -3027,8 +3100,8 @@ object Clustering {
          |      ELSE 0::BIGINT END) AS bucket
          |  FROM bc CROSS JOIN pl GROUP BY bc.id, pl.pid // $LshPlanes),
          |yc AS (SELECT id, tbl, bucket,
-         |    row_number() OVER (PARTITION BY tbl, bucket ORDER BY id)
-         |      AS rn
+         |    row_number() OVER (PARTITION BY tbl, bucket
+         |      ORDER BY ${hashPrefixSql("id")}, id) AS rn
          |  FROM b),
          |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
          |  FROM b x JOIN yc y ON x.tbl = y.tbl AND x.bucket = y.bucket

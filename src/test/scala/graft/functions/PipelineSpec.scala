@@ -881,23 +881,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // tail percolates merges. Fixture: ONE sign bucket (all-positive
     // features make every data-derived dot positive at any plane
     // count, so the fidelity walk cannot steer it faithful either),
-    // serve cap 8. The capped prefix (ids 0..7) holds four DOUBLED
-    // locations A,B,C,D — a faithful row is another copy of one of
-    // them, so capped rank-2 = 0 = truth (ratio 1). The starved
-    // minority (copies of far location Z, ids ≥ 100) has true rank-2
-    // 0 (its own twins) but capped rank-2 = dist(Z, prefix): exactly
-    // the blindness the id-ordered cap hides. ~43% starved: the
-    // median certifies, the tail must refuse.
+    // serve cap 8. Under the r20 HASH-ordered prefix, starvation is a
+    // property of bucket MASS: the prefix is an unbiased 8-row sample
+    // of the 260-row bucket, so the 200-copy location A keeps ~6
+    // prefix slots (capped rank-2 = 0 = truth, ratio 1 — the faithful
+    // 77%), while each RARE location (15 locations × 4 exact copies,
+    // mutually far) almost surely lands < 2 copies in the prefix —
+    // true rank-2 = 0 (its own twins), capped rank-2 = distance to
+    // the prefix mass: the starved 23% tail. The median certifies,
+    // the tail must refuse.
     import graft.operators.Clustering
     import spark.implicits._
-    val locs = Seq(
-      Seq(5.0, 5.0, 5.0, 5.0), Seq(6.0, 5.0, 5.0, 5.0),
-      Seq(5.0, 6.0, 5.0, 5.0), Seq(7.0, 7.0, 5.0, 5.0))
-    val prefix = (0 until 8).map(i => (i.toLong, locs(i / 2)))
-    val faithful = (8 until 58).map(i => (i.toLong, locs(i % 4)))
-    val z = Seq(50.0, 50.0, 50.0, 50.0)
-    val starved = (100 until 130).map(i => (i.toLong, z))
-    val corpus = (prefix ++ faithful ++ starved).toDF("id", "features")
+    val a = Seq(5.0, 5.0, 5.0, 5.0)
+    val faithful = (0 until 200).map(i => (i.toLong, a))
+    val rare = (0 until 15).flatMap { j =>
+      val loc = Seq(50.0 + 10.0 * j, 50.0, 50.0, 50.0)
+      (0 until 4).map(k => (1000L + 4 * j + k, loc))
+    }
+    val corpus = (faithful ++ rare).toDF("id", "features")
     val path = java.nio.file.Files.createTempDirectory("halfstarved")
       .toString + "/graph"
     Clustering.writeKnnGraphIndexOf(spark, corpus,
@@ -910,8 +911,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         s"${d("inflation_p50")}")
     assert(d("inflation_p90") > Clustering.StitchFidelityMax,
       s"starved tail must blow the p90, got ${d("inflation_p90")}")
-    assert(d("frac_above") > 0.2 && d("frac_above") < 0.6,
-      s"frac_above must see the ~43% starved mass, got " +
+    assert(d("frac_above") > 0.1 && d("frac_above") < 0.45,
+      s"frac_above must see the ~23% rare mass, got " +
         s"${d("frac_above")}")
     assert(!r.getBoolean(df.columns.indexOf("steered")),
       "single-bucket geometry admits no faithful layout — the walk " +
@@ -920,7 +921,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       r.getInt(df.columns.indexOf("planes_auto")))
     // the append must refuse the stitch on the tail alone
     Clustering.appendToGraphIndex(
-      Seq((500L, z)).toDF("id", "features"), path, stitch = true)
+      Seq((5000L, Seq(50.0, 50.0, 50.0, 50.0)))
+        .toDF("id", "features"), path, stitch = true)
     assert(!new java.io.File(s"$path/component_map").exists(),
       "a p90-blind store must not stitch even when its median " +
         "certifies")
@@ -1414,7 +1416,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // window formulations stay byte-equal under the struct key; a
     // frame with NO r2dist column (this one) must reduce to nid order
     val fastR2NoCol = collect(Clustering.cappedServing(rows, 16,
-      orderByR2 = true))
+      order = "r2dist"))
     assert(fastR2NoCol === fast,
       "all-null r2dist must fall back to the nid order")
     // give the saturating bucket r2dist = DESCENDING in nid, so the
@@ -1424,9 +1426,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       when(col("bucket") === 11L, -col("nid").cast("double"))
         .otherwise(lit(null).cast("double")))
     val fastR2 = collect(Clustering.cappedServing(withR2, 16,
-      orderByR2 = true))
+      order = "r2dist"))
     val twinR2 = collect(Clustering.cappedServingWindow(withR2, 16,
-      orderByR2 = true))
+      order = "r2dist"))
     assert(fastR2 === twinR2,
       "r2dist threshold serving diverged from its window twin")
     val bucket11Nids = rows.where(col("bucket") === 11L)
@@ -1436,6 +1438,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "r2dist order must keep the smallest-r2dist (here largest-nid) rows")
     assert(fastR2.count(_._4 == 22L) === 5)
     assert(fastR2.count(_._4 == 33L) === 3 + 30)
+    // hash-ordered prefix (round 20 — the production store order):
+    // threshold and window formulations byte-equal; the kept 16 of the
+    // saturating bucket are exactly the 16 smallest hashPrefixKey(nid)
+    // — an unbiased sample, not an end of the nid range
+    val fastH = collect(Clustering.cappedServing(rows, 16,
+      order = "hash"))
+    val twinH = collect(Clustering.cappedServingWindow(rows, 16,
+      order = "hash"))
+    assert(fastH === twinH,
+      "hash-order threshold serving diverged from its window twin")
+    val expectedH = rows.where(col("bucket") === 11L)
+      .select(col("nid"),
+        Clustering.hashPrefixKey(col("nid")).as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sorted.take(16).map(_._2).sorted.toSeq
+    assert(fastH.filter(_._4 == 11L).map(_._1).sorted.toSeq === expectedH,
+      "hash order must keep the smallest-hash rows")
+    assert(fastH.count(_._4 == 22L) === 5)
+    assert(fastH.count(_._4 == 33L) === 3 + 30)
   }
 
   test("graph chain fails loudly on a dimension-mismatched vector " +
