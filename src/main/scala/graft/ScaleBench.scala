@@ -1621,6 +1621,31 @@ object ScaleBench {
       "fidelsweep_base_cert_p90" -> baseCert.getDouble(1)) ++ rows
   }
 
+  /** Probe-only (planes, cap) fidelity landscape of the scaled corpus
+    * — no store builds. SPARK_GRAFT_PROBE_PLANES / _CAPS override the
+    * default grid (auto..auto+16 step 4 x cap {64, 128, 256}).
+    */
+  private def fidelProbeCompare(spark: SparkSession,
+      work: String): Seq[(String, Double)] = {
+    import graft.operators.Clustering
+    val pts = Tables.labeledPoints(spark, work)
+      .select(col("id"), col("features"))
+    val auto = Clustering.lshPlanesFor(pts.count())
+    val planes = sys.env.get("SPARK_GRAFT_PROBE_PLANES")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(0, 4, 8, 12, 16).map(auto + _))
+    val caps = sys.env.get("SPARK_GRAFT_PROBE_CAPS")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(Clustering.GraphBuildCap, 128, 256))
+    val grid = for (c <- caps; p <- planes) yield (p, c)
+    Clustering.fidelityProbeSweep(spark, pts, grid).flatMap {
+      case (p, c, cert) => Seq(
+        s"fidelprobe_c${c}_p${p}_p50" -> cert.p50,
+        s"fidelprobe_c${c}_p${p}_p90" -> cert.p90,
+        s"fidelprobe_c${c}_p${p}_frac" -> cert.fracAbove)
+    } :+ ("fidelprobe_auto_planes" -> auto.toDouble)
+  }
+
   private def s14StaleCompare(spark: SparkSession,
       work: String, stitch: Boolean = false): Seq[(String, Double)] = {
     import graft.operators.Clustering
@@ -1844,7 +1869,7 @@ object ScaleBench {
         else if (mode == "s14bucket" || mode == "s13rank" ||
             mode == "s14stale" || mode == "s14stitch" ||
             mode == "graphrecall" || mode == "s14cap" ||
-            mode == "fidelsweep" ||
+            mode == "fidelsweep" || mode == "fidelprobe" ||
             mode == "m1part") // m1 reads labeledPoints = embeddings only
           Some(Set("embeddings"))
         // bpe30k / megabucket generate their own corpora — no fixture
@@ -1861,7 +1886,7 @@ object ScaleBench {
         mode == "s14bucket" || mode == "s13rank" || mode == "s14stale" ||
         mode == "s14stitch" || mode == "graphrecall" ||
         mode == "megabucket" || mode == "s14cap" ||
-        mode == "fidelsweep") {
+        mode == "fidelsweep" || mode == "fidelprobe") {
       // comparison-only modes over the scaled facts
       val (metric, results, defaultOut) =
         if (mode == "q3bucket")
@@ -1931,6 +1956,9 @@ object ScaleBench {
         else if (mode == "fidelsweep")
           ("fidelity_sweep", fidelSweepCompare(spark, work),
             "scale_fidelsweep.json")
+        else if (mode == "fidelprobe")
+          ("fidelity_probe", fidelProbeCompare(spark, work),
+            "scale_fidelprobe.json")
         else if (mode == "trunc")
           ("trunc_curve", truncCompare(spark, work),
             "scale_trunc.json")

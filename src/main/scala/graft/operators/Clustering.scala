@@ -706,6 +706,19 @@ object Clustering {
     */
   val MaxSteerDrop = 2
 
+  /** Largest serve-cap multiplier the steer may apply when planes
+    * alone cannot certify. The x1000 probe landscape
+    * (`scale_fidelprobe_x1000.json`) showed fidelity improves
+    * monotonically in BOTH axes but planes saturate (cap 64: p90
+    * 131→5 over 16→32 planes, still > 2) while doubling the cap
+    * halves the prefix stride directly (cap 128 @ 32 planes: p90
+    * 2.0; cap 256 @ 28: p90 2.0; cap 256 @ 32: p90 1.0). Cap cost is
+    * linear in chain compute and serve candidates — the walk tries
+    * the cheap axis (planes, which PRUNE) to exhaustion before each
+    * doubling, and the chosen cap lands in store_meta like any other.
+    */
+  val MaxSteerCapX = 4
+
   /** The sampled stitch-fidelity statistics of one layout: quantiles
     * and tail fraction of stored-vs-true rank-2 inflation. A layout
     * certifies only when BOTH the median and the p90 are within
@@ -793,14 +806,40 @@ object Clustering {
     * of both layouts lands in the phase record (`steer_pairs_*`) so
     * the pruning price is part of the build's own evidence.
     */
-  private def steerCertifiedPlanes(s: SparkSession, corpus: DataFrame,
-      autoPlanes: Int, cap: Int,
-      phase: (String, Double) => Unit): (Int, StitchFidelity) = {
+  /** Probe-only fidelity sweep over arbitrary (planes, cap) points —
+    * the steer's instrument exposed standalone for ScaleBench's
+    * `fidelprobe` mode: maps the certification landscape of a corpus
+    * without paying a single store build (each probe is
+    * O(sample·occupancy), the sampled-recall shape).
+    */
+  private[graft] def fidelityProbeSweep(s: SparkSession,
+      corpus: DataFrame, points: Seq[(Int, Int)],
+      sampleTarget: Long = 512L): Seq[(Int, Int, StitchFidelity)] = {
     val pc = corpus.select(col("id"), col("features"),
       lit(0).as("cluster")).persist()
     try {
       val n = pc.count()
-      def probe(p: Int): StitchFidelity = {
+      points.map { case (p, cap) =>
+        val t0 = System.nanoTime()
+        val cert = stitchFidelityProbe(s, pc,
+          planeRowsOf(corpus, p, LshTables), p, cap, n, sampleTarget)
+        System.err.println(f"[graft] fidelity probe: $p planes cap " +
+          f"$cap -> p50 ${cert.p50}%.2f p90 ${cert.p90}%.2f " +
+          f"frac_above ${cert.fracAbove}%.2f (n=${cert.n}, " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        (p, cap, cert)
+      }
+    } finally pc.unpersist()
+  }
+
+  private def steerCertifiedLayout(s: SparkSession, corpus: DataFrame,
+      autoPlanes: Int, cap0: Int,
+      phase: (String, Double) => Unit): (Int, Int, StitchFidelity) = {
+    val pc = corpus.select(col("id"), col("features"),
+      lit(0).as("cluster")).persist()
+    try {
+      val n = pc.count()
+      def probe(p: Int, cap: Int): StitchFidelity = {
         // downward candidates double per-bucket occupancy per step —
         // halve the sample to keep probe cost bounded; upward probes
         // get cheaper on their own, so the full sample stays
@@ -809,42 +848,55 @@ object Clustering {
         val t0 = System.nanoTime()
         val cert = stitchFidelityProbe(s, pc,
           planeRowsOf(corpus, p, LshTables), p, cap, n, sampleTarget)
-        phase(s"steer_probe_p$p", (System.nanoTime() - t0) / 1e9)
-        phase(s"steer_p50_p$p", cert.p50)
-        phase(s"steer_p90_p$p", cert.p90)
-        System.err.println(f"[graft] fidelity steer: $p planes -> " +
-          f"p50 ${cert.p50}%.2f p90 ${cert.p90}%.2f frac_above " +
-          f"${cert.fracAbove}%.2f (n=${cert.n}, " +
+        phase(s"steer_probe_p${p}_c$cap",
+          (System.nanoTime() - t0) / 1e9)
+        phase(s"steer_p50_p${p}_c$cap", cert.p50)
+        phase(s"steer_p90_p${p}_c$cap", cert.p90)
+        System.err.println(f"[graft] fidelity steer: $p planes cap " +
+          f"$cap -> p50 ${cert.p50}%.2f p90 ${cert.p90}%.2f " +
+          f"frac_above ${cert.fracAbove}%.2f (n=${cert.n}, " +
           f"${(System.nanoTime() - t0) / 1e9}%.1f s)")
         cert
       }
-      val autoCert = probe(autoPlanes)
-      // NEAREST certifying layout, up-walk first (measured direction
-      // of the cure — see [[MaxSteerRise]]), short down-walk fallback
-      val candidates =
-        ((autoPlanes + 1) to (autoPlanes + MaxSteerRise)) ++
+      val autoCert = probe(autoPlanes, cap0)
+      // walk order = cost order: planes first (they PRUNE — cheaper
+      // chain, better serve), up in steps of 2 to MaxSteerRise; then
+      // double the cap (linear chain/serve cost) and re-walk; short
+      // down-walk fallback at the base cap last. First certifying
+      // point wins.
+      val planeGrid = (autoPlanes + 2) to (autoPlanes + MaxSteerRise) by 2
+      val candidates: Seq[(Int, Int)] =
+        planeGrid.map(p => (p, cap0)) ++
+          Iterator.iterate(cap0 * 2)(_ * 2)
+            .takeWhile(_ <= cap0 * MaxSteerCapX).toSeq
+            .flatMap(c => (autoPlanes to (autoPlanes + MaxSteerRise) by 2)
+              .map(p => (p, c))) ++
           ((autoPlanes - 1) to
             math.max(LshPlanes, autoPlanes - MaxSteerDrop) by -1)
-      val result: (Int, StitchFidelity) =
-        if (autoCert.certifies) (autoPlanes, autoCert)
-        else candidates.iterator.map(p => (p, probe(p)))
-          .find(_._2.certifies)
+            .map(p => (p, cap0))
+      val result: (Int, Int, StitchFidelity) =
+        if (autoCert.certifies) (autoPlanes, cap0, autoCert)
+        else candidates.iterator
+          .map { case (p, c) => (p, c, probe(p, c)) }
+          .find(_._3.certifies)
           .getOrElse {
             System.err.println(f"[graft] fidelity steer: no layout " +
-              f"within [-$MaxSteerDrop, +$MaxSteerRise] planes of the " +
-              f"auto $autoPlanes certifies ≤ $StitchFidelityMax (auto " +
-              f"p50 ${autoCert.p50}%.1f / p90 ${autoCert.p90}%.1f) — " +
+              f"within [-$MaxSteerDrop, +$MaxSteerRise] planes x " +
+              f"${MaxSteerCapX}x cap of (auto $autoPlanes, cap $cap0) " +
+              f"certifies ≤ $StitchFidelityMax (auto p50 " +
+              f"${autoCert.p50}%.1f / p90 ${autoCert.p90}%.1f) — " +
               "keeping the auto layout; appends will refuse to stitch " +
               "and staleness belongs to the rebuild cadence")
-            (autoPlanes, autoCert)
+            (autoPlanes, cap0, autoCert)
           }
-      val (chosen, cert) = result
-      if (chosen != autoPlanes && cert.certifies) {
+      val (chosenP, chosenC, cert) = result
+      if ((chosenP != autoPlanes || chosenC != cap0) && cert.certifies) {
         phase("steer_pairs_auto", cappedPairMassOf(pc,
           planeRowsOf(corpus, autoPlanes, LshTables), autoPlanes,
-          cap).toDouble)
+          cap0).toDouble)
         phase("steer_pairs_chosen", cappedPairMassOf(pc,
-          planeRowsOf(corpus, chosen, LshTables), chosen, cap).toDouble)
+          planeRowsOf(corpus, chosenP, LshTables), chosenP,
+          chosenC).toDouble)
       }
       result
     } finally pc.unpersist()
@@ -1560,20 +1612,23 @@ object Clustering {
     // building ([[stitchFidelityProbe]]): the capped chain's rank-2
     // (byte-equal to what the build would store — same prefix, same
     // ranking) vs the uncapped within-bucket truth, both through the
-    // xiFilter probe. [[steerCertifiedPlanes]] walks the plane count
-    // down until the store can certify at both gated quantiles and the
-    // build lands on THAT layout; if nothing in the walk certifies,
-    // the auto layout is kept and [[appendToGraphIndex]] REFUSES to
+    // xiFilter probe. [[steerCertifiedLayout]] walks planes UP (then
+    // the serve cap, doubling — the measured axes of the cure) until
+    // the store can certify at both gated quantiles and the build
+    // lands on THAT layout; if nothing in the walk certifies, the
+    // auto layout is kept and [[appendToGraphIndex]] REFUSES to
     // stitch (the r19 behavior) — staleness then belongs to the
     // rebuild cadence.
-    val (chosenPlanes, cert) = timedPhase("fidelity") {
-      steerCertifiedPlanes(s, corpus, numPlanes, cap,
+    val (chosenPlanes, chosenCap, cert) = timedPhase("fidelity") {
+      steerCertifiedLayout(s, corpus, numPlanes, cap,
         phase = (n, t) => phases += (n -> t))
     }
     phases += ("steer_planes" -> chosenPlanes.toDouble)
     phases += ("steer_planes_auto" -> numPlanes.toDouble)
+    phases += ("steer_cap" -> chosenCap.toDouble)
+    phases += ("steer_cap_auto" -> cap.toDouble)
     val (planesDf, pointsDf, pc, gmut) =
-      knnGraphIndexFrames(s, corpus, chosenPlanes, cap,
+      knnGraphIndexFrames(s, corpus, chosenPlanes, chosenCap,
         phase = (n, t) => phases += (n -> t))
     planesDf.coalesce(1).write.mode("overwrite").parquet(s"$path/planes")
     timedPhase("points_write") {
@@ -1582,9 +1637,11 @@ object Clustering {
     locally {
       import s.implicits._
       Seq((cert.p50, cert.p90, cert.fracAbove, cert.n,
-          chosenPlanes, numPlanes, chosenPlanes != numPlanes))
+          chosenPlanes, numPlanes, chosenCap, cap,
+          chosenPlanes != numPlanes || chosenCap != cap))
         .toDF("inflation_p50", "inflation_p90", "frac_above",
-          "n_sample", "planes", "planes_auto", "steered")
+          "n_sample", "planes", "planes_auto", "cap", "cap_auto",
+          "steered")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/stitch_fidelity")
     }
@@ -1602,7 +1659,7 @@ object Clustering {
     // a rebuild resets the append-wave ledger too: its wave costs and
     // the build cost it projects against belong to the OLD store
     fsMap.delete(new org.apache.hadoop.fs.Path(s"$path/appends_log"), true)
-    phases ++= exportBucketedStore(s, path, cap)
+    phases ++= exportBucketedStore(s, path, chosenCap)
     // BUILD-COST LEDGER (VERDICT r19 next-2): the one number the
     // append-wave budget projects against. Wave compute grows with
     // accumulated cap-exempt tier-1 bucket mass (32→159 s over four

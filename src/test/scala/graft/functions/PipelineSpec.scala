@@ -919,6 +919,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         "must exhaust and keep the auto plane count")
     assert(r.getInt(df.columns.indexOf("planes")) ===
       r.getInt(df.columns.indexOf("planes_auto")))
+    assert(r.getInt(df.columns.indexOf("cap")) ===
+      r.getInt(df.columns.indexOf("cap_auto")),
+      "a refused walk must keep the auto cap too")
     // the append must refuse the stitch on the tail alone
     Clustering.appendToGraphIndex(
       Seq((5000L, Seq(50.0, 50.0, 50.0, 50.0)))
