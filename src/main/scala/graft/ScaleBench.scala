@@ -1216,7 +1216,14 @@ object ScaleBench {
       work: String): Seq[(String, Double)] = {
     import graft.operators.Clustering
     val n = Tables.labeledPoints(spark, work).count()
-    val numPlanes = Clustering.lshPlanesFor(n)
+    // env overrides so the recall of a STEERED layout (r20: the x1000
+    // store certifies at 28 planes / cap 256 / hash prefix) is
+    // measurable against the same exact denominator as the auto one
+    val numPlanes = sys.env.get("SPARK_GRAFT_RECALL_PLANES")
+      .map(_.trim.toInt).getOrElse(Clustering.lshPlanesFor(n))
+    val capN = sys.env.get("SPARK_GRAFT_RECALL_CAP")
+      .map(_.trim.toInt).getOrElse(Clustering.GraphBuildCap)
+    val hashOrder = sys.env.get("SPARK_GRAFT_RECALL_HASH").contains("1")
     val step = math.max(1L, n / 500L)
     val xiF = Some(Clustering.sampledId(col("xi"), step))
     val (tEx, (exact, nExact)) =
@@ -1226,14 +1233,17 @@ object ScaleBench {
     val (tU, unc) = leg(Clustering.lshRankedNeighbors(spark, work,
       numPlanes, Clustering.LshTables, xiFilter = xiF))
     val (tC, cap) = leg(Clustering.cappedGraphAt(spark, work,
-      numPlanes, Clustering.LshTables, Clustering.GraphBuildCap,
-      xiFilter = xiF)._1)
+      numPlanes, Clustering.LshTables, capN,
+      xiFilter = xiF, hashOrder = hashOrder)._1)
     val nU = unc.count().toDouble
     def hits(a: org.apache.spark.sql.DataFrame,
         b: org.apache.spark.sql.DataFrame): Double =
       a.join(b, Seq("xi", "yi"), "left_semi").count().toDouble
     Seq(
       "graphrecall_n_points" -> n.toDouble,
+      "graphrecall_planes" -> numPlanes.toDouble,
+      "graphrecall_cap" -> capN.toDouble,
+      "graphrecall_hash_order" -> (if (hashOrder) 1.0 else 0.0),
       // distinct xi, not nExact/L: a tiny corpus or tie filtering can
       // hand a sampled query fewer than L exact neighbors (ADVICE r16)
       "graphrecall_n_queries" ->
@@ -1360,6 +1370,8 @@ object ScaleBench {
     // whose own rank-2 distance is smallest, i.e. the dense-mass
     // members — and re-measure the SAME parity against the SAME
     // uncapped baseline (order-independent by construction)
+    val storeOrder = spark.read.parquet(s"$path/store_meta")
+      .collect()(0).getString(3)
     Clustering.exportBucketedStore(spark, path, Clustering.GraphBuildCap,
       order = "r2dist")
     run(capped = true) // warm the re-exported table
@@ -1374,7 +1386,8 @@ object ScaleBench {
     // novel points, both faces canonicalized through the map — to test
     // the r18 claim that the component-level delta largely collapses
     // into the merges the map repairs.
-    Clustering.exportBucketedStore(spark, path, Clustering.GraphBuildCap)
+    Clustering.exportBucketedStore(spark, path, Clustering.GraphBuildCap,
+      order = storeOrder)
     val half = pmod(xxhash64(col("id"), lit("s14caphalf")), lit(2L))
     val halfA = delta.where(half === 0L)
     val halfB = delta.where(half === 1L)
@@ -1589,7 +1602,9 @@ object ScaleBench {
         fs.rename(
           new org.apache.hadoop.fs.Path(s"$path/points_inflated"),
           new org.apache.hadoop.fs.Path(s"$path/points"))
-        Clustering.exportBucketedStore(spark, path)
+        Clustering.exportBucketedStore(spark, path,
+          order = spark.read.parquet(s"$path/store_meta")
+            .collect()(0).getString(3))
       }
       // the sweep bypasses the production gate on purpose: it measures
       // what the stitch WOULD do at this inflation
@@ -1638,12 +1653,17 @@ object ScaleBench {
       .map(_.split(",").toSeq.map(_.trim.toInt))
       .getOrElse(Seq(Clustering.GraphBuildCap, 128, 256))
     val grid = for (c <- caps; p <- planes) yield (p, c)
+    val pairRows =
+      if (!sys.env.get("SPARK_GRAFT_PROBE_PAIRS").contains("1")) Seq.empty
+      else Clustering.cappedPairMassSweep(spark, pts, grid).map {
+        case (p, c, m) => s"fidelprobe_c${c}_p${p}_pairs" -> m.toDouble
+      }
     Clustering.fidelityProbeSweep(spark, pts, grid).flatMap {
       case (p, c, cert) => Seq(
         s"fidelprobe_c${c}_p${p}_p50" -> cert.p50,
         s"fidelprobe_c${c}_p${p}_p90" -> cert.p90,
         s"fidelprobe_c${c}_p${p}_frac" -> cert.fracAbove)
-    } :+ ("fidelprobe_auto_planes" -> auto.toDouble)
+    } ++ pairRows :+ ("fidelprobe_auto_planes" -> auto.toDouble)
   }
 
   private def s14StaleCompare(spark: SparkSession,

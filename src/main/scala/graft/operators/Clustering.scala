@@ -58,7 +58,8 @@ object Clustering {
     "s13_graph_clusters" -> s13GraphClusters,
     "s13b_graph_clusters_capped" -> s13bGraphClustersCapped,
     "s14_graph_assign" -> s14GraphAssign,
-    "s14b_graph_assign_capped" -> s14bGraphAssignCapped
+    "s14b_graph_assign_capped" -> s14bGraphAssignCapped,
+    "s14c_graph_assign_hash" -> s14cGraphAssignHash
   )
 
   /** Bucket width for the partition-local Conn query (c17). */
@@ -692,9 +693,11 @@ object Clustering {
     * up (cost ∝ occupancy), so the bound exists to cap the RECALL
     * price (each added plane prunes candidates; the steer takes the
     * NEAREST certifying layout and the build record prices the pair
-    * mass of both).
+    * mass of both). 16 because the x1000 landscape
+    * (`scale_fidelprobe_x1000.json`) puts certification at 28–32
+    * planes from an auto of 16.
     */
-  val MaxSteerRise = 8
+  val MaxSteerRise = 16
 
   /** Fallback walk below the auto layout after the up-walk fails —
     * kept short: downward probes double in cost per step (the walk
@@ -812,6 +815,20 @@ object Clustering {
     * without paying a single store build (each probe is
     * O(sample·occupancy), the sampled-recall shape).
     */
+  /** Capped pair mass per (planes, cap) grid point over an arbitrary
+    * corpus — the pruning-price leg of the probe landscape (bucket
+    * histograms only, no pairs).
+    */
+  private[graft] def cappedPairMassSweep(s: SparkSession,
+      corpus: DataFrame, points: Seq[(Int, Int)]): Seq[(Int, Int, Long)] = {
+    val pc = corpus.select(col("id"), col("features"),
+      lit(0).as("cluster")).persist()
+    try points.map { case (p, cap) =>
+      (p, cap, cappedPairMassOf(pc,
+        planeRowsOf(corpus, p, LshTables), p, cap))
+    } finally pc.unpersist()
+  }
+
   private[graft] def fidelityProbeSweep(s: SparkSession,
       corpus: DataFrame, points: Seq[(Int, Int)],
       sampleTarget: Long = 512L): Seq[(Int, Int, StitchFidelity)] = {
@@ -819,7 +836,9 @@ object Clustering {
       lit(0).as("cluster")).persist()
     try {
       val n = pc.count()
-      points.map { case (p, cap) =>
+      points.zipWithIndex.map { case ((p, cap), i) =>
+        // see the steer walk's shuffle-file pacing note
+        if (i > 0) { System.gc(); Thread.sleep(2000) }
         val t0 = System.nanoTime()
         val cert = stitchFidelityProbe(s, pc,
           planeRowsOf(corpus, p, LshTables), p, cap, n, sampleTarget)
@@ -834,12 +853,24 @@ object Clustering {
 
   private def steerCertifiedLayout(s: SparkSession, corpus: DataFrame,
       autoPlanes: Int, cap0: Int,
-      phase: (String, Double) => Unit): (Int, Int, StitchFidelity) = {
+      phase: (String, Double) => Unit)
+      : (Int, Int, String, StitchFidelity) = {
     val pc = corpus.select(col("id"), col("features"),
       lit(0).as("cluster")).persist()
     try {
       val n = pc.count()
-      def probe(p: Int, cap: Int): StitchFidelity = {
+      var probed = false
+      def probe(p: Int, cap: Int,
+          hashOrder: Boolean = true): StitchFidelity = {
+        // each probe's capped leg shuffles the full signed corpus for
+        // its prefix window (~10 GB at x1000); a 20+-probe walk in one
+        // JVM accumulates those files faster than the ContextCleaner's
+        // GC-driven pace and fills the disk (measured: two x1000 runs
+        // died of it). Before every probe AFTER the first, drop the
+        // previous probe's plan references and force a cleaner pass —
+        // certifying stores (one probe) pay nothing.
+        if (probed) { System.gc(); Thread.sleep(2000) }
+        probed = true
         // downward candidates double per-bucket occupancy per step —
         // halve the sample to keep probe cost bounded; upward probes
         // get cheaper on their own, so the full sample stays
@@ -847,23 +878,36 @@ object Clustering {
         val sampleTarget = math.max(64L, 512L >> drop)
         val t0 = System.nanoTime()
         val cert = stitchFidelityProbe(s, pc,
-          planeRowsOf(corpus, p, LshTables), p, cap, n, sampleTarget)
-        phase(s"steer_probe_p${p}_c$cap",
+          planeRowsOf(corpus, p, LshTables), p, cap, n, sampleTarget,
+          hashOrder = hashOrder)
+        val ord = if (hashOrder) "hash" else "nid"
+        phase(s"steer_probe_p${p}_c${cap}_$ord",
           (System.nanoTime() - t0) / 1e9)
-        phase(s"steer_p50_p${p}_c$cap", cert.p50)
-        phase(s"steer_p90_p${p}_c$cap", cert.p90)
+        phase(s"steer_p50_p${p}_c${cap}_$ord", cert.p50)
+        phase(s"steer_p90_p${p}_c${cap}_$ord", cert.p90)
         System.err.println(f"[graft] fidelity steer: $p planes cap " +
-          f"$cap -> p50 ${cert.p50}%.2f p90 ${cert.p90}%.2f " +
+          f"$cap $ord -> p50 ${cert.p50}%.2f p90 ${cert.p90}%.2f " +
           f"frac_above ${cert.fracAbove}%.2f (n=${cert.n}, " +
           f"${(System.nanoTime() - t0) / 1e9}%.1f s)")
         cert
       }
+      // the INSERTION (id) order is probed first: where it certifies
+      // (x10/x100, every fixture — chain arcs fit the prefix) the
+      // store keeps the pre-r20 prefix byte-for-byte, whose stitched
+      // staleness is the validated record (x100 id 0.954 vs hash 0.87
+      // at 12% — the unbiased prefix trades a little mutual-graph
+      // adjacency for mass-proportional coverage, a price worth
+      // paying ONLY where id cannot certify at all)
+      val autoCertId = probe(autoPlanes, cap0, hashOrder = false)
+      if (autoCertId.certifies)
+        return (autoPlanes, cap0, "nid", autoCertId)
       val autoCert = probe(autoPlanes, cap0)
       // walk order = cost order: planes first (they PRUNE — cheaper
       // chain, better serve), up in steps of 2 to MaxSteerRise; then
       // double the cap (linear chain/serve cost) and re-walk; short
-      // down-walk fallback at the base cap last. First certifying
-      // point wins.
+      // down-walk fallback at the base cap last — all at the HASH
+      // prefix, the order whose fidelity responds to mass steering.
+      // First certifying point wins.
       val planeGrid = (autoPlanes + 2) to (autoPlanes + MaxSteerRise) by 2
       val candidates: Seq[(Int, Int)] =
         planeGrid.map(p => (p, cap0)) ++
@@ -874,22 +918,23 @@ object Clustering {
           ((autoPlanes - 1) to
             math.max(LshPlanes, autoPlanes - MaxSteerDrop) by -1)
             .map(p => (p, cap0))
-      val result: (Int, Int, StitchFidelity) =
-        if (autoCert.certifies) (autoPlanes, cap0, autoCert)
+      val result: (Int, Int, String, StitchFidelity) =
+        if (autoCert.certifies) (autoPlanes, cap0, "hash", autoCert)
         else candidates.iterator
-          .map { case (p, c) => (p, c, probe(p, c)) }
-          .find(_._3.certifies)
+          .map { case (p, c) => (p, c, "hash", probe(p, c)) }
+          .find(_._4.certifies)
           .getOrElse {
             System.err.println(f"[graft] fidelity steer: no layout " +
               f"within [-$MaxSteerDrop, +$MaxSteerRise] planes x " +
               f"${MaxSteerCapX}x cap of (auto $autoPlanes, cap $cap0) " +
-              f"certifies ≤ $StitchFidelityMax (auto p50 " +
-              f"${autoCert.p50}%.1f / p90 ${autoCert.p90}%.1f) — " +
-              "keeping the auto layout; appends will refuse to stitch " +
-              "and staleness belongs to the rebuild cadence")
-            (autoPlanes, cap0, autoCert)
+              f"certifies ≤ $StitchFidelityMax at either prefix order " +
+              f"(id p50 ${autoCertId.p50}%.1f / p90 " +
+              f"${autoCertId.p90}%.1f) — keeping the auto id-order " +
+              "layout; appends will refuse to stitch and staleness " +
+              "belongs to the rebuild cadence")
+            (autoPlanes, cap0, "nid", autoCertId)
           }
-      val (chosenP, chosenC, cert) = result
+      val (chosenP, chosenC, _, cert) = result
       if ((chosenP != autoPlanes || chosenC != cap0) && cert.certifies) {
         phase("steer_pairs_auto", cappedPairMassOf(pc,
           planeRowsOf(corpus, autoPlanes, LshTables), autoPlanes,
@@ -1055,11 +1100,12 @@ object Clustering {
     */
   private[graft] def cappedGraphAt(s: SparkSession, dir: String,
       numPlanes: Int, numTables: Int, cap: Int,
-      xiFilter: Option[Column] = None): (DataFrame, DataFrame) =
+      xiFilter: Option[Column] = None,
+      hashOrder: Boolean = false): (DataFrame, DataFrame) =
     cappedGraphWithOrphans(
       assigned(s, dir).select(col("id"), col("features"), col("cluster")),
       lshPlaneRows(s, dir, numPlanes, numTables),
-      numPlanes, numTables, cap, xiFilter)
+      numPlanes, numTables, cap, xiFilter, hashOrder)
 
   /** The capped join's exact candidate-row count from the bucket
     * histogram (no pair materialization): Σ (m−1)·min(m, cap) over
@@ -1473,7 +1519,8 @@ object Clustering {
     */
   private def knnGraphIndexFrames(s: SparkSession, corpus: DataFrame,
       numPlanes: Int, cap: Int,
-      phase: (String, Double) => Unit = (_, _) => ())
+      phase: (String, Double) => Unit = (_, _) => (),
+      hashOrder: Boolean = true)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     def timedPhase[A](name: String)(f: => A): A = {
@@ -1494,7 +1541,7 @@ object Clustering {
     // consumer.
     val (graphRaw, orphans) =
       cappedGraphWithOrphans(pc, planes, numPlanes, LshTables, cap,
-        hashOrder = true)
+        hashOrder = hashOrder)
     val gmut = graphRaw.where(col("rnk") <= lit(S13MutualRank))
       .select(col("xi"), col("rnk").as("rank"), col("yi"), col("dist"))
       .persist()
@@ -1589,7 +1636,8 @@ object Clustering {
     */
   private[graft] def writeKnnGraphIndexOf(s: SparkSession,
       corpus: DataFrame, numPlanes: Int, path: String,
-      key: String, cap: Int = GraphBuildCap): Seq[(String, Double)] = {
+      key: String, cap: Int = GraphBuildCap,
+      forceOrder: Option[String] = None): Seq[(String, Double)] = {
     if (writtenGraphIdx.contains(key)) return Seq.empty
     val phases = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def timedPhase[A](name: String)(f: => A): A = {
@@ -1619,17 +1667,37 @@ object Clustering {
     // auto layout is kept and [[appendToGraphIndex]] REFUSES to
     // stitch (the r19 behavior) — staleness then belongs to the
     // rebuild cadence.
-    val (chosenPlanes, chosenCap, cert) = timedPhase("fidelity") {
-      steerCertifiedLayout(s, corpus, numPlanes, cap,
-        phase = (n, t) => phases += (n -> t))
-    }
+    // `forceOrder` pins the prefix order and skips the cross-order
+    // steer (the s14c oracle face, which must exercise the HASH
+    // prefix at a cap the fixture saturates): the certificate is then
+    // probed at exactly the forced layout
+    val (chosenPlanes, chosenCap, chosenOrder, cert) =
+      timedPhase("fidelity") {
+        forceOrder match {
+          case Some(ord) =>
+            val pcF = corpus.select(col("id"), col("features"),
+              lit(0).as("cluster")).persist()
+            try {
+              val cf = stitchFidelityProbe(s, pcF,
+                planeRowsOf(corpus, numPlanes, LshTables), numPlanes,
+                cap, pcF.count(), 512L, hashOrder = ord == "hash")
+              (numPlanes, cap, ord, cf)
+            } finally pcF.unpersist()
+          case None =>
+            steerCertifiedLayout(s, corpus, numPlanes, cap,
+              phase = (n, t) => phases += (n -> t))
+        }
+      }
     phases += ("steer_planes" -> chosenPlanes.toDouble)
     phases += ("steer_planes_auto" -> numPlanes.toDouble)
     phases += ("steer_cap" -> chosenCap.toDouble)
     phases += ("steer_cap_auto" -> cap.toDouble)
+    phases += ("steer_hash_order" ->
+      (if (chosenOrder == "hash") 1.0 else 0.0))
     val (planesDf, pointsDf, pc, gmut) =
       knnGraphIndexFrames(s, corpus, chosenPlanes, chosenCap,
-        phase = (n, t) => phases += (n -> t))
+        phase = (n, t) => phases += (n -> t),
+        hashOrder = chosenOrder == "hash")
     planesDf.coalesce(1).write.mode("overwrite").parquet(s"$path/planes")
     timedPhase("points_write") {
       pointsDf.write.mode("overwrite").parquet(s"$path/points")
@@ -1637,11 +1705,11 @@ object Clustering {
     locally {
       import s.implicits._
       Seq((cert.p50, cert.p90, cert.fracAbove, cert.n,
-          chosenPlanes, numPlanes, chosenCap, cap,
+          chosenPlanes, numPlanes, chosenCap, cap, chosenOrder,
           chosenPlanes != numPlanes || chosenCap != cap))
         .toDF("inflation_p50", "inflation_p90", "frac_above",
           "n_sample", "planes", "planes_auto", "cap", "cap_auto",
-          "steered")
+          "prefix_order", "steered")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/stitch_fidelity")
     }
@@ -1659,7 +1727,8 @@ object Clustering {
     // a rebuild resets the append-wave ledger too: its wave costs and
     // the build cost it projects against belong to the OLD store
     fsMap.delete(new org.apache.hadoop.fs.Path(s"$path/appends_log"), true)
-    phases ++= exportBucketedStore(s, path, chosenCap)
+    phases ++= exportBucketedStore(s, path, chosenCap,
+      order = chosenOrder)
     // BUILD-COST LEDGER (VERDICT r19 next-2): the one number the
     // append-wave budget projects against. Wave compute grows with
     // accumulated cap-exempt tier-1 bucket mass (32→159 s over four
@@ -1822,7 +1891,7 @@ object Clustering {
     */
   private[graft] def exportBucketedStore(s: SparkSession,
       path: String, cap: Int = GraphBuildCap,
-      order: String = "hash"): Seq[(String, Double)] = {
+      order: String = "nid"): Seq[(String, Double)] = {
     val tbl = storeTableName(path)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val t0 = System.nanoTime()
@@ -2519,7 +2588,7 @@ object Clustering {
         val tDiv0 = System.nanoTime()
         exportBucketedStore(s, path,
           meta.map(_._1).getOrElse(GraphBuildCap),
-          order = meta.map(_._4).getOrElse("hash"))
+          order = meta.map(_._4).getOrElse("nid"))
         val rebuildSec = (System.nanoTime() - tDiv0) / 1e9
         System.err.println(f"[graft] bucketed graph store at $path " +
           f"diverged ($nBucketed exploded rows vs expected " +
@@ -2641,6 +2710,27 @@ object Clustering {
       pts.where(pmod(col("id"), lit(S14Mod)) =!= lit(S14Res)),
       LshPlanes, path, s"$dir->$path->holdout-live",
       cap = OracleGraphCap)
+    assignFromGraphIndex(
+      pts.where(pmod(col("id"), lit(S14Mod)) === lit(S14Res)), path)
+      .orderBy(col("id"))
+  }
+
+  /** [[s14bGraphAssignCapped]] with the prefix order FORCED to the
+    * hash key — the r20 production order for steered stores —
+    * exercised at a cap the fixture saturates (46-member buckets at
+    * [[OracleGraphCap]] = 16), so this row hash-checks the LIVE hash
+    * prefix end-to-end (build chain, orphan fan-out, capped serve)
+    * against DuckDB's arithmetic replay of [[hashPrefixKey]]. The
+    * steered s14/s14b faces keep id order at fixture scale — the
+    * steer certifies there at its first (insertion-order) probe.
+    */
+  def s14cGraphAssignHash: Q = (s, dir) => {
+    val pts = Tables.labeledPoints(s, dir).select(col("id"), col("features"))
+    val path = s"${graft.functions.Similarity.artifactRoot(dir)}/s14c_graph"
+    writeKnnGraphIndexOf(s,
+      pts.where(pmod(col("id"), lit(S14Mod)) =!= lit(S14Res)),
+      LshPlanes, path, s"$dir->$path->holdout-hash",
+      cap = OracleGraphCap, forceOrder = Some("hash"))
     assignFromGraphIndex(
       pts.where(pmod(col("id"), lit(S14Mod)) === lit(S14Res)), path)
       .orderBy(col("id"))
@@ -3146,7 +3236,8 @@ object Clustering {
     * base prefix the build ranked against — the r17 capped serving
     * projection, replayed independently.
     */
-  private def s14AssignSql(cap: Int): String =
+  private def s14AssignSql(cap: Int,
+      hashOrder: Boolean = false): String =
     s"""WITH RECURSIVE $P,
          |bc AS (SELECT id, v FROM p WHERE id % $S14Mod != $S14Res),
          |pl AS (SELECT v, row_number() OVER (ORDER BY id) - 1 AS pid
@@ -3158,7 +3249,8 @@ object Clustering {
          |  FROM bc CROSS JOIN pl GROUP BY bc.id, pl.pid // $LshPlanes),
          |yc AS (SELECT id, tbl, bucket,
          |    row_number() OVER (PARTITION BY tbl, bucket
-         |      ORDER BY ${hashPrefixSql("id")}, id) AS rn
+         |      ORDER BY ${if (hashOrder) hashPrefixSql("id") + ", " else ""}id)
+         |      AS rn
          |  FROM b),
          |cand AS (SELECT DISTINCT x.id AS xi, y.id AS yi
          |  FROM b x JOIN yc y ON x.tbl = y.tbl AND x.bucket = y.bucket
@@ -3468,6 +3560,8 @@ object Clustering {
     // truncation of both the build chain AND the serve probe
     "s14_graph_assign" -> s14AssignSql(GraphBuildCap),
     "s14b_graph_assign_capped" -> s14AssignSql(OracleGraphCap),
+    "s14c_graph_assign_hash" ->
+      s14AssignSql(OracleGraphCap, hashOrder = true),
     // a(i)/b(i) are the two smallest centroid distances (assignment IS
     // nearest-centroid), so the oracle ranks per-point distances and keeps
     // rn 1 and 2 — only the dist VALUES feed the score, so rank ties are
