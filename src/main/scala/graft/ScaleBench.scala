@@ -1578,7 +1578,9 @@ object ScaleBench {
     val arrivals = pts.where(arrF)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(basePath).getFileSystem(conf)
-    val factors = Seq(1.0, 2.0, 8.0, 32.0)
+    val factors = sys.env.get("SPARK_GRAFT_SWEEP_FACTORS")
+      .map(_.split(",").toSeq.map(_.trim.toDouble))
+      .getOrElse(Seq(1.0, 2.0, 8.0, 32.0))
     val rows = factors.flatMap { f =>
       val tag = f.toInt
       val path = s"${Similarity.artifactRoot(work)}/s14_fidel_x$tag"
