@@ -1604,9 +1604,13 @@ object ScaleBench {
         fs.rename(
           new org.apache.hadoop.fs.Path(s"$path/points_inflated"),
           new org.apache.hadoop.fs.Path(s"$path/points"))
+        // cap AND order from store_meta (ADVICE r20): letting cap
+        // default to GraphBuildCap would silently re-export a
+        // cap-steered base store at the wrong cap and overwrite its
+        // store_meta with it
+        val meta = spark.read.parquet(s"$path/store_meta").collect()(0)
         Clustering.exportBucketedStore(spark, path,
-          order = spark.read.parquet(s"$path/store_meta")
-            .collect()(0).getString(3))
+          cap = meta.getInt(0), order = meta.getString(3))
       }
       // the sweep bypasses the production gate on purpose: it measures
       // what the stitch WOULD do at this inflation

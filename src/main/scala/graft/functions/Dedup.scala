@@ -87,8 +87,15 @@ object Dedup {
     * never reaches it and pays nothing; long random-id chains switch
     * to the hash-to-min discipline instead of riding the bare step's
     * O(diameter) rounds into the [[MaxPropagationRounds]] wall.
+    * 4, down from 10 (r21): the sf0.1 ε-clone graph burned NINE linear
+    * rounds (~0.5–1 s of fixed stage cost each) before the round-10
+    * escalation converged it in one — measured 10 → 6 rounds and
+    * ~8.5 → ~4.5 s on the s13 closure after the drop. The escalated
+    * rounds' price is the 4n-row star union, second-order against a
+    * whole round's exchanges; graphs that converge within 3 rounds
+    * still never pay it.
     */
-  val CompressEscalateRounds = 10
+  val CompressEscalateRounds = 4
 
   /** Exact dedup summary via content hash: total docs, distinct contents,
     * duplicate groups. (Hash-groupBy — the map-side partial aggregation
@@ -470,12 +477,19 @@ object Dedup {
     // only exchanges the (much smaller) label side. Symmetrization is an
     // explode of each pair into both directions — ONE scan of `pairs`,
     // where a unionAll of two selects would execute the (possibly
-    // expensive, e.g. d7's cosine-verify join) pair plan twice
+    // expensive, e.g. d7's cosine-verify join) pair plan twice.
+    // SELF-EDGES (r21): one (v, v) row per doc rides in the cached list
+    // so each round's min-aggregate sees the node's OWN label alongside
+    // its neighbors' — the old `labels ⟕ nbrMin + least` re-attachment
+    // join (one more corpus-sized exchange per round) folds into the
+    // aggregate itself, and nodes with no pair edges still emit a row.
     val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .unionByName(docs.select(col("doc_id").as("src"),
+        col("doc_id").as("dst")))
       .repartition(col("dst"))
       .persist()
     // roundCheckpoint per round: the iterative plan references `labels`
@@ -503,15 +517,18 @@ object Dedup {
     // stay (it is `prevLabels`, an input to the escalated star edges
     // AND the cached parent of round r's lineage). On a real cluster
     // prefer reliable `checkpoint()` for executor-loss tolerance.
-    val session = docs.sparkSession
-    var roundRdds: List[org.apache.spark.rdd.RDD[
-      org.apache.spark.sql.Row]] = Nil // newest first, ≤2 kept live
+    var roundRdds: List[org.apache.spark.rdd.RDD[_]] =
+      Nil // newest first, ≤2 kept live
     def roundCheckpoint(df: DataFrame): DataFrame = {
-      val rdd = df.rdd // this round's plan only — labels leaf is a leaf
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // internal-row lineage cut (r21): same truncation as the old
+      // df.rdd + createDataFrame round-trip (fresh leaf, DEFAULT stats —
+      // see the note above) without the per-round InternalRow → Row →
+      // InternalRow double conversion, which boxed every field of every
+      // label row per round
+      val (cut, rdd) = org.apache.spark.sql.graft.Bridge.cachedLineageCut(df)
       roundRdds = rdd :: roundRdds
       // eager: the convergence aggregate right after materializes it
-      session.createDataFrame(rdd, df.schema)
+      cut
     }
     def dropSupersededRounds(): Unit =
       if (roundRdds.length > 2) {
@@ -593,17 +610,21 @@ object Dedup {
             edges
           else edges.unionByName(starEdges(labels))
             .unionByName(starEdges(prevLabels))
-        val nbrMin = effEdges
+        // the self-edge in the cached list carries each node's own label
+        // into the min — `least(own, nbr_min)` IS this aggregate, so the
+        // old labels ⟕ nbrMin re-attachment join (and its corpus-sized
+        // exchange) is gone from every round
+        val stepped = effEdges
           .join(labels, col("dst") === col("doc_id"))
-          .groupBy(col("src")).agg(min(col("group_id")).as("nbr_min"))
-        val stepped = labels
-          .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-          .select(labels("doc_id"),
-            least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
-              .as("group_id"))
+          .groupBy(col("src")).agg(min(col("group_id")).as("group_id"))
+          .select(col("src").as("doc_id"), col("group_id"))
+        val tR0 = System.nanoTime()
         val next = roundCheckpoint(
           if (!pointerDoubling) stepped else compose(stepped, labels))
         val nextSum = labelStats(next)._1
+        if (sys.env.contains("GRAFT_CLOSURE_DEBUG"))
+          System.err.println(f"[closure] round $round: " +
+            f"${(System.nanoTime() - tR0) / 1e9}%.2f s")
         // labels only ever decrease → fixpoint iff the sum is unchanged
         prevLabels = labels
         labels = next

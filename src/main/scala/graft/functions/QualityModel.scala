@@ -191,9 +191,14 @@ object QualityModel {
     // RELATIVE monotonicity tolerance (ADVICE r19): the objective is
     // O(1)-scale, and benign fp summation wobble under a different
     // partitioning can exceed an absolute 1e-12 — a real line-search
-    // failure bounces by orders of magnitude more than 1e-9·|obj|
+    // failure bounces by orders of magnitude more than 1e-9·|obj|.
+    // Floored at the old absolute 1e-12 (ADVICE r20): near a zero
+    // objective the relative band alone shrinks BELOW 1e-12 — stricter
+    // than the rule it replaced — and benign wobble at convergence on
+    // a well-separated corpus would crash the train.
     h.sliding(2).foreach {
-      case Array(a, b) => require(b <= a + 1e-9 * math.abs(a),
+      case Array(a, b) =>
+        require(b <= a + math.max(1e-12, 1e-9 * math.abs(a)),
         s"p7 training objective reset upward ($a -> $b) — line-search " +
           "failure territory")
       case _ => ()

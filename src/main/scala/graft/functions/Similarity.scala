@@ -1025,14 +1025,32 @@ object Similarity {
       pqResidualCache.getOrElseUpdate(key, {
         val res = residualFrameOf(corpus, cents).select(col("features"))
           .localCheckpoint(eager = true) // M k-means consumers, one build
-        (1 to PqSubspaces).flatMap { m =>
-          val sub = res.select(
-            slice(col("features"), (m - 1) * PqSubDim + 1, PqSubDim)
-              .as("features"))
-          graft.mopso.Init.kmeansCenters(sub, PqCodewords, maxIter = 20,
-            seed = 542L + m)
-            .zipWithIndex.map { case (c, j) => (m, j + 1, c.toSeq) }
-        }
+        // the M sub-space fits are INDEPENDENT seeded jobs over the one
+        // checkpointed residual frame — submit them from a thread pool
+        // (guide §2.6: actions are only sequential because the driver
+        // calls them sequentially) so each fit's tail back-fills the
+        // cluster the others left idle. Each fit's own partitioning,
+        // seed, and aggregation order are untouched, so the trained
+        // codewords are bit-identical to the sequential build's
+        // (spec-pinned by the s8/s9 oracle rows).
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val fits = (1 to PqSubspaces).map { m =>
+            scala.concurrent.Future {
+              val sub = res.select(
+                slice(col("features"), (m - 1) * PqSubDim + 1, PqSubDim)
+                  .as("features"))
+              graft.mopso.Init.kmeansCenters(sub, PqCodewords, maxIter = 20,
+                seed = 542L + m)
+                .zipWithIndex.map { case (c, j) => (m, j + 1, c.toSeq) }
+            }
+          }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(fits),
+            scala.concurrent.duration.Duration.Inf).flatten
+        } finally pool.shutdown()
       })
     }
     rows.toDF("m", "j", "cv")

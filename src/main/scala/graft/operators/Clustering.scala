@@ -602,14 +602,21 @@ object Clustering {
     */
   private[graft] def lshRankedNeighborsOf(pc: DataFrame,
       planes: Seq[Array[Double]], numPlanes: Int, numTables: Int,
-      xiFilter: Option[Column] = None): DataFrame = {
+      xiFilter: Option[Column] = None,
+      signed: Option[DataFrame] = None): DataFrame = {
     // every table's bucket computed once per point and carried as an
     // array: the exploded (tbl, bucket) rows drive the bucket join, and
     // the arrays on BOTH sides let a pair colliding in several tables be
     // kept exactly once — only by its FIRST agreeing table (the d8
     // first-match rule) — instead of a result-sized dropDuplicates
-    // shuffle (measured 2x the whole query's cost at sf0.1)
-    val b = pc.withColumn("sigs", lshSigsCol(planes, numPlanes, numTables))
+    // shuffle (measured 2x the whole query's cost at sf0.1).
+    // `signed` (r21): a pre-signed (id, features, cluster, sigs) frame —
+    // the s14 build signs its corpus ONCE per layout and shares it
+    // across both fidelity-probe legs and the build chain (VERDICT r20
+    // next-4) instead of re-running the signing scan per consumer.
+    val b = signed
+      .getOrElse(pc.withColumn("sigs",
+        lshSigsCol(planes, numPlanes, numTables)))
       .select(col("id"), col("features"), col("cluster"), col("sigs"),
         posexplode(col("sigs")).as(Seq("tbl", "bucket")))
     val x0 = b.select(col("tbl"), col("bucket"), col("id").as("xi"),
@@ -669,11 +676,21 @@ object Clustering {
     * prefix); 2 allows the tight mode's own observed spread (the x100
     * tier-0 p90/p10 = 2.0) and excludes the starved regime by orders
     * of magnitude (x1000 measured ~255 at the auto layout). The
-    * r20 synthetic starvation sweep (`scale_fidelsweep_x100.json`,
-    * ScaleBench mode `fidelsweep`) calibrates the constant between
-    * those endpoints: controlled threshold inflation ×2 on half the
-    * rows leaves stitched ARI in the faithful band, ×8 and ×32
-    * degrade it monotonically — see SCALE.md §r20.
+    * r20 synthetic starvation sweep (`scale_fidelsweep_x100.json` +
+    * `_hi.json`, ScaleBench mode `fidelsweep`) probes the constant
+    * between those endpoints and found something STRONGER than a
+    * calibration curve: stitched ARI stays FLAT at 0.961 from ×2
+    * through ×512 — threshold inflation alone cannot percolate a
+    * faithful store, because a merge still needs the arrival to SEE
+    * both sides in its capped candidates. What the certificate gates
+    * is therefore visibility starvation (the capped prefix hiding a
+    * point's near mass entirely — the x1000 failure), which the
+    * sampled rank-2 inflation detects at orders of magnitude above
+    * this bound; 2 simply keeps the faithful mode's own observed
+    * spread (x100 tier-0 p90/p10 = 2.0) inside the gate. (r21: this
+    * note previously claimed the sweep showed ×8/×32 degrading ARI
+    * monotonically — the committed records say the opposite;
+    * VERDICT r20 "What's wrong" §1.)
     */
   val StitchFidelityMax = 2.0
 
@@ -746,7 +763,8 @@ object Clustering {
   private def stitchFidelityProbe(s: SparkSession, pc: DataFrame,
       planes: Seq[Array[Double]], numPlanes: Int, cap: Int,
       n: Long, sampleTarget: Long,
-      hashOrder: Boolean = true): StitchFidelity = {
+      hashOrder: Boolean = true,
+      signed: Option[DataFrame] = None): StitchFidelity = {
     val step = math.max(1L, n / sampleTarget)
     val f = pmod(xxhash64(col("xi")), lit(step)) === 0L
     def rank2(df: DataFrame, out: String): DataFrame = df
@@ -757,10 +775,10 @@ object Clustering {
         when(col("deg") >= lit(S13MutualRank), col("d2"))
           .otherwise(lit(Double.PositiveInfinity)).as(out))
     val truth = rank2(lshRankedNeighborsOf(pc, planes, numPlanes,
-      LshTables, xiFilter = Some(f)), "true_r2")
+      LshTables, xiFilter = Some(f), signed = signed), "true_r2")
     val capped = rank2(lshRankedNeighborsCapped(pc, planes, numPlanes,
-      LshTables, cap, xiFilter = Some(f), hashOrder = hashOrder),
-      "stored_r2")
+      LshTables, cap, xiFilter = Some(f), hashOrder = hashOrder,
+      signed = signed), "stored_r2")
     val ratios = capped.join(truth, Seq("id"))
       .select(col("stored_r2"), col("true_r2")).collect()
       .map { r =>
@@ -853,12 +871,12 @@ object Clustering {
 
   private def steerCertifiedLayout(s: SparkSession, corpus: DataFrame,
       autoPlanes: Int, cap0: Int,
-      phase: (String, Double) => Unit)
+      phase: (String, Double) => Unit,
+      pc: DataFrame, n: Long,
+      planesAt: Int => Seq[Array[Double]],
+      signedAt: Int => DataFrame)
       : (Int, Int, String, StitchFidelity) = {
-    val pc = corpus.select(col("id"), col("features"),
-      lit(0).as("cluster")).persist()
-    try {
-      val n = pc.count()
+    {
       var probed = false
       def probe(p: Int, cap: Int,
           hashOrder: Boolean = true): StitchFidelity = {
@@ -878,8 +896,8 @@ object Clustering {
         val sampleTarget = math.max(64L, 512L >> drop)
         val t0 = System.nanoTime()
         val cert = stitchFidelityProbe(s, pc,
-          planeRowsOf(corpus, p, LshTables), p, cap, n, sampleTarget,
-          hashOrder = hashOrder)
+          planesAt(p), p, cap, n, sampleTarget,
+          hashOrder = hashOrder, signed = Some(signedAt(p)))
         val ord = if (hashOrder) "hash" else "nid"
         phase(s"steer_probe_p${p}_c${cap}_$ord",
           (System.nanoTime() - t0) / 1e9)
@@ -937,14 +955,12 @@ object Clustering {
       val (chosenP, chosenC, _, cert) = result
       if ((chosenP != autoPlanes || chosenC != cap0) && cert.certifies) {
         phase("steer_pairs_auto", cappedPairMassOf(pc,
-          planeRowsOf(corpus, autoPlanes, LshTables), autoPlanes,
-          cap0).toDouble)
+          planesAt(autoPlanes), autoPlanes, cap0).toDouble)
         phase("steer_pairs_chosen", cappedPairMassOf(pc,
-          planeRowsOf(corpus, chosenP, LshTables), chosenP,
-          chosenC).toDouble)
+          planesAt(chosenP), chosenP, chosenC).toDouble)
       }
       result
-    } finally pc.unpersist()
+    }
   }
 
   /** [[lshRankedNeighborsOf]] with the CANDIDATE side of every
@@ -971,9 +987,10 @@ object Clustering {
   private[graft] def lshRankedNeighborsCapped(pc: DataFrame,
       planes: Seq[Array[Double]], numPlanes: Int, numTables: Int,
       cap: Int, xiFilter: Option[Column] = None,
-      hashOrder: Boolean = false): DataFrame =
+      hashOrder: Boolean = false,
+      signed: Option[DataFrame] = None): DataFrame =
     cappedGraphWithOrphans(pc, planes, numPlanes, numTables, cap,
-      xiFilter, hashOrder)._1
+      xiFilter, hashOrder, signed)._1
 
   /** The capped candidate chain plus its ORPHAN set — the ids capped
     * out of every table's candidate prefix. An orphan receives no
@@ -1009,17 +1026,29 @@ object Clustering {
       lit(2147483648L))
 
   /** [[hashPrefixKey]] as DuckDB SQL over a column expression — the
-    * oracle-side twin ([[s14AssignSql]]).
+    * oracle-side twin ([[s14AssignSql]]). Mirrors pmod semantics
+    * (ADVICE r20): DuckDB `%` is a remainder (negative for negative
+    * ids) where Spark's pmod is always non-negative, so both moduli
+    * fold through an explicit +m wrap — a no-op for the non-negative
+    * ids every fixture uses, identical to pmod if an id were ever
+    * negative.
     */
   private def hashPrefixSql(id: String): String =
-    s"(($id % 2147483648) * 2654435761) % 2147483648"
+    s"((((($id % 2147483648) + 2147483648) % 2147483648)" +
+      s" * 2654435761) % 2147483648)"
 
   private[graft] def cappedGraphWithOrphans(pc: DataFrame,
       planes: Seq[Array[Double]], numPlanes: Int, numTables: Int,
       cap: Int, xiFilter: Option[Column] = None,
-      hashOrder: Boolean = false)
+      hashOrder: Boolean = false,
+      signed: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
-    val b = pc.withColumn("sigs", lshSigsCol(planes, numPlanes, numTables))
+    // one signing for the graph AND the orphan leg (r21): the slim
+    // orphan lineage used to re-sign the corpus; both now derive from
+    // `base` (pre-signed and persisted when the s14 build passes it)
+    val base = signed.getOrElse(
+      pc.withColumn("sigs", lshSigsCol(planes, numPlanes, numTables)))
+    val b = base
       .select(col("id"), col("features"), col("cluster"),
         posexplode(col("sigs")).as(Seq("tbl", "bucket")))
     val x0 = b.select(col("tbl"), col("bucket"), col("id").as("xi"),
@@ -1083,10 +1112,9 @@ object Clustering {
       pre
         .repartition(col("xi"))
         .dropDuplicates("xi", "yi"))
-    val slim = pc
+    val slim = base
       .select(col("id"),
-        posexplode(lshSigsCol(planes, numPlanes, numTables))
-          .as(Seq("tbl", "bucket")))
+        posexplode(col("sigs")).as(Seq("tbl", "bucket")))
       .withColumn("rn", row_number().over(wB))
     val orphans = slim.groupBy(col("id"))
       .agg(min(col("rn")).as("min_rn"))
@@ -1240,7 +1268,13 @@ object Clustering {
     */
   def c21ConnLsh: Q = (s, dir) => {
     val pc = assigned(s, dir).select(col("id"), col("features"), col("cluster"))
+    // two consumers (the Conn sum + the recall semi-join) and no
+    // exchange-reuse between them (their aggregates differ above the
+    // chain, so Catalyst planned the WHOLE candidate chain twice —
+    // plan-audited, 8 scans / 0 ReusedExchange before r21); materialize
+    // the n·L-bounded ranked pairs once, like the exact leg below
     val approx = lshRankedNeighbors(s, dir, LshPlanes, LshTables)
+      .localCheckpoint(eager = true)
     // exact leg = the recall denominator: same n² candidate COMPUTE as
     // c10 (inherent to "exact"), but ranked through the bounded
     // aggregate so the exchange carries O(n·L) rows, not the n² window
@@ -1520,7 +1554,9 @@ object Clustering {
   private def knnGraphIndexFrames(s: SparkSession, corpus: DataFrame,
       numPlanes: Int, cap: Int,
       phase: (String, Double) => Unit = (_, _) => (),
-      hashOrder: Boolean = true)
+      hashOrder: Boolean = true,
+      planes0: Option[Seq[Array[Double]]] = None,
+      signed0: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     def timedPhase[A](name: String)(f: => A): A = {
@@ -1529,9 +1565,16 @@ object Clustering {
       phase(name, (System.nanoTime() - t0) / 1e9)
       a
     }
-    val planes = planeRowsOf(corpus, numPlanes, LshTables)
-    val pc = corpus.select(col("id"), col("features"),
-      lit(0).as("cluster")).persist()
+    val planes = planes0.getOrElse(planeRowsOf(corpus, numPlanes, LshTables))
+    // ONE persisted signed frame (r21, VERDICT r20 next-4): the chain,
+    // the orphan leg, and the points export all read the corpus WITH
+    // its sign buckets from this cache — previously each re-ran the
+    // signing scan (and the certificate probe signed twice more).
+    // When the steer already signed this layout, its frame is reused.
+    val pc = signed0.getOrElse(
+      corpus.select(col("id"), col("features"), lit(0).as("cluster"))
+        .withColumn("sigs", lshSigsCol(planes, numPlanes, LshTables))
+        .persist())
     // the capped production chain + orphan fan-out — the same build the
     // s13 faces run (uncapped at any fixture whose buckets stay under
     // the cap; the valve that closed the x1000 decade above it).
@@ -1540,8 +1583,8 @@ object Clustering {
     // ONCE into this slim persisted prefix instead of running per
     // consumer.
     val (graphRaw, orphans) =
-      cappedGraphWithOrphans(pc, planes, numPlanes, LshTables, cap,
-        hashOrder = hashOrder)
+      cappedGraphWithOrphans(pc.drop("sigs"), planes, numPlanes, LshTables,
+        cap, hashOrder = hashOrder, signed = Some(pc))
     val gmut = graphRaw.where(col("rnk") <= lit(S13MutualRank))
       .select(col("xi"), col("rnk").as("rank"), col("yi"), col("dist"))
       .persist()
@@ -1582,7 +1625,6 @@ object Clustering {
     // appends write tier 1 (never capped — chain growth through an
     // appended row is part of the append contract)
     val pointsDf = pc
-      .withColumn("sigs", lshSigsCol(planes, numPlanes, LshTables))
       .join(comp, "id")
       .join(r2, Seq("id"), "left")
       .select(col("id"), col("features"), col("sigs"), col("component"),
@@ -1670,22 +1712,49 @@ object Clustering {
     // `forceOrder` pins the prefix order and skips the cross-order
     // steer (the s14c oracle face, which must exercise the HASH
     // prefix at a cap the fixture saturates): the certificate is then
-    // probed at exactly the forced layout
+    // probed at exactly the forced layout.
+    // SHARED BUILD STATE (r21, VERDICT r20 next-4): ONE persisted
+    // corpus projection, ONE plane collect per plane count, and ONE
+    // persisted SIGNED frame per layout — the certificate's two legs,
+    // the steer walk's probes, the build chain, the orphan leg, and
+    // the points export previously each re-derived these (6 signings +
+    // 3 plane collects + 3 persisted corpus copies per certifying
+    // build; certificate output is unchanged — same planes, same
+    // signatures, same sampled ratios).
+    val pc0 = corpus.select(col("id"), col("features"),
+      lit(0).as("cluster")).persist()
+    val nCorpus = pc0.count()
+    val planeCache =
+      scala.collection.mutable.Map[Int, Seq[Array[Double]]]()
+    def planesAt(p: Int): Seq[Array[Double]] =
+      planeCache.getOrElseUpdate(p, planeRowsOf(corpus, p, LshTables))
+    // single-entry signed cache: the walk visits one layout at a time,
+    // and holding every probed layout's signed frame would defeat the
+    // walk's own shuffle-file pacing (see the probe note)
+    var signedEntry: Option[(Int, DataFrame)] = None
+    def signedAt(p: Int): DataFrame = signedEntry match {
+      case Some((q, df)) if q == p => df
+      case prev =>
+        prev.foreach(_._2.unpersist())
+        val df = pc0.withColumn("sigs",
+          lshSigsCol(planesAt(p), p, LshTables)).persist()
+        signedEntry = Some((p, df))
+        df
+    }
     val (chosenPlanes, chosenCap, chosenOrder, cert) =
       timedPhase("fidelity") {
         forceOrder match {
           case Some(ord) =>
-            val pcF = corpus.select(col("id"), col("features"),
-              lit(0).as("cluster")).persist()
-            try {
-              val cf = stitchFidelityProbe(s, pcF,
-                planeRowsOf(corpus, numPlanes, LshTables), numPlanes,
-                cap, pcF.count(), 512L, hashOrder = ord == "hash")
-              (numPlanes, cap, ord, cf)
-            } finally pcF.unpersist()
+            val cf = stitchFidelityProbe(s, pc0,
+              planesAt(numPlanes), numPlanes,
+              cap, nCorpus, 512L, hashOrder = ord == "hash",
+              signed = Some(signedAt(numPlanes)))
+            (numPlanes, cap, ord, cf)
           case None =>
             steerCertifiedLayout(s, corpus, numPlanes, cap,
-              phase = (n, t) => phases += (n -> t))
+              phase = (n, t) => phases += (n -> t),
+              pc = pc0, n = nCorpus,
+              planesAt = planesAt, signedAt = signedAt)
         }
       }
     phases += ("steer_planes" -> chosenPlanes.toDouble)
@@ -1697,7 +1766,9 @@ object Clustering {
     val (planesDf, pointsDf, pc, gmut) =
       knnGraphIndexFrames(s, corpus, chosenPlanes, chosenCap,
         phase = (n, t) => phases += (n -> t),
-        hashOrder = chosenOrder == "hash")
+        hashOrder = chosenOrder == "hash",
+        planes0 = Some(planesAt(chosenPlanes)),
+        signed0 = Some(signedAt(chosenPlanes)))
     planesDf.coalesce(1).write.mode("overwrite").parquet(s"$path/planes")
     timedPhase("points_write") {
       pointsDf.write.mode("overwrite").parquet(s"$path/points")
@@ -1713,7 +1784,8 @@ object Clustering {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/stitch_fidelity")
     }
-    pc.unpersist(); gmut.unpersist()
+    pc.unpersist(); gmut.unpersist(); pc0.unpersist()
+    signedEntry.foreach(_._2.unpersist()); signedEntry = None
     // a FULL rebuild re-labels everything as base: any append-time
     // stitch map from the previous store generation names component
     // ids from the OLD labeling (same id space — min point ids) and
@@ -1742,7 +1814,9 @@ object Clustering {
         case (n, v) if !n.startsWith("steer_") &&
           n != "chain_shuffle_write_gb" => v
       }.sum
-      val nAtBuild = s.read.parquet(s"$path/points").count()
+      // == the corpus count already measured: pointsDf carries one row
+      // per corpus id (the closure labels every id; r2 joins left)
+      val nAtBuild = nCorpus
       Seq((buildSec, nAtBuild))
         .toDF("build_sec", "points_at_build")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/build_meta")
@@ -1957,7 +2031,12 @@ object Clustering {
     * the whole map, silently dropping that batch's merges.
     */
   private def stagedMapCommitted(s: SparkSession, path: String): Boolean =
-    storePathExists(s, s"$path/component_map_staged/_SUCCESS")
+    // either marker proves the staged job committed: Spark's own
+    // _SUCCESS, or the engine's explicit marker written right after
+    // the staged parquet job (ADVICE r20 — _SUCCESS alone disappears
+    // under mapreduce.fileoutputcommitter.marksuccessfuljobs=false)
+    storePathExists(s, s"$path/component_map_staged/_SUCCESS") ||
+      storePathExists(s, s"$path/component_map_staged/_graft_committed")
 
   private def componentMapDir(s: SparkSession,
       path: String): Option[String] =
@@ -2622,6 +2701,12 @@ object Clustering {
       val staged = new org.apache.hadoop.fs.Path(s"$path/component_map_staged")
       val live = new org.apache.hadoop.fs.Path(s"$path/component_map")
       m.write.mode("overwrite").parquet(staged.toString)
+      // explicit commit marker alongside the job's own _SUCCESS
+      // (ADVICE r20): a deployment with marksuccessfuljobs=false
+      // writes no _SUCCESS, and the completeness probe would discard
+      // a genuinely complete first-append staged map
+      fs.create(new org.apache.hadoop.fs.Path(staged,
+        "_graft_committed"), true).close()
       fs.delete(live, true)
       fs.rename(staged, live)
     }
@@ -2686,9 +2771,17 @@ object Clustering {
   def s14GraphAssign: Q = (s, dir) => {
     val pts = Tables.labeledPoints(s, dir).select(col("id"), col("features"))
     val path = s"${graft.functions.Similarity.artifactRoot(dir)}/s14_graph"
+    // forceOrder pins the oracle face's id-order prefix (ADVICE r20):
+    // the steer certifies at its first id probe on this fixture anyway
+    // (same store either way), but without the pin a future fixture or
+    // cap change could silently steer this face to a layout the DuckDB
+    // replay (fixed planes, id order) does not model — the pin turns
+    // that drift into a certificate message instead of an unexplained
+    // hash mismatch. s14c pins "hash" the same way.
     writeKnnGraphIndexOf(s,
       pts.where(pmod(col("id"), lit(S14Mod)) =!= lit(S14Res)),
-      LshPlanes, path, s"$dir->$path->holdout")
+      LshPlanes, path, s"$dir->$path->holdout",
+      forceOrder = Some("nid"))
     assignFromGraphIndex(
       pts.where(pmod(col("id"), lit(S14Mod)) === lit(S14Res)), path)
       .orderBy(col("id"))
@@ -2706,10 +2799,11 @@ object Clustering {
   def s14bGraphAssignCapped: Q = (s, dir) => {
     val pts = Tables.labeledPoints(s, dir).select(col("id"), col("features"))
     val path = s"${graft.functions.Similarity.artifactRoot(dir)}/s14b_graph"
+    // id-order pin, same rationale as the s14 face (ADVICE r20)
     writeKnnGraphIndexOf(s,
       pts.where(pmod(col("id"), lit(S14Mod)) =!= lit(S14Res)),
       LshPlanes, path, s"$dir->$path->holdout-live",
-      cap = OracleGraphCap)
+      cap = OracleGraphCap, forceOrder = Some("nid"))
     assignFromGraphIndex(
       pts.where(pmod(col("id"), lit(S14Mod)) === lit(S14Res)), path)
       .orderBy(col("id"))
