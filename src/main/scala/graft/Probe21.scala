@@ -58,6 +58,20 @@ object Probe21 {
       }
     }
 
+    if (modes("trend")) {
+      (1 to 8).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.operators.Clustering.c21ConnLsh(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val info = spark.sparkContext.getRDDStorageInfo
+        val mem = info.map(_.memSize).sum / 1e6
+        val rt = Runtime.getRuntime
+        println(f"[probe21] c21 pass$i: $dt%.2f s  cachedRdds=${info.length} " +
+          f"cachedMB=$mem%.0f heapUsedMB=${(rt.totalMemory - rt.freeMemory) / 1e6}%.0f")
+      }
+    }
+
     if (modes("q22")) {
       (1 to 3).foreach { i =>
         timed(s"q22 pass$i") {

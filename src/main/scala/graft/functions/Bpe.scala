@@ -146,9 +146,109 @@ object Bpe {
     * DuckDB CTE chain stays a valid oracle; a corpus that does stop
     * early is covered by BpeSpec against the independent local trainer.
     */
+  /** Word-table bound for the DRIVER-SIDE trainer (r21): the merge loop
+    * needs only the distinct pre-token frequency table — vocabulary-
+    * bounded, not corpus-bounded — and every production BPE trainer
+    * (Sennrich's reference, GPT-2's) counts words distributed and
+    * merges locally. Below this row count the table is collected once
+    * and the M-iteration loop runs on the driver (32 scheduler-bound
+    * Spark jobs → microseconds of array folds); above it the
+    * distributed loop below is the fallback, unchanged. Both paths are
+    * pinned equal by the DuckDB CTE replay (the t4b oracle) and
+    * BpeSpec.
+    */
+  val DriverTrainMaxWords = 2000000L
+
   private[functions] def trainWords(wordFreqs: DataFrame,
       m: Int): (Seq[Merge], DataFrame) = {
-    var words = wordFreqs.localCheckpoint()
+    val words0 = wordFreqs.localCheckpoint()
+    if (words0.count() <= DriverTrainMaxWords) trainWordsLocal(words0, m)
+    else trainWordsDistributed(words0, m)
+  }
+
+  /** Driver-side merge loop over the collected word table. Semantics
+    * are the distributed loop's exactly: all adjacent positions count
+    * (overlaps included), argmax ties break by (lhs, rhs) in UTF-8
+    * BYTE order (Spark's string sort order — a JVM String compareTo
+    * would diverge on supplementary characters), and the greedy
+    * left-to-right fold is [[mergeFold]]'s accumulator law verbatim.
+    */
+  private def trainWordsLocal(words0: DataFrame,
+      m: Int): (Seq[Merge], DataFrame) = {
+    val s = words0.sparkSession
+    val rows = words0.select(col("word"), col("freq"), col("syms"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[String](2).toArray))
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def foldLocal(syms: Array[String], lhs: String,
+        rhs: String): Array[String] = {
+      if (syms.length < 2) return syms
+      val acc = scala.collection.mutable.ArrayBuffer(syms(0))
+      var i = 1
+      while (i < syms.length) {
+        if (acc.last == lhs && syms(i) == rhs)
+          acc(acc.length - 1) = lhs + rhs
+        else acc += syms(i)
+        i += 1
+      }
+      acc.toArray
+    }
+    var table = rows
+    val merges = Seq.newBuilder[Merge]
+    var i = 0
+    var exhausted = false
+    while (i < m && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      table.foreach { case (_, freq, syms) =>
+        var j = 0
+        while (j + 1 < syms.length) {
+          val k = (syms(j), syms(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + freq)
+          j += 1
+        }
+      }
+      val top = counts.reduceOption { (a, b) =>
+        if (a._2 != b._2) { if (a._2 > b._2) a else b }
+        else if (a._1._1 != b._1._1) {
+          if (utf8Lt(a._1._1, b._1._1)) a else b
+        } else if (utf8Lt(a._1._2, b._1._2)) a
+        else b
+      }
+      top match {
+        case Some(((lhs, rhs), cnt)) if cnt >= MinPairFreq =>
+          merges += Merge(i + 1, lhs, rhs, cnt)
+          table = table.map { case (w, f, syms) =>
+            (w, f, foldLocal(syms, lhs, rhs))
+          }
+        case _ => exhausted = true
+      }
+      i += 1
+    }
+    import s.implicits._
+    val out = table.toSeq.map { case (w, f, syms) => (w, f, syms.toSeq) }
+      .toDF("word", "freq", "syms")
+      .localCheckpoint()
+    (merges.result(), out)
+  }
+
+  /** The pre-r21 distributed merge loop — the fallback for word tables
+    * past [[DriverTrainMaxWords]].
+    */
+  private def trainWordsDistributed(words0: DataFrame,
+      m: Int): (Seq[Merge], DataFrame) = {
+    var words = words0
     val merges = Seq.newBuilder[Merge]
     var i = 0
     var exhausted = false

@@ -185,8 +185,18 @@ object Dedup {
 
   /** [[d9SubstringSpans]] over an arbitrary (doc_id, text) frame. */
   private[graft] def substringSpanProfile(in: DataFrame): DataFrame = {
+    // tokenization + window hashing are the O(n·W) CPU of this query
+    // and feed THREE consumers (the dup histogram, the semi-join probe
+    // side, and the final per-doc window count) — persist both frames
+    // for the query's duration so the scan runs once (r21; the
+    // skew-safe histogram + semi-join shape itself is deliberate: a
+    // collect-positions-per-hash one-pass form would put a massively
+    // duplicated boilerplate window's every occurrence in ONE aggregate
+    // buffer). The persists release when the plan's blocks age out;
+    // both frames are narrow (tokens / (doc_id, p, wh) rows).
     val docs = in.select(col("doc_id"), tokensCol(col("text")).as("toks"))
-    val pos = windowPositions(docs)
+      .persist()
+    val pos = windowPositions(docs).persist()
     val dup = pos.groupBy(col("wh")).agg(count(lit(1)).as("c"))
       .where(col("c") >= 2).select(col("wh"))
     val dpos = pos.join(dup, Seq("wh"), "left_semi")
@@ -199,7 +209,9 @@ object Dedup {
     val perDoc = runs.groupBy(col("doc_id"))
       .agg(sum(col("len")).as("dw"), count(lit(1)).as("ds"),
         (max(col("len")) + lit(SpanWindow - 1)).as("mst"))
-    docs
+    // materialize the (per-doc-sized) result while the caches are live,
+    // then release them — the p1 persist discipline
+    val out = docs
       .select(col("doc_id"),
         greatest(size(col("toks")) - (SpanWindow - 1), lit(0))
           .cast("long").as("n_windows"))
@@ -211,7 +223,9 @@ object Dedup {
         when(col("n_windows") > 0,
           round(coalesce(col("dw"), lit(0L)) / col("n_windows"), 6))
           .otherwise(lit(0.0)).as("dup_ratio"))
-      .orderBy(col("doc_id"))
+      .localCheckpoint(eager = true)
+    pos.unpersist(); docs.unpersist()
+    out.orderBy(col("doc_id"))
   }
 
   def d9bSpanRemoval: Q = (s, dir) =>
@@ -236,8 +250,12 @@ object Dedup {
     * set (no join wider than (doc_id, idx)).
     */
   private[graft] def spanRemoval(in: DataFrame): DataFrame = {
+    // same shared-intermediate discipline as the d9 profile (r21):
+    // tokens feed the position rows AND the final filter; positions
+    // feed the keeper histogram AND the removal join — one scan each
     val docs = in.select(col("doc_id"), tokensCol(col("text")).as("toks"))
-    val pos = windowPositions(docs)
+      .persist()
+    val pos = windowPositions(docs).persist()
     val dupKeep = pos.groupBy(col("wh"))
       .agg(count(lit(1)).as("c"),
         min(struct(col("doc_id"), col("p"))).as("keep"))
@@ -249,7 +267,7 @@ object Dedup {
         explode(sequence(col("p"), col("p") + (SpanWindow - 1))).as("i"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("i"))).as("rmidx"))
-    docs.join(rm, Seq("doc_id"), "left")
+    val out = docs.join(rm, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("rmidx"), array().cast("array<int>")).as("rmidx"))
       .select(col("doc_id"), size(col("toks")).as("nt"),
@@ -259,7 +277,9 @@ object Dedup {
         concat_ws(" ", col("kept")).as("clean_text"),
         size(col("kept")).cast("long").as("n_kept"),
         (col("nt") - size(col("kept"))).cast("long").as("n_removed"))
-      .orderBy(col("doc_id"))
+      .localCheckpoint(eager = true)
+    pos.unpersist(); docs.unpersist()
+    out.orderBy(col("doc_id"))
   }
 
   /** MinHash signature rows (doc_id, h, mh): for hash function h, the
@@ -790,9 +810,18 @@ object Dedup {
     * (`private[graft]`: ScaleBench's d11 staleness protocol computes
     * the fresh-rebuild baseline through this exact closure).
     */
-  private[graft] def dedupGroupsOf(curated: DataFrame): DataFrame = {
-    val buckets = bucketArrays(bandRowsOf(minhashSigsOf(
-      curated.select(col("doc_id"), col("text"))))).persist()
+  private[graft] def dedupGroupsOf(curated: DataFrame): DataFrame =
+    dedupGroupsFromBands(bandRowsOf(minhashSigsOf(
+      curated.select(col("doc_id"), col("text")))), curated)
+
+  /** The closure half of [[dedupGroupsOf]] over PRE-BUILT band rows —
+    * factored (r21) so the d11 index build shares ONE signature/banding
+    * pass between the persisted band table and the group closure
+    * (previously it signed the base corpus twice).
+    */
+  private[graft] def dedupGroupsFromBands(bands: DataFrame,
+      curated: DataFrame): DataFrame = {
+    val buckets = bucketArrays(bands).persist()
     val groups = connectedComponents(
       curated.select(col("doc_id")),
       pairsFromBuckets(buckets),
@@ -1138,13 +1167,18 @@ object Dedup {
     */
   private[graft] def writeDedupIndexOf(s: SparkSession, base: DataFrame,
       path: String): Unit = {
-    val bands = bandRowsOf(minhashSigsOf(base))
+    // ONE signature/banding pass for both tables (r21): the band
+    // export and the group closure each re-ran the 64-hash MinHash
+    // scan of the base corpus before
+    val bands = bandRowsOf(minhashSigsOf(base)).persist()
     bands
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("band"), col("key"))
           .orderBy(col("doc_id"))))
       .write.mode("overwrite").parquet(s"$path/bands")
-    dedupGroupsOf(base).write.mode("overwrite").parquet(s"$path/groups")
+    dedupGroupsFromBands(bands, base)
+      .write.mode("overwrite").parquet(s"$path/groups")
+    bands.unpersist()
   }
 
   private val writtenDedupIndexes =

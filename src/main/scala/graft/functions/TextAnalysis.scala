@@ -571,8 +571,17 @@ object TextAnalysis {
     * 1-row aggregate riding the same benign broadcast-BNLJ family as
     * t11/t12's stats rows (PlanAuditSpec exemption).
     */
-  private[graft] def lm2Model(input: DataFrame): DataFrame = {
-    val cb = bigramRows(input)
+  private[graft] def lm2Model(input: DataFrame): DataFrame =
+    lm2ModelOf(bigramRows(input), input)
+
+  /** [[lm2Model]] over pre-built bigram rows — factored so [[lmScore2]]
+    * can share ONE bigram scan between the model's counts and its own
+    * term frequencies (r21). `input` is still needed for the vocabulary
+    * leg: V counts distinct tokens of EVERY doc, including sub-2-token
+    * docs that emit no bigram row.
+    */
+  private def lm2ModelOf(bg: DataFrame, input: DataFrame): DataFrame = {
+    val cb = bg
       .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c"))
     val cl = cb.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
     val v = input
@@ -589,16 +598,24 @@ object TextAnalysis {
     * key wider), then re-weights — fewer join rows than token-level.
     */
   def lmScore2(input: DataFrame): DataFrame = {
-    val tf2 = bigramRows(input)
+    // one bigram scan for both consumers (r21): the per-doc term
+    // frequencies and the model's corpus counts each re-tokenized and
+    // re-exploded the corpus before; materialize the per-doc result
+    // while the cache is live, then release (the p1 discipline)
+    val bg = bigramRows(input).persist()
+    val tf2 = bg
       .groupBy(col("doc_id"), col("prev"), col("tok"))
       .agg(count(lit(1)).as("n"))
-    tf2.join(lm2Model(input), Seq("prev", "tok"))
+    val out = tf2.join(lm2ModelOf(bg, input), Seq("prev", "tok"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_bigrams"),
         sum(col("n") * col("surp2")).as("su"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("su") / (col("n_bigrams") * lit(1000000.0)), 6)
           .as("avg_surprisal2"))
+      .localCheckpoint(eager = true)
+    bg.unpersist()
+    out
   }
 
   /** The bigram-LM train+score replay as a reusable CTE chain over

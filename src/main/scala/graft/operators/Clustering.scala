@@ -1272,9 +1272,15 @@ object Clustering {
     // exchange-reuse between them (their aggregates differ above the
     // chain, so Catalyst planned the WHOLE candidate chain twice —
     // plan-audited, 8 scans / 0 ReusedExchange before r21); materialize
-    // the n·L-bounded ranked pairs once, like the exact leg below
-    val approx = lshRankedNeighbors(s, dir, LshPlanes, LshTables)
-      .localCheckpoint(eager = true)
+    // the n·L-bounded ranked pairs once, like the exact leg below.
+    // The LSH leg and the exact leg are independent — materialize them
+    // CONCURRENTLY (guide §2.6) so the checkpoint barrier doesn't
+    // serialize what the old duplicated-plan form ran as overlapping
+    // stages of one job
+    val approxF = scala.concurrent.Future {
+      lshRankedNeighbors(s, dir, LshPlanes, LshTables)
+        .localCheckpoint(eager = true)
+    }(scala.concurrent.ExecutionContext.global)
     // exact leg = the recall denominator: same n² candidate COMPUTE as
     // c10 (inherent to "exact"), but ranked through the bounded
     // aggregate so the exchange carries O(n·L) rows, not the n² window
@@ -1287,6 +1293,8 @@ object Clustering {
     val exact = topRankedPairs(
       ex.crossJoin(ey).where(col("xi") =!= col("yi")))
       .localCheckpoint(eager = true) // two consumers: value + denominator
+    val approx = scala.concurrent.Await.result(approxF,
+      scala.concurrent.duration.Duration.Inf)
     val connLsh = approx.agg(
       round(sum(when(col("same"), lit(1.0) / col("rnk"))
         .otherwise(lit(0.0))), 4).as("conn_lsh"))

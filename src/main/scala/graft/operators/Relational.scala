@@ -266,8 +266,13 @@ object Relational {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_qty"),
-        round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+        // BOTH quantity percentiles from ONE buffer (r21): the
+        // array-percentages form keeps a single per-group value
+        // histogram where two scalar `percentile` aggregates each
+        // buffered the full column — same exact interpolation, half
+        // the aggregation state
+        percentile(col("l_quantity"), array(lit(0.5), lit(0.9)))
+          .as("qp"),
         // price rides an integer-cent scale: a median of even-count 2dp
         // money lands EXACTLY on x.xx5, where the two engines' ulp-apart
         // interpolations round to different cents. Cents are exact
@@ -276,6 +281,10 @@ object Relational {
         // identical
         (round(percentile(round(col("l_extendedprice") * 100, 0),
           lit(0.5)), 0) / 100).as("p50_price"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qp"), 1), 4).as("p50_qty"),
+        round(element_at(col("qp"), 2), 4).as("p90_qty"),
+        col("p50_price"))
       .orderBy(col("l_returnflag"))
 
   /** The 100 TB percentile form made executable: t-digest-style
@@ -291,17 +300,24 @@ object Relational {
     * ≤ 1 + (rank error ≈ N/accuracy mapped through the value CDF) « 2.
     */
   def q16bApproxPercentiles: Q = (s, dir) => {
-    def exact(c: String, p: Double) = percentile(col(c), lit(p))
-    def approx(c: String, p: Double) =
-      percentile_approx(col(c), lit(p), lit(10000))
+    // one exact buffer and one t-digest for BOTH percentiles (r21,
+    // same array-form move as q16): the scalar form kept 2 exact
+    // value histograms + 2 sketches per group; values and the emitted
+    // booleans are unchanged (identical interpolation/sketch, just
+    // queried at two percentages)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(exact("l_quantity", 0.5), 4).as("p50_exact"),
-        round(exact("l_quantity", 0.9), 4).as("p90_exact"),
-        (abs(approx("l_quantity", 0.5) - exact("l_quantity", 0.5)) <= 2.0)
+        percentile(col("l_quantity"), array(lit(0.5), lit(0.9)))
+          .as("ex"),
+        percentile_approx(col("l_quantity"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("ap"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ex"), 1), 4).as("p50_exact"),
+        round(element_at(col("ex"), 2), 4).as("p90_exact"),
+        (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) <= 2.0)
           .as("p50_within"),
-        (abs(approx("l_quantity", 0.9) - exact("l_quantity", 0.9)) <= 2.0)
+        (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) <= 2.0)
           .as("p90_within"))
       .orderBy(col("l_returnflag"))
   }
