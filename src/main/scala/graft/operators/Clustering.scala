@@ -1749,6 +1749,11 @@ object Clustering {
         signedEntry = Some((p, df))
         df
     }
+    // the finally releases the shared caches on ANY exit — the happy
+    // path also unpersists them inline (idempotent), but a throwing
+    // probe/build must not leak a persisted corpus copy per attempt
+    // (the steer's old per-call try/finally, hoisted with the caches)
+    try {
     val (chosenPlanes, chosenCap, chosenOrder, cert) =
       timedPhase("fidelity") {
         forceOrder match {
@@ -1792,8 +1797,7 @@ object Clustering {
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$path/stitch_fidelity")
     }
-    pc.unpersist(); gmut.unpersist(); pc0.unpersist()
-    signedEntry.foreach(_._2.unpersist()); signedEntry = None
+    pc.unpersist(); gmut.unpersist()
     // a FULL rebuild re-labels everything as base: any append-time
     // stitch map from the previous store generation names component
     // ids from the OLD labeling (same id space — min point ids) and
@@ -1831,6 +1835,10 @@ object Clustering {
     }
     writtenGraphIdx.add(key)
     phases.toSeq
+    } finally {
+      pc0.unpersist()
+      signedEntry.foreach(_._2.unpersist()); signedEntry = None
+    }
   }
 
   /** The append-wave budget (VERDICT r19 next-2): projected cost of
