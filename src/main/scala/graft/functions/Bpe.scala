@@ -159,10 +159,31 @@ object Bpe {
     */
   val DriverTrainMaxWords = 2000000L
 
+  /** Byte companion to the row bound (ADVICE r21): 2M collected rows
+    * each carrying the word plus a per-CHARACTER String array can be
+    * several GB of driver heap on a long-word corpus well under the
+    * row count. Gate on the summed word length too (each collected
+    * character costs roughly a boxed single-char String ≈ 50 bytes, so
+    * 32M chars ≈ 1.6 GB worst case — within the driver heap with
+    * room); the same aggregate job that counts the rows measures it,
+    * and past either bound the distributed loop is the fallback,
+    * unchanged.
+    */
+  val DriverTrainMaxChars = 32000000L
+
+  /** The driver-side-trainer admission rule, exposed for BpeSpec. */
+  private[functions] def fitsDriverTrain(rows: Long, chars: Long): Boolean =
+    rows <= DriverTrainMaxWords && chars <= DriverTrainMaxChars
+
   private[functions] def trainWords(wordFreqs: DataFrame,
       m: Int): (Seq[Merge], DataFrame) = {
     val words0 = wordFreqs.localCheckpoint()
-    if (words0.count() <= DriverTrainMaxWords) trainWordsLocal(words0, m)
+    // one aggregate returns rows AND summed word chars — the byte
+    // guard costs no extra job over the old count()
+    val st = words0.agg(count(lit(1)), sum(length(col("word")))).head()
+    val rows = st.getLong(0)
+    val chars = if (st.isNullAt(1)) 0L else st.getLong(1)
+    if (fitsDriverTrain(rows, chars)) trainWordsLocal(words0, m)
     else trainWordsDistributed(words0, m)
   }
 

@@ -250,9 +250,11 @@ object Dedup {
     * set (no join wider than (doc_id, idx)).
     */
   private[graft] def spanRemoval(in: DataFrame): DataFrame = {
-    // same shared-intermediate discipline as the d9 profile (r21):
-    // tokens feed the position rows AND the final filter; positions
-    // feed the keeper histogram AND the removal join — one scan each
+    // shared-intermediate discipline for the INDEX derivation (r21):
+    // tokens feed the position rows, positions feed the keeper
+    // histogram AND the removal join — one scan each while the
+    // removal index materializes; the final clean-text pass re-reads
+    // `in` lazily instead of a corpus-sized cache (see the rm note)
     val docs = in.select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .persist()
     val pos = windowPositions(docs).persist()
@@ -267,7 +269,20 @@ object Dedup {
         explode(sequence(col("p"), col("p") + (SpanWindow - 1))).as("i"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("i"))).as("rmidx"))
-    val out = docs.join(rm, Seq("doc_id"), "left")
+      // ONLY the removal-index table is checkpointed — bounded by the
+      // duplicated-occurrence mass, never the corpus. The old form
+      // checkpointed the full cleaned corpus (clean_text for every
+      // doc) with no unpersist path (ADVICE r21 medium): at the large
+      // multipliers that accumulates an unreleasable MEMORY_AND_DISK
+      // corpus copy per call on top of the sink write — the documented
+      // x1000 disk-exhaustion pattern. The returned plan instead
+      // re-derives tokens from `in` lazily (every call site consumes
+      // the result exactly once — d9b's sink, the pipelines'
+      // eagerly-pinning tokenBudgetSelect) and joins this small index.
+      .localCheckpoint(eager = true)
+    pos.unpersist(); docs.unpersist()
+    in.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .join(rm, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("rmidx"), array().cast("array<int>")).as("rmidx"))
       .select(col("doc_id"), size(col("toks")).as("nt"),
@@ -277,9 +292,7 @@ object Dedup {
         concat_ws(" ", col("kept")).as("clean_text"),
         size(col("kept")).cast("long").as("n_kept"),
         (col("nt") - size(col("kept"))).cast("long").as("n_removed"))
-      .localCheckpoint(eager = true)
-    pos.unpersist(); docs.unpersist()
-    out.orderBy(col("doc_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** MinHash signature rows (doc_id, h, mh): for hash function h, the
@@ -639,9 +652,33 @@ object Dedup {
           .groupBy(col("src")).agg(min(col("group_id")).as("group_id"))
           .select(col("src").as("doc_id"), col("group_id"))
         val tR0 = System.nanoTime()
-        val next = roundCheckpoint(
-          if (!pointerDoubling) stepped else compose(stepped, labels))
+        // TRUE pointer doubling in escalated rounds (VERDICT r21
+        // next-3): chase the FRESH step through itself (f∘f) instead
+        // of through the previous round's labels — influence distance
+        // doubles against the post-relaxation state, not the stale
+        // one, at the price of materializing the step once (its cut
+        // RDD backs both sides of the hop join, so the step computes
+        // once; the RDD is dropped right after the round's stats job
+        // below). Fixpoint unchanged: step(step(v)) is reachable by
+        // transitivity and labels stay monotone, and the loop only
+        // stops when the COMPOSED operator is stable — which forces
+        // the relaxation itself stable, the plain loop's invariant.
+        // Pre-escalation doubling rounds keep the old hop through the
+        // already-materialized labels: shallow graphs converge there
+        // and must not pay an extra per-round materialization.
+        val (next, stepRdd) =
+          if (!pointerDoubling) (roundCheckpoint(stepped), None)
+          else if (round + 1 < CompressEscalateRounds)
+            (roundCheckpoint(compose(stepped, labels)), None)
+          else {
+            val (st, rdd) =
+              org.apache.spark.sql.graft.Bridge.cachedLineageCut(stepped)
+            (roundCheckpoint(compose(st, st)), Some(rdd))
+          }
         val nextSum = labelStats(next)._1
+        // the stats job materialized `next` — the step's blocks are no
+        // longer an input to any future plan
+        stepRdd.foreach(_.unpersist(blocking = false))
         if (sys.env.contains("GRAFT_CLOSURE_DEBUG"))
           System.err.println(f"[closure] round $round: " +
             f"${(System.nanoTime() - tR0) / 1e9}%.2f s")

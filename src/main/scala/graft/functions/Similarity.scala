@@ -1047,9 +1047,14 @@ object Similarity {
                 .zipWithIndex.map { case (c, j) => (m, j + 1, c.toSeq) }
             }
           }
-          scala.concurrent.Await.result(
+          // finite (generous) bound: a hung fit surfaces as a loud
+          // TimeoutException instead of wedging the build forever
+          // (ADVICE r21); shutdownNow in that path stops the pool
+          // from submitting the remaining fits' jobs
+          try scala.concurrent.Await.result(
             scala.concurrent.Future.sequence(fits),
-            scala.concurrent.duration.Duration.Inf).flatten
+            graft.core.GraftSession.legTimeout).flatten
+          catch { case t: Throwable => pool.shutdownNow(); throw t }
         } finally pool.shutdown()
       })
     }

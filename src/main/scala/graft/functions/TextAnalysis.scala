@@ -580,13 +580,21 @@ object TextAnalysis {
     * leg: V counts distinct tokens of EVERY doc, including sub-2-token
     * docs that emit no bigram row.
     */
-  private def lm2ModelOf(bg: DataFrame, input: DataFrame): DataFrame = {
+  private def lm2ModelOf(bg: DataFrame, input: DataFrame): DataFrame =
+    lm2ModelWithV(bg, vocabSizeOf(input))
+
+  /** The 1-row corpus vocabulary-size leg — V counts distinct tokens of
+    * EVERY doc, including sub-2-token docs that emit no bigram, so it
+    * is its own corpus scan, independent of the bigram frame.
+    */
+  private def vocabSizeOf(input: DataFrame): DataFrame = input
+    .select(explode(tokensCol(col("text"))).as("tok"))
+    .agg(countDistinct(col("tok")).as("vs"))
+
+  private def lm2ModelWithV(bg: DataFrame, v: DataFrame): DataFrame = {
     val cb = bg
       .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c"))
     val cl = cb.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
-    val v = input
-      .select(explode(tokensCol(col("text"))).as("tok"))
-      .agg(countDistinct(col("tok")).as("vs"))
     val surp2 = round(-log((col("c") + lit(1.0)) /
       (col("cp") + col("vs"))) * lit(1000000.0), 0).cast(LongType)
     cb.join(cl, Seq("prev")).crossJoin(broadcast(v))
@@ -601,12 +609,29 @@ object TextAnalysis {
     // one bigram scan for both consumers (r21): the per-doc term
     // frequencies and the model's corpus counts each re-tokenized and
     // re-exploded the corpus before; materialize the per-doc result
-    // while the cache is live, then release (the p1 discipline)
+    // while the cache is live, then release (the p1 discipline).
+    // The vocabulary leg is an INDEPENDENT corpus scan (sub-2-token
+    // docs emit no bigram row), so it materializes CONCURRENTLY with
+    // the bigram cache (guide §2.6) — the r21 shared-scan form
+    // serialized these formerly-overlapping subtrees and traded the
+    // saved scan for wall clock at bench scale (VERDICT r21 wrong-2).
+    val s = input.sparkSession
     val bg = bigramRows(input).persist()
+    val vF = scala.concurrent.Future {
+      s.sparkContext.setJobGroup("t13-vocab", "t13 vocabulary leg")
+      try vocabSizeOf(input).localCheckpoint(eager = true)
+      finally s.sparkContext.clearJobGroup()
+    }(scala.concurrent.ExecutionContext.global)
+    try bg.count() // materialize the bigram cache while V scans
+    catch { case t: Throwable =>
+      s.sparkContext.cancelJobGroup("t13-vocab"); throw t
+    }
+    val v = scala.concurrent.Await.result(vF,
+      graft.core.GraftSession.legTimeout)
     val tf2 = bg
       .groupBy(col("doc_id"), col("prev"), col("tok"))
       .agg(count(lit(1)).as("n"))
-    val out = tf2.join(lm2ModelOf(bg, input), Seq("prev", "tok"))
+    val out = tf2.join(lm2ModelWithV(bg, v), Seq("prev", "tok"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_bigrams"),
         sum(col("n") * col("surp2")).as("su"))

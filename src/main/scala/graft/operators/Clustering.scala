@@ -1278,8 +1278,12 @@ object Clustering {
     // serialize what the old duplicated-plan form ran as overlapping
     // stages of one job
     val approxF = scala.concurrent.Future {
-      lshRankedNeighbors(s, dir, LshPlanes, LshTables)
+      // job-grouped so a failing exact leg can cancel these jobs
+      // instead of leaving them running unsupervised (ADVICE r21)
+      s.sparkContext.setJobGroup("c21-approx", "c21 LSH approx leg")
+      try lshRankedNeighbors(s, dir, LshPlanes, LshTables)
         .localCheckpoint(eager = true)
+      finally s.sparkContext.clearJobGroup()
     }(scala.concurrent.ExecutionContext.global)
     // exact leg = the recall denominator: same n² candidate COMPUTE as
     // c10 (inherent to "exact"), but ranked through the bounded
@@ -1290,11 +1294,15 @@ object Clustering {
       col("cluster").as("cx"))
     val ey = pc.select(col("id").as("yi"), col("features").as("yv"),
       col("cluster").as("cy"))
-    val exact = topRankedPairs(
-      ex.crossJoin(ey).where(col("xi") =!= col("yi")))
-      .localCheckpoint(eager = true) // two consumers: value + denominator
+    val exact =
+      try topRankedPairs(
+        ex.crossJoin(ey).where(col("xi") =!= col("yi")))
+        .localCheckpoint(eager = true) // two consumers: value + denominator
+      catch { case t: Throwable =>
+        s.sparkContext.cancelJobGroup("c21-approx"); throw t
+      }
     val approx = scala.concurrent.Await.result(approxF,
-      scala.concurrent.duration.Duration.Inf)
+      graft.core.GraftSession.legTimeout)
     val connLsh = approx.agg(
       round(sum(when(col("same"), lit(1.0) / col("rnk"))
         .otherwise(lit(0.0))), 4).as("conn_lsh"))

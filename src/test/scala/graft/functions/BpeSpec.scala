@@ -123,6 +123,17 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(merges.isEmpty)
   }
 
+  test("driver-train admission gates on bytes as well as rows (ADVICE r21)") {
+    // a synthetic long-word table can blow the driver heap far below
+    // the 2M row bound — the char budget must refuse it
+    assert(Bpe.fitsDriverTrain(1000L, 1000L * 40))
+    assert(!Bpe.fitsDriverTrain(Bpe.DriverTrainMaxWords + 1, 10L))
+    assert(!Bpe.fitsDriverTrain(1000L, Bpe.DriverTrainMaxChars + 1))
+    // boundary: exactly at both bounds still fits
+    assert(Bpe.fitsDriverTrain(Bpe.DriverTrainMaxWords,
+      Bpe.DriverTrainMaxChars))
+  }
+
   test("early stop agrees with the reference trainer run to exhaustion") {
     // reference trainer with the same min-frequency stop; both must
     // produce the identical (shorter-than-budget) merge sequence
